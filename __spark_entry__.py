@@ -1,38 +1,1180 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship DX-Group pipeline shape (SURVEY.md §3.1)
+over sf0.001. ``queries()`` registers one callable per implemented operator
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every deterministic, SQL-expressible query (non-SQL-expressible ops — LSH
+candidate generation, numpy-seeded multimodal features, streaming — are
+rows-only by contract, SURVEY.md §5.2.2).
+
+Oracle-parity notes:
+- all regex patterns live in the engine modules and use the Java/RE2-common
+  subset; oracle SQL is assembled from the same constants.
+- double aggregates are rounded identically on both sides (half-away-from-
+  zero in both engines); ns timestamps are floored to µs on both sides.
+- pipeline-shape queries use the arithmetic stand-in classifier
+  (ml.inference.arith_standin_classifier) so every stage is SQL-expressible.
 """
 
 from __future__ import annotations
 
+import tempfile
+import uuid
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_spark.testdata import load_table
+from dataengineer_spark.functions import cleaning
+from dataengineer_spark.functions.cleaning import clean_msg
+from dataengineer_spark.functions.labels import split_label
+from dataengineer_spark.functions.sections import create_sections, sectionize
+from dataengineer_spark.functions.dates import format_date
+from dataengineer_spark.functions.truncate import truncate_text_chars
+from dataengineer_spark.ml.inference import STANDIN_MULT, arith_standin_classifier
+from dataengineer_spark.operators import (
+    aggregates as agg_ops,
+    dedup as dedup_ops,
+    events as event_ops,
+    joins as join_ops,
+    projection as proj_ops,
+    similarity as sim_ops,
+    textops,
+    windows as win_ops,
+)
+from dataengineer_spark.operators.multimodal import extract_features
+from dataengineer_spark.plans.api_variant import publish_stage
+from dataengineer_spark.plans.dx_group import clean_stage, predict_stage, prep_stage
+from dataengineer_spark.plans.prostate import run_prostate
+from dataengineer_spark.schemas import PROSTATE_PRED_FIELDS
+from dataengineer_spark.sources.files import read_csv, write_csv
+from dataengineer_spark.sources.records import from_records
+from dataengineer_spark.sources.rest import RestSource
+
+# ---------------------------------------------------------------------------
+# shared constants / SQL fragments (one definition, both engines)
+# ---------------------------------------------------------------------------
+
+#: sectionizer patterns over the synthetic documents vocabulary (stand-in for
+#: the clinical report headers; F4 semantics identical)
+DOC_PATTERNS = {
+    "gross": "table ([a-z]+)",
+    "addendum": "window ([a-z]+)",
+    "diagnosis": "join ([a-z]+)",
+    "diagnosis_comment": "merge ([a-z]+)",
+    "micro": "scan ([a-z]+)",
+}
+
+LABEL_DIM = [(1, k, f"NAME_{k}") for k in range(16)]
+
+
+def _sql_clean(expr: str) -> str:
+    """DuckDB replica of functions.cleaning.clean_msg's regexp chain."""
+    s = expr
+    s = f"regexp_replace({s}, '{cleaning._HL7_SEGMENT_PREFIX}', '', 'g')"
+    s = f"regexp_replace({s}, '{cleaning._HL7_BREAKS}', chr(10), 'g')"
+    s = f"regexp_replace({s}, '{cleaning._CONTROL_CHARS}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{cleaning._MULTI_WS}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{cleaning._MULTI_NL}', chr(10), 'g')"
+    return f"trim({s})"
+
+
+def _sql_sections(msg: str) -> str:
+    """DuckDB replica of functions.sections.create_sections over ``msg``
+
+    (select-list fragment; expects to be wrapped in a CTE that provides
+    the msg expression as column ``{msg}``)."""
+    ex = {k: f"regexp_extract({msg}, '{p}', 1)" for k, p in DOC_PATTERNS.items()}
+    names = list(DOC_PATTERNS)
+    any_hit = " OR ".join(f"{ex[n]} <> ''" for n in names)
+    joined = "concat_ws(' ', " + ", ".join(ex[n] for n in names) + ")"
+    fields = ", ".join(f"{ex[n]} AS {n}" for n in names)
+    return (
+        f"{fields}, "
+        f"CASE WHEN {any_hit} THEN trim({joined}) ELSE {msg} END AS filtered_message, "
+        f"CASE WHEN {ex['diagnosis']} <> '' OR {ex['addendum']} <> '' THEN 'diag_or_add' "
+        f"WHEN {ex['gross']} <> '' OR {ex['micro']} <> '' THEN 'gross_or_micro' "
+        f"ELSE 'entire report' END AS part_of_report"
+    )
+
+
+def _sql_truncate(fm: str, part: str, budget: int) -> str:
+    """DuckDB replica of functions.truncate.truncate_text_chars."""
+    return (
+        f"CASE WHEN length({fm}) <= {budget} THEN {fm} "
+        f"WHEN {part} = 'entire report' "
+        f"THEN substr({fm}, length({fm}) - {budget - 1}, {budget}) "
+        f"ELSE substr({fm}, 1, {budget}) END"
+    )
+
+
+def _label_dim_values() -> str:
+    rows = ", ".join(
+        f"(CAST({m} AS BIGINT), CAST({k} AS BIGINT), '{n}')" for m, k, n in LABEL_DIM
+    )
+    return f"(VALUES {rows}) AS l(model_id, label, label_name)"
+
+
+def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("msgid"), F.col("text").alias("message")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline (entry + q_pipeline_dx_group)
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DX-Group pipeline shape over documents: clean → sectionize →
+
+    truncate → stand-in classify → label join → export rename (§3.1+§3.2
+    deltas), one lazy plan, no shuffle except the broadcast dim join."""
+    source = _docs_source(spark, sf_dir)
+    cleaned = clean_stage(source, batch_id=1, id_col="msgid", msg_col="message")
+    preped = prep_stage(cleaned, DOC_PATTERNS)
+    predictions = predict_stage(
+        preped,
+        model_id=1,
+        classifier=arith_standin_classifier("msgid", "model_input"),
+        char_budget=200,
+    )
+    labels = spark.createDataFrame(LABEL_DIM, "model_id long, label long, label_name string")
+    return publish_stage(predictions, labels)
+
+
+_FLAGSHIP_ORACLE = f"""
+WITH cleaned AS (
+  SELECT CAST(1 AS BIGINT) AS batch_id, doc_id AS msgid, {_sql_clean('text')} AS msg
+  FROM documents
+), prep AS (
+  SELECT batch_id, msgid, {_sql_sections('msg')} FROM cleaned
+), trunc AS (
+  SELECT batch_id, msgid,
+         {_sql_truncate('filtered_message', 'part_of_report', 200)} AS model_input
+  FROM prep
+), pred AS (
+  SELECT batch_id, msgid,
+         (msgid * {STANDIN_MULT} + length(model_input)) % 1000000 AS h
+  FROM trunc
+)
+SELECT p.batch_id AS batchid, p.msgid,
+       p.h % 16 AS predicted_label_id,
+       CAST(p.h % 1000 AS DOUBLE) / 1000.0 AS model_score,
+       CAST(1 AS BIGINT) AS model_id,
+       l.label_name AS predicted_label
+FROM pred p JOIN {_label_dim_values()} ON p.h % 16 = l.label
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+
+def q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    write_csv(docs, tmp)
+    return read_csv(
+        spark, tmp, schema="doc_id long, lang string, source string, n_chars long"
+    )
+
+
+def q_s2_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return proj_ops.select_where(
+        li,
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+        conditions=[F.col("l_quantity") > 30],
+    )
+
+
+def q_s4_daterange_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return proj_ops.date_range(orders, "o_orderdate", "1995-01-01", "1995-12-31")
+
+
+def q_s6_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return from_records(
+        spark,
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        schema="id long, name string",
+    )
+
+
+def _fake_fetch(url: str, params: dict) -> list[dict]:
+    """Deterministic fake REST page fetch (tests/driver; injectable)."""
+    p = int(params["page"])
+    return [
+        {"rec_id": p * 100 + j, "page": p, "payload": f"rec_{p}_{j}"}
+        for j in range(10)
+    ]
+
+
+def q_s5_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = RestSource("local://fake", fetch_fn=_fake_fetch)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("page", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    return src.fetch_partitioned(spark, [{"page": p} for p in range(4)], schema)
+
+
+def _rest_oracle() -> str:
+    rows = ", ".join(
+        f"(CAST({p * 100 + j} AS BIGINT), CAST({p} AS BIGINT), 'rec_{p}_{j}')"
+        for p in range(4)
+        for j in range(10)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(rec_id, page, payload)"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 sinks / batch audit
+# ---------------------------------------------------------------------------
+
+
+def q_k2_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.batch import BatchAllocator
+    from dataengineer_spark.catalog import Catalog
+    from dataengineer_spark.config import RunConfig
+
+    lake = tempfile.mkdtemp(prefix="spark_graft_lake_")
+    alloc = BatchAllocator(Catalog(spark, lake))
+    for name in ["dx_group", "dx_group", "prostate"]:
+        alloc.open_batch(RunConfig(pipeline_name=name))
+    return alloc.catalog.read("batch").select(
+        "batch_id", "pipeline_name", "date_from", "date_to"
+    )
+
+
+_K2_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'dx_group', '20220101', '20291231'),
+  (CAST(2 AS BIGINT), 'dx_group', '20220101', '20291231'),
+  (CAST(3 AS BIGINT), 'prostate', '20220101', '20291231')
+) AS t(batch_id, pipeline_name, date_from, date_to)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 projection / filters / column ops
+# ---------------------------------------------------------------------------
+
+
+def q_p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return proj_ops.project(load_table(spark, sf_dir, "documents"), ["doc_id", "lang"])
+
+
+def q_p2_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return proj_ops.select_where(
+        load_table(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+        conditions=[F.col("l_returnflag") == "R", F.col("l_quantity") < 10],
+    )
+
+
+def q_p3_conj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return proj_ops.eq_filter(
+        load_table(spark, sf_dir, "customer"), c_mktsegment="BUILDING", c_nationkey=5
+    ).select("c_custkey", "c_name")
+
+
+def q_p5_lit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # includes the M4 constant-classifier stamp (reference prostate_dag.py:172-177)
+    return proj_ops.with_literals(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        batch_id=F.lit(7).cast("bigint"),
+        site_code="C61.9",
+        behaviour_code="3",
+        laterality="00",
+        pred_score=1.0,
+    )
+
+
+def q_p6_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return proj_ops.rename_all(docs, ["msgid", "language", "origin"])
+
+
+def q_p7_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = proj_ops.cast_column(docs, "n_chars", "double")
+    return proj_ops.cast_column(out, "doc_id", "string")
+
+
+def q_p8_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang")).alias("lang2"),
+    )
+    return proj_ops.drop_nulls(docs, how="any")
+
+
+def q_p9_struct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang_s"), F.col("source").alias("source_s")
+        ).alias("meta"),
+    )
+    return proj_ops.expand_struct(docs, "meta")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_f1_clean_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("OBX|1|TX|"), F.col("text"), F.lit("~  tail\t\ttail2  "))
+    return docs.select("doc_id", clean_msg(dirty).alias("msg"))
+
+
+_F1_ORACLE = (
+    "SELECT doc_id, "
+    + _sql_clean("concat('OBX|1|TX|', text, '~  tail' || chr(9) || chr(9) || 'tail2  ')")
+    + " AS msg FROM documents"
+)
+
+
+def q_f4_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sectionize(docs, "text", DOC_PATTERNS)
+
+
+_F4_ORACLE = f"SELECT doc_id, text, {_sql_sections('text')} FROM documents"
+
+
+def q_f5_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sec = sectionize(docs, "text", DOC_PATTERNS).select(
+        "doc_id", "filtered_message", "part_of_report"
+    )
+    return sec.select(
+        "doc_id",
+        "part_of_report",
+        truncate_text_chars("filtered_message", "part_of_report", 100).alias("truncated"),
+    )
+
+
+_F5_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_sql_sections('text')} FROM documents)
+SELECT doc_id, part_of_report,
+       {_sql_truncate('filtered_message', 'part_of_report', 100)} AS truncated
+FROM s
+"""
+
+
+def q_f6_format_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        format_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "%Y-%m-%d").alias("d"),
+    )
+
+
+def q_f7_split_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(F.col("lang") == "zh", F.lit("PLAIN")).otherwise(
+        F.concat(
+            F.lit("LABEL_"),
+            F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(16)).cast("string"),
+        )
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_label"), split_label(raw).alias("parsed")
+    )
+
+
+_F7_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN 'PLAIN'
+              ELSE 'LABEL_' || CAST((doc_id * 37 + n_chars) % 16 AS VARCHAR) END AS raw_label
+  FROM documents)
+SELECT doc_id, raw_label,
+       TRY_CAST(NULLIF(split_part(raw_label, '_', 2), '') AS BIGINT) AS parsed
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins & lookups
+# ---------------------------------------------------------------------------
+
+
+def q_j1_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(16)).alias("predicted_label"),
+    )
+    dim = spark.createDataFrame(
+        [(k, n) for _, k, n in LABEL_DIM[:12]], "label long, label_name string"
+    )
+    return join_ops.label_join(facts, dim).select(
+        "doc_id", "predicted_label", "label_name"
+    )
+
+
+def _j1_oracle() -> str:
+    rows = ", ".join(f"(CAST({k} AS BIGINT), '{n}')" for _, k, n in LABEL_DIM[:12])
+    return f"""
+SELECT d.doc_id, (d.doc_id * 37 + d.n_chars) % 16 AS predicted_label, l.label_name
+FROM documents d JOIN (VALUES {rows}) AS l(label, label_name)
+  ON (d.doc_id * 37 + d.n_chars) % 16 = l.label
+"""
+
+
+def q_j2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = spark.createDataFrame(
+        [(1, "standin", 1, "loc1"), (2, "standin", 2, "loc2"), (3, "other", 1, "loc3")],
+        "model_id long, model_name string, model_version int, model_location string",
+    )
+    # DataFrame form of J2 (point_lookup() returns the Row; same plan)
+    return proj_ops.eq_filter(model, model_name="standin", model_version=2).select(
+        "model_id", "model_location"
+    ).limit(1)
+
+
+_J2_ORACLE = "SELECT CAST(2 AS BIGINT) AS model_id, 'loc2' AS model_location"
+
+
+def q_j4_fanin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(F.col("doc_id").alias("msg_id"), "lang")
+    b2 = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("msg_id"), "n_chars"
+    )
+    b3 = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("msg_id"), "source"
+    )
+    return join_ops.fanin_merge([b1, b2, b3], on="msg_id", how="outer")
+
+
+_J4_ORACLE = """
+SELECT d.doc_id AS msg_id, d.lang, e.n_chars, s.source
+FROM documents d
+LEFT JOIN (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0) e
+  ON d.doc_id = e.doc_id
+LEFT JOIN (SELECT doc_id, source FROM documents WHERE lang = 'en') s
+  ON d.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations (A1) + E5/E7/E8
+# ---------------------------------------------------------------------------
+
+
+def q_a1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(16)).alias("pred"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("truth"),
+    )
+    return agg_ops.accuracy(docs, "pred", "truth")
+
+
+_A1_ORACLE = """
+SELECT avg(CASE WHEN (doc_id * 37 + n_chars) % 16 = doc_id % 16
+               THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS accuracy
+FROM documents
+"""
+
+
+def q_e5_groupagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return agg_ops.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        ],
+    )
+
+
+_E5_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_e5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+    )
+
+
+_E5_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_e7_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return agg_ops.top_k(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", "o_totalprice")
+
+
+_E7_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_e8_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = agg_ops.intersect(cust, supp).withColumn("side", F.lit("both"))
+    cust_only = agg_ops.except_rows(
+        cust, supp, keep_duplicates=False
+    ).withColumn("side", F.lit("customers_only"))
+    return agg_ops.union_all([both, cust_only])
+
+
+_E8_ORACLE = """
+SELECT nationkey, 'both' AS side FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customers_only' AS side FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E6 windows, E9 join completions, E10 event-time
+# ---------------------------------------------------------------------------
+
+
+def q_e6_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ranked = win_ops.ranked(orders, ["o_custkey"], order_cols, "rn")
+    lagged = win_ops.lag_lead(ranked, ["o_custkey"], order_cols, "o_totalprice")
+    running = win_ops.running_agg(
+        lagged, ["o_custkey"], order_cols, F.sum("o_totalprice"), "running_total"
+    )
+    return running.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("o_totalprice_lag").alias("prev_price"),
+        F.col("o_totalprice_lead").alias("next_price"),
+        F.round("running_total", 2).alias("running_total"),
+    )
+
+
+_E6_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_e9_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    active = join_ops.semi_join(cust, orders, "c_custkey").select(
+        "c_custkey", F.lit("active").alias("status")
+    )
+    inactive = join_ops.anti_join(cust, orders, "c_custkey").select(
+        "c_custkey", F.lit("inactive").alias("status")
+    )
+    return agg_ops.union_all([active, inactive])
+
+
+_E9_SEMI_ORACLE = """
+SELECT c_custkey, 'active' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'inactive' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_e9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = join_ops.range_join(
+        li,
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    )
+    return agg_ops.group_agg(
+        joined, ["o_orderpriority"], [F.count("*").alias("n")]
+    )
+
+
+_E9_RANGE_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_e9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = join_ops.asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return out.select("user_id", "event_id", "ts", "value", "signup_value")
+
+
+_E9_ASOF_ORACLE = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, max(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT p.user_id, p.event_id, p.ts, p.value, s.signup_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+"""
+
+
+def q_e10_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = event_ops.tumbling(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select("window_start", "window_end", "event_type", "n", "total_value")
+
+
+_E10_TUMBLING_ORACLE = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = event_ops.sessionize_lag(
+        ev, "ts", 1800, ["user_id"], tiebreakers=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_E10_SESSION_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM y GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E1–E4: dedup / similarity / text analysis (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_e1_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.content_dedup(docs, "text", "doc_id").select("doc_id", "lang")
+
+
+_E1_ORACLE = """
+SELECT d.doc_id, d.lang FROM documents d
+JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) m
+  ON d.doc_id = m.doc_id
+"""
+
+
+def q_e1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return dedup_ops.exact_dedup(docs)
+
+
+_E1_DISTINCT_ORACLE = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64-based MinHash+LSH banding is not SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4, threshold=0.5
+    )
+
+
+def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash fingerprint buckets + Hamming verify."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return dedup_ops.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=8, prefix_bits=12
+    )
+
+
+def q_e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: word-3-gram Jaccard pairs inside same-language buckets."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, bucket_col=F.col("lang")
+    )
+
+
+def q_e3_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = sim_ops.brute_force_top_k(emb, [1.0] * 64, k=10)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_E3_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, round(dot / (nrm * 8.0), 6) AS cos_sim
+FROM s ORDER BY dot / (nrm * 8.0) DESC, vec_id LIMIT 10
+"""
+
+
+def q_e3_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    top = sim_ops.pairwise_top_k(queries, emb, k=3)
+    return top.select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_E3_PAIRWISE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS corpus_id, embedding AS ce,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings
+), s AS (
+  SELECT query_id, corpus_id,
+         list_sum(list_transform(range(1, 65),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) / (qn * cn) AS cs
+  FROM q CROSS JOIN c
+), r AS (
+  SELECT query_id, corpus_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, corpus_id) AS rn
+  FROM s
+)
+SELECT query_id, corpus_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 3
+"""
+
+
+def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed ANN (gaussian hyperplanes aren't SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.lsh_top_k(queries, emb, dim=64, n_planes=8, k=3).select(
+        "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+    )
+
+
+_E4_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents
+)
+SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+       round(CASE WHEN toks > 0 THEN CAST(n AS DOUBLE) / toks END, 6) AS mean_word_len,
+       round(CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n > 0 THEN CAST(digits AS DOUBLE) / n ELSE 0.0 END, 6) AS digit_ratio
+FROM t
+"""
+
+
+def q_e4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", textops.language_id(F.col("text")).alias("detected")
+    )
+
+
+def _langid_oracle() -> str:
+    scores = {
+        lang: (
+            f"len(regexp_split_to_array(lower(text), "
+            f"'\\b(?:{'|'.join(markers)})\\b')) - 1"
+        )
+        for lang, markers in textops._LANG_MARKERS.items()
+    }
+    s = scores
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         {s['en']} AS s_en, {s['fr']} AS s_fr, {s['es']} AS s_es, {s['de']} AS s_de,
+         regexp_matches(text, '{textops.CJK_PATTERN}') AS has_cjk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'und' END AS detected
+FROM t
+"""
+
+
+def q_e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64 fingerprints are not SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        textops.winnowed_fingerprints(F.col("text")).alias("winnowed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E12 UDF surface, E11 streaming, multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_e12_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def boost(s: "pd.Series") -> "pd.Series":
+        return s * 0.5 + 7.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", boost(F.col("n_chars")).alias("boosted"))
+
+
+_E12_ORACLE = "SELECT doc_id, CAST(n_chars AS DOUBLE) * 0.5 + 7.0 AS boosted FROM documents"
+
+
+def q_e11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the events parquet (availableNow), complete
+
+    mode so every window emits — result equals the batch tumbling agg."""
+    from dataengineer_spark.streaming import stream_events, windowed_counts
+
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    counts = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+_E11_ORACLE = _E10_TUMBLING_ORACLE
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: multimodal plumbing with the deterministic fake decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select("media_id", "kind", F.round("feat_norm", 4).alias("feat_norm"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline-shape queries
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_dx_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship(spark, sf_dir)
+
+
+def q_pipeline_prostate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    source = _docs_source(spark, sf_dir)
+    cleaned = clean_stage(source, batch_id=2, id_col="msgid", msg_col="message")
+    segments = prep_stage(cleaned, DOC_PATTERNS)
+    return run_prostate(segments)
+
+
+def _prostate_oracle() -> str:
+    constant_fields = {"site_code", "behaviour_code", "laterality"}
+    standin_fields = [f for f in PROSTATE_PRED_FIELDS if f not in constant_fields]
+    cols = ["msgid AS msg_id"]
+    for f_ in PROSTATE_PRED_FIELDS:
+        if f_ in constant_fields:
+            val = {"site_code": "C61.9", "behaviour_code": "3", "laterality": "00"}[f_]
+            cols.append(f"'{val}' AS {f_}")
+            cols.append(f"CAST(1.0 AS DOUBLE) AS {f_}_pred_score")
+        else:
+            salt = standin_fields.index(f_)
+            h = (
+                f"(msgid * {STANDIN_MULT} + length(coalesce(filtered_message, ''))"
+                f" + {salt}) % 1000000"
+            )
+            cols.append(f"CAST({h} % 100 AS VARCHAR) AS {f_}")
+            cols.append(f"CAST({h} % 1000 AS DOUBLE) / 1000.0 AS {f_}_pred_score")
+    select_list = ",\n       ".join(cols)
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id AS msgid, {_sql_clean('text')} AS msg FROM documents
+), prep AS (
+  SELECT msgid, {_sql_sections('msg')} FROM cleaned
+)
+SELECT {select_list}
+FROM prep
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_s1_csv_scan": q_s1_csv_scan,
+        "q_s2_table_scan": q_s2_table_scan,
+        "q_s4_daterange_scan": q_s4_daterange_scan,
+        "q_s5_rest_source": q_s5_rest_source,
+        "q_s6_inline_table": q_s6_inline_table,
+        "q_k2_batch_audit": q_k2_batch_audit,
+        "q_p1_project": q_p1_project,
+        "q_p2_select_where": q_p2_select_where,
+        "q_p3_conj_filter": q_p3_conj_filter,
+        "q_p5_lit_columns": q_p5_lit_columns,
+        "q_p6_rename": q_p6_rename,
+        "q_p7_cast": q_p7_cast,
+        "q_p8_dropna": q_p8_dropna,
+        "q_p9_struct_expand": q_p9_struct_expand,
+        "q_f1_clean_msg": q_f1_clean_msg,
+        "q_f4_sectionize": q_f4_sectionize,
+        "q_f5_truncate": q_f5_truncate,
+        "q_f6_format_date": q_f6_format_date,
+        "q_f7_split_label": q_f7_split_label,
+        "q_j1_label_join": q_j1_label_join,
+        "q_j2_point_lookup": q_j2_point_lookup,
+        "q_j4_fanin_merge": q_j4_fanin_merge,
+        "q_a1_accuracy": q_a1_accuracy,
+        "q_e1_dedup": q_e1_dedup,
+        "q_e1_distinct": q_e1_distinct,
+        "q_e2_minhash_neardup": q_e2_minhash_neardup,
+        "q_e2_simhash_neardup": q_e2_simhash_neardup,
+        "q_e2_ngram_jaccard": q_e2_ngram_jaccard,
+        "q_e3_topk_sim": q_e3_topk_sim,
+        "q_e3_pairwise_topk": q_e3_pairwise_topk,
+        "q_e3_lsh_topk": q_e3_lsh_topk,
+        "q_e4_text_stats": q_e4_text_stats,
+        "q_e4_langid": q_e4_langid,
+        "q_e4_fingerprint": q_e4_fingerprint,
+        "q_e5_groupagg": q_e5_groupagg,
+        "q_e5_rollup": q_e5_rollup,
+        "q_e6_window": q_e6_window,
+        "q_e7_topk": q_e7_topk,
+        "q_e8_setops": q_e8_setops,
+        "q_e9_semi_anti": q_e9_semi_anti,
+        "q_e9_range_join": q_e9_range_join,
+        "q_e9_asof_join": q_e9_asof_join,
+        "q_e10_tumbling": q_e10_tumbling,
+        "q_e10_session": q_e10_session,
+        "q_e11_stream_tumbling": q_e11_stream_tumbling,
+        "q_e12_udf": q_e12_udf,
+        "q_mm_features": q_mm_features,
+        "q_pipeline_dx_group": q_pipeline_dx_group,
+        "q_pipeline_prostate": q_pipeline_prostate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_s1_csv_scan": "SELECT doc_id, lang, source, n_chars FROM documents",
+        "q_s2_table_scan": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_quantity > 30"
+        ),
+        "q_s4_daterange_scan": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders "
+            "WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' "
+            "AND TIMESTAMP '1995-12-31 00:00:00'"
+        ),
+        "q_s5_rest_source": _rest_oracle(),
+        "q_s6_inline_table": (
+            "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'), "
+            "(CAST(2 AS BIGINT), 'beta'), (CAST(3 AS BIGINT), 'gamma')) AS t(id, name)"
+        ),
+        "q_k2_batch_audit": _K2_ORACLE,
+        "q_p1_project": "SELECT doc_id, lang FROM documents",
+        "q_p2_select_where": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_returnflag = 'R' AND l_quantity < 10"
+        ),
+        "q_p3_conj_filter": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5"
+        ),
+        "q_p5_lit_columns": (
+            "SELECT doc_id, CAST(7 AS BIGINT) AS batch_id, 'C61.9' AS site_code, "
+            "'3' AS behaviour_code, '00' AS laterality, "
+            "CAST(1.0 AS DOUBLE) AS pred_score FROM documents"
+        ),
+        "q_p6_rename": (
+            "SELECT doc_id AS msgid, lang AS language, source AS origin FROM documents"
+        ),
+        "q_p7_cast": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars AS DOUBLE) AS n_chars FROM documents"
+        ),
+        "q_p8_dropna": (
+            "SELECT doc_id, lang AS lang2 FROM documents WHERE lang <> 'en'"
+        ),
+        "q_p9_struct_expand": (
+            "SELECT doc_id, lang AS lang_s, source AS source_s FROM documents"
+        ),
+        "q_f1_clean_msg": _F1_ORACLE,
+        "q_f4_sectionize": _F4_ORACLE,
+        "q_f5_truncate": _F5_ORACLE,
+        "q_f6_format_date": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS d FROM orders"
+        ),
+        "q_f7_split_label": _F7_ORACLE,
+        "q_j1_label_join": _j1_oracle(),
+        "q_j2_point_lookup": _J2_ORACLE,
+        "q_j4_fanin_merge": _J4_ORACLE,
+        "q_a1_accuracy": _A1_ORACLE,
+        "q_e1_dedup": _E1_ORACLE,
+        "q_e1_distinct": _E1_DISTINCT_ORACLE,
+        "q_e3_topk_sim": _E3_ORACLE,
+        "q_e3_pairwise_topk": _E3_PAIRWISE_ORACLE,
+        "q_e4_text_stats": _E4_STATS_ORACLE,
+        "q_e4_langid": _langid_oracle(),
+        "q_e5_groupagg": _E5_ORACLE,
+        "q_e5_rollup": _E5_ROLLUP_ORACLE,
+        "q_e6_window": _E6_ORACLE,
+        "q_e7_topk": _E7_ORACLE,
+        "q_e8_setops": _E8_ORACLE,
+        "q_e9_semi_anti": _E9_SEMI_ORACLE,
+        "q_e9_range_join": _E9_RANGE_ORACLE,
+        "q_e9_asof_join": _E9_ASOF_ORACLE,
+        "q_e10_tumbling": _E10_TUMBLING_ORACLE,
+        "q_e10_session": _E10_SESSION_ORACLE,
+        "q_e11_stream_tumbling": _E11_ORACLE,
+        "q_e12_udf": _E12_ORACLE,
+        "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
+        "q_pipeline_prostate": _prostate_oracle(),
+        # rows-only (not SQL-expressible): q_e2_minhash_neardup,
+        # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e3_lsh_topk,
+        # q_e4_fingerprint, q_mm_features
+    }

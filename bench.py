@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes to completion via the no-op sink (full compute, no
+driver materialization) — the measured time is scan+compute+shuffle, which
+is what scales to the 100 TB target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from dataengineer_spark.session import build_session
+
+HEADLINE = [
+    "q_e5_groupagg",
+    "q_e5_rollup",
+    "q_e6_window",
+    "q_e7_topk",
+    "q_e9_range_join",
+    "q_e9_asof_join",
+    "q_e9_semi_anti",
+    "q_e10_tumbling",
+    "q_e10_session",
+    "q_e3_topk_sim",
+    "q_e3_pairwise_topk",
+    "q_e2_minhash_neardup",
+    "q_e1_dedup",
+    "q_e4_text_stats",
+    "q_e4_langid",
+    "q_f4_sectionize",
+    "q_pipeline_dx_group",
+    "q_pipeline_prostate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session("bench")
+
+    # JVM/codegen warmup outside the measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Named-table catalog over a parquet lake.
+
+Replaces the reference's Postgres data plane (every task round-tripped the
+full dataset through named Postgres tables — reference dx_group.py:129,184,
+192,246,261). Here a table name maps to a parquet directory; pipeline
+contract outputs (``cleaned_data``, ``preped_data``, ``prediction_table``)
+are written ``partitionBy('batch_id')`` so the reference's ubiquitous
+``WHERE batch_id={id}`` filter (dx_group.py:153) becomes partition pruning —
+at 100 TB a batch read touches only its own partition directories, never the
+full table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dataengineer_spark import schemas as S
+
+
+class Catalog:
+    """Read/write named tables under a root directory.
+
+    ``root`` is the lake location (a local dir in tests, an object-store
+    prefix in production). Testdata tables can be attached read-only from a
+    scale-factor directory via ``attach_testdata``.
+    """
+
+    #: tables that carry batch lineage and get hive-style batch_id partitions
+    BATCH_PARTITIONED = {"cleaned_data", "preped_data", "prediction_table"}
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._external: dict[str, str] = {}
+
+    # -- resolution --------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        if table in self._external:
+            return self._external[table]
+        return f"{self.root}/{table}"
+
+    def attach(self, table: str, path: str) -> None:
+        """Register an external parquet location under a table name."""
+        self._external[table] = path
+
+    def attach_testdata(self, sf_dir: str) -> None:
+        """Attach every driver synthetic table from a scale-factor dir."""
+        for name in S.TESTDATA_SCHEMAS:
+            self.attach(name, os.path.join(sf_dir, f"{name}.parquet"))
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if "://" in p:  # remote FS: let Spark decide at read time
+            return True
+        return os.path.exists(p)
+
+    # -- IO ----------------------------------------------------------------
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
+
+    def read_batch(self, table: str, batch_id: int) -> DataFrame:
+        """Read one batch partition — prunes to batch_id=N directories."""
+        from pyspark.sql import functions as F
+
+        return self.read(table).where(F.col("batch_id") == batch_id)
+
+    def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
+        writer = df.write.mode(mode)
+        if table in self.BATCH_PARTITIONED and "batch_id" in df.columns:
+            writer = writer.partitionBy("batch_id")
+        writer.parquet(self.path(table))
+
+    def overwrite_batch(self, df: DataFrame, table: str) -> None:
+        """Idempotent per-batch write: replace only the touched batch
+
+        partitions (dynamic partition overwrite), so a retried run
+        (reference retries=1, dx_group.py:33-34) rewrites its own batch
+        without clobbering others.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path(table))
+        )
+
+    def register_views(self, tables: list[str] | None = None) -> None:
+        """Expose tables as temp views for the SQL API (P2)."""
+        names = tables if tables is not None else list(self._external)
+        for name in names:
+            self.read(name).createOrReplaceTempView(name)

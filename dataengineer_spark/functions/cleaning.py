@@ -1,0 +1,54 @@
+"""Message cleaning (F1/F2).
+
+The reference applied an opaque row-wise ``clean_msg`` over raw HL7 report
+text (imported at reference dx_group.py:21-25, applied at dx_group.py:118)
+and a ``basic_reg`` variant (mvp_pipe.py:32). Their bodies are absent from
+the repo, so the engine defines the cleaning contract explicitly — typical
+HL7/clinical-text normalization — as a chain of native ``regexp_replace``
+expressions: JVM-side, vectorized, no Python in the hot path, and filters
+written after it still push down past the projection.
+
+Regex parity note (SURVEY.md §7.4.3): patterns are Java-regex; they avoid
+constructs whose semantics differ from Python ``re`` and are unit-tested
+against fixture strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# HL7 segment markers look like "OBX|1|TX|..." — strip the pipe-delimited
+# prefixes; also normalize escape sequences HL7 uses for line breaks.
+_HL7_SEGMENT_PREFIX = r"(?m)^[A-Z0-9]{3}\|[^|]*\|"
+_HL7_BREAKS = r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\"
+_CONTROL_CHARS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_MULTI_WS = r"[ \t]+"
+_MULTI_NL = r"\n{2,}"
+
+
+def clean_msg(col: Column | str) -> Column:
+    """Normalize raw report text (F1).
+
+    Contract: drop HL7 segment prefixes and escape sequences, drop control
+    characters, collapse runs of spaces/tabs to one space, collapse blank
+    lines, trim. NULL in → NULL out; '' in → '' out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _HL7_SEGMENT_PREFIX, "")
+    c = F.regexp_replace(c, _HL7_BREAKS, "\n")
+    c = F.regexp_replace(c, _CONTROL_CHARS, " ")
+    c = F.regexp_replace(c, _MULTI_WS, " ")
+    c = F.regexp_replace(c, _MULTI_NL, "\n")
+    return F.trim(c)
+
+
+def basic_reg(col: Column | str) -> Column:
+    """Light cleaning (F2, reference mvp_pipe.py:32): keep word chars and
+
+    basic punctuation, collapse whitespace, lowercase.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[^\w\s.,;:()\-/%]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.lower(F.trim(c))

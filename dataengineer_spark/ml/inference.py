@@ -1,0 +1,181 @@
+"""ML-inference operators (M1/M2/M4, SURVEY.md §2.7).
+
+The reference ran transformer inference in-process over whole pandas
+columns (``Torch_model(...).apply_model(series)`` → [predicted_label,
+model_score], reference dx_group.py:236-258; Longformer QA per row×section,
+prostate_dag.py:103-124). Spark-first redesign: Arrow-batched pandas UDFs
+with a **per-executor model cache** — the model loads once per Python
+worker, every Arrow batch reuses it; 1000 executors = 1000 model copies,
+zero driver involvement.
+
+Torch/transformers are not in this container, so the real model path is
+gated behind an import-try; the **deterministic stand-in** (pmod of a
+stable hash → LABEL_k, SURVEY.md §5.2.2) is the oracle-checkable skeleton
+used by the pipeline-shape queries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PRED_SCHEMA = T.StructType(
+    [
+        T.StructField("predicted_label", T.StringType()),
+        T.StructField("model_score", T.DoubleType()),
+    ]
+)
+
+_MODEL_CACHE: dict[str, object] = {}  # per-executor-process singleton cache
+
+
+def standin_classifier(text: Column | str, num_labels: int = 16) -> Column:
+    """M1 stand-in — deterministic 'classifier': label = pmod(xxhash64
+    (text), num_labels) as 'LABEL_k', score = (pmod(hash,1000))/1000.
+
+    Pure Column expression (no UDF, fully SQL-expressible for the oracle);
+    emits the same 2-field shape as the real model so the pipeline around
+    it is identical.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    h = F.abs(F.xxhash64(c))
+    label = F.concat(F.lit("LABEL_"), F.pmod(h, F.lit(num_labels)).cast("string"))
+    score = F.pmod(h, F.lit(1000)).cast("double") / 1000.0
+    return F.struct(label.alias("predicted_label"), score.alias("model_score"))
+
+
+STANDIN_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def arith_standin_classifier(
+    id_col: Column | str = "msgid",
+    text_col: Column | str = "model_input",
+    num_labels: int = 16,
+) -> Column:
+    """Fully SQL-expressible stand-in classifier for oracle-checked
+
+    pipeline-shape queries: hash = (id·MULT + len(text)) mod 1e6, label =
+    'LABEL_(hash mod k)', score = (hash mod 1000)/1000. Same output struct
+    as the real model; plain integer arithmetic so DuckDB reproduces it.
+    """
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = F.pmod(i * STANDIN_MULT + F.length(F.coalesce(t, F.lit(""))), F.lit(1_000_000))
+    label = F.concat(F.lit("LABEL_"), F.pmod(h, F.lit(num_labels)).cast("string"))
+    score = F.pmod(h, F.lit(1000)).cast("double") / 1000.0
+    return F.struct(label.alias("predicted_label"), score.alias("model_score"))
+
+
+def _load_torch_model(model_location: str, tokenizer_path: str, num_labels: int):
+    key = f"cls:{model_location}"
+    if key not in _MODEL_CACHE:
+        try:  # optional heavyweight deps — absent in this container
+            from transformers import (  # type: ignore
+                AutoModelForSequenceClassification,
+                AutoTokenizer,
+                pipeline,
+            )
+
+            tok = AutoTokenizer.from_pretrained(tokenizer_path, use_fast=True)
+            model = AutoModelForSequenceClassification.from_pretrained(
+                model_location, num_labels=num_labels
+            )
+            _MODEL_CACHE[key] = pipeline(
+                "text-classification", model=model, tokenizer=tok, device=-1
+            )
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transformers/torch not installed; use standin_classifier for "
+                "deterministic pipeline runs or install the model deps"
+            ) from exc
+    return _MODEL_CACHE[key]
+
+
+def transformer_classifier(
+    model_location: str,
+    tokenizer_path: str,
+    num_labels: int = 16,
+    max_length: int = 512,
+) -> Column:
+    """M1 — sequence classification as an iterator pandas UDF factory.
+
+    Returns a Column-producing callable applied to the text column:
+    ``df.withColumn("pred", transformer_classifier(...)(F.col("text")))``
+    then expand ``pred.*``. Mirrors ``Torch_model(model_name,
+    model_location, tokenizer_path, num_labels=16, max_length=512,
+    device=-1)`` (reference dx_group.py:236-244) with per-executor loading.
+    """
+
+    @F.pandas_udf(_PRED_SCHEMA)
+    def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        clf = _load_torch_model(model_location, tokenizer_path, num_labels)
+        for texts in batches:
+            out = clf(
+                [t if t is not None else "" for t in texts],
+                truncation=True,
+                max_length=max_length,
+            )
+            yield pd.DataFrame(
+                {
+                    "predicted_label": [o["label"] for o in out],
+                    "model_score": [float(o["score"]) for o in out],
+                }
+            )
+
+    return infer
+
+
+def qa_sectionizer(
+    model_location: str, tokenizer_location: str, questions: dict[str, str]
+) -> Column:
+    """M2 — extractive-QA sectionizer factory: one struct field per section
+
+    (reference prostate_dag.py:103-124 ran ``answerquestion(q, text)`` per
+    row × 7 sections). One UDF call answers all questions per batch so the
+    text crosses the Arrow boundary once, not once per section.
+    """
+    fields = T.StructType([T.StructField(s, T.StringType()) for s in questions])
+    items = sorted(questions.items())
+
+    @F.pandas_udf(fields)
+    def answer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        key = f"qa:{model_location}"
+        if key not in _MODEL_CACHE:
+            try:
+                from transformers import pipeline  # type: ignore
+
+                _MODEL_CACHE[key] = pipeline(
+                    "question-answering",
+                    model=model_location,
+                    tokenizer=tokenizer_location,
+                    device=-1,
+                )
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "transformers/torch not installed; QA sectionizer needs "
+                    "model deps (regex sectionizer in functions.sections is "
+                    "the deterministic alternative)"
+                ) from exc
+        qa = _MODEL_CACHE[key]
+        for texts in batches:
+            cols = {s: [] for s, _ in items}
+            for t in texts:
+                for section, q in items:
+                    if not t:
+                        cols[section].append(None)
+                        continue
+                    cols[section].append(qa(question=q, context=t)["answer"])
+            yield pd.DataFrame(cols)
+
+    return answer
+
+
+def constant_classifier(**values) -> list[Column]:
+    """M4 — rule-based constant classifier (``site_code='C61.9'``,
+    ``behaviour_code='3'``, ``laterality='00'``, score 1.0 — reference
+    prostate_dag.py:167-177): just literal columns."""
+    return [F.lit(v).alias(k) for k, v in values.items()]

@@ -1,0 +1,78 @@
+"""Aggregations, sorts, set ops (A1, A2, E5, E7, E8).
+
+The reference's whole aggregate surface was one scalar accuracy metric
+(``model_accuracy``, reference mvp_pipe.py:65-68) — everything else here is
+capability the engine adds on stock Spark (SURVEY.md §2.6 note). All
+aggregations are hash aggregates with map-side partial combine; rollup/cube
+expand grouping sets in one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def accuracy(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """A1 — fraction of rows where prediction equals truth.
+
+    Single scalar aggregate; nulls compare unequal (counted as miss) via
+    null-safe equality so an all-null batch still yields a defined number.
+    """
+    hit = F.col(pred_col).eqNullSafe(F.col(truth_col)).cast("double")
+    return df.agg(F.avg(hit).alias("accuracy"))
+
+
+def first_row(df: DataFrame, order_by: list[Column] | None = None):
+    """A2 — ``iloc[0]`` (reference prostate_dag.py:62-63). The reference
+
+    relied on implicit result order; the engine requires an explicit sort
+    or accepts arbitrary choice knowingly."""
+    return (df.orderBy(*order_by) if order_by else df).first()
+
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """E5 — hash aggregate with named output columns."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """E5 — hierarchical subtotals (grouping sets prefix chain)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """E5 — all grouping-set combinations."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """E7 — global top-k. Spark executes orderBy+limit as TakeOrdered:
+
+    each partition keeps k rows, the driver merges k·p rows — no full sort
+    shuffle at any scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """E8/E1 — distinct (shuffle on the dedup key set)."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def union_all(parts: list[DataFrame], by_name: bool = True) -> DataFrame:
+    """E8 — UNION ALL; by_name resolves column order differences."""
+    import functools
+
+    if by_name:
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+    return functools.reduce(lambda a, b: a.union(b), parts)
+
+
+def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    """E8 — INTERSECT [ALL]."""
+    return a.intersectAll(b) if keep_duplicates else a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = True) -> DataFrame:
+    """E8 — EXCEPT [ALL]."""
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)

@@ -1,0 +1,253 @@
+"""Deduplication operators (E1/E2 + SimHash + n-gram Jaccard).
+
+Training-data-pipeline dedup at 100 TB (SURVEY.md §2.9): exact dedup is a
+hash shuffle; near-dup never compares all pairs — candidate generation is
+always a bucket equi-join (LSH banding / simhash prefix), verification runs
+only inside buckets. Everything below is native Column expressions (higher-
+order functions over arrays, JVM-side) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic affine-hash modulus for the MinHash family: the Mersenne
+# prime 2^31-1 keeps a·h + b within int64 under ANSI overflow checking
+# (a, h < 2^31 → product < 2^62)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """E1 — exact dedup (one hash shuffle on the dedup keys)."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """E1 variant — dedup by content hash keeping the lowest id.
+
+    ``min(id) group by hash`` instead of ``dropDuplicates`` so the survivor
+    is deterministic (dropDuplicates keeps an arbitrary row).
+    """
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h")
+    keep = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of ``text`` as array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) as array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(c), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+# -- MinHash + LSH banding --------------------------------------------------
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine MinHash family."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE - 1), rnd.randrange(0, _MERSENNE - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """array<bigint> MinHash signature of a shingle array.
+
+    Each component is min over shingles of ``(a·xxhash64(s) + b) mod p`` —
+    all inside one JVM expression tree, no UDF.
+    """
+    params = _affine_params(num_hashes, seed)
+
+    def component(a: int, b: int):
+        # closure factory: the lambda must stay unary for transform()
+        return lambda s: F.pmod(
+            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b),
+            F.lit(_MERSENNE),
+        )
+
+    return F.array(*[F.array_min(F.transform(shingles, component(a, b))) for a, b in params])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """E2 — near-duplicate pairs via MinHash + LSH banding.
+
+    shingle → signature → split into ``bands`` bands → band-hash →
+    self-equi-join on (band, hash) → exact Jaccard verify ≥ threshold.
+    The only shuffle is the band-bucket join; candidate count scales with
+    collision rate, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    with_sig = df.select(
+        F.col(id_col),
+        char_shingles(text_col, shingle_size).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = with_sig.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sh", "_band.band", "_band.bucket")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.size(F.array_union("_sh_a", "_sh_b"))
+    ).alias("jaccard")
+    return cand.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Pairs are generated inside buckets (default: identical word-count
+    bucket ± handled by caller supplying ``bucket_col``) so the self-join is
+    an equi-join, not a cross product. For guaranteed-complete pairing on
+    small inputs pass ``bucket_col=F.lit(1)`` explicitly.
+    """
+    bucket = bucket_col if bucket_col is not None else F.lit(1)
+    base = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("_g"), bucket.alias("_bk")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"), "_bk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"), "_bk")
+    jac = (
+        F.size(F.array_intersect("_ga", "_gb")) / F.size(F.array_union("_ga", "_gb"))
+    ).alias("jaccard")
+    return (
+        a.join(b, on="_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: Column | str, n_bits: int = 64) -> Column:
+    """64-bit SimHash of the word set, as bigint.
+
+    Per token hash h, bit j contributes +1 if set else −1; the sign of each
+    bit-sum forms the fingerprint. Expressed with ``aggregate`` over the
+    token-hash array — JVM-side, no UDF. Near-dups share most bits; callers
+    bucket on a bit-prefix and verify by Hamming distance.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(F.split(F.trim(c), r"\s+"), lambda w: F.xxhash64(w))
+
+    def bit_sum(j: int):
+        # closure factory: aggregate's merge lambda must stay binary
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        # bit 63 is the sign bit of the int64 fingerprint: its two's-
+        # complement contribution is -2^63 (lit(2^63) would overflow)
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(bit_sum(j) > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: bucket on the top ``prefix_bits`` of the
+
+    fingerprint, verify Hamming ≤ ``max_hamming`` inside buckets. (A full
+    multi-probe scheme rotates the prefix; one prefix is the common fast
+    path and misses only pairs differing inside the prefix.)
+    """
+    with_fp = df.select(F.col(id_col), simhash64(text_col).alias("_fp")).withColumn(
+        "_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits)
+    )
+    a = with_fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "_bk")
+    b = with_fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "_bk")
+    return (
+        a.join(b, on="_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming64(F.col("_fa"), F.col("_fb")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,79 @@
+"""Event-time analytics, batch form (E10).
+
+Tumbling/sliding windows via ``window()``, sessionization both ways:
+``session_window`` (native) and the lag+cumsum form (SQL-expressible, used
+by the DuckDB oracle). All are single-shuffle group-bys on (window, keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _flatten_window(df: DataFrame, window_col: str = "_w") -> DataFrame:
+    """Expand the window struct into window_start/window_end columns."""
+    others = [c for c in df.columns if c != window_col]
+    return df.select(
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
+        *others,
+    )
+
+
+def tumbling(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Fixed non-overlapping event-time windows."""
+    out = df.groupBy(F.window(ts_col, duration).alias("_w"), *keys).agg(*aggs)
+    return _flatten_window(out)
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    out = df.groupBy(F.window(ts_col, duration, slide).alias("_w"), *keys).agg(*aggs)
+    return _flatten_window(out)
+
+
+def sessionize_native(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Gap-based sessions via native ``session_window`` (works in batch)."""
+    out = df.groupBy(F.session_window(ts_col, gap).alias("_w"), *keys).agg(*aggs)
+    return _flatten_window(out)
+
+
+def sessionize_lag(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    keys: list[str],
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based session assignment via lag + cumulative sum — the
+
+    SQL-expressible form (same shape DuckDB can run): a new session starts
+    where the gap to the previous event exceeds ``gap_seconds``; the
+    running count of session starts within the key partition is the session
+    number. Adds ``session_id`` (per-key, 1-based).
+
+    Gap arithmetic is in integer microseconds (``unix_micros``) so it is
+    bit-exact and engine-portable. Pass ``tiebreakers`` to make the window
+    order total when timestamps can repeat within a key — without a total
+    order the assignment is nondeterministic.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).drop("_new")

@@ -1,0 +1,157 @@
+"""Joins & lookups (J1–J4) + join completions (E9).
+
+The reference's only real join was fact × tiny label dim via ``pd.merge``
+(reference diagnostic_group_pipeline_with_api.py:306-312); at scale that is
+a broadcast hash join — no shuffle of the fact side. The fan-in merge of
+the prostate DAG's parallel branches (prostate_dag.py:180-204) becomes a
+keyed multi-join. Semi/anti/range/as-of joins are engine extensions
+(SURVEY.md §2.9 E9).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def label_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str = "predicted_label",
+    dim_key: str = "label",
+    how: str = "inner",
+) -> DataFrame:
+    """J1 — enrich predictions with the label dimension.
+
+    The dim side is broadcast: at 100 TB of facts the join stays
+    shuffle-free (the reference achieved the same effect by holding the
+    whole labels table in one process's memory).
+    """
+    return facts.join(F.broadcast(dim), facts[fact_key] == dim[dim_key], how)
+
+
+def point_lookup(df: DataFrame, **equalities) -> Row | None:
+    """J2 — scalar config lookup (``model_info.iloc[0]``, reference
+
+    dx_group.py:174-175). Filter then ``first()``: only one row ever reaches
+    the driver. For config-sized tables only — never bulk data.
+    """
+    out = df
+    for name, value in equalities.items():
+        out = out.where(F.col(name) == value)
+    return out.first()
+
+
+def fanin_merge(
+    branches: list[DataFrame], on: str = "msg_id", how: str = "outer"
+) -> DataFrame:
+    """J4 — merge N parallel branch outputs on a key (reference
+
+    prostate_dag.py:180-204, body stubbed there; intent from DAG edges).
+    Branch outputs are per-message prediction columns, so the merged width
+    grows but row count stays bounded by the message set.
+    """
+    if not branches:
+        raise ValueError("fanin_merge: no branches")
+    return functools.reduce(lambda a, b: a.join(b, on=on, how=how), branches)
+
+
+# -- E9: join completions ---------------------------------------------------
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match in ``right``."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` without a match in ``right``."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
+    """Theta/range join. Include an equality conjunct in ``condition``
+
+    whenever one exists — Catalyst extracts equi-predicates from a compound
+    condition and plans a hash join with the range part as a post-filter; a
+    pure range condition is a broadcast nested-loop join, acceptable only
+    when one side is dimension-sized.
+    """
+    return left.join(right, condition)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+
+    ``right_ts <= left_ts`` (direction='backward'; 'forward' = earliest
+    right row at/after), within the same ``on`` key group.
+
+    Implemented as union + window (single shuffle on ``on``), not a
+    per-key ``merge_asof`` in Python: scales with the shuffle, stays
+    JVM-side. Right columns (except key/ts) are carried via last(ignorenulls)
+    over the interleaved, time-ordered union.
+    """
+    from pyspark.sql import Window as W
+
+    r_payload = [c for c in right.columns if c not in (on, right_ts)]
+    l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    clash = set(l_payload) & set(r_payload)
+    if clash:
+        raise ValueError(f"asof_join: rename clashing payload columns {sorted(clash)}")
+
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_payload],
+    )
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
+        *[F.col(c) for c in r_payload],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → a right row at the
+        # same timestamp is visible to the left row
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
+    elif direction == "forward":
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        filled = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    return (
+        unioned.select(
+            F.col(on),
+            F.col("_asof_ts"),
+            F.col("_is_left"),
+            *[F.col(c) for c in l_payload],
+            *filled,
+        )
+        .where(F.col("_is_left") == 1)
+        .drop("_is_left")
+        .withColumnRenamed("_asof_ts", left_ts)
+    )

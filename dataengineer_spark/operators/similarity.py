@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (E3).
+
+Embeddings are ``array<float>`` columns (FIXTURES.md: 64-dim). Baseline is
+brute-force cosine top-k — a single scan with the score computed JVM-side
+(``zip_with`` + ``aggregate``), reduced via TakeOrdered (no global sort).
+The scale path buckets vectors with random-hyperplane LSH so a query only
+scans its own bucket(s): at 100 TB the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either norm is 0."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """E3 baseline — exact cosine top-k against one query vector.
+
+    The query is a literal array folded into the plan (broadcast-by-value);
+    orderBy+limit executes as per-partition top-k + driver merge of k·p
+    rows, so no shuffle of the scored table.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)
+
+
+def pairwise_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k corpus neighbors for every query row.
+
+    Broadcast the (small) query side against the corpus scan, score, then
+    per-query top-k via window. Use only when ``queries`` is dimension-sized;
+    for query sets at corpus scale use :func:`lsh_top_k`.
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
+    )
+
+
+# -- LSH scale path ---------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec·plane_i) → int bucket."""
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in p])
+        out = out + F.when(dot(vec, pl) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """E3 scale path — approximate top-k via shared LSH bucketing.
+
+    Both sides get the same hyperplane signature; the cross join becomes an
+    equi-join on bucket (shuffle partitioned by bucket id). Recall trades
+    off with ``n_planes``; candidates verified with exact cosine.
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_bk", lsh_bucket(F.col("_qv"), planes))
+    c = corpus.select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_bk", lsh_bucket(F.col("_cv"), planes))
+    scored = q.join(c, on="_bk").select(
+        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup (E2 family): bucket by hyperplane
+
+    signature, verify cosine ≥ threshold inside buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_bk", lsh_bucket(F.col("_v"), planes))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bk")
+    return (
+        a.join(b, on="_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Text analysis operators (E4): language-ID, quality scoring, token
+
+counting, document fingerprinting. Natural generalizations of the
+reference's clinical-text functions (F1 cleaning / F4 sectionizing) to the
+LLM-data-pipeline setting (SURVEY.md §2.9). All native expressions —
+the hot path over a 100 TB documents table stays inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic;
+# enough to separate the testdata's {en,fr,es,de,zh} synthetic docs and the
+# usual suspects in web corpora
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans"],
+    "es": ["el", "los", "las", "que", "una", "por", "para"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/NULL-safe callers handle null."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count word-piece shaped units — runs of
+
+    letters (split every 4 chars counts as multiple units), digits, or a
+    single punctuation mark. A deterministic stand-in for a real tokenizer's
+    token count, usable as a cost estimate at scan time.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # ceil(letters/4) per word approximates subword splits + count of
+    # standalone digit runs and punctuation marks
+    words = F.split(F.trim(c), r"\s+")
+    per_word = F.transform(
+        words, lambda w: F.ceil(F.length(F.regexp_replace(w, r"[^\p{L}\p{N}]", "")) / 4.0)
+        + F.length(F.regexp_replace(w, r"[\p{L}\p{N}\s]", ""))
+    )
+    return F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        pattern = r"\b(?:" + "|".join(markers) + r")\b"
+        scores[lang] = F.size(F.split(lowered, pattern)) - 1
+    return scores
+
+
+#: ASCII punctuation (negated class) — identical in Java regex and RE2
+PUNCT_NEGATED = r"[^!-/:-@\[-`{-~]"
+
+#: CJK unified-ideograph range — same escape syntax in Java regex and RE2
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language-ID: argmax of stopword-marker hit counts; 'und'
+
+    (undetermined) when nothing matches. CJK detection precedes the
+    stopword vote (stopword lists don't apply to unsegmented scripts).
+    Ties resolve to the earliest language in ``_LANG_MARKERS`` order (the
+    running-argmax fold uses strict ``>``).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    scores = language_scores(c)
+    has_cjk = c.rlike(CJK_PATTERN)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores.items():
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean word
+
+    length, punctuation/digit/uppercase ratios, stopword ratio."""
+    c = F.col(text_col)
+    n = F.length(c)
+    toks = token_count(c)
+    punct = F.length(F.regexp_replace(c, PUNCT_NEGATED, ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_hits = F.size(F.split(F.lower(c), r"\b(?:the|and|of|to|a|in|is|it)\b")) - 1
+    return df.withColumns(
+        {
+            "n_chars_m": n,
+            "n_tokens": toks,
+            "mean_word_len": F.when(toks > 0, n / toks),
+            "punct_ratio": F.when(n > 0, punct / n).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(n > 0, digits / n).otherwise(F.lit(0.0)),
+            "upper_ratio": F.when(n > 0, upper / n).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Scalar [0,1] quality score: penalize too-short/too-long docs, high
+
+    punctuation/digit density, and stopword-free (unnatural) text."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    toks = token_count(c)
+    punct = F.length(F.regexp_replace(c, PUNCT_NEGATED, ""))
+    stop_hits = F.size(F.split(F.lower(c), r"\b(?:the|and|of|to|a|in|is|it)\b")) - 1
+    len_score = F.when((n >= 100) & (n <= 20000), 1.0).when(n > 0, 0.5).otherwise(0.0)
+    punct_score = F.when(n == 0, 0.0).when(punct / n < 0.1, 1.0).otherwise(0.5)
+    stop_score = F.when(toks == 0, 0.0).when(stop_hits / toks > 0.05, 1.0).otherwise(0.5)
+    return (len_score + punct_score + stop_score) / 3.0
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Whole-document stable fingerprint (normalized xxhash64)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(c, r"\s+", " "))
+    return F.xxhash64(F.trim(normalized))
+
+
+def winnowed_fingerprints(text: Column | str, n: int = 8, keep: int = 4) -> Column:
+    """Rolling-hash document fingerprint set: hash every char n-gram, keep
+
+    the ``keep`` smallest hashes (a winnowing sketch) — array<bigint>.
+    Two documents sharing any fingerprint are copy-candidates.
+    """
+    from dataengineer_spark.operators.dedup import char_shingles
+
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(char_shingles(c, n), lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(hashes), 1, keep)

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference ran single-node ``airflow standalone`` with one OS process per
+task (reference Dockerfile:14-16, SURVEY.md §6); here one SparkSession hosts
+the whole pipeline graph. Defaults are tuned so the same code is correct on
+``local[N]`` for tests and sane on a multi-executor cluster:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so the static
+  ``spark.sql.shuffle.partitions`` choice is a ceiling, not a bet.
+- Arrow on: every pandas UDF / ``toPandas`` boundary is columnar-batched.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (which is UTC-naive) and are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep partitions near 128MB so a 100 TB table splits into
+    # ~800k tasks, not 8 giant ones; local tests never hit the cap anyway.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # auto-broadcast small dims (reference collected config tables on the
+    # driver and re-applied them per row — dx_group.py:179-183); 64MB is
+    # roomy for dimension tables while keeping executor memory safe.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # nanosecond parquet timestamps (events.ts) surface as ns-longs; the
+    # testdata loader converts to TimestampType (µs, floor) — matching what
+    # DuckDB reports for the same files (FIXTURES.md precision warning)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def build_session(
+    app_name: str = "dataengineer_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster the launcher
+    sets ``--master`` and this argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ or master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session(spark: SparkSession) -> None:
+    spark.stop()

@@ -1,0 +1,13 @@
+from dataengineer_spark.streaming.pipeline import (
+    stream_events,
+    windowed_counts,
+    sessionized_stream,
+    batch_audited_sink,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_counts",
+    "sessionized_stream",
+    "batch_audited_sink",
+]

@@ -1,0 +1,118 @@
+"""Structured Streaming surface (E11).
+
+The reference had no streaming, but its batch-audit pattern — allocate a
+batch_id, stamp it on every row, process per-batch (SURVEY.md §1.3) — is
+literally Structured Streaming's ``foreachBatch(df, batch_id)`` contract,
+so the streaming sink below reuses the same lake layout: each micro-batch
+lands as a ``batch_id=N`` partition with an audit row, and the batch
+pipeline's readers work unchanged on streamed data.
+
+Watermarks bound state for late data; windowed aggs reuse the same
+``window()``/``session_window()`` expressions as the batch operators
+(operators/events.py) — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_spark.schemas import EVENTS_RAW
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events directory (parquet). In deployment
+
+    the source swaps for kafka/kinesis — the downstream plan is identical.
+    The testdata's ns-precision ``ts`` arrives as an ns-long and is floored
+    to a µs timestamp here (same policy as testdata.load_table)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_RAW).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # file streams need a directory; narrow the listing to the one file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding counts per event_type."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user gap sessions on the stream (state bounded by watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def batch_audited_sink(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    pipeline_name: str = "stream",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch sink that writes each micro-batch through the engine's
+
+    batch-audit lineage: stamp the epoch-derived batch_id, append the audit
+    row, write the partition. Exactly the reference's per-batch pattern
+    (SURVEY.md E11 note) with streaming semantics.
+    """
+    from dataengineer_spark.batch import AUDIT_TABLE, stamp_batch
+    from dataengineer_spark import schemas as S
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        stamped = stamp_batch(df, epoch_id)
+        catalog.write(stamped, table)
+        audit = spark.createDataFrame(
+            [(int(epoch_id), pipeline_name, None, None, f"stream epoch {epoch_id}")],
+            schema=S.BATCH,
+        )
+        catalog.write(audit, AUDIT_TABLE)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

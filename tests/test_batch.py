@@ -1,0 +1,68 @@
+"""Batch-audit lineage tests (K2/O6, SURVEY.md §7.4.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineer_spark.batch import AUDIT_TABLE, BatchAllocator, stamp_batch
+from dataengineer_spark.catalog import Catalog
+from dataengineer_spark.config import RunConfig
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "lake"))
+
+
+class TestAllocator:
+    def test_ids_increment_and_persist(self, catalog):
+        alloc = BatchAllocator(catalog)
+        c1 = alloc.open_batch(RunConfig(pipeline_name="p1"))
+        c2 = alloc.open_batch(RunConfig(pipeline_name="p2"))
+        assert (c1.batch_id, c2.batch_id) == (1, 2)
+        audit = catalog.read(AUDIT_TABLE)
+        assert audit.count() == 2
+        assert alloc.latest_batch().first()["pipeline_name"] == "p2"
+        assert alloc.latest_batch("p1").first()["batch_id"] == 1
+
+    def test_audit_comment_records_params(self, catalog):
+        ctx = BatchAllocator(catalog).open_batch(RunConfig(pipeline_name="px"))
+        row = catalog.read(AUDIT_TABLE).first()
+        assert "px" in row["comment"] and ctx.batch_id == 1
+
+
+class TestPartitionedLake:
+    def test_write_partitions_by_batch(self, spark, catalog):
+        df = stamp_batch(spark.range(10).withColumnRenamed("id", "msgid"), 5)
+        catalog.write(df.withColumn("msg", F.lit("x")), "cleaned_data")
+        # hive-style partition dirs exist → batch filter is partition pruning
+        import os
+
+        assert os.path.isdir(os.path.join(catalog.path("cleaned_data"), "batch_id=5"))
+        back = catalog.read_batch("cleaned_data", 5)
+        assert back.count() == 10
+        assert catalog.read_batch("cleaned_data", 99).count() == 0
+
+    def test_overwrite_batch_is_idempotent(self, spark, catalog):
+        base = spark.range(4).withColumnRenamed("id", "msgid").withColumn(
+            "msg", F.lit("x")
+        )
+        catalog.write(stamp_batch(base, 1), "cleaned_data")
+        catalog.write(stamp_batch(base, 2), "cleaned_data")
+        # retry of batch 2 must not duplicate rows nor touch batch 1
+        catalog.overwrite_batch(stamp_batch(base, 2), "cleaned_data")
+        counts = {
+            r["batch_id"]: r["n"]
+            for r in catalog.read("cleaned_data")
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert counts == {1: 4, 2: 4}
+
+    def test_partition_pruning_in_plan(self, spark, catalog):
+        df = stamp_batch(spark.range(10).withColumnRenamed("id", "msgid"), 3)
+        catalog.write(df.withColumn("msg", F.lit("x")), "cleaned_data")
+        plan = catalog.read_batch("cleaned_data", 3)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan

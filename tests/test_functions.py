@@ -1,0 +1,179 @@
+"""Unit tests for the scalar function library (SURVEY.md §2.4) — edge cases
+
+from FIXTURES.md §B: NULL/empty text, labels without separators, truncation
+boundaries, regex parity strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_spark.functions.cleaning import basic_reg, clean_msg
+from dataengineer_spark.functions.dates import format_date, parse_yyyymmdd
+from dataengineer_spark.functions.labels import split_label
+from dataengineer_spark.functions.sections import (
+    compile_section_regex,
+    create_sections,
+    sectionize,
+)
+from dataengineer_spark.functions.truncate import (
+    TOKEN_LIMIT,
+    _truncate_one,
+    truncate_text_chars,
+    truncate_text_tokens,
+)
+
+
+def _one(spark, expr, value: str | None):
+    df = spark.createDataFrame([(value,)], "t string")
+    return df.select(expr.alias("out")).first()["out"]
+
+
+class TestCleanMsg:
+    def test_strips_hl7_prefix_and_breaks(self, spark):
+        raw = "OBX|1|TX|Diagnosis: carcinoma~present"
+        out = _one(spark, clean_msg(F.col("t")), raw)
+        assert out == "TX|Diagnosis: carcinoma\npresent"
+
+    def test_collapses_whitespace(self, spark):
+        assert _one(spark, clean_msg(F.col("t")), "a   b\t\tc") == "a b c"
+
+    def test_null_and_empty(self, spark):
+        assert _one(spark, clean_msg(F.col("t")), None) is None
+        assert _one(spark, clean_msg(F.col("t")), "") == ""
+
+    def test_control_chars_removed(self, spark):
+        assert _one(spark, clean_msg(F.col("t")), "a\x01\x02b") == "a b"
+
+    def test_basic_reg_lowercases(self, spark):
+        assert _one(spark, basic_reg(F.col("t")), "Hello,  WORLD!") == "hello, world"
+
+
+class TestSections:
+    PATTERNS = {
+        "gross": r"GROSS:([^\n]*)",
+        "diagnosis": r"DIAGNOSIS:([^\n]*)",
+        "micro": r"MICRO:([^\n]*)",
+    }
+
+    def test_extracts_and_classifies(self, spark):
+        msg = "GROSS: 3cm mass\nDIAGNOSIS: adenocarcinoma\nother"
+        row = (
+            spark.createDataFrame([(msg,)], "msg string")
+            .select(create_sections("msg", self.PATTERNS).alias("s"))
+            .select("s.*")
+            .first()
+        )
+        assert row["gross"] == " 3cm mass"
+        assert row["diagnosis"] == " adenocarcinoma"
+        assert row["part_of_report"] == "diag_or_add"
+        assert "3cm mass" in row["filtered_message"]
+
+    def test_no_match_entire_report(self, spark):
+        row = (
+            spark.createDataFrame([("plain text",)], "msg string")
+            .select(create_sections("msg", self.PATTERNS).alias("s"))
+            .select("s.*")
+            .first()
+        )
+        assert row["part_of_report"] == "entire report"
+        assert row["filtered_message"] == "plain text"
+        assert row["gross"] == ""
+
+    def test_gross_or_micro(self, spark):
+        row = (
+            spark.createDataFrame([("MICRO: cells",)], "msg string")
+            .select(create_sections("msg", self.PATTERNS).alias("s"))
+            .select("s.*")
+            .first()
+        )
+        assert row["part_of_report"] == "gross_or_micro"
+
+    def test_null_msg(self, spark):
+        row = (
+            spark.createDataFrame([(None,)], "msg string")
+            .select(create_sections("msg", self.PATTERNS).alias("s"))
+            .select("s.*")
+            .first()
+        )
+        # regexp_extract of NULL is NULL; classification falls through
+        assert row["gross"] is None
+        assert row["part_of_report"] == "entire report"
+
+    def test_sectionize_expands_columns(self, spark):
+        df = spark.createDataFrame([(1, "GROSS: x")], "id long, msg string")
+        out = sectionize(df, "msg", self.PATTERNS)
+        assert set(out.columns) >= {
+            "id", "msg", "gross", "filtered_message", "part_of_report",
+        }
+
+    def test_compile_section_regex_merges_variants(self, spark):
+        cfg = spark.createDataFrame(
+            [
+                (1, "gross", "GROSS:(.*)", "GROS:(.*)", None, None, None, None),
+                (1, "micro", "MICRO:(.*)", None, None, None, None, None),
+            ],
+            "model_id long, parent_category string, nha string, fha string, "
+            "fha2 string, iha string, vcha1 string, vcha2 string",
+        )
+        pats = compile_section_regex(cfg)
+        assert pats["micro"] == "MICRO:(.*)"
+        assert pats["gross"] == "(?:GROSS:(.*))|(?:GROS:(.*))"
+
+
+class TestTruncate:
+    def test_chars_under_budget_passthrough(self, spark):
+        df = spark.createDataFrame([("short", "entire report")], "t string, p string")
+        out = df.select(truncate_text_chars("t", "p", 10).alias("o")).first()["o"]
+        assert out == "short"
+
+    def test_chars_entire_report_keeps_tail(self, spark):
+        df = spark.createDataFrame([("abcdefghij", "entire report")], "t string, p string")
+        out = df.select(truncate_text_chars("t", "p", 4).alias("o")).first()["o"]
+        assert out == "ghij"
+
+    def test_chars_other_keeps_head(self, spark):
+        df = spark.createDataFrame([("abcdefghij", "diag_or_add")], "t string, p string")
+        out = df.select(truncate_text_chars("t", "p", 4).alias("o")).first()["o"]
+        assert out == "abcd"
+
+    def test_tokens_boundary_exact(self):
+        # exactly at the limit → untouched; one over → cut (dx_group.py:51)
+        at_limit = " ".join(f"w{i}" for i in range(TOKEN_LIMIT))
+        txt, off = _truncate_one(at_limit, "entire report", TOKEN_LIMIT)
+        assert txt == at_limit and off == 0
+        over = " ".join(f"w{i}" for i in range(TOKEN_LIMIT + 1))
+        txt, off = _truncate_one(over, "entire report", TOKEN_LIMIT)
+        assert txt.split()[0] == "w1" and off > 0
+        txt_head, _ = _truncate_one(over, "gross_or_micro", TOKEN_LIMIT)
+        assert txt_head.split()[-1] == f"w{TOKEN_LIMIT - 1}"
+
+    def test_tokens_udf_shape(self, spark):
+        df = spark.createDataFrame(
+            [("a b c", "entire report"), (None, None)], "t string, p string"
+        )
+        rows = (
+            df.select(truncate_text_tokens("t", "p").alias("o"))
+            .select("o.*")
+            .collect()
+        )
+        assert rows[0]["filtered_message"] == "a b c"
+        assert rows[0]["offset"] == 0
+        assert rows[1]["filtered_message"] is None
+
+
+class TestDatesAndLabels:
+    def test_format_date_roundtrip(self, spark):
+        assert _one(spark, format_date(F.col("t"), "%Y-%m-%d"), "2022-03-05") == "20220305"
+        assert _one(spark, format_date(F.col("t")), "20220305") == "20220305"
+
+    def test_parse_yyyymmdd(self, spark):
+        out = _one(spark, parse_yyyymmdd(F.col("t")).cast("string"), "20220305")
+        assert out == "2022-03-05"
+
+    def test_split_label(self, spark):
+        assert _one(spark, split_label(F.col("t")), "LABEL_7") == 7
+        assert _one(spark, split_label(F.col("t")), "PLAIN") is None
+        assert _one(spark, split_label(F.col("t")), None) is None
+        assert _one(spark, split_label(F.col("t"), as_long=False), "LABEL_x") == "x"
+        # non-numeric suffix under try_cast → NULL, not an error
+        assert _one(spark, split_label(F.col("t")), "LABEL_x") is None

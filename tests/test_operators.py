@@ -1,0 +1,261 @@
+"""Operator-library unit tests on tiny inline frames (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineer_spark.operators import (
+    aggregates as agg_ops,
+    dedup as dedup_ops,
+    events as event_ops,
+    joins as join_ops,
+    projection as proj_ops,
+    similarity as sim_ops,
+    textops,
+    windows as win_ops,
+)
+
+
+class TestProjection:
+    def test_rename_all_mismatch_raises(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with pytest.raises(ValueError):
+            proj_ops.rename_all(df, ["x"])
+
+    def test_select_where_filters_before_projection(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        out = proj_ops.select_where(df, columns=["v"], conditions=[F.col("k") == 2])
+        assert [r["v"] for r in out.collect()] == ["b"]
+
+    def test_expand_struct(self, spark):
+        df = spark.createDataFrame([(1,)], "k int").select(
+            "k", F.struct(F.lit("x").alias("a")).alias("s")
+        )
+        assert proj_ops.expand_struct(df, "s").columns == ["k", "a"]
+
+
+class TestJoins:
+    def test_point_lookup_returns_single_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "m", 1), (2, "m", 2)], "id long, name string, v int"
+        )
+        row = join_ops.point_lookup(df, name="m", v=2)
+        assert row["id"] == 2
+        assert join_ops.point_lookup(df, name="absent") is None
+
+    def test_fanin_merge_outer(self, spark):
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], "msg_id long, x string")
+        b2 = spark.createDataFrame([(1, 10)], "msg_id long, y int")
+        out = join_ops.fanin_merge([b1, b2]).orderBy("msg_id").collect()
+        assert out[0]["y"] == 10 and out[1]["y"] is None
+
+    def test_asof_backward_includes_equal_ts(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3")], "k long, ts long, pl string"
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 9.0), (1, 40, 5.0), (3, 1, 1.0)], "k long, ts long, rv double"
+        )
+        out = {
+            r["pl"]: r["rv"]
+            for r in join_ops.asof_join(left, right, on="k", left_ts="ts").collect()
+        }
+        assert out == {"p1": 9.0, "p2": 5.0, "p3": None}
+
+    def test_asof_forward(self, spark):
+        left = spark.createDataFrame([(1, 50, "p")], "k long, ts long, pl string")
+        right = spark.createDataFrame(
+            [(1, 40, 1.0), (1, 60, 2.0), (1, 70, 3.0)], "k long, ts long, rv double"
+        )
+        out = join_ops.asof_join(
+            left, right, on="k", left_ts="ts", direction="forward"
+        ).first()
+        assert out["rv"] == 2.0
+
+    def test_asof_clash_raises(self, spark):
+        left = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
+        right = spark.createDataFrame([(1, 1, 3.0)], "k long, ts long, v double")
+        with pytest.raises(ValueError, match="clash"):
+            join_ops.asof_join(left, right, on="k")
+
+    def test_semi_anti(self, spark):
+        a = spark.createDataFrame([(1,), (2,)], "k long")
+        b = spark.createDataFrame([(2,)], "k long")
+        assert join_ops.semi_join(a, b, "k").collect()[0]["k"] == 2
+        assert join_ops.anti_join(a, b, "k").collect()[0]["k"] == 1
+
+
+class TestAggregates:
+    def test_accuracy_with_nulls(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1), (1, 2), (None, None), (None, 1)], "p int, t int"
+        )
+        # eqNullSafe: null==null counts as hit → 2/4
+        assert agg_ops.accuracy(df, "p", "t").first()["accuracy"] == 0.5
+
+    def test_topk_and_setops(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+        top = agg_ops.top_k(df, [F.col("v").desc()], 3).collect()
+        assert [r["v"] for r in top] == [9, 8, 7]
+        other = spark.createDataFrame([(8,), (9,), (99,)], "v int")
+        assert agg_ops.intersect(df, other).count() == 2
+        assert agg_ops.except_rows(other, df, keep_duplicates=False).count() == 1
+
+
+class TestWindows:
+    def test_top_k_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("a", 2), ("b", 5)], "g string, v int"
+        )
+        out = win_ops.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+        got = sorted((r["g"], r["v"]) for r in out.collect())
+        assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+    def test_lag_lead_and_running(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0)], "g string, i int, v double"
+        )
+        out = win_ops.lag_lead(df, ["g"], [F.col("i")], "v")
+        rows = out.orderBy("i").collect()
+        assert rows[1]["v_lag"] == 10.0 and rows[1]["v_lead"] == 30.0
+        run = win_ops.running_agg(df, ["g"], [F.col("i")], F.sum("v"), "rt")
+        assert [r["rt"] for r in run.orderBy("i").collect()] == [10.0, 30.0, 60.0]
+
+
+class TestDedup:
+    def test_content_dedup_keeps_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+        )
+        ids = sorted(r["doc_id"] for r in dedup_ops.content_dedup(df, "text", "doc_id").collect())
+        assert ids == [1, 2]
+
+    def test_minhash_detects_identical_and_distinct(self, spark):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = a  # identical → jaccard 1.0
+        c = "completely different content with other words entirely here now"
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        pairs = dedup_ops.minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9
+        ).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+        assert pairs[0]["jaccard"] == 1.0
+
+    def test_simhash_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "zq xv wk yp mn")],
+            "doc_id long, text string",
+        )
+        pairs = dedup_ops.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=0)
+        got = [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs.collect()]
+        assert got == [(1, 2, 0)]
+
+    def test_ngram_jaccard_threshold(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+            "doc_id long, text string",
+        )
+        pairs = dedup_ops.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.9, bucket_col=F.lit(1)
+        ).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestSimilarity:
+    def test_cosine_matches_math(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        top = sim_ops.brute_force_top_k(df, [1.0, 0.0], k=3).collect()
+        assert top[0]["vec_id"] == 1 and top[0]["cos_sim"] == 1.0
+        assert abs(top[1]["cos_sim"] - 1 / math.sqrt(2)) < 1e-12
+        assert top[2]["cos_sim"] == 0.0
+
+    def test_lsh_recall_on_identical(self, spark):
+        vecs = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = sim_ops.lsh_top_k(df, df, dim=8, n_planes=4, k=1)
+        # identical vectors always share every bucket → self is top-1
+        got = {r["query_id"]: r["corpus_id"] for r in out.collect()}
+        assert got == {i: i for i in range(8)}
+
+    def test_embedding_neardup(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 5.0, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = sim_ops.embedding_neardup_pairs(df, threshold=0.999, dim=3).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("a b  c",), ("",), ("  ",)], "t string")
+        out = [r["n"] for r in df.select(textops.token_count("t").alias("n")).collect()]
+        assert out == [3, 0, 0]
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog is here",),
+                ("le chat est dans la maison",),
+                ("der hund ist nicht da und",),
+                ("你好世界",),
+                ("zzz qqq",),
+            ],
+            "t string",
+        )
+        out = [r["l"] for r in df.select(textops.language_id("t").alias("l")).collect()]
+        assert out == ["en", "fr", "de", "zh", "und"]
+
+    def test_quality_score_range(self, spark):
+        df = spark.createDataFrame(
+            [("the data and the model is good " * 10,), ("!!!???",), ("",)], "t string"
+        )
+        scores = [
+            r["q"] for r in df.select(textops.quality_score("t").alias("q")).collect()
+        ]
+        assert scores[0] == 1.0
+        assert all(0.0 <= s <= 1.0 for s in scores)
+        assert scores[1] < scores[0]
+
+    def test_fingerprint_stability(self, spark):
+        df = spark.createDataFrame([("Some  Text",), ("some text",)], "t string")
+        fps = [r["f"] for r in df.select(textops.doc_fingerprint("t").alias("f")).collect()]
+        assert fps[0] == fps[1]  # normalization: case + whitespace
+
+
+class TestEvents:
+    def test_sessionize_lag(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00"),
+                (1, "2024-01-01 00:10:00"),
+                (1, "2024-01-01 02:00:00"),
+                (2, "2024-01-01 00:00:00"),
+            ],
+            "user_id long, ts_s string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        out = event_ops.sessionize_lag(df, "ts", 1800, ["user_id"])
+        sessions = sorted(
+            (r["user_id"], r["session_id"]) for r in out.collect()
+        )
+        assert sessions == [(1, 1), (1, 1), (1, 2), (2, 1)]
+
+    def test_tumbling_matches_native_session(self, spark, sf_dir):
+        from dataengineer_spark.testdata import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        t = event_ops.tumbling(ev, "ts", "1 hour", [], [F.count("*").alias("n")])
+        assert t.agg(F.sum("n")).first()[0] == ev.count()
+        s = event_ops.sessionize_native(
+            ev.limit(100), "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]
+        )
+        assert s.count() > 0

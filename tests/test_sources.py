@@ -1,0 +1,181 @@
+"""Sources/sinks tests (S1–S6, K1–K4) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataengineer_spark.operators import multimodal
+from dataengineer_spark.sources import (
+    JdbcConfig,
+    RestSink,
+    RestSource,
+    from_records,
+    read_csv,
+    write_csv,
+)
+
+
+class TestCsv:
+    def test_roundtrip_with_schema(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a,with comma"), (2, None)], "id long, txt string"
+        )
+        path = str(tmp_path / "csv")
+        write_csv(df, path)
+        back = read_csv(spark, path, schema="id long, txt string")
+        rows = {r["id"]: r["txt"] for r in back.collect()}
+        assert rows == {1: "a,with comma", 2: None}
+
+    def test_latin1_encoding(self, spark, tmp_path):
+        p = tmp_path / "latin.csv"
+        p.write_bytes("id,txt\n1,caf\xe9\n".encode("latin-1"))
+        back = read_csv(
+            spark, str(p), schema="id long, txt string", encoding="ISO-8859-1"
+        )
+        assert back.first()["txt"] == "café"
+
+    def test_empty_as_null(self, spark, tmp_path):
+        p = tmp_path / "e.csv"
+        p.write_text("id,txt\n1,\n")
+        assert read_csv(spark, str(p), schema="id long, txt string").first()["txt"] is None
+
+
+class TestRecords:
+    def test_from_records_with_schema(self, spark):
+        df = from_records(spark, [(1, "a")], schema="id long, v string")
+        assert df.schema["id"].dataType == T.LongType()
+
+
+class TestJdbc:
+    def test_postgres_url(self):
+        cfg = JdbcConfig("postgres", "h", "db", "u", "p", 5432)
+        assert cfg.url == "jdbc:postgresql://h:5432/db"
+        assert "postgresql" in cfg.driver
+
+    def test_sqlserver_url(self):
+        cfg = JdbcConfig("sql-server", "h", "db", "u", "p", 1433)
+        assert cfg.url == "jdbc:sqlserver://h:1433;databaseName=db"
+
+    def test_unknown_dialect_raises(self):
+        # mirrors the reference's explicit NotImplementedError branches
+        with pytest.raises(NotImplementedError):
+            JdbcConfig("oracle", "h", "db", "u", "p", 1521)
+
+    def test_query_xor_table(self, spark):
+        from dataengineer_spark.sources.jdbc import read_jdbc
+
+        cfg = JdbcConfig("postgres", "h", "db", "u", "p", 5432)
+        with pytest.raises(ValueError):
+            read_jdbc(spark, cfg)
+
+
+class TestRest:
+    @staticmethod
+    def _fetch(url, params):
+        p = int(params.get("page", 0))
+        return [{"rec_id": p * 10 + j, "v": f"x{j}"} for j in range(3)]
+
+    def test_driver_side_fetch(self, spark):
+        src = RestSource("local://x", fetch_fn=self._fetch)
+        df = src.fetch(spark, "20220101", "20220102", T.StructType([
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]))
+        assert df.count() == 3
+
+    def test_partitioned_fetch(self, spark):
+        # closure (not module-level) so cloudpickle ships it by value to
+        # executors — test modules aren't importable from workers
+        def fetch(url, params):
+            p = int(params.get("page", 0))
+            return [{"rec_id": p * 10 + j, "v": f"x{j}"} for j in range(3)]
+
+        src = RestSource("local://x", fetch_fn=fetch)
+        schema = T.StructType(
+            [T.StructField("rec_id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+        df = src.fetch_partitioned(spark, [{"page": p} for p in range(3)], schema)
+        assert df.count() == 9
+        assert sorted(r["rec_id"] for r in df.collect())[:3] == [0, 1, 2]
+
+    def test_default_fetch_raises(self, spark):
+        src = RestSource("local://x")
+        with pytest.raises(NotImplementedError):
+            src.fetch(spark, "a", "b", T.StructType([]))
+
+    def test_sink_posts_each_partition(self, spark, tmp_path):
+        marker_dir = str(tmp_path / "posts")
+        import os
+
+        os.makedirs(marker_dir)
+        sink = RestSink("local://x", post_fn=_file_post_factory(marker_dir))
+        df = spark.createDataFrame([(i,) for i in range(5)], "id long").coalesce(1)
+        sink.upload(df, batch_size=2)
+        # 5 rows / batch_size 2 → 3 POSTs recorded by the executor-side fn
+        assert len(os.listdir(marker_dir)) == 3
+
+    def test_default_sink_raises(self, spark):
+        sink = RestSink("local://x")
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(Exception):
+            sink.upload(df)
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "image", bytearray(b"abcdef"), "image/png", 4, 4, None),
+                (2, "video", bytearray(b"0123456789"), "video/mp4", None, None, 3000),
+                (3, "image", None, "image/png", 2, 2, None),
+            ],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+
+    def test_extract_features_deterministic(self, spark):
+        media = self._media(spark)
+        f1 = multimodal.extract_features(media, deterministic_fake=True).collect()
+        f2 = multimodal.extract_features(media, deterministic_fake=True).collect()
+        a = {r["media_id"]: r["feature"] for r in f1}
+        b = {r["media_id"]: r["feature"] for r in f2}
+        assert a == b and len(a[1]) == multimodal.IMAGE_FEATURE_DIM
+        assert a[3] == [0.0] * multimodal.IMAGE_FEATURE_DIM  # null payload
+
+    def test_stub_raises_without_fake(self, spark):
+        media = self._media(spark)
+        with pytest.raises(Exception):
+            multimodal.extract_features(media).collect()
+
+    def test_resize_updates_metadata(self, spark):
+        media = self._media(spark).where(F.col("kind") == "image")
+        out = multimodal.resize_images(media, 2, 3, deterministic_fake=True)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert rows[1]["width"] == 2 and rows[1]["height"] == 3
+        assert len(rows[1]["payload"]) == 6
+
+    def test_sample_frames_explodes(self, spark):
+        media = self._media(spark).where(F.col("kind") == "video")
+        frames = multimodal.sample_frames(media, 1000, deterministic_fake=True)
+        assert frames.count() == 3  # 3000ms / 1000ms
+
+    def test_media_stats_prunes_payload(self, spark):
+        media = self._media(spark)
+        stats = multimodal.media_stats(media)
+        assert {r["kind"] for r in stats.collect()} == {"image", "video"}
+
+
+def _file_post_factory(marker_dir):
+    def post(url, params):
+        import os
+        import uuid
+
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w") as fh:
+            fh.write(str(len(params["records"])))
+        return []
+
+    return post

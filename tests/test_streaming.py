@@ -1,0 +1,71 @@
+"""Structured Streaming tests (E11): windowed aggs on the event stream and
+
+the batch-audited foreachBatch sink (the reference's batch pattern in
+streaming form, SURVEY.md §2.8/E11)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dataengineer_spark.batch import AUDIT_TABLE
+from dataengineer_spark.catalog import Catalog
+from dataengineer_spark.streaming import (
+    batch_audited_sink,
+    sessionized_stream,
+    stream_events,
+    windowed_counts,
+)
+from dataengineer_spark.testdata import load_table
+
+
+def _run_to_memory(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+class TestWindowedStream:
+    def test_stream_counts_equal_batch(self, spark, sf_dir):
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(windowed_counts(stream, window="1 hour"), name)
+        streamed = spark.table(name)
+        batch_total = load_table(spark, sf_dir, "events").count()
+        assert streamed.agg(F.sum("n")).first()[0] == batch_total
+
+    def test_sessionized_stream_runs(self, spark, sf_dir):
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(sessionized_stream(stream, gap="30 minutes"), name)
+        out = spark.table(name)
+        assert out.count() > 0
+        assert {"session_start", "session_end", "user_id"} <= set(out.columns)
+
+
+class TestBatchAuditedSink:
+    def test_foreachbatch_writes_partitions_and_audit(self, spark, sf_dir, tmp_path):
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        catalog.BATCH_PARTITIONED = catalog.BATCH_PARTITIONED | {"events_out"}
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        q = batch_audited_sink(
+            stream,
+            catalog,
+            "events_out",
+            pipeline_name="evt",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        written = catalog.read("events_out")
+        assert written.count() == load_table(spark, sf_dir, "events").count()
+        assert "batch_id" in written.columns
+        audit = catalog.read(AUDIT_TABLE)
+        assert audit.count() >= 1
+        assert audit.first()["pipeline_name"] == "evt"
