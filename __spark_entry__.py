@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineer_spark.testdata import load_table
+from dataengineer_spark.tuning import fan_out
 from dataengineer_spark.functions import cleaning
 from dataengineer_spark.functions.cleaning import clean_msg
 from dataengineer_spark.functions.labels import split_label
@@ -117,8 +118,14 @@ def _label_dim_values() -> str:
     return f"(VALUES {rows}) AS l(model_id, label, label_name)"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan fanned out for CPU-bound text stages (single-row-group
+    local files scan as one task; no-op at production partition counts)."""
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
 def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
+    return _docs(spark, sf_dir).select(
         F.col("doc_id").alias("msgid"), F.col("text").alias("message")
     )
 
@@ -345,7 +352,7 @@ def q_p9_struct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_f1_clean_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     dirty = F.concat(F.lit("OBX|1|TX|"), F.col("text"), F.lit("~  tail\t\ttail2  "))
     return docs.select("doc_id", clean_msg(dirty).alias("msg"))
 
@@ -358,7 +365,7 @@ _F1_ORACLE = (
 
 
 def q_f4_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return sectionize(docs, "text", DOC_PATTERNS)
 
 
@@ -366,7 +373,7 @@ _F4_ORACLE = f"SELECT doc_id, text, {_sql_sections('text')} FROM documents"
 
 
 def q_f5_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     sec = sectionize(docs, "text", DOC_PATTERNS).select(
         "doc_id", "filtered_message", "part_of_report"
     )
@@ -753,7 +760,7 @@ FROM y GROUP BY user_id, session_id
 
 
 def q_e1_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup_ops.content_dedup(docs, "text", "doc_id").select("doc_id", "lang")
 
 
@@ -774,7 +781,7 @@ _E1_DISTINCT_ORACLE = "SELECT DISTINCT lang, source FROM documents"
 
 def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64-based MinHash+LSH banding is not SQL-expressible."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
     return dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4, threshold=0.5
     )
@@ -782,7 +789,7 @@ def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash fingerprint buckets + Hamming verify."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
     return dedup_ops.simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=8, prefix_bits=12
     )
@@ -790,7 +797,7 @@ def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: word-3-gram Jaccard pairs inside same-language buckets."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
     return dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, bucket_col=F.col("lang")
     )
@@ -816,7 +823,7 @@ FROM s ORDER BY dot / (nrm * 8.0) DESC, vec_id LIMIT 10
 
 
 def q_e3_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 20)
     top = sim_ops.pairwise_top_k(queries, emb, k=3)
     return top.select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -849,7 +856,7 @@ SELECT query_id, corpus_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 3
 
 def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: LSH-bucketed ANN (gaussian hyperplanes aren't SQL)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 20)
     return sim_ops.lsh_top_k(queries, emb, dim=64, n_planes=8, k=3).select(
         "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim")
@@ -857,7 +864,7 @@ def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
     return feats.select(
         "doc_id",
@@ -886,7 +893,7 @@ FROM t
 
 
 def q_e4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", "lang", textops.language_id(F.col("text")).alias("detected")
     )
@@ -895,8 +902,8 @@ def q_e4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_oracle() -> str:
     scores = {
         lang: (
-            f"len(regexp_split_to_array(lower(text), "
-            f"'\\b(?:{'|'.join(markers)})\\b')) - 1"
+            f"len(regexp_extract_all(lower(text), "
+            f"'\\b(?:{'|'.join(markers)})\\b'))"
         )
         for lang, markers in textops._LANG_MARKERS.items()
     }

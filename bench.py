@@ -48,8 +48,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = build_session("bench")
 
-    # JVM/codegen warmup outside the measurement
+    # JVM/codegen + file-listing warmup outside the measurement
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from dataengineer_spark.testdata import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -49,13 +49,15 @@ def subword_count(text: Column | str) -> Column:
 
 
 def language_scores(text: Column | str) -> dict[str, Column]:
-    """Stopword-hit count per candidate language."""
+    """Stopword-hit count per candidate language (one regexp_count scan
+
+    per language — no array materialization)."""
     c = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(c)
     scores = {}
     for lang, markers in _LANG_MARKERS.items():
         pattern = r"\b(?:" + "|".join(markers) + r")\b"
-        scores[lang] = F.size(F.split(lowered, pattern)) - 1
+        scores[lang] = F.regexp_count(lowered, F.lit(pattern))
     return scores
 
 

@@ -1,0 +1,29 @@
+"""Plan-tuning helpers.
+
+``fan_out`` addresses a local/small-file artifact: a parquet file with one
+row group scans as ONE task no matter what ``maxPartitionBytes`` says, so a
+CPU-heavy map stage (regex chains, MinHash signatures, pandas UDFs) runs
+single-threaded. The helper repartitions **only when** the scan's partition
+count is below the session's parallelism — at production scale (100 TB =
+hundreds of thousands of splits) it is a structural no-op, while on a
+single-file local input it buys cores× speedup for one cheap shuffle of the
+narrow projected input.
+
+Use it at the *source* end of compute-bound stages, never mid-plan on bulk
+intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session default parallelism when the input is
+
+    under-partitioned; identity otherwise."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
