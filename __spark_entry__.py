@@ -1002,6 +1002,280 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON, pivot/unpivot, distinct/percentile aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.functions.json_ops import json_get_long
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", json_get_long("props", "k").alias("k"))
+
+
+_JSON_ORACLE = (
+    "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events"
+)
+
+
+def q_e5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.pivot_agg(
+        li, "l_returnflag", "l_linestatus", ["O", "F"],
+        F.round(F.sum("l_quantity"), 2),
+    )
+
+
+_E5_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2) AS "O",
+       round(CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_e5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_e5_pivot(spark, sf_dir)
+    return agg_ops.unpivot(wide, ["l_returnflag"], ["O", "F"], "l_linestatus", "sum_qty")
+
+
+_E5_UNPIVOT_ORACLE = """
+WITH p AS (
+  SELECT l_returnflag,
+         round(CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2) AS v_o,
+         round(CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2) AS v_f
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'O' AS l_linestatus, v_o AS sum_qty FROM p
+UNION ALL
+SELECT l_returnflag, 'F' AS l_linestatus, v_f AS sum_qty FROM p
+"""
+
+
+def q_e5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.distinct_agg(li, ["l_returnflag"], "l_partkey", "n_parts")
+
+
+_E5_DISTINCT_ORACLE = """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_e5_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agg_ops.percentiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9])
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    )
+
+
+_E5_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_e5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: HLL++ estimates don't match an exact-SQL oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.approx_distinct_agg(li, ["l_returnflag"], "l_partkey", "approx_parts")
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation (splits, quotas, word counts, grouped-map UDF)
+# ---------------------------------------------------------------------------
+
+
+def q_prep_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.operators.preparation import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = train_test_split(docs, "doc_id", train_pct=80, valid_pct=10)
+    return tagged.groupBy("split").agg(F.count("*").alias("n"))
+
+
+_PREP_SPLIT_ORACLE = f"""
+WITH t AS (
+  SELECT CASE WHEN (doc_id * {2654435761}) % 100 < 80 THEN 'train'
+              WHEN (doc_id * {2654435761}) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY split
+"""
+
+
+def q_prep_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.operators.preparation import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_cap(docs, ["lang"], [F.col("doc_id").asc()], 50)
+
+
+_PREP_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
+def q_prep_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.operators.preparation import word_counts
+
+    docs = _docs(spark, sf_dir)
+    return word_counts(docs, "text", top_n=30)
+
+
+_PREP_WORDCOUNT_ORACLE = """
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 30
+"""
+
+
+def q_e12_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 grouped-map surface: per-language centering via applyInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def demean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf[["doc_id", "lang"]].copy()
+        out["centered"] = pdf["n_chars"] - pdf["n_chars"].mean()
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        demean, "doc_id long, lang string, centered double"
+    ).select("doc_id", "lang", F.round("centered", 6).alias("centered"))
+
+
+_E12_GROUPED_ORACLE = """
+SELECT doc_id, lang,
+       round(n_chars - avg(n_chars) OVER (PARTITION BY lang), 6) AS centered
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# composite analytical queries (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q3_shipping_priority
+
+    return q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_TPCH_Q3_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_TPCH_Q5_ORACLE = """
+SELECT n.n_name,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q10_returned_items
+
+    return q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# batch lifecycle over the lake (K1 + O6 in one oracle-checked query)
+# ---------------------------------------------------------------------------
+
+
+def q_o6_batch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.batch import stamp_batch
+    from dataengineer_spark.catalog import Catalog
+
+    lake = tempfile.mkdtemp(prefix="spark_graft_lc_")
+    catalog = Catalog(spark, lake)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("msgid"), F.col("text").alias("msg")
+    )
+    catalog.write(stamp_batch(docs.where(F.col("msgid") < 250), 1), "cleaned_data")
+    catalog.write(stamp_batch(docs.where(F.col("msgid") >= 250), 2), "cleaned_data")
+    # downstream read = partition-pruned scan of one batch directory
+    return catalog.read_batch("cleaned_data", 2).select("batch_id", "msgid")
+
+
+_O6_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS batch_id, doc_id AS msgid
+FROM documents WHERE doc_id >= 250
+"""
+
+
+# ---------------------------------------------------------------------------
 # pipeline-shape queries
 # ---------------------------------------------------------------------------
 
@@ -1099,6 +1373,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_session": q_e10_session,
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
         "q_e12_udf": q_e12_udf,
+        "q_e12_grouped_map": q_e12_grouped_map,
+        "q_json_extract": q_json_extract,
+        "q_e5_pivot": q_e5_pivot,
+        "q_e5_unpivot": q_e5_unpivot,
+        "q_e5_distinct_agg": q_e5_distinct_agg,
+        "q_e5_percentile": q_e5_percentile,
+        "q_e5_approx_distinct": q_e5_approx_distinct,
+        "q_prep_split": q_prep_split,
+        "q_prep_stratified": q_prep_stratified,
+        "q_prep_wordcount": q_prep_wordcount,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q10": q_tpch_q10,
+        "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
         "q_mm_features": q_mm_features,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -1179,9 +1467,22 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
+        "q_e12_grouped_map": _E12_GROUPED_ORACLE,
+        "q_json_extract": _JSON_ORACLE,
+        "q_e5_pivot": _E5_PIVOT_ORACLE,
+        "q_e5_unpivot": _E5_UNPIVOT_ORACLE,
+        "q_e5_distinct_agg": _E5_DISTINCT_ORACLE,
+        "q_e5_percentile": _E5_PERCENTILE_ORACLE,
+        "q_prep_split": _PREP_SPLIT_ORACLE,
+        "q_prep_stratified": _PREP_STRATIFIED_ORACLE,
+        "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
+        "q_tpch_q3": _TPCH_Q3_ORACLE,
+        "q_tpch_q5": _TPCH_Q5_ORACLE,
+        "q_tpch_q10": _TPCH_Q10_ORACLE,
+        "q_o6_batch_lifecycle": _O6_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e3_lsh_topk,
-        # q_e4_fingerprint, q_mm_features
+        # q_e4_fingerprint, q_e5_approx_distinct, q_mm_features
     }

@@ -13,6 +13,7 @@ from dataengineer_spark.operators import (  # noqa: F401
     events,
     joins,
     multimodal,
+    preparation,
     projection,
     similarity,
     textops,

@@ -46,6 +46,52 @@ def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
 
 
+def distinct_agg(df: DataFrame, keys: list[str], col: str, out: str) -> DataFrame:
+    """E5 — exact COUNT(DISTINCT col) per group (expand + two-phase agg,
+
+    planned by Catalyst)."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(out))
+
+
+def approx_distinct_agg(
+    df: DataFrame, keys: list[str], col: str, out: str, rsd: float = 0.05
+) -> DataFrame:
+    """E5 — HyperLogLog++ distinct estimate: one pass, fixed-size sketch,
+
+    merge-combinable — the scale path when exact distinct's expand shuffle
+    is too expensive."""
+    return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd).alias(out))
+
+
+def percentiles(
+    df: DataFrame, keys: list[str], col: str, probs: list[float]
+) -> DataFrame:
+    """E5 — exact interpolated percentiles per group (``percentile``);
+
+    swap for percentile_approx at scales where the exact sort-based
+    aggregate dominates."""
+    aggs = [
+        F.percentile(F.col(col), F.lit(p)).alias(f"p{int(p * 100)}") for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def pivot_agg(
+    df: DataFrame, key: str, pivot_col: str, pivot_values: list[str], agg: Column
+) -> DataFrame:
+    """E5 — pivot with explicit value list (never let Spark scan for
+
+    distinct pivot values on bulk data — pass them)."""
+    return df.groupBy(key).pivot(pivot_col, pivot_values).agg(agg)
+
+
+def unpivot(
+    df: DataFrame, ids: list[str], value_cols: list[str], var_name: str, value_name: str
+) -> DataFrame:
+    """E5 — melt wide columns back to (var, value) rows."""
+    return df.unpivot(ids, value_cols, var_name, value_name)
+
+
 def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """E7 — global top-k. Spark executes orderBy+limit as TakeOrdered:
 

@@ -1,0 +1,98 @@
+"""Composite analytical queries (TPC-H-shaped) over the star schema.
+
+These exercise the join-planning surface end-to-end: broadcast for
+dimension sides, shuffle hash/sort-merge for fact-fact, partial aggregation
+before the shuffle. Column set adapted to the driver testdata (FIXTURES.md
+§A — e.g. no o_shippriority/l_commitdate in the synthetic schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def revenue() -> F.Column:
+    return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    segment: str = "BUILDING", cutoff: str = "1997-03-15", k: int = 10,
+) -> DataFrame:
+    """Q3-style: revenue of undelivered orders for one market segment.
+
+    customer is dimension-sized → broadcast; orders⋈lineitem shuffles on
+    the order key; aggregation is partial before the final shuffle.
+    """
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue(), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q5_local_supplier_volume(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    supplier: DataFrame, nation: DataFrame, region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q5-style: revenue by nation where supplier and customer share the
+
+    nation. The nation/region/supplier/customer sides are all broadcast;
+    only orders⋈lineitem shuffles."""
+    r = region.where(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue(), 2).alias("revenue"))
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, date_from: str = "1996-01-01", date_to: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """Q10-style: customers who returned the most revenue in a quarter."""
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+              o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue(), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
