@@ -1276,6 +1276,211 @@ FROM documents WHERE doc_id >= 250
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup, extended text analysis, grouping sets, UDAF, Q6/Q18,
+# CSV round-trip, stateful streaming
+# ---------------------------------------------------------------------------
+
+
+def q_e2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-cosine near-dup — exact all-pairs baseline (oracle-able);
+
+    the LSH-bucketed scale path is q_e2_embed_lsh_neardup."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    pairs = sim_ops.brute_force_neardup_pairs(emb, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_E2_EMBED_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, 65),
+             i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65),
+      i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+def q_e2_embed_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-bucketed embedding near-dup (buckets not SQL)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_e4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(textops.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_E4_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
+         len(regexp_split_to_array(lower(text),
+             '\\b(?:the|and|of|to|a|in|is|it)\\b')) - 1 AS stop_hits
+  FROM documents
+)
+SELECT doc_id, round((
+    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+  + (CASE WHEN n = 0 THEN 0.0 WHEN punct / n < 0.1 THEN 1.0 ELSE 0.5 END)
+  + (CASE WHEN toks = 0 THEN 0.0 WHEN stop_hits / toks > 0.05 THEN 1.0 ELSE 0.5 END)
+) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+def q_e4_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        textops.subword_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+_E4_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+            w -> CAST(ceil(length(regexp_replace(w, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS BIGINT)
+                 + length(regexp_replace(w, '[\p{L}\p{N}\s]', '', 'g')))) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+def q_e5_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.grouping_sets_agg(
+        li,
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+    )
+
+
+_E5_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_e12_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 UDAF surface: grouped-agg pandas_udf (Arrow batch per group)."""
+
+    @F.pandas_udf("double")
+    def mean_chars(v: "pd.Series") -> float:
+        return float(v.mean())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(mean_chars("n_chars"), 6).alias("avg_chars")
+    )
+
+
+_E12_UDAF_ORACLE = """
+SELECT lang, round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q6_forecast_revenue
+
+    return q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+_TPCH_Q6_ORACLE = """
+SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q18_large_orders
+
+    return q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_TPCH_Q18_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(CAST(t.total_qty AS DOUBLE), 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) t
+JOIN orders o ON t.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_k3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 CSV sink + S1 scan round-trip: write nation to CSV, read it back
+
+    with the declared schema — exercises quoting/encoding symmetry."""
+    from dataengineer_spark import schemas as S
+
+    out = tempfile.mkdtemp(prefix="spark_graft_csv_") + "/nation"
+    write_csv(load_table(spark, sf_dir, "nation"), out, single_file=True)
+    return read_csv(spark, out, schema=S.NATION)
+
+
+_K3_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def q_e11_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals over the events stream
+
+    (availableNow, single micro-batch → equals the batch aggregate)."""
+    from dataengineer_spark.streaming import stream_events, stateful_running_totals
+
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    totals = stateful_running_totals(stream)
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+_E11_STATEFUL_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # pipeline-shape queries
 # ---------------------------------------------------------------------------
 
@@ -1374,6 +1579,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
+        "q_e12_grouped_agg": q_e12_grouped_agg,
+        "q_e2_embed_neardup": q_e2_embed_neardup,
+        "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
+        "q_e4_quality": q_e4_quality,
+        "q_e4_tokens": q_e4_tokens,
+        "q_e5_groupingsets": q_e5_groupingsets,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q18": q_tpch_q18,
+        "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
+        "q_e11_stateful": q_e11_stateful,
         "q_json_extract": q_json_extract,
         "q_e5_pivot": q_e5_pivot,
         "q_e5_unpivot": q_e5_unpivot,
@@ -1468,6 +1683,15 @@ def oracle_sql() -> dict[str, str]:
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,
+        "q_e12_grouped_agg": _E12_UDAF_ORACLE,
+        "q_e2_embed_neardup": _E2_EMBED_ORACLE,
+        "q_e4_quality": _E4_QUALITY_ORACLE,
+        "q_e4_tokens": _E4_TOKENS_ORACLE,
+        "q_e5_groupingsets": _E5_GSETS_ORACLE,
+        "q_tpch_q6": _TPCH_Q6_ORACLE,
+        "q_tpch_q18": _TPCH_Q18_ORACLE,
+        "q_k3_csv_roundtrip": _K3_ORACLE,
+        "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_json_extract": _JSON_ORACLE,
         "q_e5_pivot": _E5_PIVOT_ORACLE,
         "q_e5_unpivot": _E5_UNPIVOT_ORACLE,
@@ -1483,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
-        # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e3_lsh_topk,
-        # q_e4_fingerprint, q_e5_approx_distinct, q_mm_features
+        # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
+        # q_e3_lsh_topk, q_e4_fingerprint, q_e5_approx_distinct,
+        # q_mm_features
     }

@@ -38,6 +38,11 @@ HEADLINE = [
     "q_e4_text_stats",
     "q_e4_langid",
     "q_f4_sectionize",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q18",
     "q_pipeline_dx_group",
     "q_pipeline_prostate",
 ]

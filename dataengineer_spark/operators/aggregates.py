@@ -46,6 +46,16 @@ def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
 
 
+def grouping_sets_agg(
+    df: DataFrame, sets: list[list[str]], keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """E5 — explicit grouping sets: only the requested combinations are
+
+    expanded (rollup/cube are special cases), one Expand + one shuffle."""
+    col_sets = [[F.col(c) for c in s] for s in sets]
+    return df.groupingSets(col_sets, *[F.col(k) for k in keys]).agg(*aggs)
+
+
 def distinct_agg(df: DataFrame, keys: list[str], col: str, out: str) -> DataFrame:
     """E5 — exact COUNT(DISTINCT col) per group (expand + two-phase agg,
 

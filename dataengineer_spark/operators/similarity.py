@@ -87,6 +87,27 @@ def pairwise_top_k(
     )
 
 
+def brute_force_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """E2 embedding-cosine near-dup, exact baseline: all (i<j) pairs with
+
+    cosine ≥ threshold. O(n²) — the verification/small-corpus path; at
+    corpus scale use :func:`embedding_neardup_pairs` (LSH-bucketed) which
+    prunes the candidate space before the same cosine verify."""
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # -- LSH scale path ---------------------------------------------------------
 
 

@@ -73,6 +73,55 @@ def q5_local_supplier_volume(
     )
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+    disc_lo: float = 0.05, disc_hi: float = 0.07, max_qty: int = 24,
+) -> DataFrame:
+    """Q6-style: single filtered scalar aggregate — the pure scan-pushdown
+
+    showcase (all four predicates reach the parquet row-group filter; no
+    shuffle at all, partial sums merge at the driver)."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+            & F.col("l_discount").between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: float = 300.0,
+) -> DataFrame:
+    """Q18-style: orders whose total quantity exceeds a threshold, enriched
+
+    with customer identity. The HAVING filter runs on the aggregated (small)
+    side before both joins, so the fact table shuffles once on its group
+    key and the survivors broadcast."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
 def q10_returned_items(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
     nation: DataFrame, date_from: str = "1996-01-01", date_to: str = "1996-07-01",

@@ -2,6 +2,7 @@ from dataengineer_spark.streaming.pipeline import (
     stream_events,
     windowed_counts,
     sessionized_stream,
+    stateful_running_totals,
     batch_audited_sink,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "stream_events",
     "windowed_counts",
     "sessionized_stream",
+    "stateful_running_totals",
     "batch_audited_sink",
 ]

@@ -83,6 +83,38 @@ def sessionized_stream(
     )
 
 
+def stateful_running_totals(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+
+    running (count, sum) carried across micro-batches in explicit group
+    state — the E11 surface for operators that windowed aggs can't express
+    (counters, custom sessionization, online sketches). State is one fixed
+    (long, double) tuple per key: bounded by key cardinality, not data
+    volume — safe at 100 TB input. Emits the updated running totals for
+    every key seen in the current micro-batch (update semantics).
+    """
+    import pandas as pd  # noqa: F811 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total_value": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n long, total_value double",
+        stateStructType="n long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def batch_audited_sink(
     stream: DataFrame,
     catalog,

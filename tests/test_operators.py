@@ -104,6 +104,19 @@ class TestAggregates:
         assert agg_ops.intersect(df, other).count() == 2
         assert agg_ops.except_rows(other, df, keep_duplicates=False).count() == 1
 
+    def test_grouping_sets(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, h string, v int"
+        )
+        out = agg_ops.grouping_sets_agg(
+            df, [["g", "h"], ["g"], []], ["g", "h"], [F.sum("v").alias("s")]
+        ).collect()
+        got = {(r["g"], r["h"]): r["s"] for r in out}
+        # 3 leaf rows + 2 per-g subtotals + 1 grand total, no per-h set
+        assert len(got) == 6
+        assert got[("a", None)] == 3 and got[(None, None)] == 6
+        assert ("x",) not in {k[1:] for k in got if k[0] is None and k[1] is not None}
+
 
 class TestWindows:
     def test_top_k_per_group(self, spark):
@@ -193,6 +206,15 @@ class TestSimilarity:
         )
         pairs = sim_ops.embedding_neardup_pairs(df, threshold=0.999, dim=3).collect()
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+    def test_brute_force_neardup_matches_lsh_superset(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 5.0, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        exact = sim_ops.brute_force_neardup_pairs(df, threshold=0.999).collect()
+        assert [(p["id_a"], p["id_b"]) for p in exact] == [(1, 2)]
+        assert abs(exact[0]["cos_sim"] - 1.0) < 1e-12
 
 
 class TestTextOps:

@@ -14,6 +14,7 @@ from dataengineer_spark.catalog import Catalog
 from dataengineer_spark.streaming import (
     batch_audited_sink,
     sessionized_stream,
+    stateful_running_totals,
     stream_events,
     windowed_counts,
 )
@@ -48,6 +49,36 @@ class TestWindowedStream:
         out = spark.table(name)
         assert out.count() > 0
         assert {"session_start", "session_end", "user_id"} <= set(out.columns)
+
+
+class TestStatefulOperator:
+    def test_running_totals_equal_batch_agg(self, spark, sf_dir):
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # final state per key (last update wins) must equal the batch agg
+        streamed = {
+            r["event_type"]: (r["n"], round(r["total_value"], 6))
+            for r in spark.table(name)
+            .orderBy("n")  # single batch → one row per key; order irrelevant
+            .collect()
+        }
+        batch = {
+            r["event_type"]: (r["n"], round(r["total"], 6))
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert streamed == batch
 
 
 class TestBatchAuditedSink:
