@@ -79,7 +79,7 @@ def _sql_clean(expr: str) -> str:
     s = f"regexp_replace({s}, '{cleaning._CONTROL_CHARS}', ' ', 'g')"
     s = f"regexp_replace({s}, '{cleaning._MULTI_WS}', ' ', 'g')"
     s = f"regexp_replace({s}, '{cleaning._MULTI_NL}', chr(10), 'g')"
-    return f"trim({s})"
+    return f"regexp_replace({s}, '^\\s+|\\s+$', '', 'g')"
 
 
 def _sql_sections(msg: str) -> str:
@@ -878,8 +878,8 @@ def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E4_STATS_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, length(text) AS n,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS toks,
          length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
   FROM documents
@@ -1137,7 +1137,7 @@ def q_prep_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREP_WORDCOUNT_ORACLE = """
 SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
   FROM documents
 ) GROUP BY word ORDER BY n DESC, word LIMIT 30
 """
@@ -1325,8 +1325,8 @@ def q_e4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E4_QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, length(text) AS n,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS toks,
          length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
          len(regexp_split_to_array(lower(text),
              '\\b(?:the|and|of|to|a|in|is|it)\\b')) - 1 AS stop_hits
@@ -1352,9 +1352,9 @@ def q_e4_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E4_TOKENS_ORACLE = r"""
 SELECT doc_id,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+       CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+            ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
             w -> CAST(ceil(length(regexp_replace(w, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS BIGINT)
                  + length(regexp_replace(w, '[\p{L}\p{N}\s]', '', 'g')))) AS BIGINT) AS n_subwords
 FROM documents

@@ -40,7 +40,10 @@ def clean_msg(col: Column | str) -> Column:
     c = F.regexp_replace(c, _CONTROL_CHARS, " ")
     c = F.regexp_replace(c, _MULTI_WS, " ")
     c = F.regexp_replace(c, _MULTI_NL, "\n")
-    return F.trim(c)
+    # trim ALL whitespace (F.trim strips spaces only — a newline-ending
+    # report would survive it); \v/\f can't occur here (replaced above),
+    # so Java, RE2, and Python `\s` agree on this character set
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def basic_reg(col: Column | str) -> Column:

@@ -60,10 +60,12 @@ def explode_words(
     df: DataFrame, text_col: str, out_col: str = "word", lowercase: bool = True
 ) -> DataFrame:
     """One row per whitespace token (keeps all other columns)."""
+    from dataengineer_spark.operators.textops import trim_ws
+
     c = F.col(text_col)
     if lowercase:
         c = F.lower(c)
-    return df.withColumn(out_col, F.explode(F.split(F.trim(c), r"\s+")))
+    return df.withColumn(out_col, F.explode(F.split(trim_ws(c), r"\s+")))
 
 
 def word_counts(

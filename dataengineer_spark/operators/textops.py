@@ -22,12 +22,19 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def trim_ws(text: Column | str) -> Column:
+    """Strip ALL leading/trailing whitespace — ``F.trim`` strips spaces
+
+    only, so newline/tab-padded text would otherwise leak empty tokens
+    into every split-based counter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count; 0 for empty/NULL-safe callers handle null."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
-    )
+    t = trim_ws(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
 def subword_count(text: Column | str) -> Column:
@@ -40,7 +47,7 @@ def subword_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # ceil(letters/4) per word approximates subword splits + count of
     # standalone digit runs and punctuation marks
-    words = F.split(F.trim(c), r"\s+")
+    words = F.split(trim_ws(c), r"\s+")
     per_word = F.transform(
         words, lambda w: F.ceil(F.length(F.regexp_replace(w, r"[^\p{L}\p{N}]", "")) / 4.0)
         + F.length(F.regexp_replace(w, r"[\p{L}\p{N}\s]", ""))

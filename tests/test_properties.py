@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2.4.
+
+Each property drives the Spark expression and an independent pure-Python
+reimplementation over generated inputs, catching regex-semantics drift
+(Java vs Python ``re``, SURVEY.md §7.4.3) and boundary bugs the DuckDB
+value-hash can miss. Input alphabet is the HL7/clinical-text domain
+(printable ASCII + newline/tab + HL7 specials) — the contract the cleaning
+functions are defined over, where Java and Python regex agree; full
+Unicode line-terminator semantics intentionally differ and are out of
+contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataengineer_spark.functions.cleaning import clean_msg
+from dataengineer_spark.functions.truncate import truncate_text_chars
+from dataengineer_spark.operators.preparation import SPLIT_MULT, train_test_split
+from dataengineer_spark.operators.textops import token_count
+
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        [chr(c) for c in range(0x20, 0x7F)] + ["\n", "\t", "\x00", "\x0b"]
+    ),
+    max_size=200,
+)
+
+prop = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_clean(s: str) -> str:
+    s = re.sub(r"(?m)^[A-Z0-9]{3}\|[^|]*\|", "", s)
+    s = re.sub(r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\", "\n", s)
+    s = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ", s)
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
+class TestCleanMsgParity:
+    @prop
+    @given(st.lists(TEXT, min_size=1, max_size=20))
+    def test_matches_python_re(self, spark, texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", clean_msg("t").alias("c")).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_clean(t), repr(t)
+
+
+class TestTruncateParity:
+    @prop
+    @given(
+        st.lists(TEXT, min_size=1, max_size=20),
+        st.integers(min_value=1, max_value=50),
+        st.sampled_from(["entire report", "gross_or_micro", "diag_or_add"]),
+    )
+    def test_matches_python_slices(self, spark, texts, budget, part):
+        df = spark.createDataFrame(
+            [(i, t, part) for i, t in enumerate(texts)], "i long, t string, p string"
+        )
+        got = {
+            r["i"]: r["o"]
+            for r in df.select(
+                "i", truncate_text_chars("t", "p", budget).alias("o")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            if len(t) <= budget:
+                want = t
+            elif part == "entire report":
+                want = t[-budget:]
+            else:
+                want = t[:budget]
+            assert got[i] == want, (repr(t), budget, part)
+
+
+class TestTokenCountParity:
+    @prop
+    @given(st.lists(TEXT, min_size=1, max_size=20))
+    def test_matches_python_split(self, spark, texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+        got = {
+            r["i"]: r["n"]
+            for r in df.select("i", token_count("t").alias("n")).collect()
+        }
+        for i, t in enumerate(texts):
+            # contract: ASCII whitespace tokens; Java \s == Python \s here
+            stripped = t.strip(" \t\n\r\x0b\x0c")
+            want = 0 if stripped == "" else len(re.split(r"\s+", stripped))
+            assert got[i] == want, repr(t)
+
+
+class TestSplitInvariance:
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_assignment_independent_of_partitioning(self, spark, parts):
+        df = spark.range(0, 500).withColumnRenamed("id", "k").repartition(parts)
+        got = {
+            r["k"]: r["split"]
+            for r in train_test_split(df, "k").collect()
+        }
+        want = {}
+        for k in range(500):
+            b = (k * SPLIT_MULT) % 100
+            want[k] = "train" if b < 80 else ("valid" if b < 90 else "test")
+        assert got == want
