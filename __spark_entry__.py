@@ -722,6 +722,34 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_e10_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2h windows sliding 1h — each event lands in 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = event_ops.sliding(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select("window_start", "window_end", "event_type", "n", "total_value")
+
+
+_E10_SLIDING_ORACLE = """
+WITH x AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000 - o) * 3600000000) AS ws,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1)) AS t(o)
+)
+SELECT ws AS window_start,
+       ws + INTERVAL 2 HOUR AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM x GROUP BY 1, 2, 3
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -999,6 +1027,64 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, deterministic_fake=True)
     return feats.select("media_id", "kind", F.round("feat_norm", 4).alias("feat_norm"))
+
+
+def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → typed media table (payload = utf-8 text bytes, kind by
+
+    doc_id mod 3, duration from n_chars) — deterministic, so metadata
+    operators stay oracle-able."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(kind, F.lit("/fake")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars").cast("bigint") * 10).alias("duration_ms"),
+    )
+
+
+def q_mm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media stats — payload column pruned from the scan."""
+    from dataengineer_spark.operators.multimodal import media_stats
+
+    out = media_stats(_fake_media(spark, sf_dir))
+    return out.select(
+        "kind",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_bytes", 4).alias("avg_bytes"),
+        F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
+    )
+
+
+_MM_STATS_ORACLE = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+       round(avg(n_chars * 10), 4) AS avg_duration_ms
+FROM documents GROUP BY 1
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: video frame-sampling plumbing (1 row → N frame rows via
+
+    mapInPandas; fake codec slices payload at every_ms boundaries)."""
+    from dataengineer_spark.operators.multimodal import sample_frames
+
+    media = _fake_media(spark, sf_dir).where(F.col("kind") == "video")
+    frames = sample_frames(media, every_ms=2000, deterministic_fake=True)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ms", F.length("frame").alias("frame_bytes")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1575,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e9_range_join": q_e9_range_join,
         "q_e9_asof_join": q_e9_asof_join,
         "q_e10_tumbling": q_e10_tumbling,
+        "q_e10_sliding": q_e10_sliding,
         "q_e10_session": q_e10_session,
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
         "q_e12_udf": q_e12_udf,
@@ -1603,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q10": q_tpch_q10,
         "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
         "q_mm_features": q_mm_features,
+        "q_mm_stats": q_mm_stats,
+        "q_mm_frame_sample": q_mm_frame_sample,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
     }
@@ -1679,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_range_join": _E9_RANGE_ORACLE,
         "q_e9_asof_join": _E9_ASOF_ORACLE,
         "q_e10_tumbling": _E10_TUMBLING_ORACLE,
+        "q_e10_sliding": _E10_SLIDING_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
@@ -1704,10 +1794,11 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,
         "q_o6_batch_lifecycle": _O6_ORACLE,
+        "q_mm_stats": _MM_STATS_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e4_fingerprint, q_e5_approx_distinct,
-        # q_mm_features
+        # q_mm_features, q_mm_frame_sample
     }

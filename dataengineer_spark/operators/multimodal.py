@@ -132,11 +132,16 @@ def sample_frames(
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only stats — no payload decode, so Catalyst prunes the
+    """Per-kind stats with no payload decode. When the table carries an
 
-    binary column out of the scan entirely (check ReadSchema)."""
+    ``n_bytes`` metadata column (the recommended lake layout for media
+    tables), the binary column is pruned from the scan entirely (check
+    ReadSchema); otherwise the payload is read once for its length."""
+    size = (
+        F.col("n_bytes") if "n_bytes" in media.columns else F.length("payload")
+    )
     return media.groupBy("kind").agg(
         F.count("*").alias("n"),
-        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.avg(size).alias("avg_bytes"),
         F.avg("duration_ms").alias("avg_duration_ms"),
     )
