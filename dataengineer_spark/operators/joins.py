@@ -22,14 +22,27 @@ def label_join(
     fact_key: str = "predicted_label",
     dim_key: str = "label",
     how: str = "inner",
+    dim_key_nonnull: bool = False,
 ) -> DataFrame:
     """J1 — enrich predictions with the label dimension.
 
     The dim side is broadcast: at 100 TB of facts the join stays
     shuffle-free (the reference achieved the same effect by holding the
     whole labels table in one process's memory).
+
+    ``dim_key_nonnull=True`` (safe for engine-managed dims whose key has
+    no nulls) switches the equality to null-safe ``<=>``. Result is
+    identical, but Catalyst then infers no ``isnotnull(fact_key)`` filter
+    — which matters when the fact key is an expensive computed expression
+    (the stand-in classifier chain): the inferred filter would inline and
+    re-evaluate the whole expression tree a second time per row.
     """
-    return facts.join(F.broadcast(dim), facts[fact_key] == dim[dim_key], how)
+    cond = (
+        facts[fact_key].eqNullSafe(dim[dim_key])
+        if dim_key_nonnull
+        else facts[fact_key] == dim[dim_key]
+    )
+    return facts.join(F.broadcast(dim), cond, how)
 
 
 def point_lookup(df: DataFrame, **equalities) -> Row | None:

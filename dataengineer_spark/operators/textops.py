@@ -84,11 +84,18 @@ def language_id(text: Column | str) -> Column:
     running-argmax fold uses strict ``>``).
     """
     c = F.col(text) if isinstance(text, str) else text
-    scores = language_scores(c)
+    # one regex pass extracts every marker hit; per-language scores are
+    # then JVM array-membership counts — 4× fewer scans of the text than
+    # one regexp_count per language, same counts
+    all_markers = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
+    hits = F.regexp_extract_all(
+        F.lower(c), F.lit(r"\b(?:" + "|".join(all_markers) + r")\b"), 0
+    )
     has_cjk = c.rlike(CJK_PATTERN)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang, s in scores.items():
+    for lang, markers in _LANG_MARKERS.items():
+        s = F.size(F.filter(hits, lambda w: w.isin(*markers)))
         better = s > best_score
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, s).otherwise(best_score)

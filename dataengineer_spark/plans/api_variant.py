@@ -31,6 +31,10 @@ def publish_stage(predictions: DataFrame, labels: DataFrame) -> DataFrame:
         fact_key="predicted_label",
         dim_key="label",
         how="inner",
+        # labels is the engine-managed dim (non-null keys): null-safe
+        # equality keeps Catalyst from re-evaluating the classifier chain
+        # inside an inferred isnotnull filter
+        dim_key_nonnull=True,
     )
     export = joined.select(
         "batch_id", "msgid", "predicted_label", "model_score", "model_id",
