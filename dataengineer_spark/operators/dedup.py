@@ -50,8 +50,10 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) as array<string>."""
+    from dataengineer_spark.operators.textops import trim_ws
+
     c = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.trim(c), r"\s+")
+    words = F.split(trim_ws(c), r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -110,14 +112,18 @@ def minhash_lsh_pairs(
     collision rate, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    with_sig = df.select(
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    sig = base.select(
         F.col(id_col),
-        char_shingles(text_col, shingle_size).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        minhash_signature(char_shingles(F.col("_t"), shingle_size), num_hashes).alias(
+            "_sig"
+        ),
+    )
 
-    banded = with_sig.select(
+    # the band exchange carries ONLY (id, band, bucket) — 24 bytes/row —
+    # never the shingle arrays (which the explode would duplicate ×bands)
+    banded = sig.select(
         id_col,
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -131,25 +137,40 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select(id_col, "_sh", "_band.band", "_band.bucket")
+    ).select(id_col, "_band.band", "_band.bucket")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         left.join(right, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # candidate pairs are referenced twice below (verify probe +
+        # semi-join filter); persisting this collision-rate-sized set runs
+        # the signature/banding pipeline exactly once at any corpus size
+        .persist()
     )
+
+    # verify only the (collision-rate sized) candidate set: semi-join the
+    # corpus down to candidate docs FIRST, then shingle just those — at a
+    # sane collision rate this re-shingles a tiny fraction of the corpus
+    # instead of shuffling every doc's shingle array ×bands
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).dropDuplicates()
+    sh = (
+        base.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), char_shingles(F.col("_t"), shingle_size).alias("_sh"))
+    )
+    pairs = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
     ).alias("jaccard")
-    return cand.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+    return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -195,8 +216,10 @@ def simhash64(text: Column | str, n_bits: int = 64) -> Column:
     token-hash array — JVM-side, no UDF. Near-dups share most bits; callers
     bucket on a bit-prefix and verify by Hamming distance.
     """
+    from dataengineer_spark.operators.textops import trim_ws
+
     c = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(F.split(F.trim(c), r"\s+"), lambda w: F.xxhash64(w))
+    hashes = F.transform(F.split(trim_ws(c), r"\s+"), lambda w: F.xxhash64(w))
 
     def bit_sum(j: int):
         # closure factory: aggregate's merge lambda must stay binary
