@@ -1,0 +1,93 @@
+"""Physical-plan property tests — the scale contract, enforced.
+
+SCALE.md's claims are asserted here against the actual Catalyst output so
+they can't silently rot: predicate pushdown reaches the parquet scan,
+dimension joins broadcast, nothing falls back to a cartesian product, and
+no registered query ever plans a row-at-a-time Python UDF
+(``BatchEvalPython``) — Arrow-batched pandas UDFs (``ArrowEvalPython`` /
+``MapInPandas`` / ``FlatMapGroupsInPandas``) are the only sanctioned
+Python execution.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# queries whose callables run side effects (streaming awaitTermination,
+# temp-dir writes) rather than just building a plan
+_EFFECTFUL = {
+    "q_e11_stream_tumbling",
+    "q_e11_stateful",
+    "q_o6_batch_lifecycle",
+    "q_k3_csv_roundtrip",
+    "q_s1_csv_scan",
+    "q_s5_rest_source",
+    "q_s6_inline_table",
+    "q_k2_batch_audit",
+    "q_j2_point_lookup",
+    "q_a1_accuracy",
+}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestScanPushdown:
+    def test_daterange_filters_reach_parquet(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_s4_daterange_scan")
+        assert "GreaterThanOrEqual(o_orderdate" in p  # PushedFilters
+        assert "LessThanOrEqual(o_orderdate" in p
+        # column pruning: only the projected columns are read
+        assert "o_comment" not in p
+
+    def test_q6_all_predicates_pushed(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_tpch_q6")
+        for f in ["l_shipdate", "l_discount", "l_quantity"]:
+            assert f"IsNotNull({f})" in p
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name", ["q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18", "q_j1_label_join"]
+    )
+    def test_dim_sides_broadcast_no_cartesian(self, spark, sf_dir, name):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_semi_anti_plan(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_e9_semi_anti")
+        assert "CartesianProduct" not in p
+
+
+class TestAggregation:
+    def test_partial_then_final(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_e5_groupagg")
+        # two HashAggregate operators around one Exchange = map-side combine
+        assert p.count("HashAggregate") >= 2
+        assert "Exchange" in p
+
+    def test_global_topk_avoids_full_sort(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_e7_topk")
+        assert "TakeOrderedAndProject" in p
+
+
+class TestNoRowPythonAnywhere:
+    def test_no_batch_eval_python(self, spark, sf_dir):
+        bad = []
+        for name in entrymod.queries():
+            if name in _EFFECTFUL:
+                continue
+            if "BatchEvalPython" in _plan(spark, sf_dir, name):
+                bad.append(name)
+        assert not bad, f"row-at-a-time Python UDF planned in: {bad}"
