@@ -1174,6 +1174,45 @@ def q_e5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.approx_distinct_agg(li, ["l_returnflag"], "l_partkey", "approx_parts")
 
 
+def q_e7_grouptopk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact per-group top-k (two-phase salted window)."""
+    from dataengineer_spark.operators.windows import top_k_per_group_salted
+
+    orders = load_table(spark, sf_dir, "orders")
+    top = top_k_per_group_salted(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        salt_on=["o_orderkey"],
+    )
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+_E7_SALTED_ORACLE = """
+SELECT o_custkey, o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-(flag,status) HLL sketches merged to per-flag distinct
+
+    estimates — the no-rescan incremental-distinct pattern (binary
+    mergeable sketches, estimates deterministic but not SQL-matchable)."""
+    from dataengineer_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = sketches.hll_sketch(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    return sketches.hll_merge(per_part, ["l_returnflag"], out="approx_parts")
+
+
+
 # ---------------------------------------------------------------------------
 # training-data preparation (splits, quotas, word counts, grouped-map UDF)
 # ---------------------------------------------------------------------------
@@ -1682,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_distinct_agg": q_e5_distinct_agg,
         "q_e5_percentile": q_e5_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
+        "q_e5_hll_rollup": q_e5_hll_rollup,
+        "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
         "q_prep_wordcount": q_prep_wordcount,
@@ -1787,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_unpivot": _E5_UNPIVOT_ORACLE,
         "q_e5_distinct_agg": _E5_DISTINCT_ORACLE,
         "q_e5_percentile": _E5_PERCENTILE_ORACLE,
+        "q_e7_grouptopk_salted": _E7_SALTED_ORACLE,
         "q_prep_split": _PREP_SPLIT_ORACLE,
         "q_prep_stratified": _PREP_STRATIFIED_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,

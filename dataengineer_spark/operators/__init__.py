@@ -16,6 +16,7 @@ from dataengineer_spark.operators import (  # noqa: F401
     preparation,
     projection,
     similarity,
+    sketches,
     textops,
     windows,
 )

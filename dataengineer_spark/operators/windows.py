@@ -36,6 +36,37 @@ def top_k_per_group(
     )
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_on: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Exact per-group top-k for SKEWED groups, in two phases.
+
+    A window over a hot key sorts that key's entire partition on one task
+    (the one skew shape AQE does not split). Phase 1 spreads each group
+    over ``buckets`` salted sub-partitions (salt = hash of ``salt_on``
+    row content) and keeps top-k per sub-partition; phase 2 runs the
+    plain window over the pruned set — at most ``buckets·k`` rows per
+    group, regardless of how hot the key is. Result is exactly
+    ``top_k_per_group`` (global top-k is a subset of the union of
+    per-salt top-k); ``order_by`` should be a total order for
+    deterministic output.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(buckets))
+    salted = df.withColumn("_salt", salt)
+    w1 = W.partitionBy(*partition_by, "_salt").orderBy(*order_by)
+    pruned = (
+        salted.withColumn("_prn", F.row_number().over(w1))
+        .where(F.col("_prn") <= k)
+        .drop("_prn", "_salt")
+    )
+    return top_k_per_group(pruned, partition_by, order_by, k)
+
+
 def lag_lead(
     df: DataFrame,
     partition_by: list[str],

@@ -104,6 +104,19 @@ class TestAggregates:
         assert agg_ops.intersect(df, other).count() == 2
         assert agg_ops.except_rows(other, df, keep_duplicates=False).count() == 1
 
+    def test_hll_sketch_rollup_close_to_exact(self, spark):
+        from dataengineer_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [(g, b, i % 97) for g in ("x", "y") for b in (1, 2) for i in range(500)],
+            "g string, b int, v int",
+        )
+        per_batch = sketches.hll_sketch(df, ["g", "b"], "v")
+        merged = sketches.hll_merge(per_batch, ["g"])
+        got = {r["g"]: r["n_distinct"] for r in merged.collect()}
+        # exact distinct is 97 per group; HLL at lgK=12 is within ~2%
+        assert all(abs(v - 97) / 97 < 0.05 for v in got.values()), got
+
     def test_grouping_sets(self, spark):
         df = spark.createDataFrame(
             [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, h string, v int"
@@ -126,6 +139,18 @@ class TestWindows:
         out = win_ops.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
         got = sorted((r["g"], r["v"]) for r in out.collect())
         assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+    def test_salted_topk_equals_plain(self, spark):
+        df = spark.createDataFrame(
+            [("hot" if i % 10 else "cold", i, float(i * 7 % 101)) for i in range(400)],
+            "g string, i int, v double",
+        )
+        order = [F.col("v").desc(), F.col("i").asc()]
+        plain = win_ops.top_k_per_group(df, ["g"], order, 5)
+        salted = win_ops.top_k_per_group_salted(df, ["g"], order, 5, salt_on=["i"], buckets=8)
+        a = sorted((r["g"], r["i"]) for r in plain.collect())
+        b = sorted((r["g"], r["i"]) for r in salted.collect())
+        assert a == b
 
     def test_lag_lead_and_running(self, spark):
         df = spark.createDataFrame(
