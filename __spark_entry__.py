@@ -1087,6 +1087,18 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: image-resize plumbing (binary in → binary out, metadata
+
+    updated; fake codec pads/truncates payload to the target byte size)."""
+    from dataengineer_spark.operators.multimodal import resize_images
+
+    media = _fake_media(spark, sf_dir).where(F.col("kind") == "image")
+    out = resize_images(media, width=16, height=16, deterministic_fake=True)
+    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+
 # ---------------------------------------------------------------------------
 # JSON, pivot/unpivot, distinct/percentile aggregates
 # ---------------------------------------------------------------------------
@@ -1733,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_features": q_mm_features,
         "q_mm_stats": q_mm_stats,
         "q_mm_frame_sample": q_mm_frame_sample,
+        "q_mm_resize": q_mm_resize,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
     }
@@ -1842,5 +1855,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e4_fingerprint, q_e5_approx_distinct,
-        # q_mm_features, q_mm_frame_sample
+        # q_mm_features, q_mm_frame_sample, q_mm_resize
     }
