@@ -750,6 +750,34 @@ FROM x GROUP BY 1, 2, 3
 """
 
 
+
+def q_e10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.funnel_counts(
+        ev, "ts", "user_id", "event_type", ["view", "click", "purchase"]
+    )
+
+
+_E10_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+  JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+  JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -1572,6 +1600,25 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_TPCH_Q17_ORACLE = """
+SELECT round(CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 def q_k3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 CSV sink + S1 scan round-trip: write nation to CSV, read it back
 
@@ -1713,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e9_asof_join": q_e9_asof_join,
         "q_e10_tumbling": q_e10_tumbling,
         "q_e10_sliding": q_e10_sliding,
+        "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
         "q_e12_udf": q_e12_udf,
@@ -1725,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_groupingsets": q_e5_groupingsets,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q17": q_tpch_q17,
         "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
         "q_e11_stateful": q_e11_stateful,
         "q_json_extract": q_json_extract,
@@ -1823,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_asof_join": _E9_ASOF_ORACLE,
         "q_e10_tumbling": _E10_TUMBLING_ORACLE,
         "q_e10_sliding": _E10_SLIDING_ORACLE,
+        "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
@@ -1834,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_groupingsets": _E5_GSETS_ORACLE,
         "q_tpch_q6": _TPCH_Q6_ORACLE,
         "q_tpch_q18": _TPCH_Q18_ORACLE,
+        "q_tpch_q17": _TPCH_Q17_ORACLE,
         "q_k3_csv_roundtrip": _K3_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_json_extract": _JSON_ORACLE,

@@ -42,6 +42,47 @@ def sliding(
     return _flatten_window(out)
 
 
+def funnel_counts(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: users reaching step i = those with a step-i event
+
+    strictly after their step-(i-1) entry time (first-touch semantics).
+    One hash aggregate + one broadcast-able join per step, all keyed on
+    the user column — the exchanges reuse one partitioning. Output:
+    (step, event_type, n_users) per funnel stage.
+    """
+    spark = df.sparkSession
+    reached = None  # DataFrame(user, _t): entry time into the previous step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step)
+        if reached is None:
+            reached = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            reached = (
+                ev.join(reached, user_col)
+                .where(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def sessionize_native(
     df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list[Column]
 ) -> DataFrame:

@@ -122,6 +122,30 @@ def q18_large_orders(
     )
 
 
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """Q17-style: revenue of below-average-quantity orders for one brand —
+
+    the correlated-scalar-subquery shape, decorrelated by hand into a
+    per-part aggregate joined back. The brand's part list and its per-part
+    limits are both dimension-sized → broadcast; lineitem scans twice
+    (limit build + probe), which at scale beats materializing the fact
+    table."""
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    limits = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("lim"))
+    return (
+        li.join(F.broadcast(limits), "l_partkey")
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def q10_returned_items(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
     nation: DataFrame, date_from: str = "1996-01-01", date_to: str = "1996-07-01",

@@ -296,6 +296,24 @@ class TestEvents:
         )
         assert sessions == [(1, 1), (1, 1), (1, 2), (2, 1)]
 
+    def test_funnel_order_matters(self, spark):
+        rows = [
+            # u1 completes view->click in order; u2 clicked BEFORE viewing
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "click", "2024-01-01 00:05:00"),
+            (2, "click", "2024-01-01 00:00:00"),
+            (2, "view", "2024-01-01 00:05:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+        df = df.select("user_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+        out = {
+            r["event_type"]: r["n_users"]
+            for r in event_ops.funnel_counts(
+                df, "ts", "user_id", "event_type", ["view", "click"]
+            ).collect()
+        }
+        assert out == {"view": 2, "click": 1}
+
     def test_tumbling_matches_native_session(self, spark, sf_dir):
         from dataengineer_spark.testdata import load_table
 
