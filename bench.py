@@ -31,17 +31,26 @@ HEADLINE = [
     "q_e9_semi_anti",
     "q_e10_tumbling",
     "q_e10_session",
+    "q_e10_sliding",
+    "q_e10_funnel",
     "q_e3_topk_sim",
     "q_e3_pairwise_topk",
     "q_e2_minhash_neardup",
+    "q_e2_simhash_neardup",
     "q_e1_dedup",
     "q_e4_text_stats",
     "q_e4_langid",
+    "q_e4_tokens",
+    "q_e5_distinct_agg",
+    "q_e5_percentile",
+    "q_e7_grouptopk_salted",
+    "q_prep_wordcount",
     "q_f4_sectionize",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q17",
     "q_tpch_q18",
     "q_pipeline_dx_group",
     "q_pipeline_prostate",

@@ -261,8 +261,13 @@ def simhash_neardup_pairs(
     multi-probe scheme rotates the prefix; one prefix is the common fast
     path and misses only pairs differing inside the prefix.)
     """
-    with_fp = df.select(F.col(id_col), simhash64(text_col).alias("_fp")).withColumn(
-        "_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits)
+    with_fp = (
+        df.select(F.col(id_col), simhash64(text_col).alias("_fp"))
+        .withColumn("_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits))
+        # referenced by both self-join sides: persisting this 24-byte/row
+        # projection computes the 64-bit-sum fingerprint pass once, not
+        # twice — compact at any corpus size (id + fp + bucket only)
+        .persist()
     )
     a = with_fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "_bk")
     b = with_fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "_bk")
