@@ -919,6 +919,16 @@ def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN (coarse-centroid cells, n_probe nearest probed)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.ivf_top_k(
+        queries, emb, dim=64, k=3, n_centroids=16, n_probe=4
+    ).select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
@@ -1747,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_topk_sim": q_e3_topk_sim,
         "q_e3_pairwise_topk": q_e3_pairwise_topk,
         "q_e3_lsh_topk": q_e3_lsh_topk,
+        "q_e3_ivf_topk": q_e3_ivf_topk,
         "q_e4_text_stats": q_e4_text_stats,
         "q_e4_langid": q_e4_langid,
         "q_e4_fingerprint": q_e4_fingerprint,
@@ -1905,6 +1916,6 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_prostate": _prostate_oracle(),
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
-        # q_e3_lsh_topk, q_e4_fingerprint, q_e5_approx_distinct,
+        # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,
         # q_mm_features, q_mm_frame_sample, q_mm_resize
     }

@@ -190,3 +190,88 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# -- IVF scale path ---------------------------------------------------------
+
+
+def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm coarse centroids (seeded gaussian).
+
+    A trained k-means codebook slots in here unchanged — the plan shape
+    (broadcast codebook, cell-local search) is what matters at scale.
+    """
+    rnd = random.Random(seed)
+    cents = []
+    for _ in range(n_centroids):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
+def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score,cell>> of cosine-proportional centroid scores."""
+    return F.array(
+        *[
+            F.struct(
+                (dot(vec, F.array(*[F.lit(x) for x in c])) / l2_norm(vec)).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """Index of the nearest (max cosine) centroid — the IVF assignment."""
+    scores = _cell_scores(vec, cents)
+    best = F.array_max(scores)  # struct compare: score first, then cell
+    return best.getField("cell")
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """E3 ANN, IVF variant: corpus vectors are assigned to their nearest
+
+    coarse centroid (the inverted file); each query probes its ``n_probe``
+    nearest cells and runs exact cosine only there. Work per query drops
+    from |corpus| to ~|corpus|·n_probe/n_centroids; the codebook is a
+    plan literal (broadcast by value), the cell join is a plain equi-join
+    on the cell id. Recall < 1 by design — raise ``n_probe`` toward
+    ``n_centroids`` to trade cost for recall (full probe ≡ brute force).
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    cents = _centroids(dim, n_centroids, seed)
+    c = corpus.select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cell", nearest_cell(F.col("_cv"), cents))
+    probe = F.slice(
+        F.reverse(F.array_sort(_cell_scores(F.col("_qv"), cents))), 1, n_probe
+    )
+    q = (
+        queries.select(
+            F.col(q_id).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_p", F.explode(probe))
+        .select("query_id", "_qv", F.col("_p.cell").alias("_cell"))
+    )
+    scored = q.join(c, on="_cell").select(
+        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
+    )

@@ -324,3 +324,30 @@ class TestEvents:
             ev.limit(100), "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]
         )
         assert s.count() > 0
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, spark):
+        import random as _r
+
+        rnd = _r.Random(3)
+        vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") < 5)
+        exact = sim_ops.pairwise_top_k(q, df, k=3)
+        ivf = sim_ops.ivf_top_k(q, df, dim=8, k=3, n_centroids=4, n_probe=4)
+        a = sorted((r["query_id"], r["corpus_id"]) for r in exact.collect())
+        b = sorted((r["query_id"], r["corpus_id"]) for r in ivf.collect())
+        assert a == b  # probing every cell ≡ exact search
+
+    def test_partial_probe_self_recall(self, spark):
+        import random as _r
+
+        rnd = _r.Random(4)
+        vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") < 10)
+        ivf = sim_ops.ivf_top_k(q, df, dim=8, k=1, n_centroids=4, n_probe=1)
+        # a vector's own cell is always its top probe → self is always found
+        got = {r["query_id"]: r["corpus_id"] for r in ivf.collect()}
+        assert got == {i: i for i in range(10)}
