@@ -1674,6 +1674,67 @@ FROM events GROUP BY event_type
 """
 
 
+
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second flagship: corpus-curation pipeline (quality + language filter
+
+    → exact content dedup → leakage-safe split → token budget)."""
+    from dataengineer_spark.plans.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), min_quality=0.5, langs=("en",))
+
+
+def _curation_oracle() -> str:
+    from dataengineer_spark.operators.preparation import SPLIT_MULT
+
+    scores = {
+        lang: (
+            f"len(regexp_extract_all(lower(text), "
+            f"'\\b(?:{'|'.join(markers)})\\b'))"
+        )
+        for lang, markers in textops._LANG_MARKERS.items()
+    }
+    s = scores
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS toks,
+         length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
+         len(regexp_split_to_array(lower(text),
+             '\\b(?:the|and|of|to|a|in|is|it)\\b')) - 1 AS stop_hits,
+         {s['en']} AS s_en, {s['fr']} AS s_fr, {s['es']} AS s_es, {s['de']} AS s_de,
+         regexp_matches(text, '{textops.CJK_PATTERN}') AS has_cjk
+  FROM documents
+), q AS (
+  SELECT doc_id, text, toks,
+         ((CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN n = 0 THEN 0.0 WHEN punct / n < 0.1 THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN toks = 0 THEN 0.0 WHEN stop_hits / toks > 0.05 THEN 1.0 ELSE 0.5 END)
+         ) / 3.0 AS quality,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+              WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+              WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+              WHEN s_de > 0 THEN 'de'
+              ELSE 'und' END AS detected_lang
+  FROM t
+), kept AS (
+  SELECT * FROM q WHERE quality >= 0.5 AND detected_lang IN ('en')
+), dedup AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM kept
+)
+SELECT doc_id, detected_lang, round(quality, 6) AS quality,
+       CASE WHEN (doc_id * {SPLIT_MULT}) % 100 < 80 THEN 'train'
+            WHEN (doc_id * {SPLIT_MULT}) % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(toks AS BIGINT) AS n_tokens
+FROM dedup WHERE doc_id = keeper
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # pipeline-shape queries
 # ---------------------------------------------------------------------------
@@ -1808,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_resize": q_mm_resize,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
+        "q_pipeline_curation": q_pipeline_curation,
     }
 
 
@@ -1914,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mm_stats": _MM_STATS_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
+        "q_pipeline_curation": _curation_oracle(),
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,

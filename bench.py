@@ -53,6 +53,7 @@ HEADLINE = [
     "q_tpch_q17",
     "q_tpch_q18",
     "q_pipeline_dx_group",
+    "q_pipeline_curation",
     "q_pipeline_prostate",
 ]
 

@@ -26,12 +26,22 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """E1 variant — dedup by content hash keeping the lowest id.
 
-    ``min(id) group by hash`` instead of ``dropDuplicates`` so the survivor
-    is deterministic (dropDuplicates keeps an arbitrary row).
+    ``min(id) over (partition by hash)`` instead of ``dropDuplicates`` so
+    the survivor is deterministic (dropDuplicates keeps an arbitrary row),
+    and instead of agg+semi-join so upstream expressions evaluate once and
+    the input shuffles once (the hash is an 8-byte shuffle key; rows of
+    one content group land together, no sort needed — min is an unbounded
+    window aggregate).
     """
-    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h")
-    keep = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    keep = F.min(id_col).over(W.partitionBy(h))
+    return (
+        df.withColumn("_keep", keep)
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
 
 
 # -- shingling --------------------------------------------------------------

@@ -106,3 +106,28 @@ class TestProstate:
         assert row["laterality"] == "00"
         assert row["site_code_pred_score"] == 1.0
         assert out.count() == 3
+
+
+class TestCuration:
+    def test_curate_corpus_shape_and_split(self, spark, sf_dir):
+        from dataengineer_spark.plans.curation import curate_corpus
+        from dataengineer_spark.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = curate_corpus(docs, min_quality=0.0, langs=("en", "fr", "es", "de", "zh", "und"))
+        rows = out.collect()
+        # no filtering → dedup only; splits all assigned
+        assert 0 < len(rows) <= docs.count()
+        assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+        assert all(r["n_tokens"] > 0 for r in rows)
+
+    def test_remove_near_dups_drops_higher_id(self, spark):
+        from dataengineer_spark.plans.curation import remove_near_dups
+
+        text = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "entirely different words live here now friends")],
+            "doc_id long, text string",
+        )
+        kept = sorted(r["doc_id"] for r in remove_near_dups(df, threshold=0.9).collect())
+        assert kept == [1, 3]
