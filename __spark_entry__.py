@@ -1051,6 +1051,46 @@ def q_e11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E11_ORACLE = _E10_TUMBLING_ORACLE
 
 
+
+def q_e11_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window on the stream (complete mode — session
+
+    windows don't support update — with availableNow); session ids
+    assigned post-hoc by start order to match the batch sessionization
+    contract. Gap boundary semantics match the lag oracle on this data
+    (no consecutive events exactly at the 30-min gap)."""
+    from pyspark.sql import Window as W
+    from dataengineer_spark.streaming import stream_events
+
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("_w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = W.partitionBy("user_id").orderBy("session_start")
+    return spark.table(name).select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "session_start",
+        "session_end",
+    )
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: multimodal plumbing with the deterministic fake decoder."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1848,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q17": q_tpch_q17,
         "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
         "q_e11_stateful": q_e11_stateful,
+        "q_e11_stream_session": q_e11_stream_session,
         "q_json_extract": q_json_extract,
         "q_e5_pivot": q_e5_pivot,
         "q_e5_unpivot": q_e5_unpivot,
@@ -1960,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q17": _TPCH_Q17_ORACLE,
         "q_k3_csv_roundtrip": _K3_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
+        "q_e11_stream_session": _E10_SESSION_ORACLE,
         "q_json_extract": _JSON_ORACLE,
         "q_e5_pivot": _E5_PIVOT_ORACLE,
         "q_e5_unpivot": _E5_UNPIVOT_ORACLE,
