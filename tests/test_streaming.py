@@ -52,6 +52,43 @@ class TestWindowedStream:
 
 
 class TestStatefulOperator:
+    def test_state_carries_across_micro_batches(self, spark, sf_dir, tmp_path):
+        # split events into 3 files; maxFilesPerTrigger=1 → 3 micro-batches,
+        # so per-key totals must accumulate through GroupState, and the
+        # LAST update per key must equal the all-data batch aggregate
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        src = str(tmp_path / "ev_parts")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        updates = spark.table(name).collect()
+        assert len(updates) > 5  # more rows than keys → multiple batches ran
+        # last update per key wins
+        final = {}
+        for r in updates:
+            final[r["event_type"]] = (r["n"], round(r["total_value"], 6))
+        batch = {
+            r["event_type"]: (r["n"], round(r["total"], 6))
+            for r in ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert final == batch
+
     def test_running_totals_equal_batch_agg(self, spark, sf_dir):
         stream = stream_events(spark, sf_dir + "/events.parquet")
         name = f"t_{uuid.uuid4().hex[:8]}"
