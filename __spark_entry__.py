@@ -554,6 +554,23 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+
+def q_e5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+    )
+
+
+_E5_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_e7_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return agg_ops.top_k(
@@ -1019,6 +1036,35 @@ def q_e12_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _E12_ORACLE = "SELECT doc_id, CAST(n_chars AS DOUBLE) * 0.5 + 7.0 AS boosted FROM documents"
+
+
+
+def q_e12_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 iterator-form pandas_udf: one-time per-executor setup amortized
+
+    across Arrow batches (the transformer-inference pattern, M1, with a
+    deterministic stand-in for the model)."""
+    from typing import Iterator
+    from pyspark.sql import types as T
+
+    def scaled(batches):
+        factor = 0.25  # stands in for loading a model once per executor
+        for s in batches:
+            yield s * factor + 3.0
+
+    # set hints directly: the module's `from __future__ import annotations`
+    # would stringify inline ones beyond pandas_udf's resolver
+    scaled.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    scaled = F.pandas_udf(scaled, T.DoubleType())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", scaled(F.col("n_chars")).alias("scaled"))
+
+
+_E12_ITER_ORACLE = "SELECT doc_id, CAST(n_chars AS DOUBLE) * 0.25 + 3.0 AS scaled FROM documents"
 
 
 def q_e11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_e5_groupagg": q_e5_groupagg,
         "q_e5_rollup": q_e5_rollup,
+        "q_e5_cube": q_e5_cube,
         "q_e6_window": q_e6_window,
         "q_e7_topk": q_e7_topk,
         "q_e8_setops": q_e8_setops,
@@ -1877,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
+        "q_e12_iter_udf": q_e12_iter_udf,
         "q_e12_grouped_agg": q_e12_grouped_agg,
         "q_e2_embed_neardup": q_e2_embed_neardup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
@@ -1978,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e4_langid": _langid_oracle(),
         "q_e5_groupagg": _E5_ORACLE,
         "q_e5_rollup": _E5_ROLLUP_ORACLE,
+        "q_e5_cube": _E5_CUBE_ORACLE,
         "q_e6_window": _E6_ORACLE,
         "q_e7_topk": _E7_ORACLE,
         "q_e8_setops": _E8_ORACLE,
@@ -1991,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,
+        "q_e12_iter_udf": _E12_ITER_ORACLE,
         "q_e12_grouped_agg": _E12_UDAF_ORACLE,
         "q_e2_embed_neardup": _E2_EMBED_ORACLE,
         "q_e4_quality": _E4_QUALITY_ORACLE,

@@ -110,11 +110,6 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
-def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
-    """E8/E1 — distinct (shuffle on the dedup key set)."""
-    return df.dropDuplicates(subset) if subset else df.distinct()
-
-
 def union_all(parts: list[DataFrame], by_name: bool = True) -> DataFrame:
     """E8 — UNION ALL; by_name resolves column order differences."""
     import functools

@@ -351,3 +351,16 @@ class TestIVF:
         # a vector's own cell is always its top probe → self is always found
         got = {r["query_id"]: r["corpus_id"] for r in ivf.collect()}
         assert got == {i: i for i in range(10)}
+
+
+class TestSmallSurface:
+    def test_first_row_explicit_order(self, spark):
+        df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, v string")
+        assert agg_ops.first_row(df, [F.col("k").asc()])["v"] == "a"
+        assert agg_ops.first_row(df) is not None  # arbitrary-choice form
+
+    def test_language_scores_counts_markers(self, spark):
+        df = spark.createDataFrame([("the cat and the dog",)], "t string")
+        scores = textops.language_scores(F.col("t"))
+        row = df.select(*[c.alias(k) for k, c in scores.items()]).first()
+        assert row["en"] == 3 and row["fr"] == 0
