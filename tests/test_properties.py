@@ -103,6 +103,54 @@ class TestTokenCountParity:
             assert got[i] == want, repr(t)
 
 
+class TestSectionizeParity:
+    # text built from the clinical-header vocabulary + filler so matches,
+    # partial matches, and case variants all occur
+    SECTION_TEXT = st.lists(
+        st.sampled_from(
+            [
+                "GROSS DESCRIPTION: specimen received fresh",
+                "gross: two fragments",
+                "Addendum: revised",
+                "DIAGNOSIS: carcinoma",
+                "diagnosis comment: see note",
+                "Comment: margins clear",
+                "MICROSCOPIC DESCRIPTION: sheets of cells",
+                "micro: unremarkable",
+                "plain narrative line",
+                "gross",  # header word without colon → no match
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=6,
+    ).map(lambda lines: "\n".join(lines))
+
+    @prop
+    @given(st.lists(SECTION_TEXT, min_size=1, max_size=15))
+    def test_matches_python_re(self, spark, texts):
+        from dataengineer_spark.functions.sections import (
+            DEFAULT_PATTERNS,
+            SECTION_NAMES,
+            create_sections,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        got = {
+            r["i"]: r
+            for r in df.select("i", create_sections("t").alias("s"))
+            .select("i", "s.*")
+            .collect()
+        }
+        for i, t in enumerate(texts):
+            for name in SECTION_NAMES:
+                m = re.search(DEFAULT_PATTERNS[name], t)
+                want = m.group(1) if m else ""
+                assert got[i][name] == want, (name, repr(t))
+
+
 class TestSplitInvariance:
     @pytest.mark.parametrize("parts", [1, 7])
     def test_assignment_independent_of_partitioning(self, spark, parts):
