@@ -15,6 +15,7 @@ import io
 import contextlib
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -80,6 +81,33 @@ class TestAggregation:
     def test_global_topk_avoids_full_sort(self, spark, sf_dir):
         p = _plan(spark, sf_dir, "q_e7_topk")
         assert "TakeOrderedAndProject" in p
+
+
+class TestLakeLayout:
+    def test_batch_read_is_partition_pruned(self, spark, sf_dir, tmp_path):
+        """The audit pattern's WHERE batch_id= must be partition pruning,
+        not scan+filter (SCALE.md 'Global posture')."""
+        import io
+        import contextlib
+
+        from dataengineer_spark.batch import stamp_batch
+        from dataengineer_spark.catalog import Catalog
+        from dataengineer_spark.testdata import load_table
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("msgid"), F.col("text").alias("msg")
+        )
+        catalog.write(stamp_batch(docs, 1), "cleaned_data")
+        catalog.write(stamp_batch(docs, 2), "cleaned_data")
+        df = catalog.read_batch("cleaned_data", 2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "PartitionFilters" in p and "batch_id" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        # and the pruned read returns exactly one batch
+        assert df.select("batch_id").distinct().collect()[0][0] == 2
 
 
 class TestNoRowPythonAnywhere:
