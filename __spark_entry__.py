@@ -1697,6 +1697,46 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 
 
 
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q12_priority_shipping
+
+    return q12_priority_shipping(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_TPCH_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q14_promo_revenue
+
+    return q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_TPCH_Q14_ORACLE = """
+SELECT round(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 6) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.plans.analytics import q17_small_quantity_revenue
 
@@ -1934,6 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q18": q_tpch_q18,
         "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q14": q_tpch_q14,
         "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
         "q_e11_stateful": q_e11_stateful,
         "q_e11_stream_session": q_e11_stream_session,
@@ -2049,6 +2091,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q6": _TPCH_Q6_ORACLE,
         "q_tpch_q18": _TPCH_Q18_ORACLE,
         "q_tpch_q17": _TPCH_Q17_ORACLE,
+        "q_tpch_q12": _TPCH_Q12_ORACLE,
+        "q_tpch_q14": _TPCH_Q14_ORACLE,
         "q_k3_csv_roundtrip": _K3_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,

@@ -122,6 +122,51 @@ def q18_large_orders(
     )
 
 
+def q12_priority_shipping(
+    orders: DataFrame, lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q12-style (adapted to the synthetic schema: l_shipmode doesn't
+
+    exist, so lines group by return flag): count critical- vs normal-
+    priority orders per flag — CASE-sum conditional aggregation over the
+    fact join, one shuffle for the join + partial aggregation."""
+    l = lineitem.where(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    ).select("l_orderkey", "l_returnflag")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame, part: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1996-02-01",
+) -> DataFrame:
+    """Q14-style: promo revenue share of a month — two conditional sums in
+
+    one pass over the filtered fact join; part side broadcast."""
+    l = lineitem.where(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
 def q17_small_quantity_revenue(
     lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
 ) -> DataFrame:
