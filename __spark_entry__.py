@@ -1755,6 +1755,239 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q1_pricing_summary
+
+    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+       round(CAST(avg(l_extendedprice) AS DOUBLE), 6) AS avg_price,
+       round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q4_order_priority
+
+    return q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q7_nation_volume
+
+    return q7_nation_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q8_market_share
+
+    return q8_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+_TPCH_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_2'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q9_product_profit
+
+    return q9_product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.08 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q13_customer_distribution
+
+    return q13_customer_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+_TPCH_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q15_top_supplier
+
+    return q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+_TPCH_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q16_supplier_part_count
+
+    return q16_supplier_part_count(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_TPCH_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 7, 13, 19, 25, 31, 37, 43)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q19_disjunctive_revenue
+
+    return q19_disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_TPCH_Q19_ORACLE = """
+SELECT round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q22_dormant_customers
+
+    return q22_dormant_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+_TPCH_Q22_ORACLE = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q_k3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 CSV sink + S1 scan round-trip: write nation to CSV, read it back
 
@@ -1993,6 +2226,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
         "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q22": q_tpch_q22,
         "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
         "q_mm_features": q_mm_features,
         "q_mm_stats": q_mm_stats,
@@ -2108,6 +2351,16 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,
+        "q_tpch_q1": _TPCH_Q1_ORACLE,
+        "q_tpch_q4": _TPCH_Q4_ORACLE,
+        "q_tpch_q7": _TPCH_Q7_ORACLE,
+        "q_tpch_q8": _TPCH_Q8_ORACLE,
+        "q_tpch_q9": _TPCH_Q9_ORACLE,
+        "q_tpch_q13": _TPCH_Q13_ORACLE,
+        "q_tpch_q15": _TPCH_Q15_ORACLE,
+        "q_tpch_q16": _TPCH_Q16_ORACLE,
+        "q_tpch_q19": _TPCH_Q19_ORACLE,
+        "q_tpch_q22": _TPCH_Q22_ORACLE,
         "q_o6_batch_lifecycle": _O6_ORACLE,
         "q_mm_stats": _MM_STATS_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,

@@ -46,10 +46,13 @@ HEADLINE = [
     "q_e7_grouptopk_salted",
     "q_prep_wordcount",
     "q_f4_sectionize",
+    "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q9",
     "q_tpch_q10",
+    "q_tpch_q13",
     "q_tpch_q17",
     "q_tpch_q18",
     "q_pipeline_dx_group",

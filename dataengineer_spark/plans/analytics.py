@@ -214,3 +214,298 @@ def q10_returned_items(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """Q1-style pricing summary: the canonical wide-aggregate scan.
+
+    One pass, no join; partial aggregation map-side collapses ~600k rows
+    to 6 groups before the (tiny) shuffle. At 100 TB this is scan-bound:
+    only the 7 referenced columns are read, and the shipdate predicate
+    prunes row groups."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q4_order_priority(
+    orders: DataFrame, lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01",
+) -> DataFrame:
+    """Q4-style order-priority check, adapted: EXISTS(line with returnflag
+    'R') stands in for the commitdate<receiptdate test (synthetic schema
+    has no commit/receipt dates). Left-semi join — the probe side never
+    widens, and dedup of the EXISTS side happens inside the semi join."""
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_orderpriority")
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_nation_volume(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01", date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q7-style bilateral trade volume: revenue shipped between two nations
+    by (supplier nation, customer nation, year). Both nation filters reach
+    the broadcast dim sides before the fact join; the disjunctive pair
+    condition applies after both enrichments in one filter."""
+    n = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = lineitem.where(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        l.join(orders.select("o_orderkey", "o_custkey"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(revenue(), 2).alias("volume"))
+    )
+
+
+def q8_market_share(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame, region: DataFrame, part: DataFrame,
+    region_name: str = "ASIA", target_nation: str = "NATION_2",
+    part_type: str = "ECONOMY",
+    date_from: str = "1996-01-01", date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q8-style market share: fraction of one region's revenue for a part
+    type that was supplied by one nation, per order year. The share is a
+    conditional-sum / sum over the fully-joined fact — one aggregate pass,
+    every dimension broadcast."""
+    r = region.where(F.col("r_name") == region_name)
+    cust_nations = nation.join(
+        F.broadcast(r), nation.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    p = part.where(F.col("p_type") == part_type).select("p_partkey")
+    supp = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    c = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    name_token: str = "widget", cost_factor: float = 0.08,
+) -> DataFrame:
+    """Q9-style product-type profit, adapted: there is no partsupp table,
+    so unit cost is modeled as cost_factor * p_retailprice. Profit by
+    (supplier nation, order year) for parts whose name contains a token.
+    The p_name LIKE filter prunes the broadcast part side before the fact
+    join — the classic push-the-selective-dim-filter-first shape."""
+    p = part.where(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    # accumulate in decimal: the double sum's association order straddles the
+    # 2-dp rounding boundary between engines on this aggregate
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame,
+    exclude_priority: str = "5-LOW",
+) -> DataFrame:
+    """Q13-style customer order-count distribution: left outer join so
+    zero-order customers survive, two-level aggregation (per-customer
+    count, then histogram of counts). The second groupBy is tiny; the
+    first shuffles on c_custkey — at scale, the left join and first
+    aggregate share the same hash partitioning so AQE fuses them."""
+    o = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame, supplier: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q15-style top supplier: per-supplier revenue for a quarter, keep
+    the max-revenue supplier(s). The revenue relation is aggregated once
+    and reused for the scalar max via a broadcast self-join — no window
+    over the whole relation, no second scan of lineitem."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(revenue(), 2).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_part_count(
+    lineitem: DataFrame, part: DataFrame,
+    exclude_brand: str = "Brand#1", sizes: tuple = (1, 7, 13, 19, 25, 31, 37, 43),
+) -> DataFrame:
+    """Q16-style supplier count per part attribute, adapted: supplier-part
+    relationships come from lineitem (no partsupp table). countDistinct
+    over the joined fact; the part-side filters (brand exclusion + size
+    whitelist) prune the broadcast dim before the join."""
+    p = part.where(
+        (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19-style disjunctive predicate join: three OR'd (brand, size,
+    quantity) branches evaluated as one filter over a single broadcast
+    join — Catalyst extracts the common p_partkey equi-condition so this
+    stays a hash join, not a cartesian."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .where(branch1 | branch2 | branch3)
+        .agg(F.round(revenue(), 2).alias("revenue"))
+    )
+
+
+def q22_dormant_customers(
+    customer: DataFrame, orders: DataFrame,
+    nation_keys: tuple = (0, 1, 2, 3, 4, 5, 6),
+    recent_from: str = "2000-01-01",
+) -> DataFrame:
+    """Q22-style dormant high-balance customers, adapted: nation keys
+    stand in for phone country codes, and "no orders" (every synthetic
+    customer has some) becomes "no orders since recent_from". Scalar
+    subquery average → broadcast one-row frame; anti join against the
+    filtered orders projection."""
+    base = customer.where(F.col("c_nationkey").isin(*nation_keys)).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = base.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(F.col("o_orderdate") >= recent_from).select("o_custkey")
+    return (
+        base.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, base.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
