@@ -645,6 +645,55 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_e6_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 breadth: distribution functions (ntile/percent_rank/cume_dist)
+    plus a 3-row moving average and partition first_value — two window
+    specs total (rank spec + frame spec), so two Window operators over
+    ONE shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ranks = win_ops.distribution_ranks(orders, ["o_custkey"], order_cols)
+    # moving avg as exact-decimal frame sum / frame count: one IEEE divide
+    # on identical operands in both engines, so no association-order drift
+    framed = win_ops.running_agg(
+        ranks, ["o_custkey"], order_cols,
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")), "mov_sum",
+        frame=(-2, 0),
+    )
+    framed = win_ops.running_agg(
+        framed, ["o_custkey"], order_cols, F.count(F.lit(1)), "mov_n", frame=(-2, 0)
+    )
+    first = win_ops.running_agg(
+        framed, ["o_custkey"], order_cols, F.first("o_totalprice"), "first_price"
+    )
+    return first.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("tile").cast("bigint").alias("tile"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("cume", 6).alias("cume"),
+        F.round(F.col("mov_sum").cast("double") / F.col("mov_n"), 6).alias("mov_avg"),
+        "first_price",
+    )
+
+
+_E6_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER f AS DOUBLE)
+             / count(*) OVER f, 6) AS mov_avg,
+       first_value(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_e9_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -2002,6 +2051,61 @@ def q_k3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K3_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
+def q_k3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + scan round-trip over free text: newlines/quotes in
+    ``documents.text`` must survive the line-delimited JSON escaping."""
+    from dataengineer_spark import schemas as S
+    from dataengineer_spark.sources import read_json, write_json
+
+    out = tempfile.mkdtemp(prefix="spark_graft_json_") + "/documents"
+    write_json(load_table(spark, sf_dir, "documents"), out)
+    return read_json(spark, out, schema=S.DOCUMENTS)
+
+
+_K3_JSON_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def q_k3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip on the orders table (timestamp column
+    exercises ORC's µs precision against parquet's)."""
+    from dataengineer_spark.sources import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_") + "/orders"
+    write_orc(load_table(spark, sf_dir, "orders"), out)
+    return read_orc(spark, out)
+
+
+_K3_ORC_ORACLE = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority FROM orders"
+)
+
+
+def q_e11_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+O6 integration: stream the events file through the foreachBatch
+    batch-audit sink (each micro-batch lands as a ``batch_id=N`` lake
+    partition with an audit row), then read the lake back with the BATCH
+    readers. Round-trip equals the batch table — oracle-checked."""
+    from dataengineer_spark.catalog import Catalog
+    from dataengineer_spark.streaming import batch_audited_sink, stream_events
+
+    lake = tempfile.mkdtemp(prefix="spark_graft_slake_")
+    catalog = Catalog(spark, lake)
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    q = batch_audited_sink(
+        stream.select("event_id", "event_type", "value"),
+        catalog,
+        "events_stream",
+        pipeline_name="stream_lake",
+        checkpoint=lake + "/_ckpt",
+    )
+    q.awaitTermination()
+    return catalog.read("events_stream").select("event_id", "event_type", "value")
+
+
+_E11_LAKE_ORACLE = "SELECT event_id, event_type, value FROM events"
+
+
 def q_e11_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals over the events stream
 
@@ -2185,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_rollup": q_e5_rollup,
         "q_e5_cube": q_e5_cube,
         "q_e6_window": q_e6_window,
+        "q_e6_frames": q_e6_frames,
         "q_e7_topk": q_e7_topk,
         "q_e8_setops": q_e8_setops,
         "q_e9_semi_anti": q_e9_semi_anti,
@@ -2210,6 +2315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12": q_tpch_q12,
         "q_tpch_q14": q_tpch_q14,
         "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
+        "q_k3_json_roundtrip": q_k3_json_roundtrip,
+        "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
+        "q_e11_stream_lake": q_e11_stream_lake,
         "q_e11_stateful": q_e11_stateful,
         "q_e11_stream_session": q_e11_stream_session,
         "q_json_extract": q_json_extract,
@@ -2313,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_rollup": _E5_ROLLUP_ORACLE,
         "q_e5_cube": _E5_CUBE_ORACLE,
         "q_e6_window": _E6_ORACLE,
+        "q_e6_frames": _E6_FRAMES_ORACLE,
         "q_e7_topk": _E7_ORACLE,
         "q_e8_setops": _E8_ORACLE,
         "q_e9_semi_anti": _E9_SEMI_ORACLE,
@@ -2337,6 +2446,9 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q12": _TPCH_Q12_ORACLE,
         "q_tpch_q14": _TPCH_Q14_ORACLE,
         "q_k3_csv_roundtrip": _K3_ORACLE,
+        "q_k3_json_roundtrip": _K3_JSON_ORACLE,
+        "q_k3_orc_roundtrip": _K3_ORC_ORACLE,
+        "q_e11_stream_lake": _E11_LAKE_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,
         "q_json_extract": _JSON_ORACLE,

@@ -81,6 +81,24 @@ def lag_lead(
     )
 
 
+def distribution_ranks(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Distribution window functions in one pass over one sorted
+    partition: ntile bucket, percent_rank, cume_dist, and the partition's
+    first value marker — all share a single window spec, so Catalyst
+    plans ONE Window operator (one shuffle + one sort)."""
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("tile", F.ntile(n_tiles).over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+    )
+
+
 def running_agg(
     df: DataFrame,
     partition_by: list[str],

@@ -7,7 +7,14 @@ local implementations as default so tests never need a live database or API
 NotImplementedError, dx_group.py:112).
 """
 
-from dataengineer_spark.sources.files import read_csv, write_csv
+from dataengineer_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+)
 from dataengineer_spark.sources.records import from_records
 from dataengineer_spark.sources.jdbc import JdbcConfig, read_jdbc, write_jdbc
 from dataengineer_spark.sources.rest import RestSource, RestSink
@@ -15,6 +22,10 @@ from dataengineer_spark.sources.rest import RestSource, RestSink
 __all__ = [
     "read_csv",
     "write_csv",
+    "read_json",
+    "write_json",
+    "read_orc",
+    "write_orc",
     "from_records",
     "JdbcConfig",
     "read_jdbc",

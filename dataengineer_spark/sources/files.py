@@ -1,10 +1,13 @@
-"""File sources/sinks: CSV scan (S1) and CSV sink (K3).
+"""File sources/sinks: CSV scan (S1), CSV sink (K3), JSON and ORC.
 
 The reference read CSVs with ``pd.read_csv`` — one variant with
 ``encoding='latin-1', na_values=''`` (reference dx_group.py:93,
 mvp_pipe.py:44) — and wrote with ``to_csv`` (mvp_pipe.py:33,62). Here the
 scan is distributed and schema-first: ``inferSchema`` only when no schema is
-given (ingest-boundary convenience, SURVEY.md §1.4).
+given (ingest-boundary convenience, SURVEY.md §1.4). JSON (line-delimited)
+and ORC complete the interchange-format surface beyond the lake's parquet:
+both are splittable at scale, and JSON is the wire format REST-ish feeds
+(S5) actually deliver.
 """
 
 from __future__ import annotations
@@ -44,3 +47,35 @@ def write_csv(
     ``to_csv`` (only sane for export-sized results, not bulk data)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Line-delimited JSON scan, schema-first (schema inference over JSON
+    costs a full extra pass of the data — never at 100 TB)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """Line-delimited JSON sink — one object per row, string fields
+    escaped, so free text with newlines round-trips losslessly."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — columnar like parquet (predicate pushdown + column
+    pruning apply), kept for interchange with Hive-era warehouses."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -24,8 +24,11 @@ import __spark_entry__ as entrymod
 _EFFECTFUL = {
     "q_e11_stream_tumbling",
     "q_e11_stateful",
+    "q_e11_stream_lake",
     "q_o6_batch_lifecycle",
     "q_k3_csv_roundtrip",
+    "q_k3_json_roundtrip",
+    "q_k3_orc_roundtrip",
     "q_s1_csv_scan",
     "q_s5_rest_source",
     "q_s6_inline_table",
@@ -59,7 +62,12 @@ class TestScanPushdown:
 
 class TestJoinStrategy:
     @pytest.mark.parametrize(
-        "name", ["q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18", "q_j1_label_join"]
+        "name",
+        [
+            "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
+            "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q15",
+            "q_tpch_q16", "q_tpch_q19", "q_j1_label_join",
+        ],
     )
     def test_dim_sides_broadcast_no_cartesian(self, spark, sf_dir, name):
         p = _plan(spark, sf_dir, name)

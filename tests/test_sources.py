@@ -13,7 +13,11 @@ from dataengineer_spark.sources import (
     RestSource,
     from_records,
     read_csv,
+    read_json,
+    read_orc,
     write_csv,
+    write_json,
+    write_orc,
 )
 
 
@@ -40,6 +44,35 @@ class TestCsv:
         p = tmp_path / "e.csv"
         p.write_text("id,txt\n1,\n")
         assert read_csv(spark, str(p), schema="id long, txt string").first()["txt"] is None
+
+
+class TestJsonOrc:
+    def test_json_escapes_newlines_and_quotes(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 'line1\nline2\t"quoted"'), (2, None)], "id long, txt string"
+        )
+        path = str(tmp_path / "json")
+        write_json(df, path)
+        rows = {
+            r["id"]: r["txt"]
+            for r in read_json(spark, path, schema="id long, txt string").collect()
+        }
+        assert rows == {1: 'line1\nline2\t"quoted"', 2: None}
+
+    def test_json_without_schema_infers(self, spark, tmp_path):
+        p = tmp_path / "i.json"
+        p.write_text('{"id": 1, "v": 2.5}\n')
+        row = read_json(spark, str(p)).first()
+        assert row["id"] == 1 and row["v"] == 2.5
+
+    def test_orc_roundtrip_timestamp(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "2001-02-03 04:05:06.123456")], "id long, ts string"
+        ).selectExpr("id", "cast(ts as timestamp) ts")
+        path = str(tmp_path / "orc")
+        write_orc(df, path)
+        back = read_orc(spark, path)
+        assert back.first()["ts"] == df.first()["ts"]
 
 
 class TestRecords:
