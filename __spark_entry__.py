@@ -901,6 +901,33 @@ def q_e1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E1_DISTINCT_ORACLE = "SELECT DISTINCT lang, source FROM documents"
 
 
+def q_e1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+O6 — per-batch dedup against previously-ingested content: the
+    'new' batch contains 100 re-crawled documents (same text, new ids)
+    plus genuinely new ones; the anti join on content fingerprint drops
+    exactly the re-crawls."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    recrawl = seen.where(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    new_batch = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
+    out = dedup_ops.incremental_dedup(new_batch, seen.select("text"), "text")
+    return out.select("doc_id", "lang")
+
+
+_E1_INCR_ORACLE = """
+WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
+     newb AS (
+       SELECT doc_id + 1000 AS doc_id, text, lang FROM documents WHERE doc_id < 100
+       UNION ALL
+       SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250
+     )
+SELECT doc_id, lang FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+"""
+
+
 def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64-based MinHash+LSH banding is not SQL-expressible."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
@@ -2106,6 +2133,45 @@ def q_e11_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E11_LAKE_ORACLE = "SELECT event_id, event_type, value FROM events"
 
 
+def q_e11_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 stream-stream inner join: purchases within 1 hour of a click by
+    the same user, both sides watermarked (bounded state). availableNow
+    over one file → equals the batch interval join, so fully oracled."""
+    from dataengineer_spark.streaming import stream_events, stream_stream_join
+
+    clicks = stream_events(spark, sf_dir + "/events.parquet").where(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events(spark, sf_dir + "/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(clicks, purchases, within="1 hour")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
+_E11_JOIN_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       b.value AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) AND epoch_us(a.ts) + 3600000000
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def q_e11_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals over the events stream
 
@@ -2318,7 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k3_json_roundtrip": q_k3_json_roundtrip,
         "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
         "q_e11_stream_lake": q_e11_stream_lake,
+        "q_e11_stream_join": q_e11_stream_join,
         "q_e11_stateful": q_e11_stateful,
+        "q_e1_incremental_dedup": q_e1_incremental_dedup,
         "q_e11_stream_session": q_e11_stream_session,
         "q_json_extract": q_json_extract,
         "q_e5_pivot": q_e5_pivot,
@@ -2449,7 +2517,9 @@ def oracle_sql() -> dict[str, str]:
         "q_k3_json_roundtrip": _K3_JSON_ORACLE,
         "q_k3_orc_roundtrip": _K3_ORC_ORACLE,
         "q_e11_stream_lake": _E11_LAKE_ORACLE,
+        "q_e11_stream_join": _E11_JOIN_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
+        "q_e1_incremental_dedup": _E1_INCR_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,
         "q_json_extract": _JSON_ORACLE,
         "q_e5_pivot": _E5_PIVOT_ORACLE,

@@ -44,6 +44,27 @@ def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame, seen: DataFrame, text_col: str
+) -> DataFrame:
+    """E1+O6 — dedup an incoming batch against all previously-ingested
+    content: anti join on the content hash. The ``seen`` side should be
+    the (tiny relative to data) distinct-fingerprint projection of prior
+    batches — at 100 TB the fingerprint table is ~32 bytes/doc, lives as
+    its own lake table, and the anti join shuffles hashes only, never
+    text. This is the per-batch dedup step of a continuously-fed corpus:
+    each micro-batch/run filters itself against the fingerprint table,
+    then appends its own new fingerprints.
+    """
+    fp = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    seen_fp = seen.select(fp.alias("_fp")).distinct()
+    return (
+        new_batch.withColumn("_fp", fp)
+        .join(seen_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
 # -- shingling --------------------------------------------------------------
 
 

@@ -4,6 +4,7 @@ from dataengineer_spark.streaming.pipeline import (
     sessionized_stream,
     stateful_running_totals,
     batch_audited_sink,
+    stream_stream_join,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "sessionized_stream",
     "stateful_running_totals",
     "batch_audited_sink",
+    "stream_stream_join",
 ]

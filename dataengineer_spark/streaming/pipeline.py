@@ -115,6 +115,38 @@ def stateful_running_totals(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side events within
+    ``within`` after a left-side event for the same key. Both watermarks
+    plus the time-interval condition bound the join state Spark must
+    retain — without them a stream-stream join buffers forever. Inner
+    join results emit as soon as both sides arrive (no watermark wait).
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts BETWEEN l_ts AND l_ts + INTERVAL {within}"
+        ),
+    )
+
+
 def batch_audited_sink(
     stream: DataFrame,
     catalog,

@@ -171,6 +171,21 @@ class TestDedup:
         ids = sorted(r["doc_id"] for r in dedup_ops.content_dedup(df, "text", "doc_id").collect())
         assert ids == [1, 2]
 
+    def test_incremental_dedup_drops_seen_content(self, spark):
+        seen = spark.createDataFrame(
+            [(1, "known"), (2, "also known"), (3, None)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, "known"), (11, "fresh"), (12, None)], "doc_id long, text string"
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in dedup_ops.incremental_dedup(new, seen.select("text"), "text").collect()
+        )
+        # 10 matches seen content; 12's null text matches seen null (both
+        # fingerprint to sha2('')) — only genuinely fresh content survives
+        assert out == [11]
+
     def test_minhash_detects_identical_and_distinct(self, spark):
         a = "the quick brown fox jumps over the lazy dog again and again"
         b = a  # identical → jaccard 1.0

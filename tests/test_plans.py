@@ -25,6 +25,7 @@ _EFFECTFUL = {
     "q_e11_stream_tumbling",
     "q_e11_stateful",
     "q_e11_stream_lake",
+    "q_e11_stream_join",
     "q_o6_batch_lifecycle",
     "q_k3_csv_roundtrip",
     "q_k3_json_roundtrip",

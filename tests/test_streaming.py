@@ -16,6 +16,7 @@ from dataengineer_spark.streaming import (
     sessionized_stream,
     stateful_running_totals,
     stream_events,
+    stream_stream_join,
     windowed_counts,
 )
 from dataengineer_spark.testdata import load_table
@@ -137,3 +138,55 @@ class TestBatchAuditedSink:
         audit = catalog.read(AUDIT_TABLE)
         assert audit.count() >= 1
         assert audit.first()["pipeline_name"] == "evt"
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_semantics_batch_parity(self, spark):
+        """Interval condition on tiny batch frames (watermark is a no-op in
+        batch mode): a purchase exactly at click_ts+1h is included, one
+        microsecond later is not, earlier-than-click is not."""
+        rows = [
+            (1, "2024-01-01 10:00:00", 100, "click", 0.0),
+            (2, "2024-01-01 11:00:00", 100, "purchase", 5.0),   # boundary: in
+            (3, "2024-01-01 11:00:00.000001", 100, "purchase", 6.0),  # out
+            (4, "2024-01-01 09:59:59", 100, "purchase", 7.0),   # before: out
+            (5, "2024-01-01 10:30:00", 200, "purchase", 8.0),   # other user
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value"
+        )
+        joined = stream_stream_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+            within="1 hour",
+        )
+        got = [(r["l_id"], r["r_id"]) for r in joined.collect()]
+        assert got == [(1, 2)]
+
+    def test_streaming_join_equals_batch_join(self, spark, sf_dir):
+        clicks = stream_events(spark, sf_dir + "/events.parquet").where(
+            F.col("event_type") == "click"
+        )
+        purchases = stream_events(spark, sf_dir + "/events.parquet").where(
+            F.col("event_type") == "purchase"
+        )
+        name = f"ssj_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_stream_join(clicks, purchases)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name).count()
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = stream_stream_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        ).count()
+        assert streamed == batch
