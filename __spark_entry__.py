@@ -1734,6 +1734,42 @@ SELECT lang, round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang
 """
 
 
+def q_e12_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 higher-order-function surface: transform/filter/aggregate/
+    zip_with over array columns — lambda expressions run inside codegen,
+    the JVM-side alternative to a Python UDF for per-element array work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(F.aggregate(as_dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_e"),
+        F.round(sq_norm, 6).alias("sq_norm"),
+        F.round(self_dot - sq_norm, 6).alias("zip_minus_sq"),  # identically 0
+    )
+
+
+_E12_HOF_ORACLE = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_e,
+       round(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+       CAST(0.0 AS DOUBLE) AS zip_minus_sq
+FROM embeddings
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.plans.analytics import q6_forecast_revenue
 
@@ -2133,6 +2169,47 @@ def q_e11_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E11_LAKE_ORACLE = "SELECT event_id, event_type, value FROM events"
 
 
+def q_s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both facts hash-distributed into matching
+    buckets at write time, so the join plans NO shuffle exchange (plan
+    pinned in tests/test_batch.py) — the big-fact ⋈ big-fact strategy when
+    neither side broadcasts. Only the final small groupBy shuffles."""
+    from dataengineer_spark.catalog import Catalog
+
+    lake = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    catalog = Catalog(spark, lake)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    catalog.write_bucketed(li, "bucketed_lineitem", ["l_orderkey"], 8)
+    catalog.write_bucketed(orders, "bucketed_orders", ["o_orderkey"], 8)
+    return (
+        catalog.read_table("bucketed_lineitem")
+        .hint("merge")
+        .join(
+            catalog.read_table("bucketed_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_S7_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_e11_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 stream-stream inner join: purchases within 1 hour of a click by
     the same user, both sides watermarked (bounded state). availableNow
@@ -2370,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e12_grouped_map": q_e12_grouped_map,
         "q_e12_iter_udf": q_e12_iter_udf,
         "q_e12_grouped_agg": q_e12_grouped_agg,
+        "q_e12_hof": q_e12_hof,
         "q_e2_embed_neardup": q_e2_embed_neardup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
         "q_e4_quality": q_e4_quality,
@@ -2385,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
         "q_e11_stream_lake": q_e11_stream_lake,
         "q_e11_stream_join": q_e11_stream_join,
+        "q_s7_bucketed_join": q_s7_bucketed_join,
         "q_e11_stateful": q_e11_stateful,
         "q_e1_incremental_dedup": q_e1_incremental_dedup,
         "q_e11_stream_session": q_e11_stream_session,
@@ -2504,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,
         "q_e12_iter_udf": _E12_ITER_ORACLE,
         "q_e12_grouped_agg": _E12_UDAF_ORACLE,
+        "q_e12_hof": _E12_HOF_ORACLE,
         "q_e2_embed_neardup": _E2_EMBED_ORACLE,
         "q_e4_quality": _E4_QUALITY_ORACLE,
         "q_e4_tokens": _E4_TOKENS_ORACLE,
@@ -2518,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "q_k3_orc_roundtrip": _K3_ORC_ORACLE,
         "q_e11_stream_lake": _E11_LAKE_ORACLE,
         "q_e11_stream_join": _E11_JOIN_ORACLE,
+        "q_s7_bucketed_join": _S7_BUCKETED_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_e1_incremental_dedup": _E1_INCR_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,

@@ -92,6 +92,35 @@ class Catalog:
             .parquet(self.path(table))
         )
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Persist as a bucketed (metastore-tracked) table: rows are hash-
+        distributed into ``n_buckets`` files by ``bucket_cols`` at write
+        time, so every later join or aggregation on those columns reads
+        co-located data and plans NO shuffle exchange — the write pays the
+        shuffle once, every downstream query skips it. The big-fact ⋈
+        big-fact answer when broadcast is impossible; pick n_buckets so
+        one bucket ≈ one task's memory at target scale.
+        """
+        writer = df.write.mode(mode).format("parquet").bucketBy(
+            n_buckets, *bucket_cols
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self.path(table)).saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a metastore-tracked (e.g. bucketed) table — bucket layout
+        metadata only survives through the table catalog, not raw paths."""
+        return self.spark.table(table)
+
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose tables as temp views for the SQL API (P2)."""
         names = tables if tables is not None else list(self._external)

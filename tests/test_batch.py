@@ -66,3 +66,39 @@ class TestPartitionedLake:
         catalog.write(df.withColumn("msg", F.lit("x")), "cleaned_data")
         plan = catalog.read_batch("cleaned_data", 3)._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+
+
+class TestBucketedTables:
+    def test_bucketed_join_plans_no_exchange(self, spark, tmp_path):
+        """Matching-bucket join must read co-located buckets: zero shuffle
+        exchanges anywhere in the join plan (the write paid the shuffle)."""
+        import io
+        import contextlib
+
+        from dataengineer_spark.testdata import load_table
+
+        catalog = Catalog(spark, str(tmp_path / "bl"))
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        catalog.write_bucketed(li, "t_li_bkt", ["l_orderkey"], 4)
+        catalog.write_bucketed(orders, "t_o_bkt", ["o_orderkey"], 4)
+        joined = (
+            catalog.read_table("t_li_bkt")
+            .hint("merge")
+            .join(
+                catalog.read_table("t_o_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert p.count("Bucketed: true") == 2
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        # and the join is correct
+        assert joined.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
