@@ -1380,6 +1380,17 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_e5_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: G-K sketch estimates don't match DuckDB's t-digest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agg_ops.approx_percentiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9])
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    )
+
+
 def q_e5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: HLL++ estimates don't match an exact-SQL oracle."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2472,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_unpivot": q_e5_unpivot,
         "q_e5_distinct_agg": q_e5_distinct_agg,
         "q_e5_percentile": q_e5_percentile,
+        "q_e5_approx_percentile": q_e5_approx_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
         "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
@@ -2632,5 +2644,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,
-        # q_mm_features, q_mm_frame_sample, q_mm_resize
+        # q_e5_approx_percentile, q_mm_features, q_mm_frame_sample, q_mm_resize
     }

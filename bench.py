@@ -24,7 +24,11 @@ from dataengineer_spark.session import build_session
 HEADLINE = [
     "q_e5_groupagg",
     "q_e5_rollup",
+    "q_e5_percentile",
     "q_e6_window",
+    "q_e6_frames",
+    "q_e1_incremental_dedup",
+    "q_e12_hof",
     "q_e7_topk",
     "q_e9_range_join",
     "q_e9_asof_join",
@@ -42,7 +46,6 @@ HEADLINE = [
     "q_e4_langid",
     "q_e4_tokens",
     "q_e5_distinct_agg",
-    "q_e5_percentile",
     "q_e7_grouptopk_salted",
     "q_prep_wordcount",
     "q_f4_sectionize",

@@ -107,6 +107,24 @@ def percentiles(
     return ranked.groupBy(*keys).agg(*aggs)
 
 
+def approx_percentiles(
+    df: DataFrame, keys: list[str], col: str, probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """E5 — approximate percentiles via ``percentile_approx`` (G-K sketch):
+    fixed-size mergeable state, so groups of any size flow through normal
+    partial/final aggregation — the scale path when a group outgrows the
+    single task that exact ``percentiles`` funnels it through. Error is
+    bounded by 1/accuracy of rank."""
+    aggs = [
+        F.percentile_approx(F.col(col), F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def pivot_agg(
     df: DataFrame, key: str, pivot_col: str, pivot_values: list[str], agg: Column
 ) -> DataFrame:
