@@ -1380,6 +1380,21 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_e5_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles via range partitioning + broadcast rank offsets —
+    same values as q_e5_percentile but no task ever holds a whole group
+    (the 3-groups × huge-data shape that defeats per-group sorting)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agg_ops.percentiles_distributed(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    )
+
+
 def q_e5_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: G-K sketch estimates don't match DuckDB's t-digest."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2483,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_unpivot": q_e5_unpivot,
         "q_e5_distinct_agg": q_e5_distinct_agg,
         "q_e5_percentile": q_e5_percentile,
+        "q_e5_percentile_dist": q_e5_percentile_dist,
         "q_e5_approx_percentile": q_e5_approx_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
@@ -2619,6 +2635,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_unpivot": _E5_UNPIVOT_ORACLE,
         "q_e5_distinct_agg": _E5_DISTINCT_ORACLE,
         "q_e5_percentile": _E5_PERCENTILE_ORACLE,
+        "q_e5_percentile_dist": _E5_PERCENTILE_ORACLE,
         "q_e7_grouptopk_salted": _E7_SALTED_ORACLE,
         "q_prep_split": _PREP_SPLIT_ORACLE,
         "q_prep_stratified": _PREP_STRATIFIED_ORACLE,

@@ -107,6 +107,90 @@ def percentiles(
     return ranked.groupBy(*keys).agg(*aggs)
 
 
+def percentiles_distributed(
+    df: DataFrame, keys: list[str], col: str, probs: list[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """E5 — exact linear-interpolated percentiles that scale past a single
+    task per group. ``percentiles`` (above) funnels each whole group
+    through one sort task; here the data is range-partitioned on
+    (keys, value), so each task sorts only its bounded value slice:
+
+    1. ``repartitionByRange(keys + [col])`` → value-contiguous slices,
+       persisted so both passes see one materialization;
+    2. per-(group, slice) row counts → driver (groups × slices rows —
+       control-plane sized) → cumulative offsets per group;
+    3. local ``row_number`` within each slice + broadcast offset = exact
+       global rank, no global sort ever happens;
+    4. rows at ranks ``floor((n-1)p)`` / ``+1`` (a handful per group)
+       carry interpolation weights and collapse in a final tiny aggregate.
+
+    Every window here is bounded by the slice size (`n_partitions` knob),
+    not the group size — the structure that survives 3 groups × 33 TB.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(*keys, col)
+        .repartitionByRange(n_part, *[F.col(k) for k in keys], F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    try:
+        counts = (
+            ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()
+        )
+        # cumulative offsets + totals per group (driver-side, control-plane)
+        offsets: list[tuple] = []
+        totals: dict[tuple, int] = {}
+        for r in counts:
+            g = tuple(r[k] for k in keys)
+            offsets.append((*g, r["_pid"], totals.get(g, 0)))
+            totals[g] = totals.get(g, 0) + r["count"]
+        off_df = spark.createDataFrame(
+            offsets, list(keys) + ["_pid", "_offset"]
+        )
+        # target ranks with interpolation weights per group and prob
+        targets: list[tuple] = []
+        for g, n in totals.items():
+            for p in probs:
+                pos = (n - 1) * p
+                lo, frac = int(pos // 1), pos % 1
+                targets.append((*g, int(p * 100), lo, 1.0 - frac))
+                if frac > 0:
+                    targets.append((*g, int(p * 100), lo + 1, frac))
+        tgt_df = spark.createDataFrame(
+            targets, [f"_t_{k}" for k in keys] + ["_prob", "_rank", "_weight"]
+        )
+        local_w = W.partitionBy(*keys, "_pid").orderBy(col)
+        global_rank = (
+            F.row_number().over(local_w) - 1 + F.col("_offset")
+        ).alias("_grank")
+        cond = F.col("_grank") == F.col("_rank")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"_t_{k}"))
+        picked = (
+            ranged.join(F.broadcast(off_df), [*keys, "_pid"])
+            .select(*keys, col, global_rank)
+            .join(F.broadcast(tgt_df), cond)
+            .groupBy(*keys)
+            .pivot("_prob", [int(p * 100) for p in probs])
+            .agg(F.sum(F.col(col) * F.col("_weight")))
+        )
+        out = picked.select(
+            *keys, *[F.col(str(int(p * 100))).alias(f"p{int(p * 100)}") for p in probs]
+        )
+        # materialize under the cache: _pid must mean the same partition in
+        # the counts pass and here, and AQE may renumber the coalesced
+        # range partitions between jobs. The result is groups × probs —
+        # control-plane sized — so collecting it is free.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        ranged.unpersist()
+
+
 def approx_percentiles(
     df: DataFrame, keys: list[str], col: str, probs: list[float],
     accuracy: int = 10000,

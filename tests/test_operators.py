@@ -96,6 +96,31 @@ class TestAggregates:
         # eqNullSafe: null==null counts as hit → 2/4
         assert agg_ops.accuracy(df, "p", "t").first()["accuracy"] == 0.5
 
+    def test_percentiles_exact_and_distributed_agree(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(g, rng.uniform(0, 1000)) for g in ("a", "b") for _ in range(501)]
+        rows += [("solo", 42.0)]  # n=1 group: every percentile is the value
+        df = spark.createDataFrame(rows, "g string, v double")
+        probs = [0.25, 0.5, 0.9]
+        exact = {
+            r["g"]: tuple(round(r[f"p{int(p*100)}"], 6) for p in probs)
+            for r in agg_ops.percentiles(df, ["g"], "v", probs).collect()
+        }
+        dist = {
+            r["g"]: tuple(round(r[f"p{int(p*100)}"], 6) for p in probs)
+            for r in agg_ops.percentiles_distributed(
+                df, ["g"], "v", probs, n_partitions=8
+            ).collect()
+        }
+        assert exact == dist
+        assert dist["solo"] == (42.0, 42.0, 42.0)
+        # cross-check one value against a driver-side sort
+        vals = sorted(v for g, v in rows if g == "a")
+        # n=501 → (n-1)*0.5 = 250 exactly: median is the middle element
+        assert round(vals[250], 6) == exact["a"][1]
+
     def test_topk_and_setops(self, spark):
         df = spark.createDataFrame([(i,) for i in range(10)], "v int")
         top = agg_ops.top_k(df, [F.col("v").desc()], 3).collect()

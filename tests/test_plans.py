@@ -27,6 +27,7 @@ _EFFECTFUL = {
     "q_e11_stream_lake",
     "q_e11_stream_join",
     "q_s7_bucketed_join",
+    "q_e5_percentile_dist",  # two-pass: collects control-plane counts
     "q_o6_batch_lifecycle",
     "q_k3_csv_roundtrip",
     "q_k3_json_roundtrip",
