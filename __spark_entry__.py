@@ -1456,6 +1456,25 @@ def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_prep_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language eval-set sample: md5-ranked top-20."""
+    from dataengineer_spark.operators.preparation import sample_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_n_per_group(docs, ["lang"], "doc_id", 20, salt="eval")
+    return out.select("doc_id", "lang")
+
+
+_PREP_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || 'eval'), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def q_prep_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.operators.preparation import train_test_split
 
@@ -2505,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
+        "q_prep_sample_n": q_prep_sample_n,
         "q_prep_wordcount": q_prep_wordcount,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
@@ -2639,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e7_grouptopk_salted": _E7_SALTED_ORACLE,
         "q_prep_split": _PREP_SPLIT_ORACLE,
         "q_prep_stratified": _PREP_STRATIFIED_ORACLE,
+        "q_prep_sample_n": _PREP_SAMPLE_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,

@@ -56,6 +56,21 @@ def stratified_cap(
     return top_k_per_group(df, group_cols, order_by, cap)
 
 
+def sample_n_per_group(
+    df: DataFrame, group_cols: list[str], id_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic pseudo-random sample of ``n`` rows per group: rank by
+    the md5 of (id, salt) and keep the first ``n``. Unlike ``df.sample``
+    this is exactly reproducible across runs/engines and exactly ``n`` per
+    group (when the group has that many) — the eval-set carving pattern.
+    Changing ``salt`` redraws the sample. One shuffle on the group keys.
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return top_k_per_group(df, group_cols, [order.asc(), F.col(id_col).asc()], n)
+
+
 def explode_words(
     df: DataFrame, text_col: str, out_col: str = "word", lowercase: bool = True
 ) -> DataFrame:

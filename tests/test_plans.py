@@ -130,3 +130,53 @@ class TestNoRowPythonAnywhere:
             if "BatchEvalPython" in _plan(spark, sf_dir, name):
                 bad.append(name)
         assert not bad, f"row-at-a-time Python UDF planned in: {bad}"
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join(self, spark):
+        """SCALE.md claims AQE handles fact-join skew at runtime — pin it:
+        a join where one key holds 83% of rows must re-plan with
+        SortMergeJoin(skew=true) once thresholds make the skew visible at
+        this toy scale (production defaults: 256MB/factor 5)."""
+        import io
+        import contextlib
+
+        keys = [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ]
+        saved = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+            fact = spark.range(300_000).select(
+                F.when(F.col("id") < 250_000, F.lit(0))
+                .otherwise(F.col("id") % 100)
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+            dim = spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            j = fact.join(dim, "k").groupBy().agg(
+                F.sum(F.col("v") + F.col("w")).alias("s")
+            )
+            j.collect()  # AQE decisions only exist in the executed plan
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            p = buf.getvalue()
+            assert "isFinalPlan=true" in p
+            assert "SortMergeJoin(skew=true)" in p
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
