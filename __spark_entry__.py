@@ -1456,6 +1456,87 @@ def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: named constraint violation counts in ONE scan
+    (conditional sums, then an unpivot of the audit-sized result)."""
+    from dataengineer_spark.operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.constraint_report(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") <= 0,
+            "price_nonneg": F.col("l_extendedprice") < 0,
+            "discount_unit_range": ~F.col("l_discount").between(0.0, 1.0),
+            "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+_DQ_CONSTRAINTS_ORACLE = """
+WITH w AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS qty_positive,
+         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS price_nonneg,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+             AS discount_unit_range,
+         sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+             AS returnflag_domain
+  FROM lineitem
+)
+SELECT c.check_name, c.violations, CAST(w.total AS BIGINT) AS total_rows
+FROM w, LATERAL (VALUES
+  ('qty_positive', CAST(w.qty_positive AS BIGINT)),
+  ('price_nonneg', CAST(w.price_nonneg AS BIGINT)),
+  ('discount_unit_range', CAST(w.discount_unit_range AS BIGINT)),
+  ('returnflag_domain', CAST(w.returnflag_domain AS BIGINT))
+) AS c(check_name, violations)
+"""
+
+
+def q_dq_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.null_rates(docs, ["text", "lang", "source"])
+
+
+_DQ_NULLS_ORACLE = """
+WITH w AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_n,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_n,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_n
+  FROM documents
+)
+SELECT c.column_name, c.n_null, round(c.n_null / w.total, 6) AS null_rate
+FROM w, LATERAL (VALUES
+  ('text', CAST(w.text_n AS BIGINT)),
+  ('lang', CAST(w.lang_n AS BIGINT)),
+  ('source', CAST(w.source_n AS BIGINT))
+) AS c(column_name, n_null)
+"""
+
+
+def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: lineitem rows whose order key has no parent
+    order (keys-only anti join), reported as a count."""
+    from dataengineer_spark.operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.orphan_rows(li, orders, "l_orderkey", "o_orderkey").agg(
+        F.count("*").alias("n_orphans")
+    )
+
+
+_DQ_ORPHANS_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
 def q_prep_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language eval-set sample: md5-ranked top-20."""
     from dataengineer_spark.operators.preparation import sample_n_per_group
@@ -2525,6 +2606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
         "q_prep_sample_n": q_prep_sample_n,
+        "q_dq_constraints": q_dq_constraints,
+        "q_dq_null_rates": q_dq_null_rates,
+        "q_dq_orphans": q_dq_orphans,
         "q_prep_wordcount": q_prep_wordcount,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
@@ -2660,6 +2744,9 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_split": _PREP_SPLIT_ORACLE,
         "q_prep_stratified": _PREP_STRATIFIED_ORACLE,
         "q_prep_sample_n": _PREP_SAMPLE_ORACLE,
+        "q_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
+        "q_dq_null_rates": _DQ_NULLS_ORACLE,
+        "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,

@@ -15,6 +15,7 @@ from dataengineer_spark.operators import (  # noqa: F401
     multimodal,
     preparation,
     projection,
+    quality,
     similarity,
     sketches,
     textops,

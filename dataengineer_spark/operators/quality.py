@@ -1,0 +1,69 @@
+"""Data-quality audit operators — expectations over lake tables.
+
+The reference's only quality gate was a model-accuracy task
+(reference mvp_pipe.py:65-68); a production corpus pipeline also needs
+*data* validation: constraint violation counts, null rates, referential
+orphans. All three are single-pass conditional aggregations or anti
+joins — they run at full scale as cheaply as any other aggregate, and
+their outputs are audit-table sized (one row per check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """One row per named constraint with its violation count and the row
+    total — ONE scan regardless of how many checks (conditional sums in a
+    single aggregate, then an unpivot of the audit-sized result).
+
+    ``checks`` maps a constraint name to a Column that is true when the
+    row VIOLATES the constraint (nulls count as violations — an
+    unevaluable constraint is not a passing one).
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond.cast("boolean"), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, cond in checks.items()
+    ]
+    wide = df.agg(F.count("*").alias("_total"), *aggs)
+    pairs = ", ".join(f"'{n}', {n}" for n in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {pairs}) as (check_name, violations)", "_total"
+    ).select(
+        "check_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        F.col("_total").cast("bigint").alias("total_rows"),
+    )
+
+
+def null_rates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Null fraction per column, one scan (the completeness profile)."""
+    wide = df.agg(
+        F.count("*").alias("_total"),
+        *[
+            F.sum(F.col(c).isNull().cast("int")).alias(c) for c in cols
+        ],
+    )
+    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column_name, n_null)", "_total"
+    ).select(
+        "column_name",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.round(F.col("n_null") / F.col("_total"), 6).alias("null_rate"),
+    )
+
+
+def orphan_rows(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Referential integrity: child rows whose foreign key has no parent —
+    a left-anti join on the key columns only, so at scale the shuffle
+    carries keys, not rows (project before joining if the child is wide).
+    """
+    parents = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.join(parents, fk, "left_anti")

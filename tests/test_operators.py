@@ -404,3 +404,38 @@ class TestSmallSurface:
         scores = textops.language_scores(F.col("t"))
         row = df.select(*[c.alias(k) for k, c in scores.items()]).first()
         assert row["en"] == 3 and row["fr"] == 0
+
+
+class TestDataQuality:
+    def test_null_constraint_counts_as_violation(self, spark):
+        from dataengineer_spark.operators import quality
+
+        df = spark.createDataFrame(
+            [(1.0,), (-2.0,), (None,)], "v double"
+        )
+        out = {
+            r["check_name"]: (r["violations"], r["total_rows"])
+            for r in quality.constraint_report(
+                df, {"v_positive": F.col("v") <= 0}
+            ).collect()
+        }
+        # -2.0 violates; NULL is unevaluable → counted as violation
+        assert out == {"v_positive": (2, 3)}
+
+    def test_null_rates(self, spark):
+        from dataengineer_spark.operators import quality
+
+        df = spark.createDataFrame(
+            [("a", None), (None, None)], "x string, y string"
+        )
+        out = {r["column_name"]: r["null_rate"] for r in
+               quality.null_rates(df, ["x", "y"]).collect()}
+        assert out == {"x": 0.5, "y": 1.0}
+
+    def test_orphan_rows(self, spark):
+        from dataengineer_spark.operators import quality
+
+        child = spark.createDataFrame([(1, "a"), (9, "b")], "fk long, d string")
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        rows = quality.orphan_rows(child, parent, "fk", "pk").collect()
+        assert [(r["fk"], r["d"]) for r in rows] == [(9, "b")]
