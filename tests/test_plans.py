@@ -180,3 +180,41 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_injects_bloom_filter(self, spark, sf_dir):
+        """A selective filter on the dim side of a shuffle join should
+        inject a runtime Bloom filter on the fact side (might_contain in
+        the scan's filter), pre-shuffle-pruning fact rows that can't match.
+        Production-size scans clear the default thresholds on their own;
+        locally the application-side floor is lowered to make it visible."""
+        from dataengineer_spark.testdata import load_table
+
+        keys = [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+        saved = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            spark.conf.set(keys[0], "0")
+            spark.conf.set(keys[1], "-1")
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            )
+            orders = load_table(spark, sf_dir, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select("o_orderkey")
+            j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+                F.sum("l_extendedprice")
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            assert "might_contain" in buf.getvalue()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
