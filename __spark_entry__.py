@@ -1456,6 +1456,63 @@ def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_e4_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 fuzzy matching: levenshtein over 40-char prefixes of adjacent-id
+    document pairs — the JVM edit-distance primitive near-dup pipelines
+    use for final verification of candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("pa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("pb")
+    )
+    return (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .select(
+            "id_a", "id_b", F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist")
+        )
+    )
+
+
+_E4_EDIT_ORACLE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT)
+         AS edit_dist
+FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_m1_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: M1 transformer-classification surface over the REAL
+    Arrow-batched iterator pandas_udf path (per-executor model cache) with
+    the deterministic fake model — swap 'fake:' for a model path and the
+    plan is production inference."""
+    from dataengineer_spark.ml import transformer_classifier
+
+    docs = _docs(spark, sf_dir)
+    clf = transformer_classifier("fake:dxgroup", "fake:tok", num_labels=16)
+    return docs.select("doc_id", clf(F.col("text")).alias("pred")).select(
+        "doc_id", "pred.predicted_label", "pred.model_score"
+    )
+
+
+def q_m2_qa_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: M2 QA-sectionizer surface — one UDF call per batch
+    answers every question (text crosses Arrow once, not once per
+    section), fake QA model."""
+    from dataengineer_spark.ml import qa_sectionizer
+
+    docs = _docs(spark, sf_dir)
+    qa = qa_sectionizer(
+        "fake:longformer", "fake:tok",
+        {"subject": "What comes after the?", "action": "What comes after is?"},
+    )
+    return docs.select("doc_id", qa(F.col("text")).alias("s")).select(
+        "doc_id", "s.subject", "s.action"
+    )
+
+
 def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: named constraint violation counts in ONE scan
     (conditional sums, then an unpivot of the audit-sized result)."""
@@ -2609,6 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
+        "q_m1_classifier": q_m1_classifier,
+        "q_m2_qa_sectionize": q_m2_qa_sectionize,
+        "q_e4_edit_distance": q_e4_edit_distance,
         "q_prep_wordcount": q_prep_wordcount,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
@@ -2745,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_stratified": _PREP_STRATIFIED_ORACLE,
         "q_prep_sample_n": _PREP_SAMPLE_ORACLE,
         "q_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
+        "q_e4_edit_distance": _E4_EDIT_ORACLE,
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
@@ -2769,5 +2830,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,
-        # q_e5_approx_percentile, q_mm_features, q_mm_frame_sample, q_mm_resize
+        # q_e5_approx_percentile, q_mm_features, q_mm_frame_sample, q_mm_resize,
+        # q_m1_classifier, q_m2_qa_sectionize
     }

@@ -70,8 +70,46 @@ def arith_standin_classifier(
     return F.struct(label.alias("predicted_label"), score.alias("model_score"))
 
 
+class _FakeClassifier:
+    """Deterministic stand-in loaded via the ``fake:`` model scheme: same
+    callable contract as a transformers text-classification pipeline, so
+    the whole Arrow-batched UDF path (batch shape, struct output, executor
+    cache) runs for real in tests/queries without torch. Mirrors the
+    ``deterministic_fake`` convention in operators/multimodal.py."""
+
+    def __init__(self, num_labels: int):
+        self.num_labels = num_labels
+
+    def __call__(self, texts, **_kw):
+        out = []
+        for t in texts:
+            h = sum(ord(c) for c in (t or "")[:64])
+            out.append(
+                {
+                    "label": f"LABEL_{h % self.num_labels}",
+                    "score": (h % 1000) / 1000.0,
+                }
+            )
+        return out
+
+
+class _FakeQA:
+    """Deterministic QA stand-in (``fake:`` scheme): 'answers' are the
+    first whitespace token after the question's first word, or ''."""
+
+    def __call__(self, question=None, context=None, **_kw):
+        toks = (context or "").split()
+        qword = (question or "").split()[-1].rstrip("?").lower() if question else ""
+        for i, t in enumerate(toks[:-1]):
+            if t.lower() == qword:
+                return {"answer": toks[i + 1], "score": 1.0}
+        return {"answer": "", "score": 0.0}
+
+
 def _load_torch_model(model_location: str, tokenizer_path: str, num_labels: int):
     key = f"cls:{model_location}"
+    if model_location.startswith("fake:"):
+        return _MODEL_CACHE.setdefault(key, _FakeClassifier(num_labels))
     if key not in _MODEL_CACHE:
         try:  # optional heavyweight deps — absent in this container
             from transformers import (  # type: ignore
@@ -144,6 +182,8 @@ def qa_sectionizer(
     @F.pandas_udf(fields)
     def answer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         key = f"qa:{model_location}"
+        if model_location.startswith("fake:"):
+            _MODEL_CACHE.setdefault(key, _FakeQA())
         if key not in _MODEL_CACHE:
             try:
                 from transformers import pipeline  # type: ignore

@@ -439,3 +439,55 @@ class TestDataQuality:
         parent = spark.createDataFrame([(1,), (2,)], "pk long")
         rows = quality.orphan_rows(child, parent, "fk", "pk").collect()
         assert [(r["fk"], r["d"]) for r in rows] == [(9, "b")]
+
+
+
+class TestInferenceUdfPlumbing:
+    """The real pandas_udf inference path (Arrow batches, struct output,
+    per-executor cache) exercised via the fake: model scheme — swap the
+    location for a model path and nothing else changes."""
+
+    def test_classifier_udf_shape_and_determinism(self, spark):
+        from dataengineer_spark.ml import transformer_classifier
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, None), (3, "hello world")],
+            "id long, text string",
+        )
+        clf = transformer_classifier("fake:m", "fake:t", num_labels=16)
+        rows = {
+            r["id"]: (r["predicted_label"], r["model_score"])
+            for r in df.select(
+                "id", clf(F.col("text")).alias("p")
+            ).select("id", "p.*").collect()
+        }
+        assert rows[1] == rows[3]  # deterministic
+        assert rows[1][0].startswith("LABEL_")
+        assert rows[2][0] == "LABEL_0"  # None → empty text
+        assert all(0.0 <= v[1] <= 1.0 for v in rows.values())
+
+    def test_qa_sectionizer_answers_all_questions_per_row(self, spark):
+        from dataengineer_spark.ml import qa_sectionizer
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "")], "id long, text string"
+        )
+        qa = qa_sectionizer(
+            "fake:qa", "fake:t", {"first": "What comes after the?"}
+        )
+        rows = {
+            r["id"]: r["first"]
+            for r in df.select("id", qa(F.col("text")).alias("s"))
+            .select("id", "s.*")
+            .collect()
+        }
+        assert rows[1] == "quick"
+        assert rows[2] is None  # empty text short-circuits
+
+    def test_real_model_path_raises_cleanly_without_deps(self, spark):
+        from dataengineer_spark.ml import transformer_classifier
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        clf = transformer_classifier("/no/such/model", "/no/such/tok")
+        with pytest.raises(Exception, match="(?i)transformers|NotImplemented"):
+            df.select(clf(F.col("text")).alias("p")).collect()
