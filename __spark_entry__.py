@@ -58,6 +58,29 @@ from dataengineer_spark.sources.rest import RestSource
 # shared constants / SQL fragments (one definition, both engines)
 # ---------------------------------------------------------------------------
 
+#: queries whose callables run side effects (streaming awaitTermination,
+#: temp-dir writes, driver collects) rather than just building a plan —
+#: plan-inspection tooling (tests/test_plans.py, tools/plan_report.py)
+#: skips these
+EFFECTFUL_QUERIES = {
+    "q_e11_stream_tumbling",
+    "q_e11_stateful",
+    "q_e11_stream_lake",
+    "q_e11_stream_join",
+    "q_s7_bucketed_join",
+    "q_e5_percentile_dist",  # two-pass: collects control-plane counts
+    "q_o6_batch_lifecycle",
+    "q_k3_csv_roundtrip",
+    "q_k3_json_roundtrip",
+    "q_k3_orc_roundtrip",
+    "q_s1_csv_scan",
+    "q_s5_rest_source",
+    "q_s6_inline_table",
+    "q_k2_batch_audit",
+    "q_j2_point_lookup",
+    "q_a1_accuracy",
+}
+
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
 #: the clinical report headers; F4 semantics identical)
 DOC_PATTERNS = {
@@ -1456,6 +1479,27 @@ def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SQL_API_TEXT = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY'
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 at full strength: the identical ANSI SQL the oracle runs,
+    executed by Spark's SQL front-end over registered views — both API
+    surfaces (DataFrame + SQL) reach the same Catalyst plans."""
+    from dataengineer_spark.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
+
+
 def q_e4_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 fuzzy matching: levenshtein over 40-char prefixes of adjacent-id
     document pairs — the JVM edit-distance primitive near-dup pipelines
@@ -2669,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_m1_classifier": q_m1_classifier,
         "q_m2_qa_sectionize": q_m2_qa_sectionize,
         "q_e4_edit_distance": q_e4_edit_distance,
+        "q_sql_api": q_sql_api,
         "q_prep_wordcount": q_prep_wordcount,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
@@ -2806,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_sample_n": _PREP_SAMPLE_ORACLE,
         "q_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
         "q_e4_edit_distance": _E4_EDIT_ORACLE,
+        "q_sql_api": _SQL_API_TEXT,
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,

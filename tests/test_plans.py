@@ -19,26 +19,8 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
-# queries whose callables run side effects (streaming awaitTermination,
-# temp-dir writes) rather than just building a plan
-_EFFECTFUL = {
-    "q_e11_stream_tumbling",
-    "q_e11_stateful",
-    "q_e11_stream_lake",
-    "q_e11_stream_join",
-    "q_s7_bucketed_join",
-    "q_e5_percentile_dist",  # two-pass: collects control-plane counts
-    "q_o6_batch_lifecycle",
-    "q_k3_csv_roundtrip",
-    "q_k3_json_roundtrip",
-    "q_k3_orc_roundtrip",
-    "q_s1_csv_scan",
-    "q_s5_rest_source",
-    "q_s6_inline_table",
-    "q_k2_batch_audit",
-    "q_j2_point_lookup",
-    "q_a1_accuracy",
-}
+# queries whose callables run side effects rather than just building a plan
+_EFFECTFUL = entrymod.EFFECTFUL_QUERIES
 
 
 def _plan(spark, sf_dir, name: str) -> str:
