@@ -92,6 +92,34 @@ class Catalog:
             .parquet(self.path(table))
         )
 
+    def compact_batch(
+        self, table: str, batch_id: int, target_files: int | None = None
+    ) -> int:
+        """Rewrite one batch partition into ``target_files`` files (default:
+        size-based — one file per 128 MB, min 1). Streaming epochs and
+        incremental appends accumulate small files; a scan's task count
+        follows file layout, so periodic compaction keeps read parallelism
+        matched to data size instead of write history. Uses dynamic
+        partition overwrite → other batches untouched; idempotent.
+        Returns the file count written.
+        """
+        df = self.read_batch(table, batch_id)
+        if target_files is None:
+            part_dir = f"{self.path(table)}/batch_id={batch_id}"
+            size = 0
+            if os.path.isdir(part_dir):  # local FS; remote lakes pass explicit
+                for root, _dirs, files in os.walk(part_dir):
+                    size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            target_files = max(1, size // (128 * 1024 * 1024) + (1 if size % (128 * 1024 * 1024) else 0))
+        (
+            df.repartition(target_files)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path(table))
+        )
+        return target_files
+
     def write_bucketed(
         self,
         df: DataFrame,

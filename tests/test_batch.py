@@ -102,3 +102,31 @@ class TestBucketedTables:
         assert joined.count() == li.join(
             orders, F.col("l_orderkey") == F.col("o_orderkey")
         ).count()
+
+
+class TestCompaction:
+    def test_compact_batch_reduces_files_and_preserves_rows(self, spark, tmp_path):
+        import glob
+
+        from dataengineer_spark.batch import stamp_batch
+        from dataengineer_spark.testdata import load_table
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            F.col("doc_id").alias("msgid"), F.col("text").alias("msg")
+        )
+        # simulate streaming-style accumulation: many tiny appends into one batch
+        for _ in range(4):
+            catalog.write(stamp_batch(docs.repartition(8), 1), "cleaned_data")
+        catalog.write(stamp_batch(docs, 2), "cleaned_data")
+        part = str(tmp_path / "lake" / "cleaned_data" / "batch_id=1")
+        before = len(glob.glob(part + "/*.parquet"))
+        assert before >= 32
+        n_rows = catalog.read_batch("cleaned_data", 1).count()
+
+        written = catalog.compact_batch("cleaned_data", 1)
+        after = len(glob.glob(part + "/*.parquet"))
+        assert after == written == 1  # tiny data → single 128MB-target file
+        # contents identical, other batches untouched
+        assert catalog.read_batch("cleaned_data", 1).count() == n_rows
+        assert catalog.read_batch("cleaned_data", 2).count() == docs.count()
