@@ -1109,12 +1109,18 @@ FROM t
 
 
 def q_e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: xxhash64 fingerprints are not SQL-expressible."""
+    """Rows-only: xxhash64 fingerprints are not SQL-expressible.
+
+    ``winnowed`` is serialized to a CSV string: every returned column must
+    be scalar or the driver's pandas-based row hash raises ``unhashable
+    type: 'list'`` (CORRECTNESS_r01 q_e4_fingerprint)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         textops.doc_fingerprint(F.col("text")).alias("fingerprint"),
-        textops.winnowed_fingerprints(F.col("text")).alias("winnowed"),
+        F.concat_ws(
+            ",", textops.winnowed_fingerprints(F.col("text")).cast("array<string>")
+        ).alias("winnowed"),
     )
 
 
@@ -2620,6 +2626,82 @@ FROM prep
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+    # Ordered for the driver's ~50-query/round correctness budget
+    # (VERDICT r1 item 3): round-1 FAILs (now fixed) first, then the
+    # 66 never-checked queries (pipeline flagships and TPC-H up front),
+    # then the 44 already-green round-1 queries at the tail.
+        "q_e9_asof_join": q_e9_asof_join,
+        "q_e10_tumbling": q_e10_tumbling,
+        "q_e10_sliding": q_e10_sliding,
+        "q_e10_funnel": q_e10_funnel,
+        "q_e10_session": q_e10_session,
+        "q_e4_fingerprint": q_e4_fingerprint,
+        "q_pipeline_dx_group": q_pipeline_dx_group,
+        "q_pipeline_prostate": q_pipeline_prostate,
+        "q_pipeline_curation": q_pipeline_curation,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q22": q_tpch_q22,
+        "q_e12_udf": q_e12_udf,
+        "q_e12_grouped_map": q_e12_grouped_map,
+        "q_e12_iter_udf": q_e12_iter_udf,
+        "q_e12_grouped_agg": q_e12_grouped_agg,
+        "q_e12_hof": q_e12_hof,
+        "q_e2_embed_neardup": q_e2_embed_neardup,
+        "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
+        "q_e4_quality": q_e4_quality,
+        "q_e4_tokens": q_e4_tokens,
+        "q_e5_groupingsets": q_e5_groupingsets,
+        "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
+        "q_k3_json_roundtrip": q_k3_json_roundtrip,
+        "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
+        "q_e11_stream_lake": q_e11_stream_lake,
+        "q_e11_stream_join": q_e11_stream_join,
+        "q_s7_bucketed_join": q_s7_bucketed_join,
+        "q_e11_stateful": q_e11_stateful,
+        "q_e1_incremental_dedup": q_e1_incremental_dedup,
+        "q_e11_stream_session": q_e11_stream_session,
+        "q_json_extract": q_json_extract,
+        "q_e5_pivot": q_e5_pivot,
+        "q_e5_unpivot": q_e5_unpivot,
+        "q_e5_distinct_agg": q_e5_distinct_agg,
+        "q_e5_percentile": q_e5_percentile,
+        "q_e5_percentile_dist": q_e5_percentile_dist,
+        "q_e5_approx_percentile": q_e5_approx_percentile,
+        "q_e5_approx_distinct": q_e5_approx_distinct,
+        "q_e5_hll_rollup": q_e5_hll_rollup,
+        "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
+        "q_prep_split": q_prep_split,
+        "q_prep_stratified": q_prep_stratified,
+        "q_prep_sample_n": q_prep_sample_n,
+        "q_dq_constraints": q_dq_constraints,
+        "q_dq_null_rates": q_dq_null_rates,
+        "q_dq_orphans": q_dq_orphans,
+        "q_m1_classifier": q_m1_classifier,
+        "q_m2_qa_sectionize": q_m2_qa_sectionize,
+        "q_e4_edit_distance": q_e4_edit_distance,
+        "q_sql_api": q_sql_api,
+        "q_prep_wordcount": q_prep_wordcount,
+        "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
+        "q_mm_features": q_mm_features,
+        "q_mm_stats": q_mm_stats,
+        "q_mm_frame_sample": q_mm_frame_sample,
+        "q_mm_resize": q_mm_resize,
         "q_s1_csv_scan": q_s1_csv_scan,
         "q_s2_table_scan": q_s2_table_scan,
         "q_s4_daterange_scan": q_s4_daterange_scan,
@@ -2654,7 +2736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_ivf_topk": q_e3_ivf_topk,
         "q_e4_text_stats": q_e4_text_stats,
         "q_e4_langid": q_e4_langid,
-        "q_e4_fingerprint": q_e4_fingerprint,
         "q_e5_groupagg": q_e5_groupagg,
         "q_e5_rollup": q_e5_rollup,
         "q_e5_cube": q_e5_cube,
@@ -2664,78 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e8_setops": q_e8_setops,
         "q_e9_semi_anti": q_e9_semi_anti,
         "q_e9_range_join": q_e9_range_join,
-        "q_e9_asof_join": q_e9_asof_join,
-        "q_e10_tumbling": q_e10_tumbling,
-        "q_e10_sliding": q_e10_sliding,
-        "q_e10_funnel": q_e10_funnel,
-        "q_e10_session": q_e10_session,
         "q_e11_stream_tumbling": q_e11_stream_tumbling,
-        "q_e12_udf": q_e12_udf,
-        "q_e12_grouped_map": q_e12_grouped_map,
-        "q_e12_iter_udf": q_e12_iter_udf,
-        "q_e12_grouped_agg": q_e12_grouped_agg,
-        "q_e12_hof": q_e12_hof,
-        "q_e2_embed_neardup": q_e2_embed_neardup,
-        "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
-        "q_e4_quality": q_e4_quality,
-        "q_e4_tokens": q_e4_tokens,
-        "q_e5_groupingsets": q_e5_groupingsets,
-        "q_tpch_q6": q_tpch_q6,
-        "q_tpch_q18": q_tpch_q18,
-        "q_tpch_q17": q_tpch_q17,
-        "q_tpch_q12": q_tpch_q12,
-        "q_tpch_q14": q_tpch_q14,
-        "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
-        "q_k3_json_roundtrip": q_k3_json_roundtrip,
-        "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
-        "q_e11_stream_lake": q_e11_stream_lake,
-        "q_e11_stream_join": q_e11_stream_join,
-        "q_s7_bucketed_join": q_s7_bucketed_join,
-        "q_e11_stateful": q_e11_stateful,
-        "q_e1_incremental_dedup": q_e1_incremental_dedup,
-        "q_e11_stream_session": q_e11_stream_session,
-        "q_json_extract": q_json_extract,
-        "q_e5_pivot": q_e5_pivot,
-        "q_e5_unpivot": q_e5_unpivot,
-        "q_e5_distinct_agg": q_e5_distinct_agg,
-        "q_e5_percentile": q_e5_percentile,
-        "q_e5_percentile_dist": q_e5_percentile_dist,
-        "q_e5_approx_percentile": q_e5_approx_percentile,
-        "q_e5_approx_distinct": q_e5_approx_distinct,
-        "q_e5_hll_rollup": q_e5_hll_rollup,
-        "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
-        "q_prep_split": q_prep_split,
-        "q_prep_stratified": q_prep_stratified,
-        "q_prep_sample_n": q_prep_sample_n,
-        "q_dq_constraints": q_dq_constraints,
-        "q_dq_null_rates": q_dq_null_rates,
-        "q_dq_orphans": q_dq_orphans,
-        "q_m1_classifier": q_m1_classifier,
-        "q_m2_qa_sectionize": q_m2_qa_sectionize,
-        "q_e4_edit_distance": q_e4_edit_distance,
-        "q_sql_api": q_sql_api,
-        "q_prep_wordcount": q_prep_wordcount,
-        "q_tpch_q3": q_tpch_q3,
-        "q_tpch_q5": q_tpch_q5,
-        "q_tpch_q10": q_tpch_q10,
-        "q_tpch_q1": q_tpch_q1,
-        "q_tpch_q4": q_tpch_q4,
-        "q_tpch_q7": q_tpch_q7,
-        "q_tpch_q8": q_tpch_q8,
-        "q_tpch_q9": q_tpch_q9,
-        "q_tpch_q13": q_tpch_q13,
-        "q_tpch_q15": q_tpch_q15,
-        "q_tpch_q16": q_tpch_q16,
-        "q_tpch_q19": q_tpch_q19,
-        "q_tpch_q22": q_tpch_q22,
-        "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
-        "q_mm_features": q_mm_features,
-        "q_mm_stats": q_mm_stats,
-        "q_mm_frame_sample": q_mm_frame_sample,
-        "q_mm_resize": q_mm_resize,
-        "q_pipeline_dx_group": q_pipeline_dx_group,
-        "q_pipeline_prostate": q_pipeline_prostate,
-        "q_pipeline_curation": q_pipeline_curation,
     }
 
 

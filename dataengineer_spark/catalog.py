@@ -13,6 +13,7 @@ full table.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -99,25 +100,58 @@ class Catalog:
         size-based — one file per 128 MB, min 1). Streaming epochs and
         incremental appends accumulate small files; a scan's task count
         follows file layout, so periodic compaction keeps read parallelism
-        matched to data size instead of write history. Uses dynamic
-        partition overwrite → other batches untouched; idempotent.
-        Returns the file count written.
+        matched to data size instead of write history. Other batches are
+        never touched; idempotent.
+
+        Crash-safety: the compacted files are fully materialized to a
+        staging location BEFORE the live partition is replaced — the
+        rewrite never reads lazily from the directory it is overwriting.
+        On a local/posix lake the replacement is two directory renames
+        (source preserved until the staged write succeeded); on an object
+        store there is no atomic rename, so the window between the staged
+        materialization and the dynamic-overwrite commit is non-atomic —
+        a crash inside it can leave the partition mid-replace, and the
+        (idempotent) compaction must be re-run.
         """
+        from pyspark.sql import functions as F
+
+        table_path = self.path(table)
+        part_dir = f"{table_path}/batch_id={batch_id}"
+        local = "://" not in table_path
+        if local and not os.path.isdir(part_dir):
+            return 0
         df = self.read_batch(table, batch_id)
         if target_files is None:
-            part_dir = f"{self.path(table)}/batch_id={batch_id}"
             size = 0
-            if os.path.isdir(part_dir):  # local FS; remote lakes pass explicit
+            if local:  # remote lakes pass target_files explicitly
                 for root, _dirs, files in os.walk(part_dir):
                     size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-            target_files = max(1, size // (128 * 1024 * 1024) + (1 if size % (128 * 1024 * 1024) else 0))
-        (
-            df.repartition(target_files)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self.path(table))
-        )
+            chunk = 128 * 1024 * 1024
+            target_files = max(1, size // chunk + (1 if size % chunk else 0))
+        if local:
+            # stage next to the live partition ('_'-prefixed → invisible to
+            # table scans), then swap via rename: the source partition is
+            # intact until the staged write has fully succeeded.
+            staging = f"{table_path}/_compacting_batch_id={batch_id}"
+            retired = f"{table_path}/_retired_batch_id={batch_id}"
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
+            # batch_id comes from the directory name on read; keeping the
+            # column in the staged files would shadow the partition column
+            df.drop("batch_id").repartition(target_files).write.parquet(staging)
+            os.rename(part_dir, retired)
+            os.rename(staging, part_dir)
+            shutil.rmtree(retired)
+        else:
+            # object store: materialize first (cut lineage from the files
+            # about to be replaced), then dynamic partition overwrite
+            staged = df.repartition(target_files).localCheckpoint()
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(table_path)
+            )
         return target_files
 
     def write_bucketed(

@@ -6,9 +6,9 @@ driver, reference dx_group.py:177-183) and applied row-wise via an opaque
 ``create_sections`` returning a dict that pandas expanded to columns
 (dx_group.py:185-189). Distributed redesign (SURVEY.md §1.4, §7.4.2):
 
-- F3: collect the *tiny* config table once, merge the authority variants
-  into one alternation pattern per section — broadcast implicitly via the
-  query plan (patterns are literals inside expressions).
+- F3: collect the *tiny* config table once, keep per-authority variant
+  lists per section — broadcast implicitly via the query plan (patterns
+  are literals inside expressions; extraction coalesces across variants).
 - F4: one ``regexp_extract`` per section assembled into a single ``struct``
   column in the same select, then expanded with ``select("*", "s.*")`` —
   never pandas-style positional alignment, which has no deterministic
@@ -40,17 +40,19 @@ DEFAULT_PATTERNS: dict[str, str] = {
 AUTHORITY_COLUMNS = ["nha", "fha", "fha2", "iha", "vcha1", "vcha2"]
 
 
-def compile_section_regex(section_df: DataFrame) -> dict[str, str]:
-    """F3: config table → one pattern per section.
+def compile_section_regex(section_df: DataFrame) -> dict[str, str | list[str]]:
+    """F3: config table → pattern variant(s) per section.
 
     ``section_df`` has one row per section (``parent_category``) with one
-    pattern variant per authority column; variants are merged into a single
-    non-capturing alternation so one pass extracts the section regardless of
-    which authority's format the report uses. The table is config-sized
+    pattern variant per authority column. Multi-variant sections keep the
+    variant *list* (tried in authority order by ``create_sections``) rather
+    than a merged ``(?:A(x))|(?:B(y))`` alternation — merging renumbers the
+    capture groups, so group-1 extraction silently returns '' for any report
+    matching a non-first authority format. The table is config-sized
     (rows = sections), so a driver collect is correct at any data scale.
     """
     rows = section_df.collect()
-    compiled: dict[str, str] = {}
+    compiled: dict[str, str | list[str]] = {}
     for row in rows:
         variants = [
             row[c] for c in AUTHORITY_COLUMNS if c in row.__fields__ and row[c]
@@ -58,16 +60,22 @@ def compile_section_regex(section_df: DataFrame) -> dict[str, str]:
         if not variants:
             continue
         section = row["parent_category"]
-        if len(variants) == 1:
-            compiled[section] = variants[0]
-        else:
-            # strip each variant to its group-1 body alternation
-            compiled[section] = "|".join(f"(?:{v})" for v in variants)
+        compiled[section] = variants[0] if len(variants) == 1 else variants
     return compiled
 
 
+def _extract_section(c: Column, pattern: str | list[str]) -> Column:
+    """Group-1 extraction over one pattern or a variant list (first
+    variant that extracts a non-empty body wins)."""
+    variants = [pattern] if isinstance(pattern, str) else list(pattern)
+    out = F.regexp_extract(c, variants[0], 1)
+    for v in variants[1:]:
+        out = F.when(out != F.lit(""), out).otherwise(F.regexp_extract(c, v, 1))
+    return out
+
+
 def create_sections(
-    msg: Column | str, patterns: dict[str, str] | None = None
+    msg: Column | str, patterns: dict[str, str | list[str]] | None = None
 ) -> Column:
     """F4: one report column → struct of named sections.
 
@@ -84,7 +92,7 @@ def create_sections(
     """
     pats = patterns or DEFAULT_PATTERNS
     c = F.col(msg) if isinstance(msg, str) else msg
-    parts = {name: F.regexp_extract(c, pats.get(name, r"$^"), 1) for name in SECTION_NAMES}
+    parts = {name: _extract_section(c, pats.get(name, r"$^")) for name in SECTION_NAMES}
 
     has = {name: parts[name] != F.lit("") for name in SECTION_NAMES}
     part_of_report = (
@@ -108,7 +116,7 @@ def create_sections(
 def sectionize(
     df: DataFrame,
     msg_col: str = "msg",
-    patterns: dict[str, str] | None = None,
+    patterns: dict[str, str | list[str]] | None = None,
     keep: list[str] | None = None,
 ) -> DataFrame:
     """Apply F4 and expand the struct to top-level columns (P9).

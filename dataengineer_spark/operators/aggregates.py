@@ -88,7 +88,11 @@ def percentiles(
 
     w = W.partitionBy(*keys).orderBy(col)
     ranked = (
+        # NULLs are excluded up front (SQL percentile semantics — DuckDB and
+        # percentile() ignore them); ranked first they'd absorb target ranks
+        # and contribute nothing to the interpolation sum.
         df.select(*keys, col)
+        .where(F.col(col).isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(W.partitionBy(*keys)))
     )
@@ -134,6 +138,7 @@ def percentiles_distributed(
     n_part = n_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         df.select(*keys, col)
+        .where(F.col(col).isNotNull())  # SQL percentile semantics
         .repartitionByRange(n_part, *[F.col(k) for k in keys], F.col(col))
         .withColumn("_pid", F.spark_partition_id())
     )

@@ -57,6 +57,29 @@ def brute_force_top_k(
     return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)
 
 
+#: rows above which the exact/quadratic baselines refuse to plan — at that
+#: point the LSH/IVF scale paths are the correct operator, and a silent
+#: BroadcastNestedLoop cartesian is a cluster-killer at 100 TB.
+QUADRATIC_ROW_LIMIT = 10_000
+
+
+def _guard_quadratic(df: DataFrame, side: str, scale_fn: str, allow: bool) -> None:
+    """Fail loudly when a declared-small side is not small.
+
+    The probe is ``limit(N+1).count()`` — it stops scanning after N+1 rows,
+    so the guard costs O(N) regardless of the real table size.
+    """
+    if allow:
+        return
+    probe = df.limit(QUADRATIC_ROW_LIMIT + 1).count()
+    if probe > QUADRATIC_ROW_LIMIT:
+        raise ValueError(
+            f"{side} exceeds {QUADRATIC_ROW_LIMIT} rows: this exact baseline "
+            f"plans an O(n²) cartesian. Use {scale_fn} at corpus scale, or "
+            f"pass allow_quadratic=True if you really mean it."
+        )
+
+
 def pairwise_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,15 +87,19 @@ def pairwise_top_k(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact top-k corpus neighbors for every query row.
 
     Broadcast the (small) query side against the corpus scan, score, then
-    per-query top-k via window. Use only when ``queries`` is dimension-sized;
-    for query sets at corpus scale use :func:`lsh_top_k`.
+    per-query top-k via window. Use only when ``queries`` is dimension-sized
+    (guarded: > QUADRATIC_ROW_LIMIT query rows raises unless
+    ``allow_quadratic``); for query sets at corpus scale use
+    :func:`lsh_top_k`.
     """
     from dataengineer_spark.operators.windows import top_k_per_group
 
+    _guard_quadratic(queries, "query side", "lsh_top_k", allow_quadratic)
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
     )
@@ -92,12 +119,15 @@ def brute_force_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """E2 embedding-cosine near-dup, exact baseline: all (i<j) pairs with
 
-    cosine ≥ threshold. O(n²) — the verification/small-corpus path; at
-    corpus scale use :func:`embedding_neardup_pairs` (LSH-bucketed) which
+    cosine ≥ threshold. O(n²) — the verification/small-corpus path
+    (guarded: > QUADRATIC_ROW_LIMIT rows raises unless ``allow_quadratic``);
+    at corpus scale use :func:`embedding_neardup_pairs` (LSH-bucketed) which
     prunes the candidate space before the same cosine verify."""
+    _guard_quadratic(df, "input", "embedding_neardup_pairs", allow_quadratic)
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))

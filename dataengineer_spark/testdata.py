@@ -1,10 +1,12 @@
 """Loaders for the driver synthetic tables (TESTDATA.md / FIXTURES.md §A).
 
 One normalization applies: ``events.ts`` is nanosecond-precision in parquet,
-which Spark surfaces as an ns-long (``spark.sql.legacy.parquet.nanosAsLong``,
-set by the session factory); it is floored to microseconds here — exactly
-the value DuckDB reports for the same file, so oracle comparisons line up
-(SURVEY.md §7.4.6).
+which a vanilla Spark parquet scan refuses (PARQUET_TYPE_ILLEGAL); it is
+read here with an explicit long-typed schema (``schemas.EVENTS_RAW``) and
+floored to microseconds — exactly the value DuckDB reports for the same
+file, so oracle comparisons line up (SURVEY.md §7.4.6).  No session conf is
+required: every loader works in any SparkSession, including the external
+correctness driver's.
 """
 
 from __future__ import annotations
@@ -22,10 +24,22 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Defensive: the caller may hand us a foreign SparkSession (the
+    # correctness driver does).  Timestamp results must not depend on that
+    # session's zone — pin UTC, matching the TZ-naive DuckDB oracle and
+    # session.build_session's own default.  Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is ns-precision in parquet, which a vanilla SparkSession
+        # refuses to read (PARQUET_TYPE_ILLEGAL).  Reading with an explicit
+        # long-typed schema sidesteps the session conf entirely, so this
+        # works in ANY SparkSession — including the correctness driver's.
+        from dataengineer_spark.schemas import EVENTS_RAW
+
+        df = spark.read.schema(EVENTS_RAW).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -117,7 +117,29 @@ class TestSections:
         )
         pats = compile_section_regex(cfg)
         assert pats["micro"] == "MICRO:(.*)"
-        assert pats["gross"] == "(?:GROSS:(.*))|(?:GROS:(.*))"
+        assert pats["gross"] == ["GROSS:(.*)", "GROS:(.*)"]
+
+    def test_later_variant_match_extracts_body(self, spark):
+        # regression: a merged '(?:A(x))|(?:B(y))' alternation renumbers
+        # capture groups so a variant-2 match extracted '' — the variant
+        # list must extract the body whichever authority format matched
+        cfg = spark.createDataFrame(
+            [(1, "gross", "GROSS:(.*)", "GROS:(.*)", None, None, None, None)],
+            "model_id long, parent_category string, nha string, fha string, "
+            "fha2 string, iha string, vcha1 string, vcha2 string",
+        )
+        pats = compile_section_regex(cfg)
+        df = spark.createDataFrame(
+            [(1, "GROSS: via first"), (2, "GROS: via second"), (3, "nothing")],
+            "id long, msg string",
+        )
+        rows = {
+            r["id"]: r["s"]["gross"]
+            for r in df.select("id", create_sections("msg", pats).alias("s")).collect()
+        }
+        assert rows[1] == " via first"
+        assert rows[2] == " via second"
+        assert rows[3] == ""
 
 
 class TestTruncate:

@@ -121,6 +121,17 @@ class TestAggregates:
         # n=501 → (n-1)*0.5 = 250 exactly: median is the middle element
         assert round(vals[250], 6) == exact["a"][1]
 
+    def test_percentiles_ignore_nulls(self, spark):
+        # SQL semantics: NULL values don't participate. Ranked first they'd
+        # absorb the target ranks and return 0.0 instead of the median.
+        df = spark.createDataFrame(
+            [("a", None), ("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0)],
+            "g string, v double",
+        )
+        for fn in (agg_ops.percentiles, agg_ops.percentiles_distributed):
+            row = fn(df, ["g"], "v", [0.5]).first()
+            assert row["p50"] == 2.0, fn.__name__
+
     def test_topk_and_setops(self, spark):
         df = spark.createDataFrame([(i,) for i in range(10)], "v int")
         top = agg_ops.top_k(df, [F.col("v").desc()], 3).collect()
@@ -280,6 +291,25 @@ class TestSimilarity:
         exact = sim_ops.brute_force_neardup_pairs(df, threshold=0.999).collect()
         assert [(p["id_a"], p["id_b"]) for p in exact] == [(1, 2)]
         assert abs(exact[0]["cos_sim"] - 1.0) < 1e-12
+
+    def test_quadratic_baselines_guarded(self, spark, monkeypatch):
+        # above the row limit the exact baselines must refuse to plan a
+        # cartesian instead of silently shipping a BroadcastNestedLoop
+        monkeypatch.setattr(sim_ops, "QUADRATIC_ROW_LIMIT", 2)
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="O\\(n²\\) cartesian"):
+            sim_ops.brute_force_neardup_pairs(df, threshold=0.5)
+        with _pytest.raises(ValueError, match="lsh_top_k"):
+            sim_ops.pairwise_top_k(df, df, k=1)
+        # explicit opt-out still works
+        sim_ops.brute_force_neardup_pairs(
+            df, threshold=0.5, allow_quadratic=True
+        ).collect()
 
 
 class TestTextOps:

@@ -5,16 +5,27 @@ exists, the oracle on DuckDB over the same parquet; compares row count,
 schema width, and order-insensitive values (exact for non-floats, exact
 post-round for floats — the entry queries round on both sides already).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Runs on a VANILLA SparkSession (no engine confs) by default — the external
+driver passes its own session into the query callables, so every query must
+work without ``session.build_session``'s defaults.  Pass ``--engine`` to use
+the tuned factory session instead.
+
+Also flags any result column holding non-scalar values (list/ndarray/dict):
+the driver's pandas row-hash raises ``unhashable type`` on those even for
+rows-only checks (CORRECTNESS_r01 q_e4_fingerprint).
+
+Usage: python tools/check_oracle.py [--engine] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -66,15 +77,43 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+def nonscalar_cols(df: pd.DataFrame) -> list[str]:
+    bad = []
+    for c in df.columns:
+        head = df[c].head(20)
+        if any(isinstance(v, (list, dict, set, np.ndarray)) for v in head):
+            bad.append(c)
+    return bad
+
+
+def vanilla_session():
+    """What the external correctness driver hands us: no engine confs."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    return (
+        SparkSession.builder.appName("check_oracle_vanilla")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--engine"]
+    use_engine = "--engine" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from dataengineer_spark.session import build_session
 
-    spark = build_session("check_oracle")
+    if use_engine:
+        from dataengineer_spark.session import build_session
+
+        spark = build_session("check_oracle")
+    else:
+        spark = vanilla_session()
     con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -91,6 +130,11 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        bad_cols = nonscalar_cols(sdf)
+        if bad_cols:
+            print(f"FAIL  {name}: non-scalar output columns {bad_cols} (driver hash crash)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s, rows-only)")
             n_rows_only += 1
