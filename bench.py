@@ -88,6 +88,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # some operators persist compact intermediates (minhash/simhash
+        # candidate sets) and document that callers own cleanup — drop them
+        # so a 39-query loop doesn't accumulate cached blocks
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -152,6 +152,10 @@ def minhash_lsh_pairs(
     self-equi-join on (band, hash) → exact Jaccard verify ≥ threshold.
     The only shuffle is the band-bucket join; candidate count scales with
     collision rate, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The candidate-pair intermediate stays ``.persist()``-ed after the
+    result is consumed: callers own cleanup (``spark.catalog.clearCache()``
+    or unpersist) in long-lived sessions — see bench.py's per-query drop.
     """
     rows = num_hashes // bands
     base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
@@ -302,6 +306,10 @@ def simhash_neardup_pairs(
     fingerprint, verify Hamming ≤ ``max_hamming`` inside buckets. (A full
     multi-probe scheme rotates the prefix; one prefix is the common fast
     path and misses only pairs differing inside the prefix.)
+
+    The fingerprint projection stays ``.persist()``-ed after the result is
+    consumed: callers own cleanup (``spark.catalog.clearCache()`` or
+    unpersist) in long-lived sessions — see bench.py's per-query drop.
     """
     with_fp = (
         df.select(F.col(id_col), simhash64(text_col).alias("_fp"))

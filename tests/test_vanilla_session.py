@@ -1,0 +1,40 @@
+"""The external correctness driver hands queries its OWN SparkSession,
+without any of session.build_session's confs (VERDICT r1 item 4). This
+pins that a representative slice of the registry — including the families
+that failed round 1 exactly because of a hidden session-conf dependency —
+runs and oracle-matches on a conf-less session.
+
+Runs in a subprocess: inside pytest's JVM, builder.getOrCreate() would
+silently reuse the engine-configured session fixture.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+REPRESENTATIVE = [
+    "q_e9_asof_join",    # events ns-parquet read (round-1 FAIL family)
+    "q_e10_tumbling",    # event-time window on the same read path
+    "q_e4_fingerprint",  # round-1 driver-hash crash (non-scalar column)
+    "q_f6_format_date",  # timestamp formatting → session timezone
+    "q_tpch_q1",         # decimal-accumulated aggregate
+    "q_pipeline_dx_group",  # flagship end-to-end
+]
+
+
+def test_registry_slice_on_conf_less_session():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/check_oracle.py",
+            "/root/testdata/sf0.001",
+            *REPRESENTATIVE,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    assert proc.returncode == 0, f"check_oracle failed:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    assert " 0 FAIL" in tail, proc.stdout

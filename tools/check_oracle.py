@@ -130,6 +130,7 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        spark.catalog.clearCache()  # drop operator-persisted intermediates
         bad_cols = nonscalar_cols(sdf)
         if bad_cols:
             print(f"FAIL  {name}: non-scalar output columns {bad_cols} (driver hash crash)")
