@@ -2333,6 +2333,130 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q2_min_cost_supplier
+
+    return q2_min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_TPCH_Q2_ORACLE = """
+WITH cost AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         min(l.l_extendedprice / l.l_quantity) AS supply_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 19 AND p.p_type = 'LARGE'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supply_cost, 4) AS supply_cost
+FROM cost c
+WHERE supply_cost = (SELECT min(supply_cost) FROM cost c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q11_important_stock
+
+    return q11_important_stock(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier s
+                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      WHERE n.n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) > CAST((SELECT sum(val) FROM per_part) AS DOUBLE) * 0.002
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import q20_dominant_supplier
+
+    return q20_dominant_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q20_ORACLE = """
+WITH yr AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+  FROM yr GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+  FROM yr GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey FROM per_supp ps
+  JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+  WHERE CAST(ps.sq AS DOUBLE) > CAST(pp.tq AS DOUBLE) * 0.5)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_spark.plans.analytics import (
+        q21_suppliers_who_kept_orders_waiting,
+    )
+
+    return q21_suppliers_who_kept_orders_waiting(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "nation"),
+    )
+
+
+_TPCH_Q21_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret
+  FROM li GROUP BY l_orderkey
+), failing AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM failing f
+JOIN per_order p ON f.l_orderkey = p.l_orderkey AND p.n_supp > 1 AND p.n_ret = 1
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q_k3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 CSV sink + S1 scan round-trip: write nation to CSV, read it back
 
@@ -2657,6 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16": q_tpch_q16,
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q22": q_tpch_q22,
+        "q_tpch_q2": q_tpch_q2,
+        "q_tpch_q11": q_tpch_q11,
+        "q_tpch_q20": q_tpch_q20,
+        "q_tpch_q21": q_tpch_q21,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
         "q_e12_iter_udf": q_e12_iter_udf,
@@ -2878,6 +3006,10 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q16": _TPCH_Q16_ORACLE,
         "q_tpch_q19": _TPCH_Q19_ORACLE,
         "q_tpch_q22": _TPCH_Q22_ORACLE,
+        "q_tpch_q2": _TPCH_Q2_ORACLE,
+        "q_tpch_q11": _TPCH_Q11_ORACLE,
+        "q_tpch_q20": _TPCH_Q20_ORACLE,
+        "q_tpch_q21": _TPCH_Q21_ORACLE,
         "q_o6_batch_lifecycle": _O6_ORACLE,
         "q_mm_stats": _MM_STATS_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,

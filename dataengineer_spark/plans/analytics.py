@@ -509,3 +509,164 @@ def q22_dormant_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+    nation: DataFrame, region: DataFrame,
+    region_name: str = "EUROPE", size: int = 19, p_type: str = "LARGE",
+    k: int = 100,
+) -> DataFrame:
+    """Q2-style min-cost supplier per part, adapted: no partsupp table, so
+    the (part, supplier) implied unit cost is ``min(l_extendedprice /
+    l_quantity)`` over that supplier's shipped lines — ``min`` is
+    association-order-free, so the correlated-minimum equality selection is
+    deterministic across engines (unlike an avg of doubles).
+
+    Shape = TPC-H Q2's correlated scalar subquery: per-(part, supplier)
+    aggregate, then per-part window minimum, keep rows equal to it. One
+    shuffle on l_partkey covers the aggregate AND the window (same key);
+    all dimension sides broadcast.
+    """
+    r = region.where(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = part.where(
+        (F.col("p_size") == size) & (F.col("p_type") == p_type)
+    ).select("p_partkey", "p_name")
+
+    from pyspark.sql import Window as W
+
+    cost = (
+        lineitem.select("l_partkey", "l_suppkey",
+                        (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("_unit").alias("supply_cost"))
+    )
+    min_w = W.partitionBy("p_partkey")
+    return (
+        cost.withColumn("_min_cost", F.min("supply_cost").over(min_w))
+        .where(F.col("supply_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+    nation_name: str = "NATION_3", fraction: float = 0.002,
+) -> DataFrame:
+    """Q11-style important stock, adapted: per-part "stock value" is the
+    revenue shipped by suppliers of one nation (no partsupp). Keep parts
+    whose value exceeds ``fraction`` of the nation's total — TPC-H Q11's
+    HAVING > scalar-subquery shape, expressed as a broadcast one-row
+    cross join. Sums accumulate in decimal so the threshold comparison
+    can't straddle float association order between engines."""
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey")
+    value = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("_val"))
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_val") > F.col("_total") * F.lit(fraction))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("_val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+def q20_dominant_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame,
+    name_token: str = "red", nation_name: str = "NATION_3",
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q20-style supplier shortlist, adapted: "availqty > half of shipped"
+    becomes "supplier shipped > half of the part's total for the year" (a
+    dominant supplier of a token-named part). TPC-H Q20's nested IN
+    subqueries become two aggregations on the SAME (l_partkey) shuffle key
+    plus a semi-join chain up to the supplier dim — no subquery is ever
+    re-scanned."""
+    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    year = lineitem.where(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+    per_supp = year.groupBy("l_partkey", "l_suppkey").agg(qty.alias("_sq"))
+    per_part = year.groupBy(F.col("l_partkey").alias("_pk")).agg(qty.alias("_tq"))
+    dominant = (
+        per_supp.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("_sq") > F.col("_tq") * F.lit(0.5))
+        .select("l_suppkey")
+    )
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    return (
+        supplier.join(F.broadcast(n), supplier.s_nationkey == F.col("n_nationkey"),
+                      "left_semi")
+        .join(dominant, F.col("s_suppkey") == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_suppliers_who_kept_orders_waiting(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame, nation: DataFrame,
+    nation_name: str = "NATION_5", k: int = 100,
+) -> DataFrame:
+    """Q21-style lone-failing-supplier count, adapted: "late delivery"
+    (no receipt/commit dates in the synthetic schema) becomes l_returnflag
+    = 'R'. For finished orders, count per supplier the orders where THIS
+    supplier returned, at least one OTHER supplier participated (EXISTS →
+    inner join on per-order supplier stats), and no OTHER supplier
+    returned (NOT EXISTS → the same per-order aggregate, zero other
+    returns). Both quantifiers collapse into ONE per-order aggregate
+    instead of two extra lineitem self-scans — same order-key shuffle."""
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag").join(
+        F.broadcast(f_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret"),
+    )
+    failing = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).dropDuplicates()
+    lone = (
+        failing.join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_ret") == 1))
+    )
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+    return (
+        lone.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )

@@ -122,3 +122,80 @@ def test_q1_aggregate_columns(spark):
     assert r["sum_disc_price"] == 29.0  # 10*0.9 + 20
     assert r["sum_charge"] == 29.45  # 9*1.05 + 20
     assert r["count_order"] == 2
+
+
+def test_q2_keeps_all_min_cost_ties_per_part(spark):
+    lineitem = _df(
+        spark,
+        # part 100: supplier 1 and 2 tie at unit cost 10.0; supplier 3 is 20
+        [(100, 1, 20.0, 2.0), (100, 2, 10.0, 1.0), (100, 3, 40.0, 2.0),
+         # part 200: only supplier 3
+         (200, 3, 15.0, 1.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    part = _df(spark, [(100, "alpha"), (200, "beta")],
+               "p_partkey long, p_name string").selectExpr(
+        "p_partkey", "p_name", "cast(19 as int) p_size", "'LARGE' p_type")
+    supplier = _df(spark, [(1, "s1", 10.0, 0), (2, "s2", 20.0, 0), (3, "s3", 5.0, 0)],
+                   "s_suppkey long, s_name string, s_acctbal double, s_nationkey int")
+    nation = _df(spark, [(0, "N0", 0)],
+                 "n_nationkey int, n_name string, n_regionkey int")
+    region = _df(spark, [(0, "EUROPE")], "r_regionkey int, r_name string")
+    rows = A.q2_min_cost_supplier(lineitem, part, supplier, nation, region).collect()
+    got = {(r["p_partkey"], r["s_name"]): r["supply_cost"] for r in rows}
+    # both tied min-cost suppliers survive for part 100; part 200 trivially kept
+    assert got == {(100, "s1"): 10.0, (100, "s2"): 10.0, (200, "s3"): 15.0}
+    # ordered by s_acctbal desc
+    assert [r["s_name"] for r in rows] == ["s2", "s1", "s3"]
+
+
+def test_q11_threshold_is_share_of_total(spark):
+    lineitem = _df(
+        spark,
+        [(1, 1, 98.0, 0.0), (2, 1, 1.0, 0.0), (3, 1, 1.0, 0.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = _df(spark, [(1, 0)], "s_suppkey long, s_nationkey int")
+    nation = _df(spark, [(0, "NATION_3")], "n_nationkey int, n_name string")
+    rows = A.q11_important_stock(lineitem, supplier, nation, fraction=0.5).collect()
+    # only part 1 (98% of value) exceeds half the nation total
+    assert [(r["ps_partkey"], r["part_value"]) for r in rows] == [(1, 98.0)]
+
+
+def test_q20_dominant_supplier_strictly_over_half(spark):
+    lineitem = _df(
+        spark,
+        # part 1: supplier 1 ships 60 of 100 (dominant), supplier 2 ships 40
+        # part 2: suppliers split 50/50 — nobody dominant (strict >)
+        [(1, 1, 60.0, "1996-06-01"), (1, 2, 40.0, "1996-06-01"),
+         (2, 1, 50.0, "1996-06-01"), (2, 2, 50.0, "1996-06-01")],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate string",
+    ).selectExpr("l_partkey", "l_suppkey", "l_quantity",
+                 "cast(l_shipdate as timestamp) l_shipdate")
+    part = _df(spark, [(1, "red bolt"), (2, "red ring")],
+               "p_partkey long, p_name string")
+    supplier = _df(spark, [(1, "s1", 0), (2, "s2", 0)],
+                   "s_suppkey long, s_name string, s_nationkey int")
+    nation = _df(spark, [(0, "NATION_3")], "n_nationkey int, n_name string")
+    rows = A.q20_dominant_supplier(lineitem, part, supplier, nation).collect()
+    assert [(r["s_suppkey"], r["s_name"]) for r in rows] == [(1, "s1")]
+
+
+def test_q21_lone_failing_supplier_in_multi_supplier_order(spark):
+    lineitem = _df(
+        spark,
+        # order 1: suppliers 1(R), 2(N) → supplier 1 is the lone failer
+        # order 2: suppliers 1(R), 2(R) → two failers, nobody counted
+        # order 3: supplier 1(R) alone  → single-supplier, not counted
+        [(1, 1, "R"), (1, 2, "N"), (2, 1, "R"), (2, 2, "R"), (3, 1, "R")],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    orders = _df(spark, [(1, "F"), (2, "F"), (3, "F")],
+                 "o_orderkey long, o_orderstatus string")
+    supplier = _df(spark, [(1, "s1", 0), (2, "s2", 0)],
+                   "s_suppkey long, s_name string, s_nationkey int")
+    nation = _df(spark, [(0, "NATION_5")], "n_nationkey int, n_name string")
+    rows = A.q21_suppliers_who_kept_orders_waiting(
+        lineitem, orders, supplier, nation
+    ).collect()
+    assert [(r["s_name"], r["numwait"]) for r in rows] == [("s1", 1)]
