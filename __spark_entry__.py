@@ -1698,6 +1698,126 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_e4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — Gopher-style repetition quality signals (map-only HOFs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.repetition_signals(docs).drop("text")
+
+
+# whitespace-trim + lowercase + split, shared by the repetition/contamination
+# oracles (mirrors textops.trim_ws + split exactly)
+_SQL_WORDS = (
+    "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+')"
+)
+_SQL_T = "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+
+_E4_REPETITION_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)),
+                x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g') <> '') AS lines,
+    {_SQL_WORDS} AS words, {_SQL_T} AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lines,
+    CASE WHEN t = '' OR len(words) < 2 THEN []
+         ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+    END AS bg
+  FROM sig
+), top AS (
+  SELECT doc_id, max(c) AS top_count FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS b FROM big)
+    GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT big.doc_id,
+  CASE WHEN len(lines) > 0
+       THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(bg) > 0
+       THEN CAST(top.top_count AS DOUBLE) / len(bg)
+       ELSE 0.0 END AS top_bigram_share
+FROM big LEFT JOIN top ON big.doc_id = top.doc_id
+"""
+
+
+def q_prep_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — sequence packing into fixed token-budget bins (bucketed
+    windows: no global sort at any scale)."""
+    from dataengineer_spark.operators.preparation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, "doc_id", "n_chars", budget=20000, n_buckets=64)
+
+
+_PREP_PACK_ORACLE = """
+WITH b AS (
+  SELECT doc_id, n_chars, ((doc_id * 2654435761) % 64 + 64) % 64 AS bucket
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  CAST(bucket AS BIGINT) * 4294967296 + CAST(floor(COALESCE(
+    sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / 20000) AS BIGINT) AS pack_id
+FROM b
+"""
+
+
+def q_prep_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — deterministic per-domain mixture sampling (map-side filter)."""
+    from dataengineer_spark.operators.preparation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(
+        docs, "doc_id", "lang", {"en": 0.8, "zh": 0.25}, default_rate=0.5
+    )
+
+
+_PREP_MIXTURE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 100000 + 100000) % 100000 <
+      CASE WHEN lang = 'en' THEN 80000
+           WHEN lang = 'zh' THEN 25000
+           ELSE 50000 END
+"""
+
+
+def q_prep_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — benchmark-contamination audit: word-8-gram overlap between
+    the corpus and a deterministic stand-in benchmark subset."""
+    from dataengineer_spark.operators.preparation import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_overlap(docs, bench, "text", "doc_id", n=8)
+
+
+_PREP_CONTAMINATION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_T} = '' OR len({_SQL_WORDS}) < 8 THEN []
+         ELSE list_transform(range(1, len({_SQL_WORDS}) - 6),
+              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 7), ' '))
+    END AS grams
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT u.g) AS n_hits
+  FROM g, unnest(g.grams) AS u(g)
+  JOIN bench ON u.g = bench.bg
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id, CAST(len(g.grams) AS INTEGER) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+"""
+
+
 def q_prep_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.operators.preparation import word_counts
 
@@ -2817,6 +2937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
         "q_prep_sample_n": q_prep_sample_n,
+        "q_e4_repetition": q_e4_repetition,
+        "q_prep_pack": q_prep_pack,
+        "q_prep_mixture": q_prep_mixture,
+        "q_prep_contamination": q_prep_contamination,
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
@@ -2993,6 +3117,10 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
+        "q_e4_repetition": _E4_REPETITION_ORACLE,
+        "q_prep_pack": _PREP_PACK_ORACLE,
+        "q_prep_mixture": _PREP_MIXTURE_ORACLE,
+        "q_prep_contamination": _PREP_CONTAMINATION_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,

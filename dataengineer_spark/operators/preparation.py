@@ -94,3 +94,123 @@ def word_counts(
     if top_n is not None:
         counts = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_n)
     return counts
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins (sequence
+
+    packing). Documents are streamed in deterministic ``id`` order within a
+    hash bucket and assigned concat-and-chunk style: a document belongs to
+    the bin containing its starting cumulative offset (``floor(offset /
+    budget)``), exactly as if the bucket's documents were concatenated and
+    cut every ``budget`` tokens — a document straddling a cut stays whole
+    in its starting bin, so bins can overflow by one document and the bin
+    after a straddle starts correspondingly later.
+
+    Scale: the running sum is windowed PER BUCKET, so no global sort or
+    single-task window exists; ``n_buckets`` bounds each window's data at
+    corpus_size/n_buckets. pack_id = bucket·2³² + local bin: globally
+    unique without coordination. Fully deterministic — same input, same
+    packs, on any partitioning (hash_bucket is plain integer arithmetic).
+    """
+    from pyspark.sql import Window as W
+
+    bucket = hash_bucket(F.col(id_col), n_buckets)
+    w = W.partitionBy("_bucket").orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn(
+            "pack_id",
+            (F.col("_bucket").cast("bigint") * F.lit(2**32).cast("bigint"))
+            + F.floor(cum_before / F.lit(budget)),
+        )
+        .drop("_bucket")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    mod: int = 100_000,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-domain weighted sampling for dataset mixing (e.g. upweight
+
+    books, downweight web). Keeps a row iff its deterministic hash bucket
+    falls under the domain's rate — reproducible across runs, engines, and
+    partitionings, unlike ``sample()``. A pure map-side filter: no shuffle,
+    no RNG state, safe to push below any downstream operator.
+    """
+    bucket = F.pmod(F.col(key_col) * SPLIT_MULT + salt, F.lit(mod))
+    threshold = F.lit(int(default_rate * mod))
+    for domain, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(domain_col) == domain, F.lit(int(rate * mod))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)
+
+
+def ngram_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, how many of its word
+
+    ``n``-grams appear verbatim in a benchmark corpus. The benchmark side
+    is n-gram-exploded, deduplicated, and broadcast (eval suites are
+    dimension-sized next to a 100 TB corpus); documents explode their
+    n-grams once and inner-join — the join carries only (id, gram) pairs,
+    never full texts. Returns (id, n_grams, n_hits, contaminated).
+    """
+    from dataengineer_spark.operators.textops import trim_ws
+
+    def grams(c: Column) -> Column:
+        t = trim_ws(F.lower(c))
+        words = F.split(t, r"\s+")
+        n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+        return F.when(
+            n_words >= n,
+            F.transform(
+                F.slice(words, 1, n_words - (n - 1)),
+                lambda _w, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("_g"))
+        .dropDuplicates()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("_g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_g").alias("n_hits"))
+    )
+    totals = df.select(F.col(id_col), F.size(grams(F.col(text_col))).alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left_outer")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -521,3 +521,18 @@ class TestInferenceUdfPlumbing:
         clf = transformer_classifier("/no/such/model", "/no/such/tok")
         with pytest.raises(Exception, match="(?i)transformers|NotImplemented"):
             df.select(clf(F.col("text")).alias("p")).collect()
+
+
+class TestRepetitionSignals:
+    def test_signals(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x\nx\ny z w"), (3, ""), (4, "one"), (5, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textops.repetition_signals(df).collect()}
+        assert abs(out[1]["top_bigram_share"] - 0.6) < 1e-12  # 'a b' 3 of 5
+        assert abs(out[2]["dup_line_frac"] - (1 - 2 / 3)) < 1e-12
+        assert abs(out[2]["top_bigram_share"] - 0.25) < 1e-12
+        for d in (3, 4, 5):  # empty / single-word / NULL → clean zeros
+            assert out[d]["dup_line_frac"] == 0.0
+            assert out[d]["top_bigram_share"] == 0.0

@@ -87,3 +87,107 @@ class TestNewAggregates:
         assert d["nk"] == 2
         p = agg_ops.percentiles(df, ["g"], "v", [0.5]).first()
         assert p["p50"] == 20.0
+
+
+class TestPackSequences:
+    def test_packs_respect_budget_and_order(self, spark):
+        from dataengineer_spark.operators.preparation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(10)], "doc_id long, tokens long"
+        )
+        out = pack_sequences(df, "doc_id", "tokens", budget=250, n_buckets=1)
+        rows = sorted(
+            (r["doc_id"], r["pack_id"]) for r in out.collect()
+        )
+        # concat-and-chunk assignment: each doc joins the bin containing its
+        # starting offset (0,100,...,900 → offset//250)
+        packs = [p for _, p in rows]
+        assert packs == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    def test_oversized_doc_owns_a_bin(self, spark):
+        from dataengineer_spark.operators.preparation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 50), (2, 900), (3, 50)], "doc_id long, tokens long"
+        )
+        out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+            df, "doc_id", "tokens", budget=100, n_buckets=1).collect()}
+        assert out[1] == 0 and out[2] == 0  # doc 2 starts in (and overflows) pack 0
+        assert out[3] == 9  # resumes past the big doc's cumulative offset
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dataengineer_spark.operators.preparation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 10 * (i % 7 + 1)) for i in range(100)], "doc_id long, tokens long"
+        )
+        a = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+            df.repartition(1), "doc_id", "tokens", 64).collect()}
+        b = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+            df.repartition(13), "doc_id", "tokens", 64).collect()}
+        assert a == b
+
+
+class TestMixtureSample:
+    def test_rates_zero_and_one(self, spark):
+        from dataengineer_spark.operators.preparation import mixture_sample
+
+        df = spark.createDataFrame(
+            [(i, "books" if i % 2 == 0 else "web") for i in range(200)],
+            "doc_id long, src string",
+        )
+        kept = mixture_sample(df, "doc_id", "src", {"books": 1.0, "web": 0.0})
+        rows = kept.collect()
+        assert len(rows) == 100
+        assert all(r["src"] == "books" for r in rows)
+
+    def test_default_rate_applies_to_unlisted_domains(self, spark):
+        from dataengineer_spark.operators.preparation import mixture_sample
+
+        df = spark.createDataFrame(
+            [(i, "other") for i in range(1000)], "doc_id long, src string"
+        )
+        n = mixture_sample(df, "doc_id", "src", {}, default_rate=0.3).count()
+        assert 200 < n < 400  # hash-uniform ≈ 300
+
+    def test_deterministic(self, spark):
+        from dataengineer_spark.operators.preparation import mixture_sample
+
+        df = spark.createDataFrame(
+            [(i, "w") for i in range(500)], "doc_id long, src string"
+        )
+        a = {r["doc_id"] for r in mixture_sample(df, "doc_id", "src", {"w": 0.5}).collect()}
+        b = {r["doc_id"] for r in mixture_sample(
+            df.repartition(7), "doc_id", "src", {"w": 0.5}).collect()}
+        assert a == b
+
+
+class TestNgramOverlap:
+    def test_counts_distinct_overlapping_grams(self, spark):
+        from dataengineer_spark.operators.preparation import ngram_overlap
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y z w v"), (3, "too short")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "q a b c d e r")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in ngram_overlap(
+            docs, bench, "text", "doc_id", n=3).collect()}
+        # doc 1 trigrams: abc,bcd,cde — all inside the benchmark text
+        assert out[1]["n_hits"] == 3 and out[1]["contaminated"]
+        assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+        assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+    def test_repeated_gram_counted_once(self, spark):
+        from dataengineer_spark.operators.preparation import ngram_overlap
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(9, "a b a")], "doc_id long, text string")
+        r = ngram_overlap(docs, bench, "text", "doc_id", n=3).first()
+        # doc grams: 'a b a' x2, 'b a b' x2 → distinct hits = 1 ('a b a')
+        assert r["n_grams"] == 4 and r["n_hits"] == 1
