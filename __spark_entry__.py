@@ -1698,6 +1698,82 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end cluster collapse: candidate pairs (same token-count
+    bucket, word-3-gram Jaccard ≥ 1/2 tested as 2·|I| ≥ |U| — integer
+    arithmetic, no float threshold to straddle engines) → connected
+    components → (doc_id, cluster_id). This is the oracle-checkable stand-in
+    for the scale path minhash_lsh_pairs → connected_components →
+    cluster_dedup (rows-only); the oracle computes the same components with
+    a recursive CTE."""
+    from dataengineer_spark.operators.dedup import connected_components, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("_sh"),
+        F.floor(textops.token_count(F.col("text")) / 5).alias("_bk"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"), "_bk")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"), "_bk")
+    pairs = (
+        a.join(b, "_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.size(F.array_intersect("_sa", "_sb")) * 2
+            >= F.size(F.array_union("_sa", "_sb"))
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+_E2_CLUSTER_ORACLE = """
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+    regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
+    regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+        i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh,
+    CAST(floor((CASE WHEN t = '' THEN 0 ELSE len(words) END) / 5) AS BIGINT) AS bk
+  FROM w
+), pairs AS (
+  SELECT x.doc_id AS pa, y.doc_id AS pb
+  FROM s x JOIN s y ON x.bk = y.bk AND x.doc_id < y.doc_id
+  WHERE 2 * len(list_intersect(x.sh, y.sh))
+        >= len(list_distinct(list_concat(x.sh, y.sh)))
+), nodes AS (
+  SELECT DISTINCT pa AS n FROM pairs UNION SELECT DISTINCT pb FROM pairs
+), edges AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), reach(node, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q_e2_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the SCALE path end-to-end — MinHash+LSH candidate pairs
+    → connected components → one survivor per cluster (min id). Jaccard
+    floats keep it out of SQL; the CC machinery itself is oracled by
+    q_e2_cluster_dedup."""
+    from dataengineer_spark.operators.dedup import cluster_dedup, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return cluster_dedup(docs, pairs, "doc_id").select("doc_id")
+
+
 def q_e4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — Gopher-style repetition quality signals (map-only HOFs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2905,6 +2981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11": q_tpch_q11,
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
+        "q_e2_cluster_dedup": q_e2_cluster_dedup,
+        "q_e2_neardup_dedup": q_e2_neardup_dedup,
+        "q_e4_repetition": q_e4_repetition,
+        "q_prep_pack": q_prep_pack,
+        "q_prep_mixture": q_prep_mixture,
+        "q_prep_contamination": q_prep_contamination,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
         "q_e12_iter_udf": q_e12_iter_udf,
@@ -2937,10 +3019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
         "q_prep_sample_n": q_prep_sample_n,
-        "q_e4_repetition": q_e4_repetition,
-        "q_prep_pack": q_prep_pack,
-        "q_prep_mixture": q_prep_mixture,
-        "q_prep_contamination": q_prep_contamination,
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
@@ -3117,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
+        "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,
         "q_e4_repetition": _E4_REPETITION_ORACLE,
         "q_prep_pack": _PREP_PACK_ORACLE,
         "q_prep_mixture": _PREP_MIXTURE_ORACLE,

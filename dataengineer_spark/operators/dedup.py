@@ -329,3 +329,71 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: returns ``(node,
+    cluster_id)`` with ``cluster_id`` = the minimum id reachable through
+    the pair graph. The missing step between pair generation (minhash /
+    simhash / jaccard above) and actually dropping rows — near-dups chain
+    (A~B, B~C but not A~C), so survivors must be picked per component, not
+    per pair.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — rounds needed = graph
+    diameter, and near-dup components are shallow (pairs share content, so
+    components are dense and small; ``max_iter`` guards pathological
+    chains). Each round is one hash join + one partial-aggregated groupBy
+    on the node key, `localCheckpoint`-ed to truncate lineage — the
+    standard scalable CC loop. Convergence is detected with a
+    control-plane count.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates().persist()
+    labels = (
+        edges.select("a").dropDuplicates()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels, edges.b == labels.node
+            ).select(F.col("a").alias("node"), F.col("label"))
+            new_labels = (
+                labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+def cluster_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup end-to-end: keep one survivor (the min id) per
+    connected component of ``pairs``; rows in no pair survive untouched.
+    The anti join ships only the loser id set (component sizes − 1)."""
+    cc = connected_components(pairs, src, dst)
+    losers = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

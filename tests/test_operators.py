@@ -536,3 +536,38 @@ class TestRepetitionSignals:
         for d in (3, 4, 5):  # empty / single-word / NULL → clean zeros
             assert out[d]["dup_line_frac"] == 0.0
             assert out[d]["top_bigram_share"] == 0.0
+
+
+class TestConnectedComponents:
+    def test_chain_merges_transitively(self, spark):
+        # A~B, B~C, C~D: one component although A,D never pair directly
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        out = {r["node"]: r["cluster_id"]
+               for r in dedup_ops.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_cluster_dedup_keeps_min_and_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 5, 10, 11)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        survivors = sorted(
+            r["doc_id"]
+            for r in dedup_ops.cluster_dedup(docs, pairs, "doc_id").collect()
+        )
+        # min of each component survives; 5 was never paired
+        assert survivors == [1, 5, 10]
+
+    def test_long_path_converges(self, spark):
+        # a 20-node path needs ~log rounds of min propagation; well inside
+        # max_iter, and the result must still be a single component
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+        )
+        out = dedup_ops.connected_components(pairs).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+        assert len(out) == 21
