@@ -212,3 +212,16 @@ def _file_post_factory(marker_dir):
         return []
 
     return post
+
+
+class TestNormalizedLake:
+    def test_normalized_events_copy_identical(self, spark, sf_dir, tmp_path):
+        from dataengineer_spark.testdata import load_table, normalized_sf_dir
+
+        shadow = normalized_sf_dir(spark, sf_dir, str(tmp_path / "lake"))
+        a = load_table(spark, sf_dir, "events")
+        b = load_table(spark, shadow, "events")
+        assert a.schema == b.schema  # µs TimestampType both paths
+        assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+        # other tables are symlinks, not copies
+        assert (tmp_path / "lake" / "lineitem.parquet").is_symlink()
