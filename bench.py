@@ -38,7 +38,11 @@ HEADLINE = [
     "q_e10_sliding",
     "q_e10_funnel",
     "q_e3_topk_sim",
-    "q_e3_pairwise_topk",
+    # LSH variants are the headline ANN/near-dup entries; the exact
+    # pairwise/brute-force forms are size-guarded verification baselines
+    # (BroadcastNestedLoop by design, wrong shape to showcase at scale)
+    "q_e3_lsh_topk",
+    "q_e2_embed_lsh_neardup",
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",
     "q_e1_dedup",

