@@ -1698,6 +1698,76 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_k5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family MERGE: seed a partitioned lake table from one orders slice,
+    upsert an overlapping slice (updates + inserts), read the final state.
+    Partition-scoped: only the order-year partitions the incoming batch
+    touches are read and dynamically overwritten."""
+    from dataengineer_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_merge_"))
+    base = orders.where(F.col("o_orderkey") % 100 < 50)
+    upd = orders.where(
+        (F.col("o_orderkey") % 100 >= 25) & (F.col("o_orderkey") % 100 < 75)
+    ).withColumn("price", F.round(F.col("price") + 1000, 2))
+    cat.merge_upsert(base, "orders_lake", ["o_orderkey"], partition_col="o_year")
+    cat.merge_upsert(upd, "orders_lake", ["o_orderkey"], partition_col="o_year")
+    final = cat.read("orders_lake")
+    return final.select(
+        "o_orderkey", "o_orderstatus", "price", F.col("o_year").cast("int").alias("o_year")
+    )
+
+
+_K5_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+         CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders WHERE o_orderkey % 100 < 50
+), upd AS (
+  SELECT o_orderkey, o_orderstatus, round(round(o_totalprice, 2) + 1000, 2) AS price,
+         CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders WHERE o_orderkey % 100 >= 25 AND o_orderkey % 100 < 75
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+"""
+
+
+def q_e11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: the events stream unioned with
+    itself (every event arrives twice) → dropDuplicatesWithinWatermark on
+    event_id emits each exactly once — the result equals the source table,
+    which IS the oracle. Append mode; state bounded by the watermark."""
+    from dataengineer_spark.streaming import stream_dedup, stream_events
+
+    s1 = stream_events(spark, sf_dir + "/events.parquet")
+    s2 = stream_events(spark, sf_dir + "/events.parquet")
+    dd = stream_dedup(s1.union(s2), ["event_id"], watermark="10 minutes")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_E11_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
+"""
+
+
 def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 end-to-end cluster collapse: candidate pairs (same token-count
     bucket, word-3-gram Jaccard ≥ 1/2 tested as 2·|I| ≥ |U| — integer
@@ -2981,6 +3051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11": q_tpch_q11,
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
+        "q_k5_merge_upsert": q_k5_merge_upsert,
+        "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e4_repetition": q_e4_repetition,
@@ -3195,6 +3267,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
+        "q_k5_merge_upsert": _K5_MERGE_ORACLE,
+        "q_e11_stream_dedup": _E11_STREAM_DEDUP_ORACLE,
         "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,
         "q_e4_repetition": _E4_REPETITION_ORACLE,
         "q_prep_pack": _PREP_PACK_ORACLE,

@@ -183,6 +183,66 @@ class Catalog:
         metadata only survives through the table catalog, not raw paths."""
         return self.spark.table(table)
 
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> None:
+        """MERGE (upsert) into a parquet lake table: incoming rows replace
+        existing rows with the same key, everything else is kept.
+
+        Plain parquet has no row-level MERGE (that is what a transactional
+        table format's metadata buys), so this rewrites data — but only as
+        much as the keys demand:
+
+        - with ``partition_col``: ONLY the partitions the incoming batch
+          touches are read (partition pruning), merged (anti join on key +
+          union), and dynamically overwritten — untouched partitions are
+          never scanned or rewritten. The touched-partition list is a
+          control-plane collect. This is the scale path: rewrite volume
+          follows the incoming batch, not the table.
+        - without: whole-table rewrite through the same staged swap as
+          compact_batch (never reads lazily from the path being replaced).
+        """
+        from pyspark.sql import functions as F
+
+        if not self.exists(table):
+            writer = df.write
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(self.path(table))
+            return
+        current = self.read(table)
+        incoming_keys = df.select(*key_cols).dropDuplicates()
+        if partition_col:
+            touched = [
+                r[0] for r in df.select(partition_col).dropDuplicates().collect()
+            ]
+            keep = (
+                current.where(F.col(partition_col).isin(touched))
+                .join(F.broadcast(incoming_keys), key_cols, "left_anti")
+            )
+            merged = keep.unionByName(df).localCheckpoint()
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(self.path(table))
+            )
+            return
+        keep = current.join(incoming_keys, key_cols, "left_anti")
+        merged = keep.unionByName(df)
+        staging = f"{self.path(table)}_merging"
+        retired = f"{self.path(table)}_retired"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        merged.write.parquet(staging)
+        os.rename(self.path(table), retired)
+        os.rename(staging, self.path(table))
+        shutil.rmtree(retired)
+
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose tables as temp views for the SQL API (P2)."""
         names = tables if tables is not None else list(self._external)

@@ -1,4 +1,5 @@
 from dataengineer_spark.streaming.pipeline import (
+    stream_dedup,
     stream_events,
     windowed_counts,
     sessionized_stream,
@@ -8,6 +9,7 @@ from dataengineer_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "stream_dedup",
     "stream_events",
     "windowed_counts",
     "sessionized_stream",

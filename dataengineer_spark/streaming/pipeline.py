@@ -180,3 +180,22 @@ def batch_audited_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` holds a key's fingerprint only until
+    the watermark passes it, so state size follows the late-data horizon,
+    not stream lifetime — plain ``dropDuplicates`` on an unbounded stream
+    grows state forever and is a cluster-killer. The batch twin is
+    operators.dedup.exact_dedup / incremental_dedup (same key semantics,
+    lake-table fingerprint store instead of operator state).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )

@@ -130,3 +130,41 @@ class TestCompaction:
         # contents identical, other batches untouched
         assert catalog.read_batch("cleaned_data", 1).count() == n_rows
         assert catalog.read_batch("cleaned_data", 2).count() == docs.count()
+
+
+class TestMergeUpsert:
+    def test_merge_semantics_and_partition_scope(self, spark, tmp_path):
+        import glob
+        import os
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        base = spark.createDataFrame(
+            [(1, "a", 2000), (2, "b", 2000), (3, "c", 2001)],
+            "k long, v string, y int",
+        )
+        catalog.merge_upsert(base, "t", ["k"], partition_col="y")
+        y2001_files = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(str(tmp_path / "lake" / "t" / "y=2001" / "*.parquet"))
+        }
+        upd = spark.createDataFrame([(2, "B", 2000), (9, "z", 2000)],
+                                    "k long, v string, y int")
+        catalog.merge_upsert(upd, "t", ["k"], partition_col="y")
+        got = sorted((r["k"], r["v"]) for r in catalog.read("t").collect())
+        assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "z")]
+        # the 2001 partition was untouched by the merge: same files on disk
+        after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(str(tmp_path / "lake" / "t" / "y=2001" / "*.parquet"))
+        }
+        assert after == y2001_files
+
+    def test_merge_unpartitioned_staged_swap(self, spark, tmp_path):
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        catalog.merge_upsert(base, "t", ["k"])
+        catalog.merge_upsert(
+            spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), "t", ["k"]
+        )
+        got = sorted((r["k"], r["v"]) for r in catalog.read("t").collect())
+        assert got == [(1, "a"), (2, "B"), (3, "c")]
