@@ -994,6 +994,14 @@ FROM s ORDER BY dot / (nrm * 8.0) DESC, vec_id LIMIT 10
 """
 
 
+def q_e3_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of q_e3_topk_sim — identical semantics and oracle,
+    vectorized BLAS engine layer (the dense-algebra scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = sim_ops.brute_force_top_k_arrow(emb, [1.0] * 64, k=10)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_e3_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 20)
@@ -3052,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
         "q_k5_merge_upsert": q_k5_merge_upsert,
+        "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
@@ -3210,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e1_dedup": _E1_ORACLE,
         "q_e1_distinct": _E1_DISTINCT_ORACLE,
         "q_e3_topk_sim": _E3_ORACLE,
+        "q_e3_topk_arrow": _E3_ORACLE,
         "q_e3_pairwise_topk": _E3_PAIRWISE_ORACLE,
         "q_e4_text_stats": _E4_STATS_ORACLE,
         "q_e4_langid": _langid_oracle(),

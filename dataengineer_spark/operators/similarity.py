@@ -367,3 +367,42 @@ def ivf_top_k(
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
     )
+
+
+def brute_force_top_k_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy path.
+
+    Same result as :func:`brute_force_top_k`, different engine layer:
+    ``mapInPandas`` streams Arrow batches into one BLAS matmul per batch,
+    keeps each batch's local top-k, and a final TakeOrdered merges k·p
+    candidate rows. Dense linear algebra is where interpreted Catalyst
+    folds lose to vectorized numpy by orders of magnitude — this is the
+    shape a 100 TB corpus scan wants: O(n) scan, no shuffle, per-partition
+    reduction before the driver merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    schema = f"{id_col} long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            denom = np.linalg.norm(mat, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cs = np.where(denom > 0, mat @ q / denom, np.nan)
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cos_sim": cs})
+            yield out.nlargest(min(k, len(out)), "cos_sim")
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, schema)
+    return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)

@@ -571,3 +571,32 @@ class TestConnectedComponents:
         out = dedup_ops.connected_components(pairs).collect()
         assert {r["cluster_id"] for r in out} == {0}
         assert len(out) == 21
+
+
+class TestArrowTopK:
+    def test_matches_native_fold(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = [rng.uniform(-1, 1) for _ in range(16)]
+        native = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in sim_ops.brute_force_top_k(df, qv, k=7).collect()
+        ]
+        arrow = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in sim_ops.brute_force_top_k_arrow(df, qv, k=7).collect()
+        ]
+        assert native == arrow
+
+    def test_zero_norm_rows_rank_last(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sim_ops.brute_force_top_k_arrow(df, [1.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in out][:2] == [2, 3]
+        import math
+        assert out[2]["cos_sim"] is None or math.isnan(out[2]["cos_sim"])
