@@ -600,3 +600,43 @@ class TestArrowTopK:
         assert [r["vec_id"] for r in out][:2] == [2, 3]
         import math
         assert out[2]["cos_sim"] is None or math.isnan(out[2]["cos_sim"])
+
+
+class TestAnnRecall:
+    def test_lsh_and_ivf_recall_floor(self, spark):
+        # quality harness: approximate paths must find most of the true
+        # neighbors on a clustered corpus (recall is the contract an ANN
+        # operator ships with, not just row shapes)
+        import random
+
+        rng = random.Random(11)
+        dim, per, k = 16, 40, 5
+        centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+        rows = []
+        i = 0
+        for c in centers:
+            for _ in range(per):
+                rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+                i += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.where(F.col("vec_id") % per == 0)  # one per cluster
+
+        truth = {
+            q: set()
+            for q in [r["vec_id"] for r in queries.select("vec_id").collect()]
+        }
+        exact = sim_ops.pairwise_top_k(queries, df, k=k)
+        for r in exact.collect():
+            truth[r["query_id"]].add(r["corpus_id"])
+
+        for fn, kwargs, floor in [
+            (sim_ops.lsh_top_k, dict(dim=dim, n_planes=4), 0.6),
+            (sim_ops.ivf_top_k, dict(dim=dim, n_centroids=8, n_probe=4), 0.6),
+        ]:
+            got = {q: set() for q in truth}
+            for r in fn(queries, df, k=k, **kwargs).collect():
+                got[r["query_id"]].add(r["corpus_id"])
+            hits = sum(len(truth[q] & got[q]) for q in truth)
+            total = sum(len(truth[q]) for q in truth)
+            recall = hits / total
+            assert recall >= floor, (fn.__name__, recall)
