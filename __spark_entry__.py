@@ -3024,10 +3024,10 @@ FROM prep
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordered for the driver's ~50-query/round correctness budget
-    # (VERDICT r1 item 3): round-1 FAILs (now fixed) first, then the
-    # 66 never-checked queries (pipeline flagships and TPC-H up front),
-    # then the 44 already-green round-1 queries at the tail.
+    # Ordered for the driver's ~50-query/round correctness budget:
+    # round-1 FAILs (now fixed) first, then never-checked ORACLED
+    # queries (hard signal), then never-checked rows-only, then the 44
+    # round-1 greens at the tail. Rotate in round 3 per CORRECTNESS_r02.
         "q_e9_asof_join": q_e9_asof_join,
         "q_e10_tumbling": q_e10_tumbling,
         "q_e10_sliding": q_e10_sliding,
@@ -3063,7 +3063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
-        "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e4_repetition": q_e4_repetition,
         "q_prep_pack": q_prep_pack,
         "q_prep_mixture": q_prep_mixture,
@@ -3074,7 +3073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e12_grouped_agg": q_e12_grouped_agg,
         "q_e12_hof": q_e12_hof,
         "q_e2_embed_neardup": q_e2_embed_neardup,
-        "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
         "q_e4_quality": q_e4_quality,
         "q_e4_tokens": q_e4_tokens,
         "q_e5_groupingsets": q_e5_groupingsets,
@@ -3093,9 +3091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_distinct_agg": q_e5_distinct_agg,
         "q_e5_percentile": q_e5_percentile,
         "q_e5_percentile_dist": q_e5_percentile_dist,
-        "q_e5_approx_percentile": q_e5_approx_percentile,
-        "q_e5_approx_distinct": q_e5_approx_distinct,
-        "q_e5_hll_rollup": q_e5_hll_rollup,
         "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
@@ -3103,14 +3098,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
-        "q_m1_classifier": q_m1_classifier,
-        "q_m2_qa_sectionize": q_m2_qa_sectionize,
         "q_e4_edit_distance": q_e4_edit_distance,
         "q_sql_api": q_sql_api,
         "q_prep_wordcount": q_prep_wordcount,
         "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
-        "q_mm_features": q_mm_features,
         "q_mm_stats": q_mm_stats,
+        "q_e2_neardup_dedup": q_e2_neardup_dedup,
+        "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
+        "q_e5_approx_percentile": q_e5_approx_percentile,
+        "q_e5_approx_distinct": q_e5_approx_distinct,
+        "q_e5_hll_rollup": q_e5_hll_rollup,
+        "q_m1_classifier": q_m1_classifier,
+        "q_m2_qa_sectionize": q_m2_qa_sectionize,
+        "q_mm_features": q_mm_features,
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_mm_resize": q_mm_resize,
         "q_s1_csv_scan": q_s1_csv_scan,
