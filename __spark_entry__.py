@@ -69,6 +69,11 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_join",
     "q_s7_bucketed_join",
     "q_e5_percentile_dist",  # two-pass: collects control-plane counts
+    "q_e11_stream_dedup",
+    "q_e11_stream_session",
+    "q_k5_merge_upsert",  # lake writes + read-back
+    "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
+    "q_e2_neardup_dedup",
     "q_o6_batch_lifecycle",
     "q_k3_csv_roundtrip",
     "q_k3_json_roundtrip",

@@ -164,3 +164,64 @@ class TestSplitInvariance:
             b = (k * SPLIT_MULT) % 100
             want[k] = "train" if b < 80 else ("valid" if b < 90 else "test")
         assert got == want
+
+
+def _py_repetition(text: str) -> tuple[float, float]:
+    """Pure-Python reference for textops.repetition_signals."""
+    lines = [x for x in text.split("\n") if re.sub(r"^\s+|\s+$", "", x) != ""]
+    dup = 0.0 if not lines else 1 - len(set(lines)) / len(lines)
+    t = re.sub(r"^\s+|\s+$", "", text.lower())
+    words = t.split() if t else []
+    # python str.split collapses whitespace like the \s+ regex split
+    bgs = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    if not bgs:
+        return dup, 0.0
+    from collections import Counter
+
+    return dup, Counter(bgs).most_common(1)[0][1] / len(bgs)
+
+
+class TestRepetitionParity:
+    @prop
+    @given(st.lists(TEXT, min_size=1, max_size=8))
+    def test_matches_python_reference(self, spark, texts):
+        from dataengineer_spark.operators.textops import repetition_signals
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["dup_line_frac"], r["top_bigram_share"])
+            for r in repetition_signals(df).collect()
+        }
+        for i, t in enumerate(texts):
+            exp = _py_repetition(t)
+            assert abs(got[i][0] - exp[0]) < 1e-9, (t, got[i], exp)
+            assert abs(got[i][1] - exp[1]) < 1e-9, (t, got[i], exp)
+
+
+class TestPackingProperties:
+    @prop
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+        st.integers(min_value=100, max_value=1000),
+    )
+    def test_offset_binning_invariants(self, spark, sizes, budget):
+        from dataengineer_spark.operators.preparation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(sizes)], "doc_id long, tokens long"
+        )
+        out = sorted(
+            (r["doc_id"], r["pack_id"])
+            for r in pack_sequences(df, "doc_id", "tokens", budget, n_buckets=1).collect()
+        )
+        # reference: concat-and-chunk on cumulative offsets in id order
+        off, expected = 0, []
+        for i, n in enumerate(sizes):
+            expected.append((i, off // budget))
+            off += n
+        assert out == expected
+        # packs are monotone in id order and every pack id is reachable
+        packs = [p for _, p in out]
+        assert packs == sorted(packs)
