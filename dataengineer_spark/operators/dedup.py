@@ -366,13 +366,19 @@ def connected_components(
         .localCheckpoint()
     )
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             nbr = edges.join(
                 labels, edges.b == labels.node
             ).select(F.col("a").alias("node"), F.col("label"))
             new_labels = (
                 labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
             ).localCheckpoint()
+            if i == 0:
+                # round 0 always changes something on a non-empty graph
+                # (every edge endpoint sees a neighbor label for the first
+                # time) — skip its convergence job
+                labels = new_labels
+                continue
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")

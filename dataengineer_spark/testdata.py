@@ -29,6 +29,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session's zone — pin UTC, matching the TZ-naive DuckDB oracle and
     # session.build_session's own default.  Runtime-settable, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Size shuffle parallelism to the test scale when the session still has
+    # Spark's out-of-the-box 200 (a tuned session is left alone).  Batch
+    # plans mostly coalesce under AQE, but STREAMING state stores don't:
+    # every stateful operator materializes one state store per shuffle
+    # partition, and 200 of them made each gate streaming query ~4× slower.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is ns-precision in the driver testdata parquet, which a
