@@ -3023,6 +3023,242 @@ FROM prep
 
 
 # ---------------------------------------------------------------------------
+# E4b/E17 — corpus scrubbing (PII redaction, C4/Gopher filters) and ranking
+# (TF-IDF / BM25).  The synthetic documents carry no PII or line structure,
+# so the PII and C4 queries AUGMENT the text with doc_id-derived spans via
+# the SAME deterministic expression on both engines — the operator under
+# test is the redaction/filter, the augmentation is the fixture.
+# ---------------------------------------------------------------------------
+
+
+def q_e4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — PII redaction + per-kind counts over augmented documents."""
+    from dataengineer_spark.operators import scrubbing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return scrubbing.redact_pii(aug).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "text_redacted"
+    )
+
+
+_SQL_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'"
+    " || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from dataengineer_spark.operators.scrubbing import PII_PATTERNS
+
+    red = "tx"
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(tx, '{pat}')) AS n_{kind}")
+        # '[' is literal in an RE2 replacement string — no escaping needed
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_PII_AUG} AS tx FROM documents)
+SELECT doc_id, {', '.join(counts)}, {red} AS text_redacted
+FROM t
+"""
+
+
+def q_e4_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — C4 line-level filter over documents given line structure
+
+    (every literal ' value ' becomes a sentence break on both engines)."""
+    from dataengineer_spark.operators import scrubbing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.withColumn(
+        "text", F.concat(F.regexp_replace("text", " value ", ".\n"), F.lit("."))
+    )
+    return scrubbing.c4_line_filter(aug, min_words=3).select(
+        "doc_id", "n_lines", "n_kept", "text_kept", "doc_keep"
+    )
+
+
+_E4_C4_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(text, ' value ', '.' || chr(10), 'g') || '.' AS tx
+  FROM documents
+), l AS (
+  SELECT doc_id, tx, string_split(tx, chr(10)) AS lines FROM t
+), k AS (
+  SELECT doc_id, tx, len(lines) AS n_lines,
+         list_filter(
+           list_transform(lines, x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+           s -> length(s) > 0
+                AND len(regexp_split_to_array(s, '\\s+')) >= 3
+                AND regexp_matches(s, '[.!?]$')
+         ) AS kept
+  FROM l
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+       array_to_string(kept, chr(10)) AS text_kept,
+       (len(kept) >= 1 AND NOT contains(tx, '{')
+        AND NOT contains(lower(tx), 'lorem ipsum')) AS doc_keep
+FROM k
+"""
+
+
+def q_e4_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — Gopher document-level quality rules (native, map-only)."""
+    from dataengineer_spark.operators import scrubbing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return scrubbing.gopher_filter(docs).select(
+        "doc_id", "n_words", "mean_word_len_g",
+        "ok_n_words", "ok_word_len", "ok_alpha_words", "ok_stopwords",
+        "gopher_keep",
+    )
+
+
+def _gopher_oracle() -> str:
+    from dataengineer_spark.operators import scrubbing as sc
+
+    stop_pat = r"\b(?:" + "|".join(sc._STOPWORDS) + r")\b"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_T} AS tt, {_SQL_WORDS} AS words FROM documents
+), s AS (
+  SELECT doc_id, text,
+         CASE WHEN length(tt) = 0 THEN 0 ELSE len(words) END AS n_words,
+         list_sum(list_transform(words, w -> length(w))) AS sum_len,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(regexp_extract_all(lower(text), '{stop_pat}')) AS stop_hits
+  FROM t
+), f AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words
+              ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+              ELSE 0.0 END AS af,
+         stop_hits
+  FROM s
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len_g,
+       (n_words >= {sc.GOPHER_MIN_WORDS} AND n_words <= {sc.GOPHER_MAX_WORDS})
+         AS ok_n_words,
+       (mwl >= {sc.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mwl <= {sc.GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
+       (af >= {sc.GOPHER_MIN_ALPHA_WORD_FRAC}) AS ok_alpha_words,
+       (stop_hits >= {sc.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+       ((n_words >= {sc.GOPHER_MIN_WORDS} AND n_words <= {sc.GOPHER_MAX_WORDS})
+        AND (mwl >= {sc.GOPHER_MIN_MEAN_WORD_LEN}
+             AND mwl <= {sc.GOPHER_MAX_MEAN_WORD_LEN})
+        AND (af >= {sc.GOPHER_MIN_ALPHA_WORD_FRAC})
+        AND (stop_hits >= {sc.GOPHER_MIN_STOP_HITS})) AS gopher_keep
+FROM f
+"""
+
+
+def q_rank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — top-3 TF-IDF terms per document (integer-only output)."""
+    from dataengineer_spark.operators import ranking
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ranking.tf_idf_top_terms(docs, k=3).withColumnRenamed("rank", "rnk")
+
+
+_RANK_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) > 0 GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf * (ln((n.n + 1.0) / (dfq.df + 1)) + 1.0) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+           AS rnk
+  FROM s
+)
+SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
+"""
+
+#: fixed BM25 probe terms (present in the synthetic vocabulary)
+_BM25_TERMS = ["table", "window", "stream", "key"]
+
+
+def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — BM25 scores for a fixed query-term set (decimal-summed)."""
+    from dataengineer_spark.operators import ranking
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ranking.bm25_scores(docs, _BM25_TERMS)
+
+
+_RANK_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+), toks2 AS (
+  SELECT doc_id, term FROM toks WHERE length(term) > 0
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id
+), a AS (
+  SELECT avg(dl) AS avgdl FROM dl
+), n AS (
+  SELECT count(*) AS n FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2
+  WHERE term IN ({', '.join("'" + t + "'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), c AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * (tf.tf * (1.5 + 1)) /
+           (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl)) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN a CROSS JOIN n
+)
+SELECT doc_id, count(*) AS n_hit_terms,
+       round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+FROM c GROUP BY doc_id
+"""
+
+
+def q_e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SemDeDup-style cell-bounded semantic dedup — the seeded
+
+    codebook assignment is not SQL-expressible; determinism pinned in
+    tests/test_scrubbing_ranking.py instead."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.semantic_dedup(emb, dim=64, threshold=0.9, n_centroids=8)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3072,6 +3308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_pack": q_prep_pack,
         "q_prep_mixture": q_prep_mixture,
         "q_prep_contamination": q_prep_contamination,
+        "q_e4_pii_redact": q_e4_pii_redact,
+        "q_e4_c4_filter": q_e4_c4_filter,
+        "q_e4_gopher_filter": q_e4_gopher_filter,
+        "q_rank_tfidf": q_rank_tfidf,
+        "q_rank_bm25": q_rank_bm25,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
         "q_e12_iter_udf": q_e12_iter_udf,
@@ -3110,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_stats": q_mm_stats,
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
+        "q_e2_semantic_dedup": q_e2_semantic_dedup,
         "q_e5_approx_percentile": q_e5_approx_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
@@ -3289,6 +3531,11 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_pack": _PREP_PACK_ORACLE,
         "q_prep_mixture": _PREP_MIXTURE_ORACLE,
         "q_prep_contamination": _PREP_CONTAMINATION_ORACLE,
+        "q_e4_pii_redact": _pii_oracle(),
+        "q_e4_c4_filter": _E4_C4_ORACLE,
+        "q_e4_gopher_filter": _gopher_oracle(),
+        "q_rank_tfidf": _RANK_TFIDF_ORACLE,
+        "q_rank_bm25": _RANK_BM25_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,
@@ -3311,7 +3558,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         "q_pipeline_curation": _curation_oracle(),
-        # rows-only (not SQL-expressible): q_e2_minhash_neardup,
+        # rows-only (not SQL-expressible): q_e2_semantic_dedup,
+        # q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,
         # q_e5_approx_percentile, q_mm_features, q_mm_frame_sample, q_mm_resize,

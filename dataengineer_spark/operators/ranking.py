@@ -1,0 +1,119 @@
+"""Corpus ranking operators: TF-IDF term weighting and BM25 scoring.
+
+The retrieval-side complement of the dedup/similarity family
+(SURVEY.md §2.9 E2/E3): score documents against terms instead of other
+documents. Used in training-data pipelines for quality-weighted sampling
+and query-based corpus slicing.
+
+Scale shape: tokenize is map-only (one split per document, explode keeps
+rows inside their partitions); term frequencies shuffle once on
+(doc, term); document frequencies aggregate the already-reduced tf rows
+— at 100 TB the only wide exchange carries (doc_id, term, count) rows,
+never the text. The corpus-size scalar N and avgdl are control-plane
+aggregates (one number each), embedded as literals like the reference's
+config lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataengineer_spark.operators.textops import trim_ws
+
+
+def tokenize_words(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term) rows: lowercased whitespace tokens, empties dropped."""
+    t = trim_ws(F.lower(F.col(text_col)))
+    return (
+        df.select(id_col, F.explode(F.split(t, r"\s+")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, scikit-learn convention —
+    public knowledge); rank by score desc with term asc as the
+    deterministic tiebreak. The returned columns are integers only
+    (tf, df, rank) so the oracle compare never touches a float.
+    """
+    toks = tokenize_words(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # control-plane scalar (one long)
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) document scores for a fixed term set.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Returns (id, n_hit_terms, bm25) for documents matching >= 1 term.
+    The query-term tf aggregation filters BEFORE the shuffle — the
+    exchange carries only rows for the |query_terms| terms.
+    """
+    toks = tokenize_words(df, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]  # control-plane scalar
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        toks.where(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+    )
+    # per-term contribs are doubles; the cross-term sum must not depend on
+    # association order (Spark partial-agg vs the oracle's scan order), so
+    # accumulate exactly in decimal and round once at the end
+    return per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_hit_terms"),
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("bm25"),
+    )

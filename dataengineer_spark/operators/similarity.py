@@ -406,3 +406,76 @@ def brute_force_top_k_arrow(
 
     scored = df.select(id_col, vec_col).mapInPandas(score, schema)
     return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)
+
+
+# -- semantic dedup (SemDeDup-style) ----------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+
+    every vector to its nearest coarse centroid, compare pairs ONLY inside
+    a cell, and drop any vector whose cell contains a more-than-
+    ``threshold``-cosine-similar vector with a smaller id (deterministic
+    min-id survivor, matching exact-dedup semantics in dedup.py).
+
+    Returns (id, cell, dropped, kept_by) for every input row — ``kept_by``
+    is the smallest same-cell near-duplicate id for dropped rows, NULL for
+    survivors.
+
+    Scale shape: one narrow pass assigns cells (codebook is a plan
+    literal, broadcast by value); the pairwise stage is an equi-join on
+    the cell id, so the quadratic factor is bounded by the largest CELL,
+    not the corpus — with c cells over n rows that is ~(n/c)^2 per cell.
+    At 100 TB raise ``n_centroids`` so cells stay executor-sized (the
+    published recipe uses k-means with k ~ sqrt(n); the seeded-gaussian
+    codebook here slots a trained one in unchanged). Cross-cell near-dups
+    are missed by design — that is SemDeDup's stated recall trade.
+    """
+    cents = _centroids(dim, n_centroids, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "*",
+        nearest_cell(F.col("_v"), cents).alias("cell"),
+        l2_norm(F.col("_v")).alias("_n"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cell",
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cell",
+    )
+    denom = F.col("_na") * F.col("_nb")
+    # for each row, the smallest same-cell smaller-id near-duplicate
+    dup_of = (
+        a.join(b, on="cell")
+        .where(F.col("id_a") > F.col("id_b"))
+        .where(
+            F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom >= threshold)
+            .otherwise(F.lit(False))
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("id_b").alias("kept_by"))
+    )
+    return (
+        base.select("id", "cell")
+        .join(dup_of, on="id", how="left")
+        .select(
+            "id",
+            "cell",
+            F.col("kept_by").isNotNull().alias("dropped"),
+            "kept_by",
+        )
+    )
