@@ -3135,11 +3135,12 @@ def q_e4_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_oracle() -> str:
+def _gopher_parts() -> tuple[str, list[tuple[str, str]]]:
+    """Shared CTE + per-rule SQL conditions for the Gopher oracles."""
     from dataengineer_spark.operators import scrubbing as sc
 
     stop_pat = r"\b(?:" + "|".join(sc._STOPWORDS) + r")\b"
-    return f"""
+    cte = f"""
 WITH t AS (
   SELECT doc_id, text, {_SQL_T} AS tt, {_SQL_WORDS} AS words FROM documents
 ), s AS (
@@ -3157,20 +3158,33 @@ WITH t AS (
               ELSE 0.0 END AS af,
          stop_hits
   FROM s
-)
+)"""
+    rules = [
+        (
+            "ok_n_words",
+            f"(n_words >= {sc.GOPHER_MIN_WORDS}"
+            f" AND n_words <= {sc.GOPHER_MAX_WORDS})",
+        ),
+        (
+            "ok_word_len",
+            f"(mwl >= {sc.GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND mwl <= {sc.GOPHER_MAX_MEAN_WORD_LEN})",
+        ),
+        ("ok_alpha_words", f"(af >= {sc.GOPHER_MIN_ALPHA_WORD_FRAC})"),
+        ("ok_stopwords", f"(stop_hits >= {sc.GOPHER_MIN_STOP_HITS})"),
+    ]
+    return cte, rules
+
+
+def _gopher_oracle() -> str:
+    cte, rules = _gopher_parts()
+    sel = ",\n       ".join(f"{cond} AS {name}" for name, cond in rules)
+    conj = " AND ".join(cond for _, cond in rules)
+    return f"""{cte}
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        round(mwl, 6) AS mean_word_len_g,
-       (n_words >= {sc.GOPHER_MIN_WORDS} AND n_words <= {sc.GOPHER_MAX_WORDS})
-         AS ok_n_words,
-       (mwl >= {sc.GOPHER_MIN_MEAN_WORD_LEN}
-        AND mwl <= {sc.GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
-       (af >= {sc.GOPHER_MIN_ALPHA_WORD_FRAC}) AS ok_alpha_words,
-       (stop_hits >= {sc.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
-       ((n_words >= {sc.GOPHER_MIN_WORDS} AND n_words <= {sc.GOPHER_MAX_WORDS})
-        AND (mwl >= {sc.GOPHER_MIN_MEAN_WORD_LEN}
-             AND mwl <= {sc.GOPHER_MAX_MEAN_WORD_LEN})
-        AND (af >= {sc.GOPHER_MIN_ALPHA_WORD_FRAC})
-        AND (stop_hits >= {sc.GOPHER_MIN_STOP_HITS})) AS gopher_keep
+       {sel},
+       ({conj}) AS gopher_keep
 FROM f
 """
 
@@ -3259,6 +3273,215 @@ def q_e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E2c — substring-level duplicate spans; E18 — DSIR importance weighting.
+# The synthetic documents are random-vocabulary text with no boilerplate,
+# so the dup-span query AUGMENTs ~2/4 of documents with two fixed
+# boilerplate sentences via the SAME expression on both engines — the
+# operator under test is span detection/merging, the augmentation is the
+# fixture.
+# ---------------------------------------------------------------------------
+
+_BOILER_A = (
+    "subscribe to our newsletter today for updates and exclusive offers now"
+)
+_BOILER_B = (
+    "this document is provided under the terms of the public license"
+)
+
+
+def q_e2_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c — maximal cross-document duplicated token spans (k=8 word
+
+    shingles shared by >= 2 docs, islands merged per document). Uses the
+    text-keyed (oracle-portable) shingle form; the hashed scale default
+    is pinned equal in tests/test_scrubbing.py."""
+    from dataengineer_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    aug1 = F.when(
+        d % 4 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER_A))
+    ).otherwise(F.col("text"))
+    aug = F.when(d % 7 == 3, F.concat(F.lit(_BOILER_B + " "), aug1)).otherwise(
+        aug1
+    )
+    return dedup_ops.dup_spans(
+        docs.withColumn("text", aug), k=8, min_docs=2, hashed=False
+    )
+
+
+_E2_DUP_SPANS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN '{_BOILER_B} ' ELSE '' END
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN text || ' {_BOILER_A}'
+                  ELSE text END) AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, {{words}} AS words FROM t
+), p AS (
+  SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS p
+  FROM w WHERE len(words) >= 8
+), s AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         array_to_string(words[p:p+7], ' ') AS sh
+  FROM p
+), d AS (
+  SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+), h AS (
+  SELECT s.doc_id, s.p FROM s JOIN d USING (sh)
+), g AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM h
+), i AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM g
+)
+SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+       max(p) + 8 - min(p) AS n_tokens
+FROM i GROUP BY doc_id, isl
+"""
+
+
+def q_prep_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 — DSIR log importance ratio of every document against the
+
+    English-language slice as the target corpus (portable-hash form; the
+    xxhash64 scale default shares every other plan node)."""
+    from dataengineer_spark.operators import preparation
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return preparation.dsir_importance(
+        docs, F.col("lang") == "en", buckets=64, portable_hash=True
+    )
+
+
+_PREP_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS t, unnest({words}) AS w FROM documents
+), tok AS (
+  SELECT doc_id, t,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_filter(string_split(w, ''), x -> x <> ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000003
+         ) % 64 AS b
+  FROM toks WHERE length(w) > 0
+), per AS (
+  SELECT doc_id, b, count(*) AS cnt FROM tok GROUP BY 1, 2
+), raw AS (
+  SELECT b, count(*) AS cr FROM tok GROUP BY 1
+), tgt AS (
+  SELECT b, count(*) AS ct FROM tok WHERE t GROUP BY 1
+), tot AS (
+  SELECT count(*) AS tr, count(CASE WHEN t THEN 1 END) AS tt FROM tok
+), dist AS (
+  SELECT raw.b,
+         ln((COALESCE(ct, 0) + 1.0) / (tt + 64))
+         - ln((cr + 1.0) / (tr + 64)) AS lam
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(cnt * lam AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS dsir_logratio
+FROM per JOIN dist USING (b) GROUP BY doc_id
+"""
+
+
+def q_e2_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the xxhash64-keyed scale form of ``q_e2_dup_spans`` —
+
+    the only wide exchange carries 8-byte keys instead of k-word shingle
+    text. Pinned result-identical to the text form in
+    tests/test_scrubbing.py; this is the headline bench entry."""
+    from dataengineer_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    aug1 = F.when(
+        d % 4 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER_A))
+    ).otherwise(F.col("text"))
+    aug = F.when(d % 7 == 3, F.concat(F.lit(_BOILER_B + " "), aug1)).otherwise(
+        aug1
+    )
+    return dedup_ops.dup_spans(
+        docs.withColumn("text", aug), k=8, min_docs=2, hashed=True
+    )
+
+
+def q_prep_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the xxhash64-bucket scale form of ``q_prep_dsir`` (no
+
+    per-char portable-hash array walk; same plan shape otherwise). The
+    headline bench entry for DSIR."""
+    from dataengineer_spark.operators import preparation
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return preparation.dsir_importance(
+        docs, F.col("lang") == "en", buckets=64, portable_hash=False
+    )
+
+
+def q_dq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+E17 — survival funnel of the ordered Gopher rule chain: how
+
+    much corpus each scrubbing stage costs (single-scan conditional
+    aggregate, audit-sized output)."""
+    from dataengineer_spark.operators import quality, scrubbing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    g = scrubbing.gopher_filter(docs)
+    rules = [
+        (name, F.col(name))
+        for name in ("ok_n_words", "ok_word_len", "ok_alpha_words", "ok_stopwords")
+    ]
+    return quality.funnel_report(g, rules)
+
+
+def _gopher_funnel_oracle() -> str:
+    cte, rules = _gopher_parts()
+    steps, cum = [], []
+    for i, (name, cond) in enumerate(rules):
+        cum.append(cond)
+        cumc = " AND ".join(cum)
+        steps.append(
+            f"SELECT {i + 1} AS step, '{name}' AS rule_name,\n"
+            f"  CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_pass,\n"
+            f"  CAST(sum(CASE WHEN {cumc} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_cum,\n"
+            f"  round(sum(CASE WHEN {cumc} THEN 1 ELSE 0 END) * 1.0"
+            f" / count(*), 6) AS frac_cum\nFROM f"
+        )
+    return cte + "\n" + "\nUNION ALL\n".join(steps)
+
+
+def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: fuzzy decontamination — MinHash-LSH band probe of the
+
+    corpus against a benchmark side (every 50th document stands in for
+    the eval suite), exact-Jaccard verified. MinHash is not
+    SQL-expressible; identity hits + band-recall pinned in
+    tests/test_scrubbing.py."""
+    from dataengineer_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup_ops.minhash_lsh_join(
+        docs, bench, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3313,6 +3536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e4_gopher_filter": q_e4_gopher_filter,
         "q_rank_tfidf": q_rank_tfidf,
         "q_rank_bm25": q_rank_bm25,
+        "q_e2_dup_spans": q_e2_dup_spans,
+        "q_prep_dsir": q_prep_dsir,
+        "q_dq_funnel": q_dq_funnel,
         "q_e12_udf": q_e12_udf,
         "q_e12_grouped_map": q_e12_grouped_map,
         "q_e12_iter_udf": q_e12_iter_udf,
@@ -3352,6 +3578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
         "q_e2_semantic_dedup": q_e2_semantic_dedup,
+        "q_prep_decontaminate": q_prep_decontaminate,
+        "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
+        "q_prep_dsir_hashed": q_prep_dsir_hashed,
         "q_e5_approx_percentile": q_e5_approx_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
@@ -3536,6 +3765,9 @@ def oracle_sql() -> dict[str, str]:
         "q_e4_gopher_filter": _gopher_oracle(),
         "q_rank_tfidf": _RANK_TFIDF_ORACLE,
         "q_rank_bm25": _RANK_BM25_ORACLE,
+        "q_e2_dup_spans": _E2_DUP_SPANS_ORACLE.format(words=_SQL_WORDS),
+        "q_prep_dsir": _PREP_DSIR_ORACLE.format(words=_SQL_WORDS),
+        "q_dq_funnel": _gopher_funnel_oracle(),
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,
@@ -3559,6 +3791,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_prostate": _prostate_oracle(),
         "q_pipeline_curation": _curation_oracle(),
         # rows-only (not SQL-expressible): q_e2_semantic_dedup,
+        # q_prep_decontaminate, q_e2_dup_spans_hashed, q_prep_dsir_hashed,
         # q_e2_minhash_neardup,
         # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
         # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,

@@ -49,6 +49,17 @@ HEADLINE = [
     "q_e4_text_stats",
     "q_e4_langid",
     "q_e4_tokens",
+    "q_e4_gopher_filter",
+    "q_e4_pii_redact",
+    "q_rank_tfidf",
+    "q_rank_bm25",
+    "q_e2_semantic_dedup",
+    # hashed scale forms bench; the text/portable-hash twins are the
+    # oracle-verification baselines (pinned result-identical in tests)
+    "q_e2_dup_spans_hashed",
+    "q_prep_dsir_hashed",
+    "q_dq_funnel",
+    "q_prep_decontaminate",
     "q_e5_distinct_agg",
     "q_e7_grouptopk_salted",
     "q_prep_wordcount",

@@ -139,6 +139,33 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     )
 
 
+def _band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a ``_sig`` signature column.
+
+    The band exchange carries ONLY (id, band, bucket) — 24 bytes/row —
+    never the shingle arrays (which the explode would duplicate ×bands).
+    """
+    rows = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_band.band", "_band.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -159,7 +186,6 @@ def minhash_lsh_pairs(
     result is consumed: callers own cleanup (``spark.catalog.clearCache()``
     or unpersist) in long-lived sessions — see bench.py's per-query drop.
     """
-    rows = num_hashes // bands
     base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     sig = base.select(
         F.col(id_col),
@@ -168,24 +194,7 @@ def minhash_lsh_pairs(
         ),
     )
 
-    # the band exchange carries ONLY (id, band, bucket) — 24 bytes/row —
-    # never the shingle arrays (which the explode would duplicate ×bands)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select(id_col, "_band.band", "_band.bucket")
+    banded = _band_buckets(sig, id_col, num_hashes, bands)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -405,3 +414,158 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# -- duplicate spans (substring-level dedup) --------------------------------
+
+
+def positioned_shingles(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """(id, p, sh) rows: the word ``k``-shingle starting at 1-based token
+
+    position ``p`` of every document. ``hashed=True`` (the scale default)
+    keys shingles by ``xxhash64`` so the downstream shuffle carries 8
+    bytes instead of ~k words; ``hashed=False`` keeps the text (the
+    oracle-portable form — pytest pins both produce identical spans).
+    """
+    from dataengineer_spark.operators.textops import trim_ws
+
+    words = F.split(trim_ws(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    pos_sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.struct(
+                i.cast("bigint").alias("p"),
+                F.concat_ws(" ", F.slice(words, i, k)).alias("sh"),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast("array<struct<p:bigint,sh:string>>"))
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(pos_sh).alias("ps")
+    ).select("id", F.col("ps.p").alias("p"), F.col("ps.sh").alias("sh"))
+    if hashed:
+        out = out.withColumn("sh", F.xxhash64("sh"))
+    return out
+
+
+def dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Substring-level duplicate detection (the span analogue of exact-
+
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", at word-``k``-gram granularity): find every
+    maximal token span whose ``k``-shingles all occur in >= ``min_docs``
+    distinct documents. Returns one row per maximal span:
+    ``(doc_id, span_start, span_end, n_tokens)``, token positions
+    1-based inclusive. Trimming these spans (instead of dropping whole
+    documents) is the substring-dedup recipe for boilerplate.
+
+    Scale shape: shingling is map-only; duplicated-shingle detection is
+    one shuffle on the shingle key (8-byte hash by default — the text
+    never shuffles); the join back is an equi-join on the same key (AQE
+    broadcasts it when the duplicated set is small); span merging is a
+    per-document window over hit positions only. No all-pairs stage at
+    any size. The reference has no substring-level operator; this extends
+    its cleaning family (SURVEY.md §2.9 E2).
+    """
+    from pyspark.sql import Window as W
+
+    sh = positioned_shingles(df, k, text_col, id_col, hashed)
+    dup_keys = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    hits = sh.join(dup_keys, "sh").select("id", "p")
+    w = W.partitionBy("id").orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w) > k, 1).otherwise(0)
+    island = F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_brk", brk)
+        .withColumn("_isl", island)
+        .drop("_brk")
+        .groupBy(F.col("id").alias("doc_id"), "_isl")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).alias("span_end"),
+            (F.max("p") + F.lit(k) - F.min("p")).alias("n_tokens"),
+        )
+        .drop("_isl")
+    )
+
+
+def minhash_lsh_join(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bipartite near-dup join: corpus documents ~matching any benchmark
+
+    document — the FUZZY decontamination complement of the exact n-gram
+    audit (``preparation.ngram_overlap``): paraphrased or lightly-edited
+    eval leakage that exact grams miss still collides in MinHash bands.
+    Returns ``(corpus_id, bench_id, jaccard)`` for verified candidates
+    with Jaccard >= ``threshold``.
+
+    Scale shape: the benchmark side is dimension-sized next to a 100 TB
+    corpus, so its band table AND its shingle sets broadcast — the
+    corpus is never shuffled at all: band-probe (broadcast join), then
+    shingle-verify only the candidate rows (semi-join first). Map-only
+    over the corpus end to end.
+    """
+    base_c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), F.col(corpus_text).alias("_t")
+    )
+    base_b = bench.select(
+        F.col(bench_id).alias("bench_id"), F.col(bench_text).alias("_t")
+    )
+    sig = minhash_signature(char_shingles(F.col("_t"), shingle_size), num_hashes)
+    banded_c = _band_buckets(
+        base_c.select("corpus_id", sig.alias("_sig")), "corpus_id", num_hashes, bands
+    )
+    banded_b = _band_buckets(
+        base_b.select("bench_id", sig.alias("_sig")), "bench_id", num_hashes, bands
+    )
+    cand = (
+        banded_c.join(F.broadcast(banded_b), ["band", "bucket"])
+        .select("corpus_id", "bench_id")
+        .dropDuplicates()
+    )
+    cand_ids = cand.select("corpus_id").dropDuplicates()
+    sh_c = base_c.join(F.broadcast(cand_ids), "corpus_id", "left_semi").select(
+        "corpus_id", char_shingles(F.col("_t"), shingle_size).alias("_sh_a")
+    )
+    sh_b = base_b.select(
+        "bench_id", char_shingles(F.col("_t"), shingle_size).alias("_sh_b")
+    )
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.size(F.array_union("_sh_a", "_sh_b"))
+    ).alias("jaccard")
+    return (
+        cand.join(sh_c, "corpus_id")
+        .join(F.broadcast(sh_b), "bench_id")
+        .select("corpus_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -214,3 +214,103 @@ def ngram_overlap(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# -- DSIR importance weighting ----------------------------------------------
+
+#: modulus for the portable polynomial char hash (shared with the oracle)
+_POLY_MOD = 1_000_003
+
+
+def portable_word_hash(word: Column) -> Column:
+    """Deterministic engine-portable hash of one token: fold
+
+    ``(acc*31 + codepoint) % 1_000_003`` over its characters. Exists so
+    the DuckDB oracle can reproduce bucket assignment bit-for-bit; the
+    scale default is ``xxhash64`` (JVM, no per-char array walk).
+    """
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.aggregate(
+        F.transform(chars, F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_POLY_MOD),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+
+    for Language Models via Importance Resampling"): model target and
+    raw corpora as bag-of-hashed-token distributions over ``buckets``
+    buckets and score every document by its log importance ratio
+
+        log w(d) = sum_tokens [ ln p_target(b) - ln p_raw(b) ]
+
+    with add-one smoothing on both distributions. ``target_pred`` is a
+    boolean Column over ``df``'s rows selecting the target corpus (e.g.
+    ``F.col("lang") == "en"``). Returns
+    ``(doc_id, n_tokens, dsir_logratio)`` for every document with >= 1
+    token; documents matching the target style score high.
+
+    Scale shape: tokenize is map-only; per-(doc, bucket) counts shuffle
+    once on an 8-byte composite key; the two corpus distributions are
+    ``buckets``-row aggregates joined back by broadcast — no token, and
+    certainly no text, crosses the wire twice. At 100 TB the bucket
+    tables are control-plane-sized (64 rows) regardless of corpus size.
+    """
+    words = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            target_pred.alias("_t"),
+            F.explode(words).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    h = portable_word_hash(F.col("w")) if portable_hash else F.xxhash64("w")
+    tok = tok.select("id", "_t", F.pmod(h, F.lit(buckets)).alias("b"))
+
+    per_db = tok.groupBy("id", "b").agg(F.count("*").alias("cnt"))
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = tok.where("_t").groupBy("b").agg(F.count("*").alias("ct"))
+    dist = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(
+            F.broadcast(
+                tok.agg(
+                    F.count("*").alias("tr"),
+                    F.count(F.when(F.col("_t"), 1)).alias("tt"),
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(buckets)))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(buckets)))
+            ).alias("lam"),
+        )
+    )
+    return (
+        per_db.join(F.broadcast(dist), "b")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("cnt") * F.col("lam")).cast("decimal(28,12)")
+                ).cast("double"),
+                6,
+            ).alias("dsir_logratio"),
+        )
+    )

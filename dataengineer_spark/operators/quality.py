@@ -67,3 +67,39 @@ def orphan_rows(
     """
     parents = parent.select(F.col(pk).alias(fk)).distinct()
     return child.join(parents, fk, "left_anti")
+
+
+def funnel_report(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Survival funnel over an ORDERED filter chain: for each rule, how
+
+    many rows pass it alone (``n_pass``) and how many survive every rule
+    up to and including it (``n_cum``, with ``frac_cum`` of the total).
+    The observability report for a scrubbing pipeline — which stage
+    costs the corpus most.
+
+    ONE scan regardless of rule count (conditional sums in a single
+    aggregate, then a stack of the audit-sized wide row). NULL rule
+    results count as failures on both engines.
+    """
+    aggs = []
+    cum = F.lit(True)
+    for i, (_, cond) in enumerate(rules):
+        aggs.append(F.sum(cond.cast("int")).alias(f"_p{i}"))
+        cum = cum & cond
+        aggs.append(F.sum(cum.cast("int")).alias(f"_c{i}"))
+    wide = df.agg(F.count("*").alias("_total"), *aggs)
+    cells = ", ".join(
+        f"{i + 1}, '{name}', _p{i}, _c{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.selectExpr(
+        f"stack({len(rules)}, {cells}) as (step, rule_name, n_pass, n_cum)",
+        "_total",
+    ).select(
+        F.col("step").cast("bigint").alias("step"),
+        "rule_name",
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        F.col("n_cum").cast("bigint").alias("n_cum"),
+        F.round(F.col("n_cum") / F.col("_total"), 6).alias("frac_cum"),
+    )

@@ -49,10 +49,17 @@ def tf_idf_top_terms(
     toks = tokenize_words(df, text_col, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.count()  # control-plane scalar (one long)
-    scored = tf.join(dfreq, "term").withColumn(
-        "score",
-        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    # corpus size as a distributed one-row broadcast, not a .count() —
+    # a driver scalar would force a second full job before the plan runs
+    n_docs = df.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1)) + 1.0),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -83,8 +90,10 @@ def bm25_scores(
     """
     toks = tokenize_words(df, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    n_docs = df.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]  # control-plane scalar
+    # N and avgdl as distributed one-row broadcasts (no .count()/.collect()
+    # — each driver scalar would run an extra full tokenize job)
+    n_docs = df.agg(F.count("*").cast("double").alias("_n"))
+    avgdl = dl.agg(F.avg("dl").alias("_avgdl"))
     qt = [t.lower() for t in query_terms]
     tf = (
         toks.where(F.col("term").isin(qt))
@@ -93,18 +102,19 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq.crossJoin(n_docs)), "term")
         .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
         .withColumn(
             "contrib",
             idf
             * (F.col("tf") * (k1 + 1))
             / (
                 F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
             ),
         )
     )

@@ -142,3 +142,105 @@ def test_semantic_dedup_deterministic(spark, sf_dir):
         semantic_dedup(emb, dim=64, threshold=0.9, n_centroids=8).collect()
     )
     assert a == b
+
+
+def test_dup_spans_boilerplate_and_merge(spark):
+    from dataengineer_spark.operators.dedup import dup_spans
+
+    boiler = "a b c d e f g h i j"  # 10 tokens -> 3 positioned 8-shingles
+    df = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + boiler + " z1"),
+            (2, "x2 " + boiler + " z2 w2"),
+            (3, "unrelated words only here nothing shared at all with others"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dup_spans(df, k=8, min_docs=2).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"]) for r in out}
+    # doc 1: boilerplate occupies tokens 3..12; doc 2: tokens 2..11
+    assert spans[1] == (3, 12, 10)
+    assert spans[2] == (2, 11, 10)
+    assert 3 not in spans
+    assert len(out) == 2  # one maximal span per doc, islands merged
+
+
+def test_dup_spans_hashed_matches_text_keys(spark, sf_dir):
+    from dataengineer_spark.operators.dedup import dup_spans
+    from dataengineer_spark.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # lower k so the random-vocab corpus has organic duplicate shingles
+    a = sorted(map(tuple, dup_spans(docs, k=3, hashed=True).collect()))
+    b = sorted(map(tuple, dup_spans(docs, k=3, hashed=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_dsir_importance_prefers_target_style(spark):
+    from dataengineer_spark.operators.preparation import dsir_importance
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", "the cat sat on the mat with the hat"))
+    for i in range(20, 40):
+        rows.append((i, "de", "der hund lief durch den wald im regen"))
+    # held-out docs of each style, NOT in the target slice
+    rows.append((100, "xx", "the cat sat on the mat"))
+    rows.append((101, "xx", "der hund lief durch den wald"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for portable in (False, True):
+        out = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in dsir_importance(
+                df, F.col("lang") == "en", buckets=32, portable_hash=portable
+            ).collect()
+        }
+        assert out[100] > out[101]  # target-style doc scores higher
+        assert out[100] > 0 > out[101]
+
+
+def test_funnel_report_ordered_rules(spark):
+    from dataengineer_spark.operators.quality import funnel_report
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, 30, "x"), (4, 40, "y")],
+        "id long, v long, tag string",
+    )
+    out = {
+        r["step"]: r
+        for r in funnel_report(
+            df,
+            [
+                ("v_big", F.col("v") >= 20),
+                ("is_x", F.col("tag") == "x"),
+            ],
+        ).collect()
+    }
+    assert out[1]["rule_name"] == "v_big"
+    assert out[1]["n_pass"] == 3 and out[1]["n_cum"] == 3
+    assert out[2]["n_pass"] == 2  # rows 1, 3
+    assert out[2]["n_cum"] == 1  # only row 3 passes both
+    assert abs(out[2]["frac_cum"] - 0.25) < 1e-9
+
+
+def test_minhash_lsh_join_finds_benchmark_leak(spark):
+    from dataengineer_spark.operators.dedup import minhash_lsh_join
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, leak),
+            (2, leak + " with a tiny suffix"),
+            (3, "completely different content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "bench_id long, text string")
+    out = {
+        (r["corpus_id"], r["bench_id"]): r["jaccard"]
+        for r in minhash_lsh_join(corpus, bench, threshold=0.5).collect()
+    }
+    assert out[(1, 100)] == 1.0  # exact leak found
+    assert (3, 100) not in out  # unrelated doc not matched
+    # near-copy should band-collide and verify above threshold
+    assert out.get((2, 100), 0.0) > 0.5
