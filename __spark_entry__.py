@@ -3488,10 +3488,14 @@ def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordered for the driver's ~50-query/round correctness budget:
-    # round-1 FAILs (now fixed) first, then never-checked ORACLED
-    # queries (hard signal), then never-checked rows-only, then the 44
-    # round-1 greens at the tail. Rotate in round 3 per CORRECTNESS_r02.
+    # Ordered for the driver's ~50-query/round correctness budget.
+    # First 50 = breadth-first over operator families with zero round-1
+    # rows: r1-FAIL re-proofs (6), pipeline flagships (3), all 22 TPC-H,
+    # E12 UDF surface (5), E14 formats (4), E15 audits (3), E16 core
+    # (3), O6 lineage, E1-incremental, E17 samples (2). Then remaining
+    # never-checked oracled queries, then never-checked rows-only, then
+    # the 44 round-1 greens at the tail. Rotate in round 3 per
+    # CORRECTNESS_r02.json.
         "q_e9_asof_join": q_e9_asof_join,
         "q_e10_tumbling": q_e10_tumbling,
         "q_e10_sliding": q_e10_sliding,
@@ -3523,6 +3527,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11": q_tpch_q11,
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
+        "q_e12_udf": q_e12_udf,
+        "q_e12_grouped_map": q_e12_grouped_map,
+        "q_e12_iter_udf": q_e12_iter_udf,
+        "q_e12_grouped_agg": q_e12_grouped_agg,
+        "q_e12_hof": q_e12_hof,
+        "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
+        "q_k3_json_roundtrip": q_k3_json_roundtrip,
+        "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
+        "q_s7_bucketed_join": q_s7_bucketed_join,
+        "q_dq_constraints": q_dq_constraints,
+        "q_dq_null_rates": q_dq_null_rates,
+        "q_dq_orphans": q_dq_orphans,
+        "q_prep_sample_n": q_prep_sample_n,
+        "q_e5_percentile_dist": q_e5_percentile_dist,
+        "q_e4_edit_distance": q_e4_edit_distance,
+        "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
+        "q_e1_incremental_dedup": q_e1_incremental_dedup,
+        "q_e4_pii_redact": q_e4_pii_redact,
+        "q_rank_bm25": q_rank_bm25,
+        "q_e4_c4_filter": q_e4_c4_filter,
+        "q_e4_gopher_filter": q_e4_gopher_filter,
+        "q_rank_tfidf": q_rank_tfidf,
+        "q_e2_dup_spans": q_e2_dup_spans,
+        "q_prep_dsir": q_prep_dsir,
+        "q_dq_funnel": q_dq_funnel,
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
@@ -3531,49 +3560,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_pack": q_prep_pack,
         "q_prep_mixture": q_prep_mixture,
         "q_prep_contamination": q_prep_contamination,
-        "q_e4_pii_redact": q_e4_pii_redact,
-        "q_e4_c4_filter": q_e4_c4_filter,
-        "q_e4_gopher_filter": q_e4_gopher_filter,
-        "q_rank_tfidf": q_rank_tfidf,
-        "q_rank_bm25": q_rank_bm25,
-        "q_e2_dup_spans": q_e2_dup_spans,
-        "q_prep_dsir": q_prep_dsir,
-        "q_dq_funnel": q_dq_funnel,
-        "q_e12_udf": q_e12_udf,
-        "q_e12_grouped_map": q_e12_grouped_map,
-        "q_e12_iter_udf": q_e12_iter_udf,
-        "q_e12_grouped_agg": q_e12_grouped_agg,
-        "q_e12_hof": q_e12_hof,
         "q_e2_embed_neardup": q_e2_embed_neardup,
         "q_e4_quality": q_e4_quality,
         "q_e4_tokens": q_e4_tokens,
         "q_e5_groupingsets": q_e5_groupingsets,
-        "q_k3_csv_roundtrip": q_k3_csv_roundtrip,
-        "q_k3_json_roundtrip": q_k3_json_roundtrip,
-        "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
         "q_e11_stream_lake": q_e11_stream_lake,
         "q_e11_stream_join": q_e11_stream_join,
-        "q_s7_bucketed_join": q_s7_bucketed_join,
         "q_e11_stateful": q_e11_stateful,
-        "q_e1_incremental_dedup": q_e1_incremental_dedup,
         "q_e11_stream_session": q_e11_stream_session,
         "q_json_extract": q_json_extract,
         "q_e5_pivot": q_e5_pivot,
         "q_e5_unpivot": q_e5_unpivot,
         "q_e5_distinct_agg": q_e5_distinct_agg,
         "q_e5_percentile": q_e5_percentile,
-        "q_e5_percentile_dist": q_e5_percentile_dist,
         "q_e7_grouptopk_salted": q_e7_grouptopk_salted,
         "q_prep_split": q_prep_split,
         "q_prep_stratified": q_prep_stratified,
-        "q_prep_sample_n": q_prep_sample_n,
-        "q_dq_constraints": q_dq_constraints,
-        "q_dq_null_rates": q_dq_null_rates,
-        "q_dq_orphans": q_dq_orphans,
-        "q_e4_edit_distance": q_e4_edit_distance,
         "q_sql_api": q_sql_api,
         "q_prep_wordcount": q_prep_wordcount,
-        "q_o6_batch_lifecycle": q_o6_batch_lifecycle,
         "q_mm_stats": q_mm_stats,
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
