@@ -26,11 +26,30 @@ def stream_events(
     """File-source stream over an events directory (parquet). In deployment
 
     the source swaps for kafka/kinesis — the downstream plan is identical.
-    The testdata's ns-precision ``ts`` arrives as an ns-long and is floored
-    to a µs timestamp here (same policy as testdata.load_table)."""
+    ``ts`` is normalized to a µs TimestampType column whatever the file's
+    native precision (same policy as testdata.load_table): a one-time batch
+    footer probe decides whether the column arrives as a timestamp (µs
+    file) or must be read as an ns-long and floored."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_RAW).option(
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import types as T
+
+    from dataengineer_spark.schemas import EVENTS
+
+    # naive µs files are interpreted as UTC wall clock, like load_table
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # probe the footer with a batch read: stream schemas are mandatory and
+    # fixed up-front, so sniff which shape this lake uses before subscribing
+    ts_is_native = False
+    try:
+        dt = spark.read.parquet(path).schema["ts"].dataType
+        ts_is_native = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+    except AnalysisException:
+        pass  # ns file in a vanilla session: read as long below
+
+    schema = EVENTS if ts_is_native else EVENTS_RAW
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if path.endswith(".parquet") and os.path.isfile(path):
@@ -38,6 +57,8 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
+    if ts_is_native:
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

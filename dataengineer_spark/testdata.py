@@ -40,22 +40,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is ns-precision in the driver testdata parquet, which a
-        # vanilla SparkSession refuses to read (PARQUET_TYPE_ILLEGAL).  A
-        # µs-normalized lake copy (tools/normalize_events, bench shadow dir)
-        # reads plainly; otherwise fall back to an explicit long-typed
-        # schema + floor-to-µs — no session conf needed either way, so this
-        # works in ANY SparkSession, including the correctness driver's.
+        # events.ts precision varies across testdata generations: µs with
+        # isAdjustedToUTC=false (reads as TIMESTAMP_NTZ in a vanilla
+        # session) or ns (vanilla read throws PARQUET_TYPE_ILLEGAL; a
+        # session with spark.sql.legacy.parquet.nanosAsLong surfaces an
+        # ns-long).  Normalize every case to a UTC TimestampType column
+        # with µs values matching what DuckDB reports for the same file —
+        # no session conf needed, so this works in ANY SparkSession,
+        # including the correctness driver's.
         from pyspark.errors.exceptions.captured import AnalysisException
 
         from dataengineer_spark.schemas import EVENTS_RAW
 
         try:
             df = spark.read.parquet(path)
-            if isinstance(df.schema["ts"].dataType, T.TimestampType):
+            dt = df.schema["ts"].dataType
+            if isinstance(dt, T.TimestampType):
                 return df
+            if isinstance(dt, T.TimestampNTZType):
+                # naive wall clock == DuckDB's naive value; session TZ is
+                # pinned UTC above, so the cast is value-preserving
+                return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+            if isinstance(dt, T.LongType):
+                # nanosAsLong session reading an ns file
+                return df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
         except AnalysisException:
             pass
+        # vanilla session + ns file: explicit long schema, floor to µs
         df = spark.read.schema(EVENTS_RAW).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)

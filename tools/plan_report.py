@@ -24,38 +24,90 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+_AGG_OPS = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+
+def _tree_nodes(p: str) -> list[tuple[int, str, str, str]]:
+    """Parse the formatted-explain tree into (depth, op, rest, id) rows.
+
+    Tree lines look like ``   :     +- BroadcastExchange (26)`` — three
+    characters of structure per nesting level, then the operator name,
+    then its node id in parentheses."""
+    tree = p.split("\n\n")[0]
+    nodes: list[tuple[int, str, str, str]] = []
+    for ln in tree.splitlines():
+        m = re.match(r"^([ :+\-]*)\*?\s*([A-Za-z]\w*)([^(]*)\((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3
+        nodes.append((depth, m.group(2), m.group(3), m.group(4)))
+    return nodes
+
+
 def _scalar_bnl_count(p: str) -> int:
-    """Count BroadcastNestedLoopJoins whose build side is a one-row
-    ungrouped aggregate (``Keys: []``) — a scalar attach (e.g. corpus N,
-    avgdl), structurally incapable of quadratic blow-up. Detected from
-    the formatted plan: the join's build-side input id leads to a
-    HashAggregate with empty grouping keys."""
-    n = 0
-    # formatted explain lists nodes as "(id) Op"; the detail section has
-    # "(id) HashAggregate ... Keys: []". A scalar build side appears as
-    # a BroadcastExchange directly over such an aggregate.
-    scalar_aggs = {
-        m.group(1)
-        for m in re.finditer(
-            r"\((\d+)\) HashAggregate[^\n]*\nInput[^\n]*\nKeys: \[\]", p
+    """Count BroadcastNestedLoopJoins whose *own build side* is a one-row
+    ungrouped aggregate (``Keys: []``) — a scalar attach (corpus N, avgdl),
+    structurally incapable of quadratic blow-up.
+
+    Unlike a global scalar-exchange count, this resolves each BNL's actual
+    build-side child from the tree adjacency (BuildLeft → first child,
+    BuildRight → second), follows ReusedExchange references, and checks the
+    topmost aggregate in that child's subtree — so an unrelated scalar-agg
+    broadcast elsewhere in the plan can never relabel a genuinely quadratic
+    BNL (ADVICE r2)."""
+    nodes = _tree_nodes(p)
+    scalar_aggs = set(
+        re.findall(
+            r"\((\d+)\) (?:HashAggregate|SortAggregate|ObjectHashAggregate)"
+            r"[^\n]*\nInput[^\n]*\nKeys: \[\]",
+            p,
         )
-    }
-    # tree section lists "BroadcastExchange (7)" with its child chain on
-    # following lines, e.g. "+- Filter (15)" / "+- * HashAggregate (6)";
-    # Filter/Project wrappers over the aggregate keep it one-row
-    for m in re.finditer(
-        r"BroadcastExchange \(\d+\)\n"
-        r"(?:[^\n(]*(?:Filter|Project) \(\d+\)\n)*"
-        r"[^\n(]*HashAggregate \((\d+)\)",
-        p,
-    ):
-        if m.group(1) in scalar_aggs:
+    )
+    reuse = dict(
+        re.findall(r"\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]", p)
+    )
+    by_id = {nid: i for i, (_, _, _, nid) in enumerate(nodes)}
+
+    def subtree_has_scalar_top_agg(idx: int) -> bool:
+        """True if the topmost aggregate under nodes[idx] is ungrouped."""
+        depth0, op, _, nid = nodes[idx]
+        if op == "ReusedExchange":
+            target = reuse.get(nid)
+            if target is None or target not in by_id:
+                return False
+            return subtree_has_scalar_top_agg(by_id[target])
+        for d, op2, _, nid2 in nodes[idx + 1 :]:
+            if d <= depth0:
+                break
+            if op2 in _AGG_OPS:
+                return nid2 in scalar_aggs
+            if op2 == "ReusedExchange" and nid2 in reuse:
+                t = reuse[nid2]
+                return t in by_id and subtree_has_scalar_top_agg(by_id[t])
+        return False
+
+    n = 0
+    for i, (depth, op, rest, _) in enumerate(nodes):
+        if op != "BroadcastNestedLoopJoin":
+            continue
+        children = []
+        for j in range(i + 1, len(nodes)):
+            d = nodes[j][0]
+            if d <= depth:
+                break
+            if d == depth + 1:
+                children.append(j)
+        if len(children) != 2:
+            continue
+        build = children[1] if "BuildRight" in rest else children[0]
+        if subtree_has_scalar_top_agg(build):
             n += 1
     return n
 
 
 def summarize(p: str) -> dict[str, object]:
     joins = []
+    raw_bnl = 0
     for kind in [
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct",
@@ -66,6 +118,9 @@ def summarize(p: str) -> dict[str, object]:
             if s:
                 joins.append(f"BNL-scalar×{s}")
             n -= s
+            raw_bnl = n
+        if kind == "CartesianProduct":
+            raw_bnl += n
         if n:
             joins.append(f"{kind.replace('Join', '')}×{n}")
     n_exch = len(re.findall(r"\(\d+\)\s+Exchange", p))
@@ -81,6 +136,7 @@ def summarize(p: str) -> dict[str, object]:
         "exchanges": n_exch,
         "pushdown": pushed,
         "python": python,
+        "raw_bnl": raw_bnl,
     }
 
 
@@ -94,6 +150,34 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    rows = []
+    raw_bnl_queries = []
+    for name in sorted(qs):
+        oracle = "duckdb" if name in oracles else "rows-only"
+        if name in entrymod.EFFECTFUL_QUERIES:
+            rows.append(f"| {name} | {oracle} | _effectful — not planned here_ | | | |")
+            continue
+        s = summarize(plan_of(qs[name](spark, sf_dir)))
+        if s["raw_bnl"]:
+            raw_bnl_queries.append(name)
+        rows.append(
+            f"| {name} | {oracle} | {s['joins']} | {s['exchanges']} "
+            f"| {s['pushdown']} | {s['python']} |"
+        )
+    # the raw-BNL claim is computed from the table just built, never
+    # hardcoded, so the header cannot contradict its own rows (ADVICE r2)
+    if raw_bnl_queries:
+        bnl_claim = (
+            "Raw `BroadcastNestedLoop`/`CartesianProduct` rows this run: "
+            + ", ".join(f"`{q}`" for q in raw_bnl_queries)
+            + " — each must be a size-guarded exact baseline"
+            " (`allow_quadratic` required above the row limit)."
+        )
+    else:
+        bnl_claim = (
+            "No raw `BroadcastNestedLoop`/`CartesianProduct` appears in any"
+            " planned query this run."
+        )
     lines = [
         "# PLANS — physical-plan summary per registered query",
         "",
@@ -104,26 +188,16 @@ def main() -> int:
         "`BNL-scalar` = BroadcastNestedLoopJoin whose build side is a",
         "one-row ungrouped aggregate (corpus N, avgdl, scalar subquery):",
         "a scalar attach, structurally incapable of quadratic blow-up.",
-        "Raw `BroadcastNestedLoop` rows are the two size-guarded exact",
-        "baselines (`allow_quadratic` required above the row limit).",
+        bnl_claim,
         "",
         "| query | oracle | joins | exchanges | pushdown | python |",
         "| --- | --- | --- | --- | --- | --- |",
-    ]
-    for name in sorted(qs):
-        oracle = "duckdb" if name in oracles else "rows-only"
-        if name in entrymod.EFFECTFUL_QUERIES:
-            lines.append(f"| {name} | {oracle} | _effectful — not planned here_ | | | |")
-            continue
-        s = summarize(plan_of(qs[name](spark, sf_dir)))
-        lines.append(
-            f"| {name} | {oracle} | {s['joins']} | {s['exchanges']} "
-            f"| {s['pushdown']} | {s['python']} |"
-        )
+    ] + rows
     out = "\n".join(lines) + "\n"
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(out)
     print(f"wrote PLANS.md ({len(qs)} queries)")
+    print(f"raw BNL queries: {raw_bnl_queries or 'none'}")
     spark.stop()
     return 0
 
