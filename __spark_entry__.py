@@ -3481,6 +3481,106 @@ def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e5_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 breadth: Pearson corr / covariance / stddev per return flag via
+    exact decimal moment sums (engine-reproducible floats; the built-in
+    F.corr accumulates doubles in partial-agg order)."""
+    from dataengineer_spark.operators import aggregates as agg_ops2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops2.corr_stats(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+_E5_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))
+           * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))
+           * CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+           * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6)
+    AS corr_xy,
+  round((sxy - sx*sy/n) / (n - 1), 6) AS covar_xy,
+  round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS stddev_x,
+  round(sqrt((syy - sy*sy/n) / (n - 1)), 6) AS stddev_y
+FROM m
+"""
+
+
+def q_e1_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 variant: soft dedup — every row kept, weighted 1/n_copies so
+    duplicated content contributes one document of training loss."""
+    from dataengineer_spark.operators import dedup as dedup_ops2
+
+    docs = _docs(spark, sf_dir)
+    return dedup_ops2.dup_weights(docs, "text", "doc_id").select(
+        "doc_id", "lang", "n_copies", "weight"
+    )
+
+
+_E1_DUP_WEIGHTS_ORACLE = """
+SELECT doc_id, lang,
+       CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+       round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text), 6)
+         AS weight
+FROM documents
+"""
+
+
+def q_e4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/prep: bigram-LM perplexity scoring (add-k smoothing, corpus
+    self-trained) — the CCNet-style quality-filter signal."""
+    from dataengineer_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_ops.bigram_perplexity(docs, k=0.1)
+
+
+_E4_PPL_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents
+), toks0 AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS ord FROM d
+), toks AS (
+  SELECT * FROM toks0 WHERE length(w) > 0
+), big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), uni AS (
+  SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+), per_doc AS (
+  SELECT big.doc_id,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(CAST(sum(CAST(-ln((bc.c2 + 0.1) / (uni.c1 + 0.1 * v.v))
+                        AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+      AS cross_entropy
+  FROM big
+  JOIN bc USING (w1, w2)
+  JOIN uni USING (w1)
+  CROSS JOIN v
+  GROUP BY big.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy,
+       round(exp(cross_entropy), 6) AS ppl
+FROM per_doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3507,6 +3607,8 @@ _ROUND3_FIRST = [
     "q_e5_distinct_agg", "q_e5_percentile", "q_e7_grouptopk_salted",
     "q_prep_split", "q_prep_stratified", "q_sql_api", "q_prep_wordcount",
     "q_mm_stats",
+    # new this round, oracled
+    "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     # never-checked, rows-only by design
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
@@ -3611,6 +3713,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
         "q_e2_semantic_dedup": q_e2_semantic_dedup,
         "q_prep_decontaminate": q_prep_decontaminate,
+        "q_e5_corr_stats": q_e5_corr_stats,
+        "q_e1_dup_weights": q_e1_dup_weights,
+        "q_e4_perplexity": q_e4_perplexity,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
         "q_e5_approx_percentile": q_e5_approx_percentile,
@@ -3725,6 +3830,9 @@ def oracle_sql() -> dict[str, str]:
         "q_j4_fanin_merge": _J4_ORACLE,
         "q_a1_accuracy": _A1_ORACLE,
         "q_e1_dedup": _E1_ORACLE,
+        "q_e5_corr_stats": _E5_CORR_ORACLE,
+        "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
+        "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e1_distinct": _E1_DISTINCT_ORACLE,
         "q_e3_topk_sim": _E3_ORACLE,
         "q_e3_topk_arrow": _E3_ORACLE,

@@ -76,6 +76,9 @@ HEADLINE = [
     "q_pipeline_dx_group",
     "q_pipeline_curation",
     "q_pipeline_prostate",
+    "q_e4_perplexity",
+    "q_e1_dup_weights",
+    "q_e5_corr_stats",
 ]
 
 

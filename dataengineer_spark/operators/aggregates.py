@@ -255,3 +255,41 @@ def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> Data
 def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = True) -> DataFrame:
     """E8 — EXCEPT [ALL]."""
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def corr_stats(
+    df: DataFrame, keys: list[str], x: str, y: str
+) -> DataFrame:
+    """E5 — Pearson correlation / sample covariance / stddev per group,
+    computed from exact decimal moment sums.
+
+    ``F.corr``/``F.covar_samp`` accumulate doubles whose partial-agg
+    association order varies with partitioning, so their low bits are not
+    reproducible across engines or even runs.  The moment form — n, Σx,
+    Σy, Σxy, Σx², Σy² summed in decimal — is exact; the closing formulas
+    run once per GROUP on scalars, so every float here is a deterministic
+    function of exact integers.  Same plan shape as a plain group-agg:
+    one partial agg, one exchange on the keys.
+    """
+    xd = F.col(x).cast("decimal(15,4)")
+    yd = F.col(y).cast("decimal(15,4)")
+    m = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.sum(xd * yd).cast("double").alias("_sxy"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
+        F.sum(yd * yd).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    var_x = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    var_y = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    return m.select(
+        *keys,
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_xy"),
+        F.round(cov_n / (n - 1), 6).alias("covar_xy"),
+        F.round(F.sqrt(var_x / (n - 1)), 6).alias("stddev_x"),
+        F.round(F.sqrt(var_y / (n - 1)), 6).alias("stddev_y"),
+    )

@@ -569,3 +569,23 @@ def minhash_lsh_join(
         .select("corpus_id", "bench_id", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dup_weights(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """E1 variant — soft dedup: keep every row but weight it by
+    1/n_copies, so duplicated content contributes one document's worth of
+    training loss instead of being hard-dropped (the loss-reweighting
+    alternative when deletion would skew the domain mixture; public
+    method).
+
+    Same single-shuffle shape as content_dedup: count over a window
+    partitioned by the 256-bit content hash — the exchange key is 32
+    bytes/row and the text never moves twice.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    n = F.count("*").over(W.partitionBy(h))
+    return df.withColumn("n_copies", n).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("n_copies"), 6)
+    )

@@ -1,0 +1,118 @@
+"""N-gram language-model scoring for corpus quality filtering.
+
+A bigram model with add-k smoothing, trained on a reference corpus and used
+to score documents by cross-entropy / perplexity — the classic
+perplexity-filtering step of large-scale training-data pipelines (CCNet-style
+quality bucketing, public method).  A document that the reference model
+finds "surprising" (high perplexity) is boilerplate, noise, or off-domain.
+
+Scale shape: one tokenize pass per side (map-only `split`, bigrams built
+in-place with `slice`+`zip_with` — no UDF, no per-token explode until the
+count aggregations); the wide exchanges carry (w1, w2) count rows and
+(doc, w1, w2) instance rows, never the text.  Vocabulary size rides as a
+one-row broadcast like the ranking module's corpus-N scalar
+(ranking.py: tf_idf_top_terms).  Per-document log-prob sums accumulate in
+exact decimal so results are invariant to partial-aggregation order — the
+same trick the BM25 scorer uses for its contrib sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataengineer_spark.operators.textops import trim_ws
+
+
+def doc_token_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) with lowercased whitespace tokens; empty text → []."""
+    t = trim_ws(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    return df.select(id_col, toks.alias("toks"))
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One (id, w1, w2) row per adjacent token pair.
+
+    Pairs are zipped inside the token array (slice + zip_with, pure
+    Column expressions) so the explode emits exactly n-1 rows per doc —
+    there is no join-on-position and no Python."""
+    docs = doc_token_arrays(df, text_col, id_col)
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.where(F.size("toks") >= 2)
+        .select(id_col, F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram cross-entropy and perplexity under an add-k
+    smoothed model trained on ``ref`` (default: the corpus itself).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V); cross-entropy is the mean
+    negative log-prob over the document's bigrams, perplexity its exp.
+    Documents with fewer than two tokens have no bigrams and are omitted
+    (no model opinion ≠ perfect score).
+
+    Returns (id, n_bigrams, cross_entropy, ppl), floats rounded to 6 so
+    the result is engine-reproducible end to end.
+    """
+    ref_df = df if ref is None else ref
+    big = doc_bigrams(df, text_col, id_col)
+    ref_big = big if ref is None else doc_bigrams(ref_df, text_col, id_col)
+
+    uni = (
+        doc_token_arrays(ref_df, text_col, id_col)
+        .select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bc = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # vocabulary size as a one-row broadcast — a .count() here would run
+    # an extra full tokenize job before the plan executes
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k)) * F.col("_v"))
+    )
+    scored = (
+        big.join(bc, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("nll", nll)
+    )
+    # decimal accumulation: the cross-bigram sum must not depend on
+    # partial-agg association order (same policy as ranking.bm25_scores)
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("cross_entropy"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "cross_entropy",
+        # ppl derives from the already-rounded CE so both floats are stable
+        F.round(F.exp(F.col("cross_entropy")), 6).alias("ppl"),
+    )

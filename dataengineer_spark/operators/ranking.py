@@ -89,7 +89,18 @@ def bm25_scores(
     exchange carries only rows for the |query_terms| terms.
     """
     toks = tokenize_words(df, text_col, id_col)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # document length map-only: counting split() tokens in place avoids a
+    # full explode + per-token shuffle just to count rows per doc — at
+    # corpus scale that exchange carries one row per TOKEN; this one
+    # carries nothing (dl rides the narrow projection until the tf join)
+    t = trim_ws(F.lower(F.col(text_col)))
+    dl = df.select(
+        id_col,
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("dl"),
+    )
     # N and avgdl as distributed one-row broadcasts (no .count()/.collect()
     # — each driver scalar would run an extra full tokenize job)
     n_docs = df.agg(F.count("*").cast("double").alias("_n"))

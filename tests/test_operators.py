@@ -640,3 +640,93 @@ class TestAnnRecall:
             total = sum(len(truth[q]) for q in truth)
             recall = hits / total
             assert recall >= floor, (fn.__name__, recall)
+
+
+class TestLmPerplexity:
+    def test_bigram_perplexity_matches_hand_model(self, spark):
+        """Pin the smoothed bigram math on a corpus small enough to score
+        by hand: P(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V)."""
+        import math
+
+        from dataengineer_spark.operators import lm as lm_ops
+
+        rows = [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "b a"),
+            (4, "c"),       # 1 token → no bigrams → omitted
+            (5, "  "),      # empty after trim → omitted
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in lm_ops.bigram_perplexity(df, k=0.5).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        # corpus: unigrams a=4 b=4 c=1 (V=3); bigrams ab=3 ba=2
+        k, V = 0.5, 3.0
+        p_ab = (3 + k) / (4 + k * V)
+        p_ba = (2 + k) / (4 + k * V)
+        ce1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+        assert out[1]["n_bigrams"] == 3
+        assert abs(out[1]["cross_entropy"] - round(ce1, 6)) < 1e-9
+        assert abs(out[1]["ppl"] - round(math.exp(round(ce1, 6)), 6)) < 1e-9
+        ce2 = -math.log(p_ab)
+        assert abs(out[2]["cross_entropy"] - round(ce2, 6)) < 1e-9
+
+    def test_separate_reference_corpus(self, spark):
+        """Scoring against a foreign reference: unseen bigrams get the
+        smoothed floor, unseen unigrams the k·V denominator."""
+        import math
+
+        from dataengineer_spark.operators import lm as lm_ops
+
+        score = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+        ref = spark.createDataFrame([(9, "a b a")], ["doc_id", "text"])
+        out = lm_ops.bigram_perplexity(score, k=1.0, ref=ref).collect()
+        assert len(out) == 1
+        # ref: V=2 (a,b); c(x)=0, c(x,y)=0 → P = 1/(0+1·2)
+        want = -math.log(1.0 / 2.0)
+        assert abs(out[0]["cross_entropy"] - round(want, 6)) < 1e-9
+
+
+class TestSoftDedupWeights:
+    def test_weights_inverse_of_copies(self, spark):
+        from dataengineer_spark.operators import dedup as dedup_ops
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "same"), (4, "unique")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_ops.dup_weights(df, "text", "doc_id").collect()
+        }
+        assert len(out) == 4  # nothing dropped
+        assert out[1]["n_copies"] == 3 and out[1]["weight"] == round(1 / 3, 6)
+        assert out[4]["n_copies"] == 1 and out[4]["weight"] == 1.0
+        # total weight = one unit of loss per distinct content
+        assert abs(sum(r["weight"] for r in out.values()) - 2.0) < 1e-5
+
+
+class TestCorrStats:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from dataengineer_spark.operators import aggregates as agg_ops
+
+        rng = np.random.default_rng(7)
+        xs = np.round(rng.uniform(1, 50, 200), 2)
+        ys = np.round(3.0 * xs + rng.normal(0, 10, 200), 2)
+        df = spark.createDataFrame(
+            [(int(i % 2), float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+            ["g", "x", "y"],
+        )
+        out = {r["g"]: r for r in agg_ops.corr_stats(df, ["g"], "x", "y").collect()}
+        for g in (0, 1):
+            mask = np.arange(200) % 2 == g
+            gx, gy = xs[mask], ys[mask]
+            assert abs(out[g]["corr_xy"] - np.corrcoef(gx, gy)[0, 1]) < 1e-5
+            assert abs(out[g]["covar_xy"] - np.cov(gx, gy, ddof=1)[0, 1]) < 1e-4
+            assert abs(out[g]["stddev_x"] - np.std(gx, ddof=1)) < 1e-5
+            assert abs(out[g]["stddev_y"] - np.std(gy, ddof=1)) < 1e-4
