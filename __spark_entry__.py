@@ -84,6 +84,7 @@ EFFECTFUL_QUERIES = {
     "q_k2_batch_audit",
     "q_j2_point_lookup",
     "q_a1_accuracy",
+    "q_e14_partitioned_scan",  # temp-dir lake write
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -3581,6 +3582,37 @@ FROM per_doc
 """
 
 
+def q_e14_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: hive-style date-partitioned lake write + pruned read-back —
+    the filter on the partition column reaches the scan as a
+    PartitionFilter, so a one-year read touches one year's directories
+    (the layout a 100 TB orders table would actually land in)."""
+    out = tempfile.mkdtemp(prefix="spark_graft_part_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("o_year") == 1995)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_E14_PARTITIONED_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total
+FROM orders WHERE year(o_orderdate) = 1995
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3609,6 +3641,7 @@ _ROUND3_FIRST = [
     "q_mm_stats",
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
+    "q_e14_partitioned_scan",
     # never-checked, rows-only by design
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
@@ -3716,6 +3749,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_corr_stats": q_e5_corr_stats,
         "q_e1_dup_weights": q_e1_dup_weights,
         "q_e4_perplexity": q_e4_perplexity,
+        "q_e14_partitioned_scan": q_e14_partitioned_scan,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
         "q_e5_approx_percentile": q_e5_approx_percentile,
@@ -3833,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_corr_stats": _E5_CORR_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
+        "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
         "q_e1_distinct": _E1_DISTINCT_ORACLE,
         "q_e3_topk_sim": _E3_ORACLE,
         "q_e3_topk_arrow": _E3_ORACLE,
