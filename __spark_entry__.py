@@ -2247,6 +2247,69 @@ SELECT lang, round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang
 """
 
 
+def q_e12_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 breadth — Spark 4 Python UDTF (table function): one input row
+    → many output rows through a LATERAL join, the set-returning
+    complement of the scalar/grouped pandas UDF surface. Arrow-optimized
+    (plans as ArrowEvalPythonUDTF — the no-row-Python audit applies to
+    UDTFs too). Python's ``str.split()`` ≡ split on ``\\s+`` after trim,
+    mirrored exactly by the oracle's regexp tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int", useArrow=True)
+    class WordLens:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register("q_e12_word_lens", WordLens)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    docs.select("doc_id", "text").createOrReplaceTempView("q_e12_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.word, t.wlen "
+        "FROM q_e12_udtf_docs, LATERAL q_e12_word_lens(text) t"
+    )
+
+
+_E12_UDTF_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents WHERE doc_id % 10 = 0
+), w AS (
+  SELECT doc_id, unnest(arr) AS word FROM d
+)
+SELECT doc_id, word, CAST(length(word) AS INT) AS wlen
+FROM w WHERE length(word) > 0
+"""
+
+
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path over the events JSON props: parse once
+    into the binary variant encoding, then typed-lane extraction —
+    repeated field reads don't re-parse the JSON text the way chained
+    ``get_json_object`` calls do."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_JSON_VARIANT_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_e12_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 higher-order-function surface: transform/filter/aggregate/
     zip_with over array columns — lambda expressions run inside codegen,
@@ -3641,7 +3704,7 @@ _ROUND3_FIRST = [
     "q_mm_stats",
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
-    "q_e14_partitioned_scan",
+    "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
     # never-checked, rows-only by design
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
@@ -3750,6 +3813,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e1_dup_weights": q_e1_dup_weights,
         "q_e4_perplexity": q_e4_perplexity,
         "q_e14_partitioned_scan": q_e14_partitioned_scan,
+        "q_e12_udtf": q_e12_udtf,
+        "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
         "q_e5_approx_percentile": q_e5_approx_percentile,
@@ -3868,6 +3933,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
+        "q_e12_udtf": _E12_UDTF_ORACLE,
+        "q_json_variant": _JSON_VARIANT_ORACLE,
         "q_e1_distinct": _E1_DISTINCT_ORACLE,
         "q_e3_topk_sim": _E3_ORACLE,
         "q_e3_topk_arrow": _E3_ORACLE,
