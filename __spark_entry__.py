@@ -1547,8 +1547,45 @@ FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
 """
 
 
+_M1_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+    coalesce(list_sum(list_transform(
+      list_filter(string_split(substr(text, 1, 64), ''), c -> c <> ''),
+      c -> unicode(c))), 0) AS h
+  FROM documents
+)
+SELECT doc_id,
+  'LABEL_' || CAST(h % 16 AS VARCHAR) AS predicted_label,
+  CAST(h % 1000 AS DOUBLE) / 1000.0 AS model_score
+FROM h
+"""
+
+
+_M2_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+    list_position(list_transform(toks, x -> lower(x)), 'the') AS p_subj,
+    list_position(list_transform(toks, x -> lower(x)), 'is') AS p_act
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN NULL
+       WHEN p_subj > 0 AND p_subj < n THEN toks[p_subj + 1]
+       ELSE '' END AS subject,
+  CASE WHEN text IS NULL OR text = '' THEN NULL
+       WHEN p_act > 0 AND p_act < n THEN toks[p_act + 1]
+       ELSE '' END AS action
+FROM p
+"""
+
+
 def q_m1_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: M1 transformer-classification surface over the REAL
+    """M1 transformer-classification surface over the REAL
     Arrow-batched iterator pandas_udf path (per-executor model cache) with
     the deterministic fake model — swap 'fake:' for a model path and the
     plan is production inference."""
@@ -1562,7 +1599,7 @@ def q_m1_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_m2_qa_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: M2 QA-sectionizer surface — one UDF call per batch
+    """M2 QA-sectionizer surface — one UDF call per batch
     answers every question (text crosses Arrow once, not once per
     section), fake QA model."""
     from dataengineer_spark.ml import qa_sectionizer
@@ -3705,8 +3742,9 @@ _ROUND3_FIRST = [
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
+    "q_m1_classifier", "q_m2_qa_sectionize",
     # never-checked, rows-only by design
-    "q_m1_classifier", "q_m2_qa_sectionize", "q_e2_neardup_dedup",
+    "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
     "q_e2_dup_spans_hashed", "q_prep_dsir_hashed", "q_e5_approx_percentile",
     "q_e5_approx_distinct", "q_e5_hll_rollup", "q_mm_features",
@@ -3934,6 +3972,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
         "q_e12_udtf": _E12_UDTF_ORACLE,
+        "q_m1_classifier": _M1_ORACLE,
+        "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,
         "q_e1_distinct": _E1_DISTINCT_ORACLE,
         "q_e3_topk_sim": _E3_ORACLE,
