@@ -796,6 +796,41 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
 """
 
 
+def q_e9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-gap tolerance (pandas merge_asof
+    semantics): a signup more than 6 hours before the purchase no longer
+    explains it — the matched value is nulled, the left row kept."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = join_ops.asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance="6 hours",
+    )
+    return out.select("user_id", "event_id", "ts", "value", "signup_value")
+
+
+_E9_ASOF_TOL_ORACLE = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, max(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+j AS (
+  SELECT p.user_id, p.event_id, p.ts, p.value, s.signup_value, s.ts AS s_ts
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+)
+SELECT user_id, event_id, ts, value,
+       CASE WHEN s_ts >= ts - INTERVAL 6 HOUR THEN signup_value END
+         AS signup_value
+FROM j
+"""
+
+
 def q_e10_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = event_ops.tumbling(
@@ -3742,7 +3777,7 @@ _ROUND3_FIRST = [
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
-    "q_m1_classifier", "q_m2_qa_sectionize",
+    "q_m1_classifier", "q_m2_qa_sectionize", "q_e9_asof_tolerance",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
@@ -3761,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_e9_asof_join": q_e9_asof_join,
+        "q_e9_asof_tolerance": q_e9_asof_tolerance,
         "q_e10_tumbling": q_e10_tumbling,
         "q_e10_sliding": q_e10_sliding,
         "q_e10_funnel": q_e10_funnel,
@@ -3991,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_semi_anti": _E9_SEMI_ORACLE,
         "q_e9_range_join": _E9_RANGE_ORACLE,
         "q_e9_asof_join": _E9_ASOF_ORACLE,
+        "q_e9_asof_tolerance": _E9_ASOF_TOL_ORACLE,
         "q_e10_tumbling": _E10_TUMBLING_ORACLE,
         "q_e10_sliding": _E10_SLIDING_ORACLE,
         "q_e10_funnel": _E10_FUNNEL_ORACLE,

@@ -102,11 +102,18 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
+    tolerance: str | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
 
     ``right_ts <= left_ts`` (direction='backward'; 'forward' = earliest
-    right row at/after), within the same ``on`` key group.
+    right row at/after), within the same ``on`` key group.  With
+    ``tolerance`` (an interval literal like ``"1 hour"`` for timestamp
+    keys, or a number for numeric ones), a match
+    farther than the tolerance from the left timestamp is nulled out —
+    pandas ``merge_asof(tolerance=...)`` semantics, applied as a
+    post-fill mask so the plan shape (one shuffle, one window) does not
+    change.
 
     Implemented as union + window (single shuffle on ``on``), not a
     per-key ``merge_asof`` in Python: scales with the shuffle, stays
@@ -127,6 +134,7 @@ def asof_join(
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in l_payload],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
     )
     tagged_r = right.select(
         F.col(on),
@@ -134,6 +142,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
         *[F.col(c) for c in r_payload],
+        F.col(right_ts).alias("_rts"),
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -146,6 +155,7 @@ def asof_join(
             .rowsBetween(W.unboundedPreceding, 0)
         )
         filled = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
+        filled_rts = F.last(F.col("_rts"), ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             W.partitionBy(on)
@@ -153,18 +163,38 @@ def asof_join(
             .rowsBetween(0, W.unboundedFollowing)
         )
         filled = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
+        filled_rts = F.first(F.col("_rts"), ignorenulls=True).over(w)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    return (
+    out = (
         unioned.select(
             F.col(on),
             F.col("_asof_ts"),
             F.col("_is_left"),
             *[F.col(c) for c in l_payload],
             *filled,
+            filled_rts.alias("_rts_m"),
         )
         .where(F.col("_is_left") == 1)
         .drop("_is_left")
-        .withColumnRenamed("_asof_ts", left_ts)
     )
+    if tolerance is not None:
+        try:  # numeric ts columns take a plain numeric gap
+            iv = F.lit(float(tolerance))
+        except (TypeError, ValueError):
+            iv = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            in_tol = F.col("_rts_m") >= F.col("_asof_ts") - iv
+        else:
+            in_tol = F.col("_rts_m") <= F.col("_asof_ts") + iv
+        keep = F.col("_rts_m").isNotNull() & in_tol
+        out = out.select(
+            F.col(on),
+            F.col("_asof_ts"),
+            *[F.col(c) for c in l_payload],
+            *[F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in r_payload],
+            F.col("_rts_m"),
+        )
+    return out.drop("_rts_m").withColumnRenamed("_asof_ts", left_ts)

@@ -730,3 +730,31 @@ class TestCorrStats:
             assert abs(out[g]["covar_xy"] - np.cov(gx, gy, ddof=1)[0, 1]) < 1e-4
             assert abs(out[g]["stddev_x"] - np.std(gx, ddof=1)) < 1e-5
             assert abs(out[g]["stddev_y"] - np.std(gy, ddof=1)) < 1e-4
+
+
+class TestAsofTolerance:
+    def test_backward_tolerance_masks_stale_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, 50, "near"), (1, 100, "far")], "k long, ts long, pl string"
+        )
+        right = spark.createDataFrame([(1, 40, 5.0)], "k long, ts long, rv double")
+        out = {
+            r["pl"]: r["rv"]
+            for r in join_ops.asof_join(
+                left, right, on="k", left_ts="ts", tolerance=30
+            ).collect()
+        }
+        # gap 10 <= 30 keeps the match; gap 60 nulls it but keeps the row
+        assert out == {"near": 5.0, "far": None}
+
+    def test_forward_tolerance(self, spark):
+        left = spark.createDataFrame([(1, 50, "p")], "k long, ts long, pl string")
+        right = spark.createDataFrame([(1, 90, 2.0)], "k long, ts long, rv double")
+        hit = join_ops.asof_join(
+            left, right, on="k", left_ts="ts", direction="forward", tolerance=45
+        ).first()
+        assert hit["rv"] == 2.0
+        miss = join_ops.asof_join(
+            left, right, on="k", left_ts="ts", direction="forward", tolerance=30
+        ).first()
+        assert miss["rv"] is None
