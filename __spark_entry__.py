@@ -2319,6 +2319,39 @@ SELECT lang, round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang
 """
 
 
+def q_e12_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 breadth — Spark 4 ``applyInArrow``: grouped map straight on
+    pyarrow Tables, skipping the pandas materialization entirely (the
+    zero-copy lane for columnar per-group logic). Per-language doc-length
+    stats; integer sums so the oracle compare is float-free."""
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(table.column("n_chars")).as_py()],
+                "max_chars": [pc.max(table.column("n_chars")).as_py()],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        stats, schema="lang string, n_docs long, total_chars long, max_chars long"
+    )
+
+
+_E12_APPLY_ARROW_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_e12_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 breadth — Spark 4 Python UDTF (table function): one input row
     → many output rows through a LATERAL join, the set-returning
@@ -3777,6 +3810,7 @@ _ROUND3_FIRST = [
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
+    "q_e12_apply_arrow",
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e9_asof_tolerance",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup",
@@ -3888,6 +3922,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e4_perplexity": q_e4_perplexity,
         "q_e14_partitioned_scan": q_e14_partitioned_scan,
         "q_e12_udtf": q_e12_udtf,
+        "q_e12_apply_arrow": q_e12_apply_arrow,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
@@ -4008,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
         "q_e12_udtf": _E12_UDTF_ORACLE,
+        "q_e12_apply_arrow": _E12_APPLY_ARROW_ORACLE,
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,
