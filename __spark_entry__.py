@@ -1000,6 +1000,82 @@ def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with the engine-portable polynomial shingle
+    hash and raw signature-tuple band keys — every stage (shingle → 32-min
+    signature → band buckets → candidate join → exact-Jaccard verify) is
+    replicated bit-for-bit by the DuckDB oracle, so the LSH pipeline
+    itself is hash-verified, not just row-counted.  xxhash64 twin
+    (q_e2_minhash_neardup) is the scale default with the identical plan."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
+    out = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+        threshold=0.5, portable=True,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_portable_oracle() -> str:
+    from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
+
+    params = _affine_params(32, seed=42)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
+        for j, (a, b) in enumerate(params)
+    )
+    rows = 32 // 4
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"CAST(s{b * rows + r + 1} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(4)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 4, 1)), "
+        "i -> substr(text, CAST(i AS INT), 5)))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id, unnest({shingles}) AS s FROM d
+), hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_filter(string_split(s, ''), x -> x <> ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000003
+    ) AS h
+  FROM sh
+), sigs AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), shset AS (
+  SELECT doc_id, {shingles} AS ss FROM d
+), verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.ss, sb.ss)) * 1.0
+      / len(list_distinct(list_concat(sa.ss, sb.ss))) AS jaccard
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.id_a
+  JOIN shset sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.5
+"""
+
+
 def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash fingerprint buckets + Hamming verify."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
@@ -3810,7 +3886,7 @@ _ROUND3_FIRST = [
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
-    "q_e12_apply_arrow",
+    "q_e12_apply_arrow", "q_e2_minhash_portable",
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e9_asof_tolerance",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup",
@@ -3923,6 +3999,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e14_partitioned_scan": q_e14_partitioned_scan,
         "q_e12_udtf": q_e12_udtf,
         "q_e12_apply_arrow": q_e12_apply_arrow,
+        "q_e2_minhash_portable": q_e2_minhash_portable,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
@@ -4044,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
         "q_e12_udtf": _E12_UDTF_ORACLE,
         "q_e12_apply_arrow": _E12_APPLY_ARROW_ORACLE,
+        "q_e2_minhash_portable": _minhash_portable_oracle(),
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,

@@ -108,15 +108,24 @@ def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42,
+    portable: bool = False,
+) -> Column:
     """array<bigint> MinHash signature of a shingle array.
 
-    Each component is min over shingles of ``(a·xxhash64(s) + b) mod p``.
+    Each component is min over shingles of ``(a·h(s) + b) mod p``.
     SINGLE pass over the shingles: one ``aggregate`` folds the running
-    32-wide minimum vector — xxhash64 computed once per shingle and the
-    (a, b) families applied via literal arrays — 3× faster than one
-    array_min pass per hash family, all JVM-side, no UDF.
+    32-wide minimum vector — the shingle hash computed once per shingle
+    and the (a, b) families applied via literal arrays — 3× faster than
+    one array_min pass per hash family, all JVM-side, no UDF.
+
+    ``h`` is ``xxhash64`` by default (the scale path); ``portable=True``
+    swaps the polynomial char hash the DuckDB oracle can replicate
+    bit-for-bit (preparation.portable_word_hash) — same plan shape,
+    per-char array walk instead of one JVM hash call.
     """
+    from dataengineer_spark.operators.preparation import portable_word_hash
     from dataengineer_spark.tuning import array_lit
 
     params = _affine_params(num_hashes, seed)
@@ -125,7 +134,10 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
 
     def fold_shingle(acc: Column, s: Column) -> Column:
-        hv = F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        if portable:
+            hv = portable_word_hash(s)
+        else:
+            hv = F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
         hashes = F.transform(
             idx,
             lambda j: F.pmod(
@@ -140,24 +152,32 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
 
 
 def _band_buckets(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) rows from a ``_sig`` signature column.
 
     The band exchange carries ONLY (id, band, bucket) — 24 bytes/row —
     never the shingle arrays (which the explode would duplicate ×bands).
+    ``portable=True`` keeps the band's joined signature values as the
+    (string) bucket key instead of xxhash64-ing them — the equi-join
+    semantics are identical and a SQL oracle can reproduce the key.
     """
     rows = num_hashes // bands
+
+    def bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+        )
+        return joined if portable else F.xxhash64(joined)
+
     return sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -174,6 +194,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """E2 — near-duplicate pairs via MinHash + LSH banding.
 
@@ -189,12 +210,13 @@ def minhash_lsh_pairs(
     base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     sig = base.select(
         F.col(id_col),
-        minhash_signature(char_shingles(F.col("_t"), shingle_size), num_hashes).alias(
-            "_sig"
-        ),
+        minhash_signature(
+            char_shingles(F.col("_t"), shingle_size), num_hashes,
+            portable=portable,
+        ).alias("_sig"),
     )
 
-    banded = _band_buckets(sig, id_col, num_hashes, bands)
+    banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
