@@ -1076,12 +1076,164 @@ FROM verified WHERE jaccard >= 0.5
 """
 
 
+def q_prep_decontaminate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (bipartite MinHash-LSH band probe) with the
+    portable hash family — the oracle replicates both sides' signatures,
+    the band probe, and the exact-Jaccard verify, so the decontamination
+    scan itself is hash-verified. xxhash64 twin: q_prep_decontaminate."""
+    from dataengineer_spark.operators import dedup as dedup_ops2
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup_ops2.minhash_lsh_join(
+        docs, bench, threshold=0.5, portable=True
+    )
+
+
+def _decontaminate_portable_oracle() -> str:
+    from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
+
+    num_hashes, bands, threshold = 32, 8, 0.5
+    params = _affine_params(num_hashes, seed=42)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
+        for j, (a, b) in enumerate(params)
+    )
+    rows = num_hashes // bands
+    def band_sql(src: str, idc: str) -> str:
+        return "\nUNION ALL\n".join(
+            "SELECT {idc}, {b} AS band, {cols} AS bucket FROM {src}".format(
+                idc=idc, b=b, src=src,
+                cols=" || ',' || ".join(
+                    f"CAST(s{b * rows + r + 1} AS VARCHAR)" for r in range(rows)
+                ),
+            )
+            for b in range(bands)
+        )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 4, 1)), "
+        "i -> substr(text, CAST(i AS INT), 5)))"
+    )
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(list_filter(string_split(s, ''), x -> x <> ''),"
+        " ch -> CAST(ascii(ch) AS BIGINT))),"
+        " (acc, x) -> (acc * 31 + x) % 1000003)"
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id AS corpus_id, text FROM documents
+), bn AS (
+  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 7
+), shc AS (
+  SELECT corpus_id, unnest({shingles}) AS s FROM c
+), shb AS (
+  SELECT bench_id, unnest({shingles}) AS s FROM bn
+), hc AS (
+  SELECT corpus_id, {poly} AS h FROM shc
+), hb AS (
+  SELECT bench_id, {poly} AS h FROM shb
+), sig_c AS (
+  SELECT corpus_id, {mins} FROM hc GROUP BY corpus_id
+), sig_b AS (
+  SELECT bench_id, {mins} FROM hb GROUP BY bench_id
+), banded_c AS (
+  {band_sql("sig_c", "corpus_id")}
+), banded_b AS (
+  {band_sql("sig_b", "bench_id")}
+), cand AS (
+  SELECT DISTINCT a.corpus_id, b.bench_id
+  FROM banded_c a JOIN banded_b b
+    ON a.band = b.band AND a.bucket = b.bucket
+), set_c AS (
+  SELECT corpus_id, {shingles} AS ss FROM c
+), set_b AS (
+  SELECT bench_id, {shingles} AS ss FROM bn
+), verified AS (
+  SELECT cand.corpus_id, cand.bench_id,
+    len(list_intersect(sa.ss, sb.ss)) * 1.0
+      / len(list_distinct(list_concat(sa.ss, sb.ss))) AS jaccard
+  FROM cand
+  JOIN set_c sa ON sa.corpus_id = cand.corpus_id
+  JOIN set_b sb ON sb.bench_id = cand.bench_id
+)
+SELECT corpus_id, bench_id, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+"""
+
+
 def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash fingerprint buckets + Hamming verify."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
     return dedup_ops.simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=8, prefix_bits=12
     )
+
+
+def q_e2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the portable affine bit family — the DuckDB
+    oracle recomputes all 64 bit-sums, the 12-bit prefix bucket, and the
+    in-bucket Hamming verify, so the fingerprint pipeline itself is
+    hash-verified (xxhash64 twin q_e2_simhash_neardup is the scale
+    default, identical plan)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
+    out = dedup_ops.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=8, prefix_bits=12, portable=True
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def _simhash_portable_oracle() -> str:
+    from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
+
+    n_bits, prefix_bits, max_hamming = 64, 12, 8
+    params = _affine_params(n_bits, seed=7)
+    # bit j: sign of the per-doc sum of ±1 contributions
+    bit_cols = ",\n    ".join(
+        f"CASE WHEN sum(CASE WHEN ({a} * h + {b}) % {_MERSENNE} % 2 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    bucket = " + ".join(
+        f"b{63 - i} * {1 << (prefix_bits - 1 - i)}" for i in range(prefix_bits)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN x.b{j} <> y.b{j} THEN 1 ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+), w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS wd
+  FROM d
+), h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_filter(string_split(wd, ''), x -> x <> ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000003
+    ) AS h
+  FROM w
+), bits AS (
+  SELECT doc_id,
+    {bit_cols}
+  FROM h GROUP BY doc_id
+), bk AS (
+  SELECT *, {bucket} AS bucket FROM bits
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE {hamming} <= {max_hamming}
+"""
 
 
 def q_e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3886,7 +4038,8 @@ _ROUND3_FIRST = [
     # new this round, oracled
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
-    "q_e12_apply_arrow", "q_e2_minhash_portable",
+    "q_e12_apply_arrow", "q_e2_minhash_portable", "q_e2_simhash_portable",
+    "q_prep_decontaminate_portable",
     "q_m1_classifier", "q_m2_qa_sectionize", "q_e9_asof_tolerance",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup",
@@ -4000,6 +4153,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e12_udtf": q_e12_udtf,
         "q_e12_apply_arrow": q_e12_apply_arrow,
         "q_e2_minhash_portable": q_e2_minhash_portable,
+        "q_e2_simhash_portable": q_e2_simhash_portable,
+        "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
@@ -4122,6 +4277,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e12_udtf": _E12_UDTF_ORACLE,
         "q_e12_apply_arrow": _E12_APPLY_ARROW_ORACLE,
         "q_e2_minhash_portable": _minhash_portable_oracle(),
+        "q_e2_simhash_portable": _simhash_portable_oracle(),
+        "q_prep_decontaminate_portable": _decontaminate_portable_oracle(),
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,

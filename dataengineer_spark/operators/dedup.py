@@ -287,7 +287,9 @@ def ngram_jaccard_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash64(text: Column | str, n_bits: int = 64) -> Column:
+def simhash64(
+    text: Column | str, n_bits: int = 64, portable: bool = False
+) -> Column:
     """64-bit SimHash of the word set, as bigint.
 
     Per token hash h, bit j contributes +1 if set else −1; the sign of each
@@ -297,18 +299,51 @@ def simhash64(text: Column | str, n_bits: int = 64) -> Column:
     bits into the int64 — 2.2× faster than one aggregate pass per bit,
     still all JVM-side, no UDF. Near-dups share most bits; callers bucket
     on a bit-prefix and verify by Hamming distance.
+
+    ``portable=True`` derives bit j from the affine family
+    ``((a_j·h + b_j) mod p) mod 2`` over the polynomial word hash instead
+    of ``bit_get(xxhash64(w), j)`` — a valid SimHash bit family that a
+    SQL oracle can replicate exactly (the poly hash's ~20 bits of range
+    are too few to index directly).
     """
+    from dataengineer_spark.operators.preparation import portable_word_hash
     from dataengineer_spark.operators.textops import trim_ws
+    from dataengineer_spark.tuning import array_lit
 
     c = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(F.split(trim_ws(c), r"\s+"), lambda w: F.xxhash64(w))
+    words = F.split(trim_ws(c), r"\s+")
     idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    if portable:
+        params = _affine_params(n_bits, seed=7)
+        a_arr = array_lit([a for a, _ in params])
+        b_arr = array_lit([b for _, b in params])
+        hashes = F.transform(words, portable_word_hash)
+
+        def bits_of(h: Column) -> Column:
+            return F.transform(
+                idx,
+                lambda j: (
+                    F.pmod(
+                        F.element_at(a_arr, j + 1) * h
+                        + F.element_at(b_arr, j + 1),
+                        F.lit(_MERSENNE),
+                    )
+                    % 2
+                    * 2
+                    - 1
+                ).cast("int"),
+            )
+
+    else:
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+        def bits_of(h: Column) -> Column:
+            return F.transform(idx, lambda j: F.bit_get(h, j) * 2 - 1)
+
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), n_bits),
-        lambda acc, h: F.zip_with(
-            acc, F.transform(idx, lambda j: F.bit_get(h, j) * 2 - 1), lambda a, b: a + b
-        ),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
     )
     # pack bits 62..0 by Horner's rule (acc stays < 2^63, ANSI-safe) …
     low = F.aggregate(
@@ -333,6 +368,7 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: bucket on the top ``prefix_bits`` of the
 
@@ -345,7 +381,9 @@ def simhash_neardup_pairs(
     unpersist) in long-lived sessions — see bench.py's per-query drop.
     """
     with_fp = (
-        df.select(F.col(id_col), simhash64(text_col).alias("_fp"))
+        df.select(
+            F.col(id_col), simhash64(text_col, portable=portable).alias("_fp")
+        )
         .withColumn("_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits))
         # referenced by both self-join sides: persisting this 24-byte/row
         # projection computes the 64-bit-sum fingerprint pass once, not
@@ -541,6 +579,7 @@ def minhash_lsh_join(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Bipartite near-dup join: corpus documents ~matching any benchmark
 
@@ -562,12 +601,16 @@ def minhash_lsh_join(
     base_b = bench.select(
         F.col(bench_id).alias("bench_id"), F.col(bench_text).alias("_t")
     )
-    sig = minhash_signature(char_shingles(F.col("_t"), shingle_size), num_hashes)
+    sig = minhash_signature(
+        char_shingles(F.col("_t"), shingle_size), num_hashes, portable=portable
+    )
     banded_c = _band_buckets(
-        base_c.select("corpus_id", sig.alias("_sig")), "corpus_id", num_hashes, bands
+        base_c.select("corpus_id", sig.alias("_sig")), "corpus_id",
+        num_hashes, bands, portable=portable,
     )
     banded_b = _band_buckets(
-        base_b.select("bench_id", sig.alias("_sig")), "bench_id", num_hashes, bands
+        base_b.select("bench_id", sig.alias("_sig")), "bench_id",
+        num_hashes, bands, portable=portable,
     )
     cand = (
         banded_c.join(F.broadcast(banded_b), ["band", "bucket"])
