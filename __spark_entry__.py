@@ -1313,6 +1313,63 @@ def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_e3_lsh_topk_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k, ORACLED: plan-literal hyperplanes inlined
+    into the oracle; bucket signatures, the bucket equi-join, exact
+    cosine, and the (cos desc, corpus_id) tie-broken row_number cut are
+    all replicated. Same operator and plan as q_e3_lsh_topk."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.lsh_top_k(queries, emb, dim=64, n_planes=8, k=3).select(
+        "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, k = 64, 8, 3
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+    def dot_sql(vec: str, lit: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', plane_lits[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, v,
+    {bucket} AS bucket,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    CASE WHEN q.nrm * c.nrm > 0 THEN
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
+    END AS cos_sim
+  FROM bk q JOIN bk c ON q.bucket = c.bucket
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+  ) AS rn
+  FROM scored
+)
+SELECT query_id, corpus_id, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def q_e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF ANN (coarse-centroid cells, n_probe nearest probed)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -1320,6 +1377,69 @@ def q_e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_top_k(
         queries, emb, dim=64, k=3, n_centroids=16, n_probe=4
     ).select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_e3_ivf_topk_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k, ORACLED: the seeded unit-norm codebook is inlined
+    into the oracle, which replicates cell assignment (lexicographic
+    struct max, ties to the higher cell), the query's n_probe cell list
+    (struct sort + reverse + slice), the cell equi-join, exact cosine,
+    and the tie-broken rank cut. Same operator and plan as q_e3_ivf_topk."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.ivf_top_k(
+        queries, emb, dim=64, k=3, n_centroids=16, n_probe=4
+    ).select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _ivf_topk_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, k, n_centroids, n_probe = 64, 3, 16, 4
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
+        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, v,
+    {scores} AS scores,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e
+), c AS (
+  SELECT vec_id AS corpus_id, v AS cv, nrm AS cn,
+         (list_max(scores)).cell AS cell
+  FROM bk
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         unnest(list_slice(list_reverse(list_sort(scores)), 1, {n_probe})) AS p
+  FROM bk WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, c.corpus_id,
+    CASE WHEN q.qn * c.cn > 0 THEN
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> q.qv[j] * c.cv[j]), (x, y) -> x + y) / (q.qn * c.cn)
+    END AS cos_sim
+  FROM q JOIN c ON (q.p).cell = c.cell
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+  ) AS rn
+  FROM scored
+)
+SELECT query_id, corpus_id, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rn <= {k}
+"""
 
 
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,6 +2583,59 @@ def q_e2_embed_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+def q_e2_embed_lsh_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed embedding near-dup, ORACLED: the seeded
+    hyperplanes are plan literals, so the oracle inlines the same floats
+    and replicates bucket signatures (sequential per-element folds give
+    bit-identical doubles in both engines), the bucket self-join, and
+    the cosine verify. Same operator and plan as q_e2_embed_lsh_neardup."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _embed_lsh_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, threshold = 64, 4, 0.4
+    planes = _hyperplanes(dim, n_planes, seed=42)
+
+    def dot_sql(vec_a: str, vec_b_literal_or_col: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> {vec_a}[j] * {vec_b_literal_or_col}[j]), (a, b) -> a + b)"
+        )
+
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', plane_lits[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, v,
+    {bucket} AS bucket,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN a.nrm * b.nrm > 0 THEN
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> a.v[j] * b.v[j]), (x, y) -> x + y) / (a.nrm * b.nrm)
+    END AS cos_sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+FROM pairs WHERE cos_sim >= {threshold}
+"""
 
 
 def q_e4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4035,12 +4208,19 @@ _ROUND3_FIRST = [
     "q_e5_distinct_agg", "q_e5_percentile", "q_e7_grouptopk_salted",
     "q_prep_split", "q_prep_stratified", "q_sql_api", "q_prep_wordcount",
     "q_mm_stats",
-    # new this round, oracled
+    # newly oracled this round: the M-family flips (fake models SQL-
+    # expressed) and the new operators, then one oracle-verified twin per
+    # approximate family (shingle-LSH, vector-LSH, IVF); the remaining
+    # twins (simhash, decontaminate, lsh_topk) rotate into round 4's
+    # budget with the rows-only tail
+    "q_m1_classifier", "q_m2_qa_sectionize",
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
-    "q_e12_apply_arrow", "q_e2_minhash_portable", "q_e2_simhash_portable",
-    "q_prep_decontaminate_portable",
-    "q_m1_classifier", "q_m2_qa_sectionize", "q_e9_asof_tolerance",
+    "q_e12_apply_arrow", "q_e9_asof_tolerance",
+    "q_e2_minhash_portable", "q_e2_embed_lsh_oracle_twin",
+    "q_e3_ivf_topk_oracle_twin",
+    "q_e2_simhash_portable", "q_prep_decontaminate_portable",
+    "q_e3_lsh_topk_oracle_twin",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup",
     "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
@@ -4155,6 +4335,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_minhash_portable": q_e2_minhash_portable,
         "q_e2_simhash_portable": q_e2_simhash_portable,
         "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
+        "q_e2_embed_lsh_oracle_twin": q_e2_embed_lsh_oracle_twin,
+        "q_e3_lsh_topk_oracle_twin": q_e3_lsh_topk_oracle_twin,
+        "q_e3_ivf_topk_oracle_twin": q_e3_ivf_topk_oracle_twin,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
@@ -4279,6 +4462,9 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_minhash_portable": _minhash_portable_oracle(),
         "q_e2_simhash_portable": _simhash_portable_oracle(),
         "q_prep_decontaminate_portable": _decontaminate_portable_oracle(),
+        "q_e2_embed_lsh_oracle_twin": _embed_lsh_oracle(),
+        "q_e3_lsh_topk_oracle_twin": _lsh_topk_oracle(),
+        "q_e3_ivf_topk_oracle_twin": _ivf_topk_oracle(),
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,
