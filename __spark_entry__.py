@@ -1237,11 +1237,37 @@ WHERE {hamming} <= {max_hamming}
 
 
 def q_e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: word-3-gram Jaccard pairs inside same-language buckets."""
+    """Word-3-gram Jaccard pairs inside same-language buckets — ORACLED:
+    shingling, the language-bucket self-join, and the set-overlap math
+    are all plain expressions DuckDB replicates exactly."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
-    return dedup_ops.ngram_jaccard_pairs(
+    out = dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, bucket_col=F.col("lang")
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_E2_NGRAM_JACCARD_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+    regexp_split_to_array(
+      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents WHERE doc_id < 1000
+), g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(arr) - 2, 1)),
+      i -> array_to_string(arr[i:i+2], ' '))) AS g
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.g, b.g)) * 1.0
+      / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= 0.2
+"""
 
 
 def q_e3_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,25 +1330,15 @@ SELECT query_id, corpus_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 3
 
 
 def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed ANN (gaussian hyperplanes aren't SQL)."""
+    """LSH-bucketed ANN top-k — ORACLED via plan-literal hyperplanes:
+    bucket signatures, the bucket equi-join, exact cosine, and the
+    (cos desc, corpus_id) tie-broken rank cut are all replicated."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 20)
     return sim_ops.lsh_top_k(queries, emb, dim=64, n_planes=8, k=3).select(
         "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim")
     )
 
-
-
-def q_e3_lsh_topk_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k, ORACLED: plan-literal hyperplanes inlined
-    into the oracle; bucket signatures, the bucket equi-join, exact
-    cosine, and the (cos desc, corpus_id) tie-broken row_number cut are
-    all replicated. Same operator and plan as q_e3_lsh_topk."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.col("vec_id") < 20)
-    return sim_ops.lsh_top_k(queries, emb, dim=64, n_planes=8, k=3).select(
-        "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim")
-    )
 
 
 def _lsh_topk_oracle() -> str:
@@ -1371,20 +1387,10 @@ FROM ranked WHERE rn <= {k}
 
 
 def q_e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN (coarse-centroid cells, n_probe nearest probed)."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.col("vec_id") < 20)
-    return sim_ops.ivf_top_k(
-        queries, emb, dim=64, k=3, n_centroids=16, n_probe=4
-    ).select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-def q_e3_ivf_topk_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k, ORACLED: the seeded unit-norm codebook is inlined
-    into the oracle, which replicates cell assignment (lexicographic
-    struct max, ties to the higher cell), the query's n_probe cell list
-    (struct sort + reverse + slice), the cell equi-join, exact cosine,
-    and the tie-broken rank cut. Same operator and plan as q_e3_ivf_topk."""
+    """IVF ANN top-k — ORACLED via the plan-literal codebook: cell
+    assignment (lexicographic struct max, ties to the higher cell), the
+    n_probe cell list, the cell join, cosine, and the rank cut are all
+    replicated in SQL."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 20)
     return sim_ops.ivf_top_k(
@@ -2578,19 +2584,10 @@ WHERE list_sum(list_transform(range(1, 65),
 
 
 def q_e2_embed_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-bucketed embedding near-dup (buckets not SQL)."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return sim_ops.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).select(
-        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
-    )
-
-
-def q_e2_embed_lsh_oracle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-bucketed embedding near-dup, ORACLED: the seeded
+    """Hyperplane-bucketed embedding near-dup — ORACLED: the seeded
     hyperplanes are plan literals, so the oracle inlines the same floats
-    and replicates bucket signatures (sequential per-element folds give
-    bit-identical doubles in both engines), the bucket self-join, and
-    the cosine verify. Same operator and plan as q_e2_embed_lsh_neardup."""
+    and replicates buckets, the bucket self-join, and the cosine verify
+    (sequential folds give bit-identical doubles in both engines)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim_ops.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
@@ -3834,12 +3831,53 @@ FROM c GROUP BY doc_id
 
 
 def q_e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SemDeDup-style cell-bounded semantic dedup — the seeded
-
-    codebook assignment is not SQL-expressible; determinism pinned in
-    tests/test_scrubbing_ranking.py instead."""
+    """SemDeDup-style cell-bounded semantic dedup — ORACLED: the seeded
+    codebook is inlined into the oracle, which replicates cell
+    assignment, the in-cell pair compare, and the deterministic min-id
+    survivor rule."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return sim_ops.semantic_dedup(emb, dim=64, threshold=0.9, n_centroids=8)
+    out = sim_ops.semantic_dedup(emb, dim=64, threshold=0.9, n_centroids=8)
+    return out.select(
+        "id", F.col("cell").cast("bigint").alias("cell"), "dropped", "kept_by"
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, n_centroids, threshold = 64, 8, 0.9
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
+        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT id, v,
+    CAST((list_max({scores})).cell AS BIGINT) AS cell,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e
+), dup AS (
+  SELECT a.id, min(b.id) AS kept_by
+  FROM bk a JOIN bk b ON a.cell = b.cell AND a.id > b.id
+  WHERE a.nrm * b.nrm > 0
+    AND list_reduce(list_transform(generate_series(1, 64),
+          j -> a.v[j] * b.v[j]), (x, y) -> x + y) / (a.nrm * b.nrm)
+        >= {threshold}
+  GROUP BY a.id
+)
+SELECT bk.id, bk.cell, dup.kept_by IS NOT NULL AS dropped, dup.kept_by
+FROM bk LEFT JOIN dup USING (id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4217,13 +4255,12 @@ _ROUND3_FIRST = [
     "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
     "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
     "q_e12_apply_arrow", "q_e9_asof_tolerance",
-    "q_e2_minhash_portable", "q_e2_embed_lsh_oracle_twin",
-    "q_e3_ivf_topk_oracle_twin",
+    "q_e2_minhash_portable", "q_e2_embed_lsh_neardup",
+    "q_e3_ivf_topk",
     "q_e2_simhash_portable", "q_prep_decontaminate_portable",
-    "q_e3_lsh_topk_oracle_twin",
+    "q_e3_lsh_topk", "q_e2_semantic_dedup", "q_e2_ngram_jaccard",
     # never-checked, rows-only by design
-    "q_e2_neardup_dedup",
-    "q_e2_embed_lsh_neardup", "q_e2_semantic_dedup", "q_prep_decontaminate",
+    "q_e2_neardup_dedup", "q_prep_decontaminate",
     "q_e2_dup_spans_hashed", "q_prep_dsir_hashed", "q_e5_approx_percentile",
     "q_e5_approx_distinct", "q_e5_hll_rollup", "q_mm_features",
     "q_mm_frame_sample", "q_mm_resize",
@@ -4335,9 +4372,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_minhash_portable": q_e2_minhash_portable,
         "q_e2_simhash_portable": q_e2_simhash_portable,
         "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
-        "q_e2_embed_lsh_oracle_twin": q_e2_embed_lsh_oracle_twin,
-        "q_e3_lsh_topk_oracle_twin": q_e3_lsh_topk_oracle_twin,
-        "q_e3_ivf_topk_oracle_twin": q_e3_ivf_topk_oracle_twin,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
@@ -4462,9 +4496,11 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_minhash_portable": _minhash_portable_oracle(),
         "q_e2_simhash_portable": _simhash_portable_oracle(),
         "q_prep_decontaminate_portable": _decontaminate_portable_oracle(),
-        "q_e2_embed_lsh_oracle_twin": _embed_lsh_oracle(),
-        "q_e3_lsh_topk_oracle_twin": _lsh_topk_oracle(),
-        "q_e3_ivf_topk_oracle_twin": _ivf_topk_oracle(),
+        "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
+        "q_e3_lsh_topk": _lsh_topk_oracle(),
+        "q_e3_ivf_topk": _ivf_topk_oracle(),
+        "q_e2_semantic_dedup": _semantic_dedup_oracle(),
+        "q_e2_ngram_jaccard": _E2_NGRAM_JACCARD_ORACLE,
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,
         "q_json_variant": _JSON_VARIANT_ORACLE,
