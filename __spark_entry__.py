@@ -73,6 +73,7 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_session",
     "q_k5_merge_upsert",  # lake writes + read-back
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
+    "q_e2_neardup_dedup_portable",  # same CC loop on portable pairs
     "q_e2_neardup_dedup",
     "q_o6_batch_lifecycle",
     "q_k3_csv_roundtrip",
@@ -1525,6 +1526,143 @@ def q_e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", textops.winnowed_fingerprints(F.col("text")).cast("array<string>")
         ).alias("winnowed"),
     )
+
+
+def q_e4_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints with the portable polynomial hash — the
+    oracle recomputes the normalized whole-doc hash and the 4-smallest
+    char-8-gram hashes exactly (xxhash64 twin: q_e4_fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.doc_fingerprint(F.col("text"), portable=True).alias(
+            "fingerprint"
+        ),
+        F.concat_ws(
+            ",",
+            textops.winnowed_fingerprints(
+                F.col("text"), portable=True
+            ).cast("array<string>"),
+        ).alias("winnowed"),
+    )
+
+
+_E4_FP_PORTABLE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, text,
+    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+    list_distinct(list_transform(
+      generate_series(1, greatest(length(text) - 7, 1)),
+      i -> substr(text, CAST(i AS INT), 8))) AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_filter(string_split(norm, ''), x -> x <> ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000003
+    ) AS fingerprint,
+    list_sort(list_transform(sh, s ->
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(s, ''), x -> x <> ''),
+                         ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000003
+      ))) AS wh
+  FROM d
+)
+SELECT doc_id, fingerprint,
+       array_to_string(list_slice(wh, 1, 4), ',') AS winnowed
+FROM hashed
+"""
+
+
+def q_e2_neardup_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup chain, hash-verified: portable MinHash+LSH
+    pairs → connected components → min-id survivor per cluster. The
+    oracle replicates the pair generation AND the component collapse
+    (recursive min-label CTE). xxhash64 twin: q_e2_neardup_dedup."""
+    from dataengineer_spark.operators.dedup import cluster_dedup, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, portable=True
+    ).select("id_a", "id_b")
+    return cluster_dedup(docs, pairs, "doc_id").select("doc_id")
+
+
+def _neardup_dedup_portable_oracle() -> str:
+    from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
+
+    num_hashes, bands, threshold = 32, 8, 0.5
+    params = _affine_params(num_hashes, seed=42)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
+        for j, (a, b) in enumerate(params)
+    )
+    rows = num_hashes // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"CAST(s{b * rows + r + 1} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 4, 1)), "
+        "i -> substr(text, CAST(i AS INT), 5)))"
+    )
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(list_filter(string_split(s, ''), x -> x <> ''),"
+        " ch -> CAST(ascii(ch) AS BIGINT))),"
+        " (acc, x) -> (acc * 31 + x) % 1000003)"
+    )
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, text FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles}) AS s FROM d
+), hashed AS (
+  SELECT doc_id, {poly} AS h FROM sh
+), sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), shset AS (
+  SELECT doc_id, {shingles} AS ss FROM d
+), pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN shset sa ON sa.doc_id = cand.id_a
+  JOIN shset sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.ss, sb.ss)) * 1.0
+        / len(list_distinct(list_concat(sa.ss, sb.ss))) >= {threshold}
+), nodes AS (
+  SELECT DISTINCT id_a AS n FROM pairs UNION SELECT DISTINCT id_b FROM pairs
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+), losers AS (
+  SELECT node FROM cc WHERE node <> cluster_id
+)
+SELECT doc_id FROM d
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4259,6 +4397,7 @@ _ROUND3_FIRST = [
     "q_e3_ivf_topk",
     "q_e2_simhash_portable", "q_prep_decontaminate_portable",
     "q_e3_lsh_topk", "q_e2_semantic_dedup", "q_e2_ngram_jaccard",
+    "q_e4_fingerprint_portable", "q_e2_neardup_dedup_portable",
     # never-checked, rows-only by design
     "q_e2_neardup_dedup", "q_prep_decontaminate",
     "q_e2_dup_spans_hashed", "q_prep_dsir_hashed", "q_e5_approx_percentile",
@@ -4370,6 +4509,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e12_udtf": q_e12_udtf,
         "q_e12_apply_arrow": q_e12_apply_arrow,
         "q_e2_minhash_portable": q_e2_minhash_portable,
+        "q_e4_fingerprint_portable": q_e4_fingerprint_portable,
+        "q_e2_neardup_dedup_portable": q_e2_neardup_dedup_portable,
         "q_e2_simhash_portable": q_e2_simhash_portable,
         "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
         "q_json_variant": q_json_variant,
@@ -4494,6 +4635,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e12_udtf": _E12_UDTF_ORACLE,
         "q_e12_apply_arrow": _E12_APPLY_ARROW_ORACLE,
         "q_e2_minhash_portable": _minhash_portable_oracle(),
+        "q_e4_fingerprint_portable": _E4_FP_PORTABLE_ORACLE,
+        "q_e2_neardup_dedup_portable": _neardup_dedup_portable_oracle(),
         "q_e2_simhash_portable": _simhash_portable_oracle(),
         "q_prep_decontaminate_portable": _decontaminate_portable_oracle(),
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),

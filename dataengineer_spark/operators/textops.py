@@ -141,23 +141,35 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + punct_score + stop_score) / 3.0
 
 
-def doc_fingerprint(text: Column | str) -> Column:
-    """Whole-document stable fingerprint (normalized xxhash64)."""
+def doc_fingerprint(text: Column | str, portable: bool = False) -> Column:
+    """Whole-document stable fingerprint (normalized hash; xxhash64 by
+    default, the engine-portable polynomial hash with ``portable=True``
+    so a SQL oracle can reproduce it)."""
+    from dataengineer_spark.operators.preparation import portable_word_hash
+
     c = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(c, r"\s+", " "))
-    return F.xxhash64(F.trim(normalized))
+    normalized = F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
+    if portable:
+        return portable_word_hash(normalized)
+    return F.xxhash64(normalized)
 
 
-def winnowed_fingerprints(text: Column | str, n: int = 8, keep: int = 4) -> Column:
+def winnowed_fingerprints(
+    text: Column | str, n: int = 8, keep: int = 4, portable: bool = False
+) -> Column:
     """Rolling-hash document fingerprint set: hash every char n-gram, keep
 
     the ``keep`` smallest hashes (a winnowing sketch) — array<bigint>.
     Two documents sharing any fingerprint are copy-candidates.
+    ``portable=True`` swaps the polynomial char hash for SQL-oracle
+    reproducibility (xxhash64 stays the scale default).
     """
     from dataengineer_spark.operators.dedup import char_shingles
+    from dataengineer_spark.operators.preparation import portable_word_hash
 
     c = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(char_shingles(c, n), lambda s: F.xxhash64(s))
+    hash_fn = portable_word_hash if portable else F.xxhash64
+    hashes = F.transform(char_shingles(c, n), lambda s: hash_fn(s))
     return F.slice(F.array_sort(hashes), 1, keep)
 
 
