@@ -1166,6 +1166,23 @@ FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def q_prep_decontaminate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: fuzzy decontamination with the Arrow/numpy signature
+    path — vectorized rolling-hash windows + one broadcast affine min per
+    doc replace the interpreted 32-wide Catalyst fold (~100x per core on
+    signature-dominated corpora; see dedup.minhash_signatures_arrow).
+    Same banding/verify plan as q_prep_decontaminate."""
+    from dataengineer_spark.operators import dedup as dedup_ops3
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup_ops3.minhash_lsh_join(
+        docs, bench, threshold=0.5, engine="arrow"
+    )
+
+
 def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash fingerprint buckets + Hamming verify."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
@@ -4513,6 +4530,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_neardup_dedup_portable": q_e2_neardup_dedup_portable,
         "q_e2_simhash_portable": q_e2_simhash_portable,
         "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
+        "q_prep_decontaminate_arrow": q_prep_decontaminate_arrow,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
         "q_prep_dsir_hashed": q_prep_dsir_hashed,
