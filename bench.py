@@ -60,7 +60,6 @@ HEADLINE = [
     "q_prep_dsir_hashed",
     "q_dq_funnel",
     "q_prep_decontaminate",
-    "q_prep_decontaminate_arrow",
     "q_e5_distinct_agg",
     "q_e7_grouptopk_salted",
     "q_prep_wordcount",
