@@ -1983,20 +1983,65 @@ def q_e5_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e5_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: G-K sketch estimates don't match DuckDB's t-digest."""
+    """Bound-check oracle: G-K sketch estimates can't hash-match DuckDB's
+    t-digest, but the sketch's guarantee — rank error <= n/accuracy — IS a
+    deterministic claim.  Emit per-group row counts plus booleans that the
+    estimate lands between the exact percentiles at +-2% rank (G-K at
+    accuracy=10000 is bounded at +-0.01% rank); the oracle asserts TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = agg_ops.approx_percentiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9])
-    return out.select(
+    est = agg_ops.approx_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.percentile("l_extendedprice", F.lit(0.48)).alias("_lo50"),
+        F.percentile("l_extendedprice", F.lit(0.52)).alias("_hi50"),
+        F.percentile("l_extendedprice", F.lit(0.88)).alias("_lo90"),
+        F.percentile("l_extendedprice", F.lit(0.92)).alias("_hi90"),
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
-        F.round("p50", 4).alias("p50"),
-        F.round("p90", 4).alias("p90"),
+        "n_rows",
+        F.col("p50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_ok"),
+        F.col("p90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_ok"),
     )
 
 
+_E5_APPROX_PCT_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p90_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_e5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: HLL++ estimates don't match an exact-SQL oracle."""
+    """Bound-check oracle: HLL++ estimates can't hash-match an exact-SQL
+    oracle, but "estimate within 3*rsd of exact" is deterministic for a
+    given input and rsd.  Emit the exact distinct count plus an in-bounds
+    boolean (rsd=0.05 -> 15% bound); the oracle asserts TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return agg_ops.approx_distinct_agg(li, ["l_returnflag"], "l_partkey", "approx_parts")
+    est = agg_ops.approx_distinct_agg(
+        li, ["l_returnflag"], "l_partkey", "approx_parts"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts").cast("double")
+            <= F.lit(0.15)
+        ).alias("est_ok"),
+    )
+
+
+_E5_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS est_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_e7_grouptopk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2026,15 +2071,35 @@ FROM (
 
 
 def q_e5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: per-(flag,status) HLL sketches merged to per-flag distinct
-
-    estimates — the no-rescan incremental-distinct pattern (binary
-    mergeable sketches, estimates deterministic but not SQL-matchable)."""
+    """Bound-check oracle: per-(flag,status) DataSketches HLL sketches
+    merged to per-flag distinct estimates — the no-rescan incremental-
+    distinct pattern.  The merged estimate can't hash-match exact SQL, but
+    at lgK=12 (RSE ~1.6%) "within 10% of exact" is deterministic; emit the
+    exact distinct plus the in-bounds boolean, oracle asserts TRUE."""
     from dataengineer_spark.operators import sketches
 
     li = load_table(spark, sf_dir, "lineitem")
     per_part = sketches.hll_sketch(li, ["l_returnflag", "l_linestatus"], "l_partkey")
-    return sketches.hll_merge(per_part, ["l_returnflag"], out="approx_parts")
+    est = sketches.hll_merge(per_part, ["l_returnflag"], out="approx_parts")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts").cast("double")
+            <= F.lit(0.10)
+        ).alias("est_ok"),
+    )
+
+
+_E5_HLL_ROLLUP_ORACLE = """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS est_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 
@@ -4259,14 +4324,14 @@ def q_e5_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E5_CORR_ORACLE = """
 WITH m AS (
   SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))
-           * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
-    CAST(sum(CAST(l_quantity AS DECIMAL(20,4))
-           * CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-           * CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS syy
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+           * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -4292,8 +4357,10 @@ def q_e1_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E1_DUP_WEIGHTS_ORACLE = """
 SELECT doc_id, lang,
-       CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
-       round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text), 6)
+       CAST(count(*) OVER (PARTITION BY coalesce(text, '')) AS BIGINT)
+         AS n_copies,
+       round(CAST(1.0 AS DOUBLE)
+             / count(*) OVER (PARTITION BY coalesce(text, '')), 6)
          AS weight
 FROM documents
 """
@@ -4382,50 +4449,64 @@ GROUP BY o_orderpriority
 
 # Round-3 rotation for the driver's ~50-query correctness budget
 # (CORRECTNESS_r01/r02 together cover 94 of 141 queries; 47 have no row
-# yet).  Front of the dict = the 4 round-2 FAILs just fixed (events µs-ts
-# regression), then the 33 never-checked oracled queries, then the 14
-# never-checked rows-only queries (q_mm_resize last — same plumbing as
-# q_mm_features, first to cut at the budget line).  Everything already
-# green in r1/r2 keeps its old relative order at the tail.
-_ROUND3_FIRST = [
-    # round-2 FAILs, fixed this round
-    "q_e9_asof_join", "q_e10_tumbling", "q_e10_sliding", "q_e10_session",
-    # never-checked, oracled
-    "q_e4_c4_filter", "q_e4_gopher_filter", "q_rank_tfidf", "q_e2_dup_spans",
-    "q_prep_dsir", "q_dq_funnel", "q_k5_merge_upsert", "q_e3_topk_arrow",
-    "q_e11_stream_dedup", "q_e2_cluster_dedup", "q_e4_repetition",
-    "q_prep_pack", "q_prep_mixture", "q_prep_contamination",
-    "q_e2_embed_neardup", "q_e4_quality", "q_e4_tokens", "q_e5_groupingsets",
-    "q_e11_stream_lake", "q_e11_stream_join", "q_e11_stateful",
-    "q_e11_stream_session", "q_json_extract", "q_e5_pivot", "q_e5_unpivot",
-    "q_e5_distinct_agg", "q_e5_percentile", "q_e7_grouptopk_salted",
-    "q_prep_split", "q_prep_stratified", "q_sql_api", "q_prep_wordcount",
-    "q_mm_stats",
-    # newly oracled this round: the M-family flips (fake models SQL-
-    # expressed) and the new operators, then one oracle-verified twin per
-    # approximate family (shingle-LSH, vector-LSH, IVF); the remaining
-    # twins (simhash, decontaminate, lsh_topk) rotate into round 4's
-    # budget with the rows-only tail
-    "q_m1_classifier", "q_m2_qa_sectionize",
-    "q_e5_corr_stats", "q_e1_dup_weights", "q_e4_perplexity",
-    "q_e14_partitioned_scan", "q_e12_udtf", "q_json_variant",
-    "q_e12_apply_arrow", "q_e9_asof_tolerance",
-    "q_e2_minhash_portable", "q_e2_embed_lsh_neardup",
-    "q_e3_ivf_topk",
-    "q_e2_simhash_portable", "q_prep_decontaminate_portable",
-    "q_e3_lsh_topk", "q_e2_semantic_dedup", "q_e2_ngram_jaccard",
-    "q_e4_fingerprint_portable", "q_e2_neardup_dedup_portable",
-    # never-checked, rows-only by design
+# Round-4 rotation.  After r1-r3, 139/155 registered queries have a
+# CORRECTNESS row (134 oracle-green, 5 rows-only by design, 0 fails).
+# The driver checks 50/round; r3's 67-item front list stranded exactly 16
+# queries with no row ever.  Front of the dict = those 16 (closing the
+# registry to 155/155 checked), then the two r1 rows-only queries whose
+# oracles were attached in r3 but never executed (they upgrade to full
+# hash checks), then already-green queries stalest-first (r1-latest,
+# oracled before rows-only, then r2-latest) so the remaining ~32 slots
+# refresh the oldest evidence.
+_ROUND4_FIRST = [
+    # the 16 never-checked: oracled twins built in r2/r3 first
+    "q_e2_simhash_portable", "q_e2_neardup_dedup_portable",
+    "q_e2_semantic_dedup", "q_e4_fingerprint_portable",
+    "q_prep_decontaminate_portable",
+    # sketch family (bound-check oracles)
+    "q_e5_approx_distinct", "q_e5_approx_percentile", "q_e5_hll_rollup",
+    # multimodal (deterministic fakes, hash-safe outputs)
+    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
+    # rows-only scale twins of the oracled queries above
     "q_e2_neardup_dedup", "q_prep_decontaminate",
-    "q_e2_dup_spans_hashed", "q_prep_dsir_hashed", "q_e5_approx_percentile",
-    "q_e5_approx_distinct", "q_e5_hll_rollup", "q_mm_features",
-    "q_mm_frame_sample", "q_mm_resize",
+    "q_prep_decontaminate_arrow", "q_e2_dup_spans_hashed",
+    "q_prep_dsir_hashed",
+    # r1 rows-only whose oracles were attached in r3 but never run
+    "q_e3_lsh_topk", "q_e2_ngram_jaccard",
+    # stalest greens: r1-latest, oracled first
+    "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
+    "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
+    "q_e5_groupagg", "q_e5_rollup", "q_e6_frames", "q_e6_window",
+    "q_e7_topk", "q_e8_setops", "q_e9_range_join", "q_e9_semi_anti",
+    "q_f1_clean_msg", "q_f4_sectionize", "q_f5_truncate", "q_f6_format_date",
+    "q_f7_split_label", "q_j1_label_join", "q_j2_point_lookup",
+    "q_j4_fanin_merge", "q_k2_batch_audit", "q_p1_project",
+    "q_p2_select_where", "q_p3_conj_filter", "q_p5_lit_columns",
+    "q_p6_rename", "q_p7_cast", "q_p8_dropna", "q_p9_struct_expand",
+    "q_s1_csv_scan", "q_s2_table_scan", "q_s4_daterange_scan",
+    "q_s5_rest_source", "q_s6_inline_table",
+    # r1-latest rows-only / size-guarded baselines
+    "q_e2_minhash_neardup", "q_e2_simhash_neardup", "q_e3_pairwise_topk",
+    # r2-latest greens
+    "q_dq_constraints", "q_dq_null_rates", "q_dq_orphans", "q_e10_funnel",
+    "q_e12_grouped_agg", "q_e12_grouped_map", "q_e12_hof", "q_e12_iter_udf",
+    "q_e12_udf", "q_e1_incremental_dedup", "q_e4_edit_distance",
+    "q_e4_fingerprint", "q_e4_pii_redact", "q_e5_percentile_dist",
+    "q_k3_csv_roundtrip", "q_k3_json_roundtrip", "q_k3_orc_roundtrip",
+    "q_o6_batch_lifecycle", "q_pipeline_curation", "q_pipeline_dx_group",
+    "q_pipeline_prostate", "q_prep_sample_n", "q_rank_bm25",
+    "q_s7_bucketed_join",
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    front = {k: q[k] for k in _ROUND3_FIRST}
+    front = {k: q[k] for k in _ROUND4_FIRST}
     return front | {k: v for k, v in q.items() if k not in front}
 
 
@@ -4647,6 +4728,9 @@ def oracle_sql() -> dict[str, str]:
         "q_a1_accuracy": _A1_ORACLE,
         "q_e1_dedup": _E1_ORACLE,
         "q_e5_corr_stats": _E5_CORR_ORACLE,
+        "q_e5_approx_distinct": _E5_APPROX_DISTINCT_ORACLE,
+        "q_e5_approx_percentile": _E5_APPROX_PCT_ORACLE,
+        "q_e5_hll_rollup": _E5_HLL_ROLLUP_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,

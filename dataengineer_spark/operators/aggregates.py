@@ -270,9 +270,16 @@ def corr_stats(
     run once per GROUP on scalars, so every float here is a deterministic
     function of exact integers.  Same plan shape as a plain group-agg:
     one partial agg, one exchange on the keys.
+
+    Supported domain: |x|, |y| < 1e12, resolved at 1e-6 granularity.
+    decimal(18,6) is the widest input whose square (decimal(37,12)) still
+    fits Spark's 38-digit cap exactly — wider inputs would silently lose
+    scale in the product and void the exactness claim.  Values outside
+    the domain overflow the cast (NULL under non-ANSI, error under ANSI);
+    values smaller than 1e-6 in magnitude round to zero.
     """
-    xd = F.col(x).cast("decimal(15,4)")
-    yd = F.col(y).cast("decimal(15,4)")
+    xd = F.col(x).cast("decimal(18,6)")
+    yd = F.col(y).cast("decimal(18,6)")
     m = df.groupBy(*keys).agg(
         F.count("*").alias("n"),
         F.sum(xd).cast("double").alias("_sx"),

@@ -738,6 +738,14 @@ def minhash_signatures_arrow(
                 }
             )
 
-    return df.mapInPandas(
-        run, schema=f"{id_col} long, _sig array<bigint>"
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            # preserve the caller's id type (string doc ids, int32, ...)
+            # instead of hardcoding bigint — mirrors the expression path
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("_sig", ArrayType(LongType())),
+        ]
     )
+    return df.mapInPandas(run, schema=out_schema)

@@ -117,10 +117,15 @@ def asof_join(
 
     Implemented as union + window (single shuffle on ``on``), not a
     per-key ``merge_asof`` in Python: scales with the shuffle, stays
-    JVM-side. Right columns (except key/ts) are carried via last(ignorenulls)
-    over the interleaved, time-ordered union.
+    JVM-side.  The matched right row is carried ATOMICALLY as one struct
+    (ts + payload) filled with last/first(ignorenulls) over the
+    interleaved, time-ordered union — so a NULL in one payload column of
+    the nearest right row stays NULL rather than leaking an older row's
+    value, and the tolerance mask and the payload values always come
+    from the same row (pandas ``merge_asof`` row-level semantics).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql.types import StructField, StructType
 
     r_payload = [c for c in right.columns if c not in (on, right_ts)]
     l_payload = [c for c in left.columns if c not in (on, left_ts)]
@@ -128,21 +133,25 @@ def asof_join(
     if clash:
         raise ValueError(f"asof_join: rename clashing payload columns {sorted(clash)}")
 
+    rrow_type = StructType(
+        [StructField("_rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in r_payload]
+    )
     tagged_l = left.select(
         F.col(on),
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     tagged_r = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c) for c in r_payload],
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in r_payload]
+        ).alias("_rrow"),
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -154,16 +163,14 @@ def asof_join(
             .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        filled = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
-        filled_rts = F.last(F.col("_rts"), ignorenulls=True).over(w)
+        filled_row = F.last(F.col("_rrow"), ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             W.partitionBy(on)
             .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").desc())
             .rowsBetween(0, W.unboundedFollowing)
         )
-        filled = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload]
-        filled_rts = F.first(F.col("_rts"), ignorenulls=True).over(w)
+        filled_row = F.first(F.col("_rrow"), ignorenulls=True).over(w)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
@@ -173,28 +180,26 @@ def asof_join(
             F.col("_asof_ts"),
             F.col("_is_left"),
             *[F.col(c) for c in l_payload],
-            *filled,
-            filled_rts.alias("_rts_m"),
+            filled_row.alias("_rrow_m"),
         )
         .where(F.col("_is_left") == 1)
         .drop("_is_left")
     )
+    rts_m = F.col("_rrow_m").getField("_rts")
+    keep = rts_m.isNotNull()
     if tolerance is not None:
         try:  # numeric ts columns take a plain numeric gap
             iv = F.lit(float(tolerance))
         except (TypeError, ValueError):
             iv = F.expr(f"INTERVAL {tolerance}")
         if direction == "backward":
-            in_tol = F.col("_rts_m") >= F.col("_asof_ts") - iv
+            keep = keep & (rts_m >= F.col("_asof_ts") - iv)
         else:
-            in_tol = F.col("_rts_m") <= F.col("_asof_ts") + iv
-        keep = F.col("_rts_m").isNotNull() & in_tol
-        out = out.select(
-            F.col(on),
-            F.col("_asof_ts"),
-            *[F.col(c) for c in l_payload],
-            *[F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
-              for c in r_payload],
-            F.col("_rts_m"),
-        )
-    return out.drop("_rts_m").withColumnRenamed("_asof_ts", left_ts)
+            keep = keep & (rts_m <= F.col("_asof_ts") + iv)
+    return out.select(
+        F.col(on),
+        F.col("_asof_ts").alias(left_ts),
+        *[F.col(c) for c in l_payload],
+        *[F.when(keep, F.col("_rrow_m").getField(c)).otherwise(F.lit(None)).alias(c)
+          for c in r_payload],
+    )
