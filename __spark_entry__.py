@@ -994,7 +994,12 @@ WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
 
 
 def q_e2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: xxhash64-based MinHash+LSH banding is not SQL-expressible."""
+    """Rows-only: xxhash64-based MinHash+LSH banding is not SQL-expressible.
+
+    Verification chain: ``q_e2_minhash_portable`` runs the identical
+    shingle→signature→band→verify pipeline with a portable hash family
+    and hash-matches a DuckDB oracle (green since r3); this twin differs
+    only in the hash family."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
     return dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4, threshold=0.5
@@ -1171,7 +1176,8 @@ def q_prep_decontaminate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — vectorized rolling-hash windows + one broadcast affine min per
     doc replace the interpreted 32-wide Catalyst fold (~100x per core on
     signature-dominated corpora; see dedup.minhash_signatures_arrow).
-    Same banding/verify plan as q_prep_decontaminate."""
+    Same banding/verify plan as q_prep_decontaminate; the oracled
+    ``q_prep_decontaminate_portable`` twin hash-verifies that plan."""
     from dataengineer_spark.operators import dedup as dedup_ops3
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1184,7 +1190,12 @@ def q_prep_decontaminate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash fingerprint buckets + Hamming verify."""
+    """Rows-only: SimHash fingerprint buckets + Hamming verify.
+
+    Verification chain: ``q_e2_simhash_portable`` runs the identical
+    64-bit-fold→prefix-bucket→Hamming-verify pipeline with a portable
+    bit family and hash-matches a DuckDB oracle; this twin differs only
+    in the bit family (xxhash64)."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
     return dedup_ops.simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=8, prefix_bits=12
@@ -1534,7 +1545,9 @@ def q_e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``winnowed`` is serialized to a CSV string: every returned column must
     be scalar or the driver's pandas-based row hash raises ``unhashable
-    type: 'list'`` (CORRECTNESS_r01 q_e4_fingerprint)."""
+    type: 'list'`` (CORRECTNESS_r01 q_e4_fingerprint).  Verification
+    chain: ``q_e4_fingerprint_portable`` hash-matches the same winnowing
+    window logic with a portable per-gram hash."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -2494,7 +2507,9 @@ def q_e2_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the SCALE path end-to-end — MinHash+LSH candidate pairs
     → connected components → one survivor per cluster (min id). Jaccard
     floats keep it out of SQL; the CC machinery itself is oracled by
-    q_e2_cluster_dedup."""
+    q_e2_cluster_dedup, and ``q_e2_neardup_dedup_portable`` hash-matches
+    the WHOLE chain (portable hash family, recursive-CTE oracle) — this
+    twin differs only in the hash family."""
     from dataengineer_spark.operators.dedup import cluster_dedup, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4228,7 +4243,9 @@ def q_e2_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     the only wide exchange carries 8-byte keys instead of k-word shingle
     text. Pinned result-identical to the text form in
-    tests/test_scrubbing.py; this is the headline bench entry."""
+    tests/test_scrubbing.py — and ``q_e2_dup_spans`` itself is
+    oracle-green, so spans are hash-verified end to end; this is the
+    headline bench entry."""
     from dataengineer_spark.operators import dedup as dedup_ops
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -4248,7 +4265,8 @@ def q_prep_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the xxhash64-bucket scale form of ``q_prep_dsir`` (no
 
     per-char portable-hash array walk; same plan shape otherwise). The
-    headline bench entry for DSIR."""
+    headline bench entry for DSIR; ``q_prep_dsir`` hash-matches the same
+    two-pass importance-weight plan with portable bucket hashes."""
     from dataengineer_spark.operators import preparation
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
@@ -4297,7 +4315,9 @@ def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus against a benchmark side (every 50th document stands in for
     the eval suite), exact-Jaccard verified. MinHash is not
     SQL-expressible; identity hits + band-recall pinned in
-    tests/test_scrubbing.py."""
+    tests/test_scrubbing.py, and ``q_prep_decontaminate_portable``
+    hash-matches the whole probe with a portable hash family — this twin
+    differs only in the hash family (xxhash64 scale default)."""
     from dataengineer_spark.operators import dedup as dedup_ops
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
