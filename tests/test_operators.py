@@ -75,6 +75,29 @@ class TestJoins:
         ).first()
         assert out["rv"] == 2.0
 
+    def test_asof_null_payload_is_row_atomic(self, spark):
+        # pandas merge_asof semantics: the match IS the nearest right row;
+        # its NULL payload stays NULL instead of leaking an older row's
+        # value, and the tolerance verdict uses that same row (ADVICE r3).
+        left = spark.createDataFrame([(1, 100, "p")], "k long, ts long, pl string")
+        right = spark.createDataFrame(
+            [(1, 10, 7.0, "old"), (1, 95, None, "new")],
+            "k long, ts long, rv double, tag string",
+        )
+        out = join_ops.asof_join(left, right, on="k", left_ts="ts").first()
+        assert out["tag"] == "new" and out["rv"] is None
+        # nearest row (ts=95) is within tolerance even though the older
+        # non-null rv row (ts=10) is not: payload must be kept, rv NULL
+        tol = join_ops.asof_join(
+            left, right, on="k", left_ts="ts", tolerance=20
+        ).first()
+        assert tol["tag"] == "new" and tol["rv"] is None
+        # tolerance excluding the nearest row nulls the WHOLE payload
+        none = join_ops.asof_join(
+            left, right, on="k", left_ts="ts", tolerance=2
+        ).first()
+        assert none["tag"] is None and none["rv"] is None
+
     def test_asof_clash_raises(self, spark):
         left = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
         right = spark.createDataFrame([(1, 1, 3.0)], "k long, ts long, v double")
