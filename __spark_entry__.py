@@ -2646,6 +2646,49 @@ def q_prep_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_counts(docs, "text", top_n=30)
 
 
+def q_prep_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 chunking: 32-token sliding windows with 8-token overlap over
+    every document — the sequence-prep / retrieval-indexing step between
+    cleaning and tokenization. Map-only (no shuffle at any size)."""
+    from dataengineer_spark.operators.preparation import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "start_token",
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+_PREP_CHUNK_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) > 0
+), s AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_filter(generate_series(1, greatest(len(w), 1), 24),
+                     s -> s = 1 OR s - 24 + 31 < len(w)) AS starts
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(starts[i] AS BIGINT) AS start_token,
+       CAST(least(n - starts[i] + 1, 32) AS BIGINT) AS n_tokens,
+       array_to_string(w[starts[i]:least(starts[i] + 31, n)], ' ')
+         AS chunk_text
+FROM (
+  SELECT doc_id, w, n, starts,
+         unnest(generate_series(1, len(starts))) AS i
+  FROM s
+)
+"""
+
+
 _PREP_WORDCOUNT_ORACLE = """
 SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
@@ -4493,6 +4536,8 @@ _ROUND4_FIRST = [
     "q_prep_dsir_hashed",
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
+    # new this round (oracled on arrival)
+    "q_prep_chunk",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4615,6 +4660,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_stratified": q_prep_stratified,
         "q_sql_api": q_sql_api,
         "q_prep_wordcount": q_prep_wordcount,
+        "q_prep_chunk": q_prep_chunk,
         "q_mm_stats": q_mm_stats,
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
@@ -4830,6 +4876,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_null_rates": _DQ_NULLS_ORACLE,
         "q_dq_orphans": _DQ_ORPHANS_ORACLE,
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
+        "q_prep_chunk": _PREP_CHUNK_ORACLE,
         "q_k5_merge_upsert": _K5_MERGE_ORACLE,
         "q_e11_stream_dedup": _E11_STREAM_DEDUP_ORACLE,
         "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,

@@ -314,3 +314,79 @@ def dsir_importance(
             ).alias("dsir_logratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the sequence-preparation /
+    retrieval-indexing staple: split each document into ``chunk_tokens``-
+    token windows advancing by ``chunk_tokens - overlap``, so adjacent
+    chunks share ``overlap`` tokens of context.
+
+    A window starts at token ``s ∈ {1, 1+stride, 1+2·stride, …}`` and is
+    emitted iff it is the first window or the previous window did not
+    already reach the document's end — so every token is covered, the
+    tail chunk may be short, and no chunk is fully contained in its
+    predecessor. Returns ``(id, chunk_id, start_token, n_tokens,
+    chunk_text)``, 1-based, one row per chunk; documents with no tokens
+    emit nothing.
+
+    Scale shape: map-only — tokenization, window arithmetic, and slicing
+    all happen inside the row (``sequence``/``filter``/``transform``
+    HOFs + one explode). No shuffle at any size; downstream writers
+    partition however they like. Extends the reference's preparation
+    family (SURVEY.md §2.9 E16) with the chunking step a training/RAG
+    pipeline needs between cleaning and tokenization.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from dataengineer_spark.operators.textops import trim_ws
+
+    t = trim_ws(F.lower(F.col(text_col)))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    n = F.size(words)
+    # starts: 1, 1+stride, ... ; keep s if it's the first window or the
+    # previous window (ending at s - stride + chunk_tokens - 1) fell short
+    # of the document end
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | (s - stride + (chunk_tokens - 1) < n),
+    )
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                (i + 1).cast("bigint").alias("chunk_id"),
+                s.cast("bigint").alias("start_token"),
+                F.least(n - s + 1, F.lit(chunk_tokens))
+                .cast("bigint")
+                .alias("n_tokens"),
+                F.concat_ws(" ", F.slice(words, s, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.lit(None).cast(
+            "array<struct<chunk_id:bigint,start_token:bigint,"
+            "n_tokens:bigint,chunk_text:string>>"
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+    ).select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -191,3 +191,42 @@ class TestNgramOverlap:
         r = ngram_overlap(docs, bench, "text", "doc_id", n=3).first()
         # doc grams: 'a b a' x2, 'b a b' x2 → distinct hits = 1 ('a b a')
         assert r["n_grams"] == 4 and r["n_hits"] == 1
+
+
+class TestChunking:
+    def test_chunk_windows_cover_and_overlap(self, spark):
+        from dataengineer_spark.operators.preparation import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=8, overlap=4).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 4: starts 1, 5; start 9's predecessor already reached 10
+        assert [(r["start_token"], r["n_tokens"]) for r in rows] == [(1, 8), (5, 6)]
+        assert rows[0]["chunk_text"].split()[:4] == ["w1", "w2", "w3", "w4"]
+        assert rows[1]["chunk_text"].split() == [f"w{i}" for i in range(5, 11)]
+
+    def test_chunk_short_and_empty_docs(self, spark):
+        from dataengineer_spark.operators.preparation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "only three words"), (2, ""), (3, "   "), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, chunk_tokens=8, overlap=4).collect()
+        # short doc -> one short chunk; empty/whitespace/null -> nothing
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id"], r["chunk_id"], r["n_tokens"]) == (1, 1, 3)
+        assert r["chunk_text"] == "only three words"
+
+    def test_chunk_overlap_validation(self, spark):
+        import pytest
+
+        from dataengineer_spark.operators.preparation import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
