@@ -1415,6 +1415,66 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def q_e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: distributed Lloyd's k-means codebook training (2 iterations,
+    8 cells, dim 64) — the trainer for the IVF / SemDeDup coarse
+    codebooks. ORACLED end to end: assignment is the same lexicographic
+    struct-max the IVF oracle replicates, and the exact-decimal rounded
+    means make every iteration reproducible in SQL (unrolled CTEs)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.kmeans_fit(emb, dim=64, n_centroids=8, iters=2, seed=7)
+
+
+def _kmeans_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, n_centroids = 64, 8
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores1 = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform(generate_series(1, "
+        f"{dim}), j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), "
+        "'cell': i})"
+    )
+    scores2 = (
+        "list_transform(cb, s -> {'score': "
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "j -> v[j] * (s.cv)[j]), (a, b) -> a + b), 'cell': s.cell})"
+    )
+    mean = (
+        "round(CAST(sum(CAST(round(x, 6) AS DECIMAL(19,6))) AS DOUBLE)"
+        " / count(*), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a1 AS (
+  SELECT vec_id, v, (list_max({scores1})).cell AS cell FROM e
+), x1 AS (
+  SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
+  FROM a1
+), m1 AS (
+  SELECT cell, pos, {mean} AS c FROM x1 GROUP BY cell, pos
+), cb1 AS (
+  SELECT list({{'cell': cell, 'cv': cv}} ORDER BY cell) AS cb FROM (
+    SELECT cell, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cell
+  )
+), a2 AS (
+  SELECT vec_id, v, (list_max({scores2})).cell AS cell FROM e CROSS JOIN cb1
+), x2 AS (
+  SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
+  FROM a2
+)
+SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, {mean} AS c
+FROM x2 GROUP BY cell, pos
+"""
+
+
 def q_e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k — ORACLED via the plan-literal codebook: cell
     assignment (lexicographic struct max, ties to the higher cell), the
@@ -4537,7 +4597,7 @@ _ROUND4_FIRST = [
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
     # new this round (oracled on arrival)
-    "q_prep_chunk",
+    "q_prep_chunk", "q_e3_kmeans",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4721,6 +4781,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_pairwise_topk": q_e3_pairwise_topk,
         "q_e3_lsh_topk": q_e3_lsh_topk,
         "q_e3_ivf_topk": q_e3_ivf_topk,
+        "q_e3_kmeans": q_e3_kmeans,
         "q_e4_text_stats": q_e4_text_stats,
         "q_e4_langid": q_e4_langid,
         "q_e5_groupagg": q_e5_groupagg,
@@ -4810,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
         "q_e3_lsh_topk": _lsh_topk_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
+        "q_e3_kmeans": _kmeans_oracle(),
         "q_e2_semantic_dedup": _semantic_dedup_oracle(),
         "q_e2_ngram_jaccard": _E2_NGRAM_JACCARD_ORACLE,
         "q_m1_classifier": _M1_ORACLE,

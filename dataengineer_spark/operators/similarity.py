@@ -323,6 +323,7 @@ def ivf_top_k(
     c_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """E3 ANN, IVF variant: corpus vectors are assigned to their nearest
 
@@ -335,7 +336,8 @@ def ivf_top_k(
     """
     from dataengineer_spark.operators.windows import top_k_per_group
 
-    cents = _centroids(dim, n_centroids, seed)
+    # a trained codebook (kmeans_codebook) replaces the seeded default
+    cents = codebook if codebook is not None else _centroids(dim, n_centroids, seed)
     c = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -408,6 +410,110 @@ def brute_force_top_k_arrow(
     return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)
 
 
+# -- k-means codebook training (Lloyd's) ------------------------------------
+
+
+def nearest_cell_of(vec: Column, pairs: list[tuple[int, list[float]]]) -> Column:
+    """IVF assignment against an EXPLICIT (cell_id, centroid) codebook —
+    like ``nearest_cell`` but ids survive empty-cell drops during k-means
+    training. Max dot product; ties go to the larger cell id (struct
+    max), mirrored in the SQL oracles as ORDER BY score DESC, cell DESC."""
+    from dataengineer_spark.tuning import array_lit
+
+    cmat = array_lit([c for _, c in pairs])
+    ids = array_lit([cid for cid, _ in pairs])
+    scores = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            dot(vec, c).alias("score"),
+            F.element_at(ids, i + F.lit(1)).alias("cell"),
+        ),
+    )
+    return F.array_max(scores).getField("cell")
+
+
+def kmeans_codebook(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means — trains the coarse codebook that
+    ``ivf_top_k`` / ``semantic_dedup`` consume (their docstrings promise
+    "a trained codebook slots in unchanged"; this is the trainer).
+
+    Per iteration: assignment is MAP-ONLY (current centroids ride as one
+    parsed plan literal, the same broadcast-by-value pattern as IVF); the
+    only shuffle is the (cell, pos) partial-agg of component sums, whose
+    result is ``n_centroids × dim`` rows — control-plane-sized at ANY
+    corpus size, the same driver-collect contract as the per-group count
+    tables in aggregates.py. That is the MLlib iteration shape, minus a
+    dependency.
+
+    Determinism: component values are rounded to 6 decimals and summed in
+    exact decimal, and each new centroid component is rounded to 6 — so
+    every iteration's centroids (and therefore the whole fit) are
+    bit-reproducible on any partitioning AND replicable in ANSI SQL (the
+    oracle unrolls the iterations as CTEs). Cells that lose all members
+    are dropped from the codebook (documented; the published recipe
+    re-seeds, which would break engine parity).
+
+    Returns ``[(cell_id, centroid)]`` sorted by cell id.
+    """
+    pairs = list(enumerate(_centroids(dim, n_centroids, seed)))
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        cell = nearest_cell_of(v, pairs)
+        means = (
+            # two-step select: a generator (posexplode) in the same select
+            # as a HOF whose lambda aliases struct fields makes Spark's
+            # ExtractGenerator drop the field names (col1/col2) — assign
+            # first, explode second (same single-stage plan after collapse)
+            df.select(cell.alias("cell"), v.alias("_v"))
+            .select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("c")
+            )
+            .collect()  # n_centroids × dim rows — control-plane-sized
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        pairs = [
+            (cid, [comp[p] for p in range(dim)])
+            for cid, comp in sorted(acc.items())
+        ]
+    return pairs
+
+
+def kmeans_fit(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """``kmeans_codebook`` as a DataFrame: one (cell, pos, c) row per
+    trained centroid component — the storable/joinable codebook form."""
+    spark = df.sparkSession
+    pairs = kmeans_codebook(df, dim, n_centroids, iters, vec_col, seed)
+    rows = [
+        (cid, pos, comp)
+        for cid, cent in pairs
+        for pos, comp in enumerate(cent)
+    ]
+    return spark.createDataFrame(rows, "cell int, pos int, c double")
+
+
 # -- semantic dedup (SemDeDup-style) ----------------------------------------
 
 
@@ -419,6 +525,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
 
@@ -440,7 +547,8 @@ def semantic_dedup(
     codebook here slots a trained one in unchanged). Cross-cell near-dups
     are missed by design — that is SemDeDup's stated recall trade.
     """
-    cents = _centroids(dim, n_centroids, seed)
+    # a trained codebook (kmeans_codebook) replaces the seeded default
+    cents = codebook if codebook is not None else _centroids(dim, n_centroids, seed)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

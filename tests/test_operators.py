@@ -298,6 +298,36 @@ class TestSimilarity:
         got = {r["query_id"]: r["corpus_id"] for r in out.collect()}
         assert got == {i: i for i in range(8)}
 
+    def test_kmeans_finds_blob_means(self, spark):
+        # assignment is max DOT product (spherical k-means — the cosine
+        # geometry IVF/SemDeDup cells live in), so blobs must differ in
+        # DIRECTION: ±e1 blobs split on the sign of the centroids' dim-1
+        # difference, which holds for any distinct seeded pair
+        blob_a = [[10.0 + d, 0.0, 0.0, 0.0] for d in (-0.5, 0.0, 0.5)]
+        blob_b = [[-10.0 + d, 0.0, 0.0, 0.0] for d in (-0.5, 0.0, 0.5)]
+        rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = sim_ops.kmeans_codebook(df, dim=4, n_centroids=2, iters=3)
+        got = sorted(tuple(c) for _, c in pairs)
+        assert got == [(-10.0, 0.0, 0.0, 0.0), (10.0, 0.0, 0.0, 0.0)]
+
+    def test_kmeans_codebook_slots_into_semantic_dedup(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1
+            (3, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = sim_ops.kmeans_codebook(df, dim=4, n_centroids=2, iters=2)
+        out = {
+            r["id"]: r
+            for r in sim_ops.semantic_dedup(
+                df, dim=4, threshold=0.999, codebook=[c for _, c in pairs]
+            ).collect()
+        }
+        assert not out[1]["dropped"] and out[2]["dropped"] and out[2]["kept_by"] == 1
+        assert not out[3]["dropped"]
+
     def test_embedding_neardup(self, spark):
         df = spark.createDataFrame(
             [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 5.0, 0.1])],
