@@ -79,6 +79,8 @@ HEADLINE = [
     "q_e4_perplexity",
     "q_e1_dup_weights",
     "q_e5_corr_stats",
+    "q_prep_chunk",
+    "q_e3_kmeans",
 ]
 
 
