@@ -4218,6 +4218,99 @@ FROM bk LEFT JOIN dup USING (id)
 """
 
 
+def q_e2_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED codebook — the end-to-end composition:
+    2-iteration Lloyd's k-means fits the 8-cell codebook (q_e3_kmeans),
+    then cell-bounded pair compare + min-id survivor runs against those
+    cells. ORACLED end to end: the DuckDB oracle unrolls the training
+    CTEs and re-derives the same dense cell ids before replicating the
+    dedup. Training collects 2 control-plane moment tables (8×64 rows)
+    while BUILDING the plan; the dedup plan itself is the one-shuffle
+    cell equi-join of q_e2_semantic_dedup."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    pairs = sim_ops.kmeans_codebook(emb, dim=64, n_centroids=8, iters=2, seed=7)
+    out = sim_ops.semantic_dedup(
+        emb, dim=64, threshold=0.9, codebook=[c for _, c in pairs]
+    )
+    return out.select(
+        "id", F.col("cell").cast("bigint").alias("cell"), "dropped", "kept_by"
+    )
+
+
+def _semantic_dedup_trained_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, n_centroids, threshold = 64, 8, 0.9
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores1 = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        f"i -> {{'score': list_reduce(list_transform(generate_series(1, "
+        f"{dim}), j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), "
+        "'cell': i})"
+    )
+    scores_cb = (
+        "list_transform(cb, s -> {'score': "
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "j -> v[j] * (s.cv)[j]), (a, b) -> a + b), 'cell': s.cell})"
+    )
+    mean = (
+        "round(CAST(sum(CAST(round(x, 6) AS DECIMAL(19,6))) AS DOUBLE)"
+        " / count(*), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a1 AS (
+  SELECT id, v, (list_max({scores1})).cell AS cell FROM e
+), x1 AS (
+  SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
+  FROM a1
+), m1 AS (
+  SELECT cell, pos, {mean} AS c FROM x1 GROUP BY cell, pos
+), cb1 AS (
+  SELECT list({{'cell': cell, 'cv': cv}} ORDER BY cell) AS cb FROM (
+    SELECT cell, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cell
+  )
+), a2 AS (
+  SELECT id, v, (list_max({scores_cb})).cell AS cell FROM e CROSS JOIN cb1
+), x2 AS (
+  SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
+  FROM a2
+), m2 AS (
+  SELECT cell, pos, {mean} AS c FROM x2 GROUP BY cell, pos
+), cb2 AS (
+  -- dense re-index (sorted original cell id -> 0..k-1) mirrors the
+  -- engine passing the trained codebook as a plain ordered list
+  SELECT list({{'cell': rn, 'cv': cv}} ORDER BY rn) AS cb FROM (
+    SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cv FROM (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM m2 GROUP BY cell
+    )
+  )
+), bk AS (
+  SELECT id, v,
+    CAST((list_max({scores_cb})).cell AS BIGINT) AS cell,
+    sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e CROSS JOIN cb2
+), dup AS (
+  SELECT a.id, min(b.id) AS kept_by
+  FROM bk a JOIN bk b ON a.cell = b.cell AND a.id > b.id
+  WHERE a.nrm * b.nrm > 0
+    AND list_reduce(list_transform(generate_series(1, {dim}),
+          j -> a.v[j] * b.v[j]), (x, y) -> x + y) / (a.nrm * b.nrm)
+        >= {threshold}
+  GROUP BY a.id
+)
+SELECT bk.id, bk.cell, dup.kept_by IS NOT NULL AS dropped, dup.kept_by
+FROM bk LEFT JOIN dup USING (id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # E2c — substring-level duplicate spans; E18 — DSIR importance weighting.
 # The synthetic documents are random-vocabulary text with no boilerplate,
@@ -4597,7 +4690,7 @@ _ROUND4_FIRST = [
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
     # new this round (oracled on arrival)
-    "q_prep_chunk", "q_e3_kmeans",
+    "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4725,6 +4818,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_neardup_dedup": q_e2_neardup_dedup,
         "q_e2_embed_lsh_neardup": q_e2_embed_lsh_neardup,
         "q_e2_semantic_dedup": q_e2_semantic_dedup,
+        "q_e2_semantic_dedup_trained": q_e2_semantic_dedup_trained,
         "q_prep_decontaminate": q_prep_decontaminate,
         "q_e5_corr_stats": q_e5_corr_stats,
         "q_e1_dup_weights": q_e1_dup_weights,
@@ -4873,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e3_ivf_topk": _ivf_topk_oracle(),
         "q_e3_kmeans": _kmeans_oracle(),
         "q_e2_semantic_dedup": _semantic_dedup_oracle(),
+        "q_e2_semantic_dedup_trained": _semantic_dedup_trained_oracle(),
         "q_e2_ngram_jaccard": _E2_NGRAM_JACCARD_ORACLE,
         "q_m1_classifier": _M1_ORACLE,
         "q_m2_qa_sectionize": _M2_ORACLE,

@@ -225,3 +225,53 @@ class TestPackingProperties:
         # packs are monotone in id order and every pack id is reachable
         packs = [p for _, p in out]
         assert packs == sorted(packs)
+
+
+class TestChunkingProperties:
+    @prop
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=60), min_size=1, max_size=8
+        ),
+        st.integers(min_value=2, max_value=16),
+        st.integers(min_value=0, max_value=8),
+    )
+    def test_chunk_invariants(self, spark, doc_lens, chunk, overlap):
+        from dataengineer_spark.operators.preparation import chunk_documents
+
+        if overlap >= chunk:
+            overlap = chunk - 1
+        stride = chunk - overlap
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(doc_lens)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+            out.setdefault(r["id"], []).append(r)
+        for i, n in enumerate(doc_lens):
+            chunks = sorted(out.get(i, []), key=lambda r: r["chunk_id"])
+            if n == 0:
+                assert chunks == []
+                continue
+            # reference: starts at 1, 1+stride, ...; emit while the previous
+            # window fell short of the end
+            exp_starts, s = [], 1
+            while s == 1 or (s - stride + chunk - 1) < n:
+                if s > n:
+                    break
+                exp_starts.append(s)
+                s += stride
+            assert [r["start_token"] for r in chunks] == exp_starts
+            # every token covered; adjacent chunks overlap by exactly
+            # `overlap` tokens (except a short tail); text round-trips
+            covered = set()
+            for r in chunks:
+                toks = r["chunk_text"].split(" ")
+                assert len(toks) == r["n_tokens"]
+                assert toks == [
+                    f"t{i}_{j - 1}"
+                    for j in range(r["start_token"], r["start_token"] + r["n_tokens"])
+                ]
+                covered |= set(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+            assert covered == set(range(1, n + 1))
