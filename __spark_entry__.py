@@ -2699,6 +2699,43 @@ FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
+def q_e11_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 × E16: decontamination AS DATA LANDS — the documents stream is
+    audited against the broadcast benchmark gram set (one-row static
+    side, stream-static equi-join on a constant key). MAP-ONLY streaming:
+    no state store, no watermark, append mode; per-event cost is
+    O(grams) forever. Oracle: the batch contamination SQL — stream and
+    batch agree row-for-row on the same data (the Dataflow-model claim,
+    checked for the n-gram audit)."""
+    from dataengineer_spark.operators.preparation import word_ngrams
+    from dataengineer_spark.streaming import (
+        stream_contamination,
+        stream_documents,
+    )
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs_batch.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngrams(F.col("text"), 8)).alias("_g"))
+        .dropDuplicates()
+        .agg(F.collect_set("_g").alias("_bg"))
+    )
+    s = stream_documents(spark, sf_dir + "/documents.parquet")
+    out = stream_contamination(s, bench, n=8)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "n_grams", "n_hits", "contaminated"
+    )
+
+
 def q_prep_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.operators.preparation import word_counts
 
@@ -4627,6 +4664,62 @@ FROM per_doc
 """
 
 
+def q_e4_perplexity_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/prep: perplexity under a FOREIGN reference model — the CCNet
+    deployment shape (model trained on a clean reference corpus, applied
+    to candidate documents). Even doc_ids train, odd doc_ids are scored;
+    unseen bigrams get pure add-k mass via the left-join coalesce path."""
+    from dataengineer_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    return lm_ops.bigram_perplexity(score, k=0.5, ref=ref)
+
+
+_E4_PPL_REF_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents
+), toks0 AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS ord FROM d
+), toks AS (
+  SELECT * FROM toks0 WHERE length(w) > 0
+), big_s AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  WHERE a.doc_id % 2 = 1
+), toks_r AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), big_r AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks_r a JOIN toks_r b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), uni AS (
+  SELECT w AS w1, count(*) AS c1 FROM toks_r GROUP BY w
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM big_r GROUP BY w1, w2
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+), per_doc AS (
+  SELECT big_s.doc_id,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(CAST(sum(CAST(-ln((coalesce(bc.c2, 0) + 0.5)
+                            / (coalesce(uni.c1, 0) + 0.5 * v.v))
+                        AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+      AS cross_entropy
+  FROM big_s
+  LEFT JOIN bc USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN v
+  GROUP BY big_s.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy,
+       round(exp(cross_entropy), 6) AS ppl
+FROM per_doc
+"""
+
+
 def q_e14_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14: hive-style date-partitioned lake write + pruned read-back —
     the filter on the partition column reaches the scan as a
@@ -4691,6 +4784,7 @@ _ROUND4_FIRST = [
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
     # new this round (oracled on arrival)
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
+    "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4790,6 +4884,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
+        "q_e11_stream_decontaminate": q_e11_stream_decontaminate,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e4_repetition": q_e4_repetition,
         "q_prep_pack": q_prep_pack,
@@ -4823,6 +4918,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_corr_stats": q_e5_corr_stats,
         "q_e1_dup_weights": q_e1_dup_weights,
         "q_e4_perplexity": q_e4_perplexity,
+        "q_e4_perplexity_ref": q_e4_perplexity_ref,
         "q_e14_partitioned_scan": q_e14_partitioned_scan,
         "q_e12_udtf": q_e12_udtf,
         "q_e12_apply_arrow": q_e12_apply_arrow,
@@ -4954,6 +5050,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_hll_rollup": _E5_HLL_ROLLUP_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
+        "q_e4_perplexity_ref": _E4_PPL_REF_ORACLE,
         "q_e14_partitioned_scan": _E14_PARTITIONED_ORACLE,
         "q_e12_udtf": _E12_UDTF_ORACLE,
         "q_e12_apply_arrow": _E12_APPLY_ARROW_ORACLE,
@@ -5041,6 +5138,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_pack": _PREP_PACK_ORACLE,
         "q_prep_mixture": _PREP_MIXTURE_ORACLE,
         "q_prep_contamination": _PREP_CONTAMINATION_ORACLE,
+        "q_e11_stream_decontaminate": _PREP_CONTAMINATION_ORACLE,
         "q_e4_pii_redact": _pii_oracle(),
         "q_e4_c4_filter": _E4_C4_ORACLE,
         "q_e4_gopher_filter": _gopher_oracle(),

@@ -163,6 +163,23 @@ def mixture_sample(
     return df.where(bucket < threshold)
 
 
+def word_ngrams(c: Column, n: int) -> Column:
+    """In-row word ``n``-gram array (space-joined, order-preserving,
+    duplicates kept); empty/short texts give an empty array."""
+    from dataengineer_spark.operators.textops import trim_ws
+
+    t = trim_ws(F.lower(c))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    return F.when(
+        n_words >= n,
+        F.transform(
+            F.slice(words, 1, n_words - (n - 1)),
+            lambda _w, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_overlap(
     df: DataFrame,
     benchmark: DataFrame,
@@ -178,19 +195,8 @@ def ngram_overlap(
     n-grams once and inner-join — the join carries only (id, gram) pairs,
     never full texts. Returns (id, n_grams, n_hits, contaminated).
     """
-    from dataengineer_spark.operators.textops import trim_ws
-
     def grams(c: Column) -> Column:
-        t = trim_ws(F.lower(c))
-        words = F.split(t, r"\s+")
-        n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
-        return F.when(
-            n_words >= n,
-            F.transform(
-                F.slice(words, 1, n_words - (n - 1)),
-                lambda _w, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return word_ngrams(c, n)
 
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("_g"))

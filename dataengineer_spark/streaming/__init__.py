@@ -6,6 +6,8 @@ from dataengineer_spark.streaming.pipeline import (
     stateful_running_totals,
     batch_audited_sink,
     stream_stream_join,
+    stream_documents,
+    stream_contamination,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "stateful_running_totals",
     "batch_audited_sink",
     "stream_stream_join",
+    "stream_documents",
+    "stream_contamination",
 ]

@@ -220,3 +220,60 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
     )
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a documents parquet (schema-first, like
+    ``stream_events``); in deployment the source swaps for kafka/kinesis
+    with the same downstream plan."""
+    import os
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def stream_contamination(
+    docs: DataFrame,
+    bench_gram_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming benchmark-contamination audit — decontaminate AS DATA
+    LANDS instead of in a batch sweep. Per streamed document: build its
+    word n-grams IN-ROW, intersect with the broadcast benchmark gram set,
+    emit (id, n_grams, n_hits, contaminated).
+
+    ``bench_gram_set`` is a ONE-ROW static DataFrame holding the distinct
+    benchmark grams as an array (eval suites are dimension-sized next to
+    a 100 TB corpus — same broadcast contract as the batch
+    ``ngram_overlap`` and ``minhash_lsh_join``). The join is stream-static
+    on a constant key with a broadcast build side, so the query is
+    MAP-ONLY: no state store, no watermark, append mode — per-event cost
+    is O(grams) regardless of stream lifetime. Batch twin:
+    ``preparation.ngram_overlap`` (same gram builder, same counts).
+    """
+    from dataengineer_spark.operators.preparation import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
+    static = F.broadcast(bench_gram_set.withColumn("_k", F.lit(1)))
+    return (
+        docs.select(F.col(id_col), grams.alias("_grams"))
+        .withColumn("_k", F.lit(1))
+        .join(static, "_k")
+        .select(
+            id_col,
+            F.size("_grams").alias("n_grams"),
+            F.size(F.array_intersect("_grams", "_bg")).cast("bigint").alias(
+                "n_hits"
+            ),
+            (F.size(F.array_intersect("_grams", "_bg")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -190,3 +190,38 @@ class TestStreamStreamJoin:
             ev.where(F.col("event_type") == "purchase"),
         ).count()
         assert streamed == batch
+
+
+class TestStreamContamination:
+    def test_stream_contamination_equals_batch_ngram_overlap(self, spark, sf_dir):
+        from dataengineer_spark.operators.preparation import ngram_overlap, word_ngrams
+        from dataengineer_spark.streaming import stream_contamination, stream_documents
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench_docs = docs.where(F.col("doc_id") % 97 == 0)
+        bench = (
+            bench_docs.select(F.explode(word_ngrams(F.col("text"), 8)).alias("_g"))
+            .dropDuplicates()
+            .agg(F.collect_set("_g").alias("_bg"))
+        )
+        name = f"sdc_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_contamination(
+                stream_documents(spark, sf_dir + "/documents.parquet"), bench, n=8
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+            for r in spark.table(name).collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+            for r in ngram_overlap(docs, bench_docs, "text", "doc_id", n=8).collect()
+        }
+        assert streamed == batch
