@@ -4508,6 +4508,50 @@ def q_prep_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15/O6 — lake snapshot diff: what a backfill changed at row
+    granularity. Two deterministic orders snapshots (old drops
+    orderkey%5==0, new drops %7==0 and bumps o_totalprice for %11==0) are
+    diffed into added/removed/changed keys via one full-outer key join
+    with null-safe struct value compare."""
+    from dataengineer_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 5 != 0)
+    new = orders.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return quality.snapshot_diff(old, new, ["o_orderkey"])
+
+
+_DQ_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+              OR (old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+            THEN 'changed' END AS change
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE (old.o_orderkey IS NULL) OR (new.o_orderkey IS NULL)
+   OR (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+   OR (old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+"""
+
+
 def q_dq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15+E17 — survival funnel of the ordered Gopher rule chain: how
 
@@ -4785,6 +4829,7 @@ _ROUND4_FIRST = [
     # new this round (oracled on arrival)
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
+    "q_dq_snapshot_diff",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4881,6 +4926,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_dup_spans": q_e2_dup_spans,
         "q_prep_dsir": q_prep_dsir,
         "q_dq_funnel": q_dq_funnel,
+        "q_dq_snapshot_diff": q_dq_snapshot_diff,
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
@@ -5147,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_dup_spans": _E2_DUP_SPANS_ORACLE.format(words=_SQL_WORDS),
         "q_prep_dsir": _PREP_DSIR_ORACLE.format(words=_SQL_WORDS),
         "q_dq_funnel": _gopher_funnel_oracle(),
+        "q_dq_snapshot_diff": _DQ_SNAPSHOT_DIFF_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,

@@ -103,3 +103,46 @@ def funnel_report(
         F.col("n_cum").cast("bigint").alias("n_cum"),
         F.round(F.col("n_cum") / F.col("_total"), 6).alias("frac_cum"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """E15 — audit what changed between two table snapshots: one row per
+    key that was ``added`` (new only), ``removed`` (old only), or
+    ``changed`` (present in both with different values in
+    ``compare_cols``, which defaults to every non-key column both sides
+    share). Unchanged keys are omitted.
+
+    The value compare is a null-safe STRUCT equality (``eqNullSafe`` over
+    one struct per side) — JVM-side column compare, no row serialization
+    or hashing, NULLs equal NULLs. Plan: one full-outer shuffle join on
+    the keys; both scans prune to keys + compared columns. This is the
+    reference's batch-audit lineage question (O6: what did batch N do)
+    answered at row granularity — the lake diff a backfill review needs.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_vo"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_vn"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("_vo").isNull(), F.lit("added"))
+        .when(F.col("_vn").isNull(), F.lit("removed"))
+        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

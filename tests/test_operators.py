@@ -811,3 +811,29 @@ class TestAsofTolerance:
             left, right, on="k", left_ts="ts", direction="forward", tolerance=30
         ).first()
         assert miss["rv"] is None
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed_and_null_safety(self, spark):
+        from dataengineer_spark.operators.quality import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, "c", 9.0), (5, "e", 5.0)],
+            "k long, s string, v double",
+        )
+        got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        # 1 unchanged (omitted); 2 unchanged with NULLs equal both sides;
+        # 3 changed; 4 removed; 5 added
+        assert got == {3: "changed", 4: "removed", 5: "added"}
+
+    def test_null_to_value_is_changed(self, spark):
+        from dataengineer_spark.operators.quality import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, s string")
+        new = spark.createDataFrame([(1, "x")], "k long, s string")
+        rows = snapshot_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in rows] == [(1, "changed")]
