@@ -2175,6 +2175,50 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_e5_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle: count-min-sketch heavy hitters as a RELATIONAL
+    table (sketches.cms_table — (layer,bucket,cnt) rows, no opaque binary,
+    no UDF; shuffle bounded at depth*width rows by map-side combine;
+    mergeable across batches by summing cnt).  The top-25 exact words probe
+    the sketch via a broadcast join; CMS guarantees est >= exact always
+    and est <= exact + eps*N w.h.p. (eps = e/width).  Both bounds are
+    deterministic for a given input + hash family, so emit them as
+    booleans the DuckDB oracle asserts TRUE (the q_e5_approx_distinct
+    strategy).  Reference capability: frequency/heavy-hitter audit without
+    a full word shuffle — at 100 TB the sketch is ~40 KB per batch."""
+    from dataengineer_spark.operators import sketches
+    from dataengineer_spark.operators.preparation import explode_words, word_counts
+
+    docs = _docs(spark, sf_dir)
+    words = explode_words(docs.select("text"), "text")
+    cms = sketches.cms_table(words, "word", depth=5, width=4096)
+    exact = word_counts(docs, "text", top_n=25)
+    est = sketches.cms_estimate(cms, exact, "word", depth=5, width=4096)
+    total = words.agg(F.count("*").alias("_n_words"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "n",
+            (F.col("est") >= F.col("n")).alias("lower_ok"),
+            (
+                F.col("est")
+                <= F.col("n") + F.ceil(F.col("_n_words") * F.lit(2.718 / 4096))
+            ).alias("upper_ok"),
+        )
+    )
+
+
+_E5_CMS_TOPK_ORACLE = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS n, TRUE AS lower_ok, TRUE AS upper_ok
+FROM (
+  SELECT unnest(regexp_split_to_array(
+    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS word
+  FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 25
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # training-data preparation (splits, quotas, word counts, grouped-map UDF)
@@ -4829,7 +4873,7 @@ _ROUND4_FIRST = [
     # new this round (oracled on arrival)
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
-    "q_dq_snapshot_diff",
+    "q_dq_snapshot_diff", "q_e5_cms_topk",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4980,6 +5024,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_approx_percentile": q_e5_approx_percentile,
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
+        "q_e5_cms_topk": q_e5_cms_topk,
         "q_m1_classifier": q_m1_classifier,
         "q_m2_qa_sectionize": q_m2_qa_sectionize,
         "q_mm_features": q_mm_features,
@@ -5094,6 +5139,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_approx_distinct": _E5_APPROX_DISTINCT_ORACLE,
         "q_e5_approx_percentile": _E5_APPROX_PCT_ORACLE,
         "q_e5_hll_rollup": _E5_HLL_ROLLUP_ORACLE,
+        "q_e5_cms_topk": _E5_CMS_TOPK_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e4_perplexity_ref": _E4_PPL_REF_ORACLE,

@@ -176,6 +176,41 @@ class TestAggregates:
         # exact distinct is 97 per group; HLL at lgK=12 is within ~2%
         assert all(abs(v - 97) / 97 < 0.05 for v in got.values()), got
 
+    def test_cms_table_estimate_bounds_and_merge(self, spark):
+        from dataengineer_spark.operators import sketches
+
+        # skewed item frequencies: item i appears i+1 times
+        df = spark.createDataFrame(
+            [(f"w{i}",) for i in range(40) for _ in range(i + 1)], "w string"
+        )
+        cms = sketches.cms_table(df, "w", depth=5, width=1024)
+        # sketch never exceeds depth*width rows and counts sum to depth*N
+        assert cms.count() <= 5 * 1024
+        n = df.count()
+        total = cms.groupBy().sum("cnt").first()[0]
+        assert total == 5 * n
+        items = df.distinct()
+        est = sketches.cms_estimate(cms, items, "w", depth=5, width=1024)
+        got = {r["w"]: r["est"] for r in est.collect()}
+        # CMS lower bound is exact-or-over, always; sparse sketch -> exact
+        for i in range(40):
+            assert got[f"w{i}"] >= i + 1
+        # merge property: two disjoint-slice sketches summed over
+        # (layer, bucket) equal the whole-input sketch exactly
+        import pyspark.sql.functions as F
+
+        even = df.where(F.length("w") % 2 == 0)
+        odd = df.where(F.length("w") % 2 == 1)
+        merged = (
+            sketches.cms_table(even, "w", depth=5, width=1024)
+            .unionByName(sketches.cms_table(odd, "w", depth=5, width=1024))
+            .groupBy("layer", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        full = {(r["layer"], r["bucket"]): r["cnt"] for r in cms.collect()}
+        got_merged = {(r["layer"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        assert got_merged == full
+
     def test_grouping_sets(self, spark):
         df = spark.createDataFrame(
             [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, h string, v int"
