@@ -3824,6 +3824,37 @@ def q_s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered lake write + box-predicate read-back.  orders is
+    written sorted by the Morton interleave of (o_custkey, o_totalprice)
+    (layout.zorder_write: one range exchange, bit-interleave expressions,
+    no UDF), so the read-back's 2-D box filter prunes most files/row
+    groups on parquet min-max footer stats alone — the multi-dimensional
+    clustering a btree-indexed warehouse gets for free and an object-store
+    lake must encode in layout.  File-level boxiness is pinned by a
+    pyarrow footer-stats test (tests/test_batch.py); correctness here is
+    the oracle's plain box filter over the original table."""
+    from dataengineer_spark.operators.layout import zorder_write
+
+    out = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    zorder_write(orders, out, ["o_custkey", "o_totalprice"], bits=16, files=8)
+    back = spark.read.parquet(out)
+    return back.where(
+        F.col("o_custkey").between(100, 500)
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+    )
+
+
+_S8_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+"""
+
+
 _S7_BUCKETED_ORACLE = """
 SELECT o.o_orderpriority,
        round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
@@ -4873,7 +4904,7 @@ _ROUND4_FIRST = [
     # new this round (oracled on arrival)
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
-    "q_dq_snapshot_diff", "q_e5_cms_topk",
+    "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -4954,6 +4985,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k3_json_roundtrip": q_k3_json_roundtrip,
         "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
         "q_s7_bucketed_join": q_s7_bucketed_join,
+        "q_s8_zorder_scan": q_s8_zorder_scan,
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
@@ -5203,6 +5235,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e11_stream_lake": _E11_LAKE_ORACLE,
         "q_e11_stream_join": _E11_JOIN_ORACLE,
         "q_s7_bucketed_join": _S7_BUCKETED_ORACLE,
+        "q_s8_zorder_scan": _S8_ZORDER_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_e1_incremental_dedup": _E1_INCR_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,

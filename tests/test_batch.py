@@ -168,3 +168,56 @@ class TestMergeUpsert:
         )
         got = sorted((r["k"], r["v"]) for r in catalog.read("t").collect())
         assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+class TestZorderLayout:
+    def test_interleave_bits_known_values(self, spark):
+        from dataengineer_spark.operators.layout import zorder_value
+
+        # corners fix the ranges so scaling is the identity on [0, 3]
+        df = spark.createDataFrame([(0, 0), (3, 1), (3, 3)], "x long, y long")
+        z = {(r["x"], r["y"]): r["_z"] for r in zorder_value(df, ["x", "y"], bits=2).collect()}
+        # bit j of column c lands at j*2+c: (3,1) -> x bits 0,2; y bit 1 -> 7
+        assert z == {(0, 0): 0, (3, 1): 7, (3, 3): 15}
+
+    def test_zorder_files_are_boxy_and_lossless(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.operators.layout import zorder_write
+
+        # 64x64 grid; 16 z-ordered files should come out as ~16x16 boxes,
+        # so a point/box predicate on either dim prunes most files
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        out = str(tmp_path / "z")
+        zorder_write(grid, out, ["x", "y"], bits=6, files=16)
+
+        import glob
+
+        areas = []
+        for f in glob.glob(out + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {"x": 64, "y": 64}
+            hi = {"x": -1, "y": -1}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        lo[name] = min(lo[name], col.statistics.min)
+                        hi[name] = max(hi[name], col.statistics.max)
+            areas.append((hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1))
+        # each file's bounding box covers a small fraction of the 64x64
+        # space (perfect would be 1/16; allow 2x slack for range-bound
+        # sampling) -- a single-column sort would give full-width stripes
+        assert len(areas) >= 8
+        assert max(areas) <= 64 * 64 / 8, sorted(areas)
+
+        # lossless: the z-ordered copy holds exactly the original rows
+        back = spark.read.parquet(out)
+        assert back.count() == 64 * 64
+        assert back.exceptAll(grid).count() == 0
