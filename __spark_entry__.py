@@ -2516,6 +2516,79 @@ SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
 """
 
 
+def q_k6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (operators/dimensions.scd2_apply): the
+    customer dimension snapshot takes an update batch where every third
+    key's balance moved (+100) and every (3k+1)th key re-delivers its
+    unchanged row.  Changed keys close (valid_to = eff) and open a new
+    current version; idempotent re-deliveries are absorbed; history is
+    append-only.  One broadcast join against the update batch — the
+    write-side companion of the as-of join.  Reference capability: the
+    label/model dimensions dx_group.py overwrote in place, here with full
+    version history so past batches re-join AS OF their run date."""
+    from dataengineer_spark.operators.dimensions import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.to_timestamp(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+            F.to_timestamp(F.lit("1995-06-01")).alias("eff_date"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 3 == 1).select(
+                "c_custkey",
+                "c_acctbal",
+                "c_mktsegment",
+                F.to_timestamp(F.lit("1995-06-01")).alias("eff_date"),
+            )
+        )
+    )
+    out = scd2_apply(dim, updates, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    # open-ended validity as a far-future sentinel (driver hashing treats
+    # NaT != NaT; the high-date close is also the classic SCD2 convention)
+    return out.select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "valid_from",
+        F.coalesce(
+            F.col("valid_to"), F.to_timestamp(F.lit("2200-01-01"))
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
+_K6_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '1992-01-01' AS valid_from
+  FROM customer
+), chg AS (
+  SELECT * FROM cur WHERE c_custkey % 3 = 0 AND c_acctbal IS NOT NULL
+)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+       TIMESTAMP '2200-01-01' AS valid_to, TRUE AS is_current
+FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+       TIMESTAMP '1995-06-01' AS valid_to, FALSE AS is_current
+FROM chg
+UNION ALL
+SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
+       TIMESTAMP '1995-06-01' AS valid_from,
+       TIMESTAMP '2200-01-01' AS valid_to, TRUE AS is_current
+FROM chg
+"""
+
+
 def q_e11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state: the events stream unioned with
     itself (every event arrives twice) → dropDuplicatesWithinWatermark on
@@ -4904,7 +4977,7 @@ _ROUND4_FIRST = [
     # new this round (oracled on arrival)
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
-    "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan",
+    "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5004,6 +5077,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_funnel": q_dq_funnel,
         "q_dq_snapshot_diff": q_dq_snapshot_diff,
         "q_k5_merge_upsert": q_k5_merge_upsert,
+        "q_k6_scd2": q_k6_scd2,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e11_stream_decontaminate": q_e11_stream_decontaminate,
@@ -5257,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_wordcount": _PREP_WORDCOUNT_ORACLE,
         "q_prep_chunk": _PREP_CHUNK_ORACLE,
         "q_k5_merge_upsert": _K5_MERGE_ORACLE,
+        "q_k6_scd2": _K6_SCD2_ORACLE,
         "q_e11_stream_dedup": _E11_STREAM_DEDUP_ORACLE,
         "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,
         "q_e4_repetition": _E4_REPETITION_ORACLE,

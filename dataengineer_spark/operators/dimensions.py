@@ -1,0 +1,113 @@
+"""Slowly-changing-dimension maintenance (type 2: full version history).
+
+The reference's label/model dimensions were overwritten in place (its
+Postgres tables kept only the latest row); a lake that feeds training
+pipelines needs the opposite — every historical version kept with a
+validity interval, so any past batch can be re-joined against the
+dimension AS OF its own run date (the as-of join in operators/joins.py is
+the read-side companion).
+
+``scd2_apply`` is a pure DataFrame transform: one equi-join between the
+current version slice and the update batch decides changed/unchanged via
+null-safe comparison, then closed rows, new versions, and brand-new keys
+union with untouched history.  The update batch is broadcast (dimension
+updates are control-plane-sized next to facts); the only shuffle is the
+dimension's own key partitioning.  Persist the result with
+``Catalog.merge_upsert``/``overwrite`` as the lake's new dimension state.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    eff_col: str = "eff_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Merge an update batch into a type-2 dimension; returns the new dim.
+
+    ``dim`` carries ``key_cols + tracked_cols + valid_from + valid_to +
+    is_current`` (``valid_to`` NULL on the current version).  ``updates``
+    carries ``key_cols + tracked_cols + eff_col``.  Semantics:
+
+    - a key whose tracked values differ (null-safely) from its current
+      version is CLOSED (``valid_to`` = eff, ``is_current`` = false) and a
+      new current version opens at eff;
+    - an update identical to the current version is a no-op (idempotent
+      re-deliveries are absorbed);
+    - a key with no current version inserts as a new current row;
+    - multiple updates per key in one batch collapse to the latest
+      ``eff_col`` (ties break on the tracked values for determinism).
+
+    History rows (``is_current`` = false) pass through untouched.
+    """
+    out_cols = key_cols + tracked_cols + [valid_from, valid_to, is_current]
+
+    # one update per key: latest eff wins, deterministic tiebreak
+    w_order = [F.col(eff_col).desc()] + [F.col(c).asc_nulls_last() for c in tracked_cols]
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    upd = top_k_per_group(updates, key_cols, w_order, 1)
+
+    cur = dim.where(F.col(is_current))
+    hist = dim.where(~F.col(is_current)).select(*out_cols)
+
+    u = upd.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        F.col(eff_col).alias("_u_eff"),
+    )
+    join_cond = reduce(
+        lambda a, b: a & b, [F.col(c) == F.col(f"_u_{c}") for c in key_cols]
+    )
+    j = cur.join(F.broadcast(u), join_cond, "left")
+
+    changed = F.col("_u_eff").isNotNull() & reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked_cols],
+    )
+
+    closed = (
+        j.where(changed)
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col(valid_from),
+            F.col("_u_eff").alias(valid_to),
+            F.lit(False).alias(is_current),
+        )
+    )
+    kept = j.where(~F.coalesce(changed, F.lit(False))).select(*out_cols)
+    new_versions = (
+        j.where(changed)
+        .select(
+            *[F.col(f"_u_{c}").alias(c) for c in key_cols],
+            *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+            F.col("_u_eff").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+    )
+    brand_new = (
+        upd.join(F.broadcast(cur.select(*key_cols)), key_cols, "left_anti")
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col(eff_col).alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+    )
+    return hist.unionByName(kept).unionByName(closed).unionByName(
+        new_versions
+    ).unionByName(brand_new)

@@ -221,3 +221,52 @@ class TestZorderLayout:
         back = spark.read.parquet(out)
         assert back.count() == 64 * 64
         assert back.exceptAll(grid).count() == 0
+
+
+class TestScd2:
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", "1990-01-01", "1992-01-01", False),   # history row
+                (1, "b", "1992-01-01", None, True),
+                (2, None, "1992-01-01", None, True),           # NULL tracked
+                (3, "c", "1992-01-01", None, True),
+            ],
+            "k long, v string, valid_from string, valid_to string, is_current boolean",
+        )
+
+    def test_change_noop_insert_and_history_passthrough(self, spark):
+        from dataengineer_spark.operators.dimensions import scd2_apply
+
+        upd = spark.createDataFrame(
+            [
+                (1, "B", "1995-01-01"),   # changed -> close + new version
+                (2, None, "1995-01-01"),  # null-safe unchanged -> no-op
+                (4, "d", "1995-01-01"),   # brand-new key
+            ],
+            "k long, v string, eff_date string",
+        )
+        out = scd2_apply(self._dim(spark), upd, ["k"], ["v"])
+        rows = {(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+                for r in out.collect()}
+        assert rows == {
+            (1, "a", "1990-01-01", "1992-01-01", False),
+            (1, "b", "1992-01-01", "1995-01-01", False),
+            (1, "B", "1995-01-01", None, True),
+            (2, None, "1992-01-01", None, True),
+            (3, "c", "1992-01-01", None, True),
+            (4, "d", "1995-01-01", None, True),
+        }
+
+    def test_multiple_updates_per_key_latest_eff_wins(self, spark):
+        from dataengineer_spark.operators.dimensions import scd2_apply
+
+        upd = spark.createDataFrame(
+            [(3, "x", "1994-01-01"), (3, "y", "1996-01-01")],
+            "k long, v string, eff_date string",
+        )
+        out = scd2_apply(self._dim(spark), upd, ["k"], ["v"])
+        cur = {(r["k"], r["v"]) for r in out.where("is_current").collect()}
+        assert (3, "y") in cur and (3, "x") not in cur
+        closed = out.where("k = 3 AND NOT is_current").first()
+        assert closed["valid_to"] == "1996-01-01"
