@@ -1537,6 +1537,71 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def _pq_query_vec() -> list[float]:
+    import random as _random
+
+    rnd = _random.Random(23)
+    return [rnd.uniform(-1.0, 1.0) for _ in range(64)]
+
+
+def q_e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 ANN, product-quantization variant — ORACLED via the plan-literal
+    codebook + per-query LUT: the corpus quantizes to m=8 4-bit codes
+    (sim_ops.pq_encode, map-only), and the scan scores each row with 8
+    table lookups + adds instead of a 64-dim fold (asymmetric distance).
+    DuckDB replays the encode (struct-min argmin, left-fold sums match
+    Spark's aggregate bit-for-bit) and the same literal LUT, so the
+    approximate distances — not just the ids — hash-match exactly."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    top = sim_ops.pq_top_k(emb, _pq_query_vec(), cb, k=10)
+    return top.select("vec_id", F.round("approx_dist", 6).alias("approx_dist"))
+
+
+def _pq_topk_oracle() -> str:
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    qv = _pq_query_vec()
+    m, ksub = 8, 16
+    dsub = 8
+    code_exprs = []
+    for j in range(m):
+        cbj = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb[j])
+            + "]"
+        )
+        scored = (
+            f"list_transform(generate_series(0, {ksub - 1}), i -> "
+            f"{{'d': list_reduce(list_transform(generate_series(1, {dsub}), "
+            f"t -> (v[{j * dsub} + t] - ({cbj})[i + 1][t]) * "
+            f"(v[{j * dsub} + t] - ({cbj})[i + 1][t])), (a, b) -> a + b), "
+            f"'i': i}})"
+        )
+        code_exprs.append(f"(list_min({scored})).i AS code{j}")
+    luts = []
+    for j in range(m):
+        lut_j = [
+            sum((qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t]) for t in range(dsub))
+            for c in cb[j]
+        ]
+        luts.append("[" + ", ".join(repr(x) for x in lut_j) + "]")
+    adist = " + ".join(f"({luts[j]})[code{j} + 1]" for j in range(m))
+    codes = ",\n    ".join(code_exprs)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), enc AS (
+  SELECT vec_id,
+    {codes}
+  FROM e
+), scored AS (
+  SELECT vec_id, {adist} AS ad FROM enc
+)
+SELECT vec_id, round(ad, 6) AS approx_dist
+FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
@@ -4978,6 +5043,7 @@ _ROUND4_FIRST = [
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
+    "q_e3_pq_topk",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5168,6 +5234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_pairwise_topk": q_e3_pairwise_topk,
         "q_e3_lsh_topk": q_e3_lsh_topk,
         "q_e3_ivf_topk": q_e3_ivf_topk,
+        "q_e3_pq_topk": q_e3_pq_topk,
         "q_e3_kmeans": q_e3_kmeans,
         "q_e4_text_stats": q_e4_text_stats,
         "q_e4_langid": q_e4_langid,
@@ -5260,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
         "q_e3_lsh_topk": _lsh_topk_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
+        "q_e3_pq_topk": _pq_topk_oracle(),
         "q_e3_kmeans": _kmeans_oracle(),
         "q_e2_semantic_dedup": _semantic_dedup_oracle(),
         "q_e2_semantic_dedup_trained": _semantic_dedup_trained_oracle(),

@@ -511,6 +511,53 @@ class TestIVF:
         assert got == {i: i for i in range(10)}
 
 
+class TestPQ:
+    def test_encode_picks_nearest_subcentroid(self, spark):
+        # 2 subspaces of 2 dims, 2 centroids each: codes are readable by eye
+        cb = [
+            [[0.0, 0.0], [10.0, 10.0]],
+            [[0.0, 5.0], [5.0, 0.0]],
+        ]
+        df = spark.createDataFrame(
+            [(0, [9.0, 9.0, 0.1, 4.8]), (1, [1.0, -1.0, 4.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["pq_code"] for r in sim_ops.pq_encode(df, cb).collect()}
+        assert got == {0: [1, 0], 1: [0, 1]}
+
+    def test_adc_exact_when_quantization_error_is_zero(self, spark):
+        # vectors that ARE centroid concatenations: ADC distance == true
+        # squared L2 distance to the (also centroid-aligned) query
+        cb = sim_ops.pq_codebook(8, m=2, ksub=4, seed=5)
+        combos = [(4 * a + b, cb[0][a] + cb[1][b]) for a in range(4) for b in range(4)]
+        df = spark.createDataFrame(combos, "vec_id long, embedding array<double>")
+        qv = cb[0][2] + cb[1][1]
+        top = sim_ops.pq_top_k(df, qv, cb, k=16).collect()
+        got = {r["vec_id"]: r["approx_dist"] for r in top}
+        import math
+
+        for vid, vec in combos:
+            true_sq = sum((x - y) ** 2 for x, y in zip(vec, qv))
+            assert math.isclose(got[vid], true_sq, abs_tol=1e-9), (vid, got[vid], true_sq)
+        # and the query's own cell combination is the (distance-0) top hit
+        best = min(top, key=lambda r: (r["approx_dist"], r["vec_id"]))
+        assert best["vec_id"] == 4 * 2 + 1 and abs(best["approx_dist"]) < 1e-12
+
+    def test_precomputed_codes_path_matches_inline(self, spark):
+        import random as _r
+
+        rnd = _r.Random(9)
+        vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        cb = sim_ops.pq_codebook(8, m=2, ksub=4, seed=5)
+        inline = sim_ops.pq_top_k(df, vecs[0][1], cb, k=5).collect()
+        enc = sim_ops.pq_encode(df, cb, out="code")
+        stored = sim_ops.pq_top_k(
+            enc, vecs[0][1], cb, k=5, code_col="code"
+        ).collect()
+        assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
+
+
 class TestSmallSurface:
     def test_first_row_explicit_order(self, spark):
         df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, v string")
