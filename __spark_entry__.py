@@ -1602,6 +1602,62 @@ FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_e3_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 dimensionality reduction: Johnson-Lindenstrauss random projection
+    64→16 (sim_ops.project — one fold per row carrying all 16 partial
+    sums, matrix as a plan literal, map-only) followed by exact cosine
+    top-k in the reduced space.  The query vector projects driver-side
+    with bit-identical float ordering (project_py), so the DuckDB oracle
+    replays projection + cosine exactly — reduced-space SCORES hash-match,
+    not just ids.  At 100 TB this is the pre-step that shrinks every
+    downstream ANN read 4×."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    mat = sim_ops.random_projection_matrix(64, 16, seed=17)
+    red = emb.select(
+        "vec_id",
+        sim_ops.project(F.col("embedding").cast("array<double>"), mat).alias("rv"),
+    )
+    qv = sim_ops.project_py(_pq_query_vec(), mat)
+    top = sim_ops.brute_force_top_k(red, qv, vec_col="rv", id_col="vec_id", k=10)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _jl_topk_oracle() -> str:
+    mat = sim_ops.random_projection_matrix(64, 16, seed=17)
+    qv = sim_ops.project_py(_pq_query_vec(), mat)
+    mt = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in row) + "]" for row in mat)
+        + "]"
+    )
+    qlit = "CAST([" + ", ".join(repr(x) for x in qv) + "] AS DOUBLE[])"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, 15), i ->
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> v[j] * ({mt})[i + 1][j]), (a, b) -> a + b)) AS rv
+  FROM e
+), scored AS (
+  SELECT vec_id,
+    sqrt(list_reduce(list_transform(generate_series(1, 16),
+      t -> rv[t] * rv[t]), (a, b) -> a + b)) *
+    sqrt(list_reduce(list_transform(generate_series(1, 16),
+      t -> ({qlit})[t] * ({qlit})[t]), (a, b) -> a + b)) AS denom,
+    list_reduce(list_transform(generate_series(1, 16),
+      t -> rv[t] * ({qlit})[t]), (a, b) -> a + b) AS dp
+  FROM p
+), cs AS (
+  SELECT vec_id, CASE WHEN denom > 0 THEN dp / denom END AS cos_sim
+  FROM scored
+)
+SELECT vec_id, round(cos_sim, 6) AS cos_sim
+FROM cs ORDER BY cos_sim DESC NULLS LAST, vec_id LIMIT 10
+"""
+
+
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
@@ -5043,7 +5099,7 @@ _ROUND4_FIRST = [
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
-    "q_e3_pq_topk",
+    "q_e3_pq_topk", "q_e3_jl_topk",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5235,6 +5291,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_lsh_topk": q_e3_lsh_topk,
         "q_e3_ivf_topk": q_e3_ivf_topk,
         "q_e3_pq_topk": q_e3_pq_topk,
+        "q_e3_jl_topk": q_e3_jl_topk,
         "q_e3_kmeans": q_e3_kmeans,
         "q_e4_text_stats": q_e4_text_stats,
         "q_e4_langid": q_e4_langid,
@@ -5328,6 +5385,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e3_lsh_topk": _lsh_topk_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
         "q_e3_pq_topk": _pq_topk_oracle(),
+        "q_e3_jl_topk": _jl_topk_oracle(),
         "q_e3_kmeans": _kmeans_oracle(),
         "q_e2_semantic_dedup": _semantic_dedup_oracle(),
         "q_e2_semantic_dedup_trained": _semantic_dedup_trained_oracle(),

@@ -698,3 +698,49 @@ def pq_top_k(
         adist = adist + t
     scored = corpus.select(F.col(id_col), adist.alias("approx_dist"))
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# -- random projection (Johnson-Lindenstrauss) ------------------------------
+
+
+def random_projection_matrix(
+    dim: int, out_dim: int, seed: int = 17
+) -> list[list[float]]:
+    """Gaussian JL projection rows scaled by 1/sqrt(out_dim): pairwise
+
+    distances/angles survive within (1±eps) w.h.p. while vectors shrink
+    dim/out_dim-fold — the cheap pre-step that makes LSH banding, PQ, and
+    brute-force rescoring all read proportionally less."""
+    rnd = random.Random(seed)
+    s = 1.0 / math.sqrt(out_dim)
+    return [[rnd.gauss(0.0, 1.0) * s for _ in range(dim)] for _ in range(out_dim)]
+
+
+def project(vec: Column, mat: list[list[float]]) -> Column:
+    """``vec @ mat.T`` as ONE fold over the input vector: the accumulator
+
+    is the width-``out_dim`` partial-sum array and the matrix ships
+    transposed as a single parsed literal (the lsh_bucket pattern — one
+    interpreted pass regardless of out_dim).  Map-only; no UDF."""
+    from dataengineer_spark.tuning import array_lit
+
+    out_dim = len(mat)
+    pmat = array_lit([[m[j] for m in mat] for j in range(len(mat[0]))])
+    return F.aggregate(
+        F.zip_with(vec, pmat, lambda x, row: F.transform(row, lambda pv: x * pv)),
+        F.array_repeat(F.lit(0.0), out_dim),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+
+
+def project_py(vec: list[float], mat: list[list[float]]) -> list[float]:
+    """Driver-side twin of :func:`project` with the SAME left-fold float
+
+    ordering, for projecting literal query vectors bit-identically."""
+    out = []
+    for row in mat:
+        acc = 0.0
+        for j, x in enumerate(vec):
+            acc = acc + x * row[j]
+        out.append(acc)
+    return out

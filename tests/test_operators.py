@@ -558,6 +558,49 @@ class TestPQ:
         assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
 
 
+class TestRandomProjection:
+    def test_project_matches_numpy_and_py_twin(self, spark):
+        import numpy as np
+
+        mat = sim_ops.random_projection_matrix(16, 4, seed=17)
+        import random as _r
+
+        rnd = _r.Random(2)
+        vecs = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(20)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = df.select(
+            "vec_id", sim_ops.project(F.col("embedding"), mat).alias("rv")
+        )
+        got = {r["vec_id"]: r["rv"] for r in out.collect()}
+        m = np.array(mat)
+        for vid, v in vecs:
+            np.testing.assert_allclose(got[vid], m @ np.array(v), rtol=1e-12)
+            # the driver-side twin is bit-identical to the Spark fold
+            assert got[vid] == sim_ops.project_py(v, mat)
+
+    def test_jl_preserves_pairwise_distances(self, spark):
+        import numpy as np
+        import random as _r
+
+        rnd = _r.Random(6)
+        vecs = [[rnd.gauss(0, 1) for _ in range(256)] for _ in range(30)]
+        mat = sim_ops.random_projection_matrix(256, 64, seed=17)
+        m = np.array(mat)
+        red = [m @ np.array(v) for v in vecs]
+        ratios = []
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                d0 = np.linalg.norm(np.array(vecs[i]) - np.array(vecs[j]))
+                d1 = np.linalg.norm(red[i] - red[j])
+                ratios.append(d1 / d0)
+        # JL: 256->64 keeps pairwise distances within ~2/3 sigma = 1/sqrt(64)
+        # ~ 12.5% st.dev; allow 3-sigma-ish slack for the 435 pairs
+        assert 0.6 < min(ratios) and max(ratios) < 1.4, (min(ratios), max(ratios))
+        import statistics
+
+        assert abs(statistics.mean(ratios) - 1.0) < 0.05
+
+
 class TestSmallSurface:
     def test_first_row_explicit_order(self, spark):
         df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, v string")
