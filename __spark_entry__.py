@@ -1954,6 +1954,66 @@ def q_e11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E11_ORACLE = _E10_TUMBLING_ORACLE
 
 
+def q_e11_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate distinct: windowed HLL++ unique users per
+    event_type over the events STREAM (windowed_distinct_approx —
+    fixed-size registers per open window, the only distinct an unbounded
+    stream's state store can afford; exact streaming distinct holds every
+    seen key).  Bound-check oracle in the q_e5_approx_distinct style: the
+    streamed estimate joins the BATCH exact distinct per window and emits
+    an in-bounds boolean (3*rsd) that DuckDB asserts TRUE."""
+    from dataengineer_spark.streaming import stream_events, windowed_distinct_approx
+
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    est = windowed_distinct_approx(stream, window="1 hour", rsd=0.05)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        est.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("exact_users")).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "exact_users",
+    )
+    return (
+        spark.table(name)
+        .join(exact, ["window_start", "window_end", "event_type"])
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "exact_users",
+            # Spark's HLL++ has no sparse mode, so tiny windows carry an
+            # O(1) absolute wobble: bound = max(2, 15% relative)
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("exact_users").cast("double") * 0.15
+                )
+            ).alias("est_ok"),
+        )
+    )
+
+
+_E11_STREAM_HLL_ORACLE = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 
 def q_e11_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window on the stream (complete mode — session
@@ -5099,7 +5159,7 @@ _ROUND4_FIRST = [
     "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
-    "q_e3_pq_topk", "q_e3_jl_topk",
+    "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5202,6 +5262,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k6_scd2": q_k6_scd2,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
+        "q_e11_stream_hll": q_e11_stream_hll,
         "q_e11_stream_decontaminate": q_e11_stream_decontaminate,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e4_repetition": q_e4_repetition,
@@ -5459,6 +5520,7 @@ def oracle_sql() -> dict[str, str]:
         "q_k5_merge_upsert": _K5_MERGE_ORACLE,
         "q_k6_scd2": _K6_SCD2_ORACLE,
         "q_e11_stream_dedup": _E11_STREAM_DEDUP_ORACLE,
+        "q_e11_stream_hll": _E11_STREAM_HLL_ORACLE,
         "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,
         "q_e4_repetition": _E4_REPETITION_ORACLE,
         "q_prep_pack": _PREP_PACK_ORACLE,

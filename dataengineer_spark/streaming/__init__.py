@@ -8,6 +8,7 @@ from dataengineer_spark.streaming.pipeline import (
     stream_stream_join,
     stream_documents,
     stream_contamination,
+    windowed_distinct_approx,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "stream_stream_join",
     "stream_documents",
     "stream_contamination",
+    "windowed_distinct_approx",
 ]

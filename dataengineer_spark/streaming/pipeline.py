@@ -277,3 +277,31 @@ def stream_contamination(
             ),
         )
     )
+
+
+def windowed_distinct_approx(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    col: str = "user_id",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Watermarked windowed approximate distinct (HLL++): the streaming
+
+    unique-users metric.  Exact streaming distinct would hold every seen
+    key per open window in the state store; the HLL register array is
+    fixed-size per (window, event_type) whatever the cardinality — the
+    only distinct the state store can afford on an unbounded stream.
+    Same expression works in batch (operators/aggregates) — one
+    definition, two execution modes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct(col, rsd).alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "approx_users",
+        )
+    )

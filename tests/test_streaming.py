@@ -52,6 +52,37 @@ class TestWindowedStream:
         assert {"session_start", "session_end", "user_id"} <= set(out.columns)
 
 
+class TestWindowedDistinctApprox:
+    def test_stream_estimate_tracks_batch_exact(self, spark, sf_dir):
+        from dataengineer_spark.streaming import windowed_distinct_approx
+
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            windowed_distinct_approx(stream, window="1 hour", rsd=0.05), name
+        )
+        est = {
+            (r["window_start"], r["window_end"], r["event_type"]): r["approx_users"]
+            for r in spark.table(name).collect()
+        }
+        exact_df = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .select(
+                F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "event_type", "n",
+            )
+        )
+        exact = {
+            (r["ws"], r["we"], r["event_type"]): r["n"] for r in exact_df.collect()
+        }
+        assert est.keys() == exact.keys()
+        # no sparse mode in Spark's HLL++: max(2, 15%) envelope
+        for k, n in exact.items():
+            assert abs(est[k] - n) <= max(2.0, 0.15 * n), (k, est[k], n)
+
+
 class TestStatefulOperator:
     def test_state_carries_across_micro_batches(self, spark, sf_dir, tmp_path):
         # split events into 3 files; maxFilesPerTrigger=1 → 3 micro-batches,
