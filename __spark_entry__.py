@@ -2997,6 +2997,58 @@ FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
+def q_prep_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 scale path: benchmark decontamination with the benchmark side
+    compressed to a Bloom BITSET (preparation.bloom_contamination — the
+    distinct bit positions as a relational table, ≤ 2^18 rows of one long
+    however large the suite; the cms_table trick applied to membership).
+    One-sided error: every exactly-contaminated gram is flagged.  The
+    oracle is the exact contamination SQL plus that guarantee as a
+    boolean — n_bloom_hits >= n_exact_hits per document, asserted TRUE."""
+    from dataengineer_spark.operators.preparation import (
+        bloom_contamination,
+        ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bloom = bloom_contamination(docs, bench, "text", "doc_id", n=8)
+    exact = ngram_overlap(docs, bench, "text", "doc_id", n=8).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+    return bloom.join(exact, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        "contaminated",
+        (F.col("n_bloom_hits") >= F.col("n_hits")).alias("no_false_neg"),
+    )
+
+
+_PREP_BLOOM_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_T} = '' OR len({_SQL_WORDS}) < 8 THEN []
+         ELSE list_transform(range(1, len({_SQL_WORDS}) - 6),
+              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 7), ' '))
+    END AS grams
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT u.g) AS n_hits
+  FROM g, unnest(g.grams) AS u(g)
+  JOIN bench ON u.g = bench.bg
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id, CAST(len(g.grams) AS INTEGER) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated,
+       TRUE AS no_false_neg
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+"""
+
+
 def q_e11_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 × E16: decontamination AS DATA LANDS — the documents stream is
     audited against the broadcast benchmark gram set (one-row static
@@ -5160,6 +5212,7 @@ _ROUND4_FIRST = [
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
+    "q_prep_bloom_decontaminate",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5264,6 +5317,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e11_stream_hll": q_e11_stream_hll,
         "q_e11_stream_decontaminate": q_e11_stream_decontaminate,
+        "q_prep_bloom_decontaminate": q_prep_bloom_decontaminate,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e4_repetition": q_e4_repetition,
         "q_prep_pack": q_prep_pack,
@@ -5527,6 +5581,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_mixture": _PREP_MIXTURE_ORACLE,
         "q_prep_contamination": _PREP_CONTAMINATION_ORACLE,
         "q_e11_stream_decontaminate": _PREP_CONTAMINATION_ORACLE,
+        "q_prep_bloom_decontaminate": _PREP_BLOOM_ORACLE,
         "q_e4_pii_redact": _pii_oracle(),
         "q_e4_c4_filter": _E4_C4_ORACLE,
         "q_e4_gopher_filter": _gopher_oracle(),

@@ -396,3 +396,80 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+# -- Bloom-filter decontamination (tiny-broadcast-state scale path) ----------
+
+
+def _bloom_positions(gram: Column, k: int, m: int) -> Column:
+    """Array of the ``k`` bit positions one gram sets (xxhash64 seeded per
+    probe by prepending the probe index; pmod into [0, m))."""
+    return F.array(*[F.pmod(F.xxhash64(F.lit(i), gram), F.lit(m)) for i in range(k)])
+
+
+def bloom_bitset(df: DataFrame, col: str, k: int = 4, m: int = 1 << 18) -> DataFrame:
+    """The Bloom filter as a relational bitset: the distinct bit positions
+
+    set by ``col``'s values — at most ``m`` rows no matter how large the
+    input (the cms_table trick applied to membership).  Mergeable across
+    benchmark shards by unioning + distinct."""
+    return df.select(
+        F.explode(_bloom_positions(F.col(col), k, m)).alias("pos")
+    ).dropDuplicates()
+
+
+def bloom_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    k: int = 4,
+    m: int = 1 << 18,
+) -> DataFrame:
+    """:func:`ngram_overlap` with the benchmark side compressed to a Bloom
+
+    bitset: a doc gram counts as a (maybe-)hit iff ALL ``k`` of its bit
+    positions are present.  The broadcast state is the bitset (≤ m rows of
+    one long) instead of the full gram strings — the shape that still
+    broadcasts when the benchmark suite is itself large.  One-sided error:
+    every truly-contaminated gram is flagged (no false negatives — the
+    guarantee the oracle asserts); false positives are bounded by the
+    classic (1-e^{-kn/m})^k.  Returns (id, n_grams, n_bloom_hits,
+    maybe_contaminated).
+    """
+    bits = bloom_bitset(
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+        ).dropDuplicates(),
+        "_g", k, m,
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).dropDuplicates()
+    probes = doc_grams.select(
+        id_col, "_g", F.explode(_bloom_positions(F.col("_g"), k, m)).alias("pos")
+    ).dropDuplicates()  # duplicate positions within a gram collapse
+    need = doc_grams.select(
+        id_col, "_g", F.size(F.array_distinct(_bloom_positions(F.col("_g"), k, m))).alias("_need")
+    )
+    present = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_have"))
+    )
+    gram_hits = (
+        need.join(present, [id_col, "_g"], "left")
+        .where(F.coalesce(F.col("_have"), F.lit(0)) == F.col("_need"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
+    )
+    return totals.join(gram_hits, id_col, "left_outer").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("maybe_contaminated"),
+    )

@@ -230,3 +230,69 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestBloomContamination:
+    def test_no_false_negatives_and_fp_sanity(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            bloom_contamination,
+            ngram_overlap,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),   # contains bench gram
+                (2, "one two three four five"),          # clean
+                (3, "alpha beta gamma delta zeta"),      # overlapping prefix
+                (4, "totally different words here now"), # clean
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        exact = {
+            r["doc_id"]: r["n_hits"]
+            for r in ngram_overlap(docs, bench, "text", "doc_id", n=4).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_bloom_hits"]
+            for r in bloom_contamination(
+                docs, bench, "text", "doc_id", n=4
+            ).collect()
+        }
+        # guarantee: bloom never misses a true hit
+        for d, n in exact.items():
+            assert bloom[d] >= n, (d, bloom[d], n)
+        # at m=2^18 with 1 bench gram, false positives are ~impossible
+        assert bloom == exact
+
+    def test_tiny_bitset_forces_false_positives_never_negatives(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            bloom_contamination,
+            ngram_overlap,
+        )
+
+        # m=8 bits and 30 bench grams saturate the filter: everything is
+        # (rightly or wrongly) flagged, proving the one-sided error shape
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(0, " ".join(f"w{i}" for i in range(40, 70)))],
+            "doc_id long, text string",
+        )
+        exact = {
+            r["doc_id"]: r["n_hits"]
+            for r in ngram_overlap(docs, bench, "text", "doc_id", n=2).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_bloom_hits"]
+            for r in bloom_contamination(
+                docs, bench, "text", "doc_id", n=2, k=2, m=8
+            ).collect()
+        }
+        for d, n in exact.items():
+            assert bloom[d] >= n
+        assert sum(bloom.values()) > sum(exact.values())  # FPs exist at m=8
