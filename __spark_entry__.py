@@ -2997,6 +2997,33 @@ FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
+def q_prep_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 weighted selection: probability-proportional-to-size systematic
+    sample of 50 documents by character mass (pps_systematic_sample —
+    distributed integer prefix sum via range partition + broadcast
+    offsets, selection by pure integer threshold crossings).  Unlike
+    df.sample the result is bit-for-bit reproducible on any engine, which
+    is exactly what the DuckDB oracle asserts."""
+    from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_systematic_sample(docs, "doc_id", "n_chars", n=50)
+
+
+_PREP_PPS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents WHERE n_chars > 0
+), t AS (
+  SELECT sum(w) AS total FROM w
+), c AS (
+  SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id) AS cum FROM w
+)
+SELECT c.doc_id, c.w AS weight
+FROM c, t
+WHERE (c.cum * 50) // t.total > ((c.cum - c.w) * 50) // t.total
+"""
+
+
 def q_prep_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18 scale path: benchmark decontamination with the benchmark side
     compressed to a Bloom BITSET (preparation.bloom_contamination — the
@@ -5212,7 +5239,7 @@ _ROUND4_FIRST = [
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
-    "q_prep_bloom_decontaminate",
+    "q_prep_bloom_decontaminate", "q_prep_pps_sample",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5318,6 +5345,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e11_stream_hll": q_e11_stream_hll,
         "q_e11_stream_decontaminate": q_e11_stream_decontaminate,
         "q_prep_bloom_decontaminate": q_prep_bloom_decontaminate,
+        "q_prep_pps_sample": q_prep_pps_sample,
         "q_e2_cluster_dedup": q_e2_cluster_dedup,
         "q_e4_repetition": q_e4_repetition,
         "q_prep_pack": q_prep_pack,
@@ -5582,6 +5610,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_contamination": _PREP_CONTAMINATION_ORACLE,
         "q_e11_stream_decontaminate": _PREP_CONTAMINATION_ORACLE,
         "q_prep_bloom_decontaminate": _PREP_BLOOM_ORACLE,
+        "q_prep_pps_sample": _PREP_PPS_ORACLE,
         "q_e4_pii_redact": _pii_oracle(),
         "q_e4_c4_filter": _E4_C4_ORACLE,
         "q_e4_gopher_filter": _gopher_oracle(),

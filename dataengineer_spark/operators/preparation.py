@@ -473,3 +473,66 @@ def bloom_contamination(
         F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
         (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("maybe_contaminated"),
     )
+
+
+# -- PPS systematic sampling (deterministic weighted selection) --------------
+
+
+def pps_systematic_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int, n_part: int = 32
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sample, exactly
+
+    deterministic: rows ordered by ``id_col`` carry a cumulative integer
+    weight, and a row is selected iff its interval [cum-w, cum) crosses a
+    multiple of W/n — i.e. ``(cum*n) div W > ((cum-w)*n) div W``.  Pure
+    integer arithmetic, so any engine reproduces the same sample bit-for-
+    bit (the property ``df.sample`` can never give you), and inclusion
+    probability is proportional to weight — the corpus-balancing sampler
+    when documents should be drawn by token mass, not per-row.
+
+    Scale: the prefix sum is distributed exactly as the exact-percentile
+    operator's — range-partition by id, per-partition weight sums collect
+    as control-plane broadcast offsets, a local window completes the
+    cumsum.  No global sort, no single-task window.  Rows with weight >
+    W/n count several threshold crossings but select once, so the sample
+    can be smaller than ``n`` (never larger).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    ranged = (
+        df.select(id_col, F.col(weight_col).cast("long").alias("_w"))
+        .where(F.col("_w") > 0)
+        .repartitionByRange(n_part, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    try:
+        sums = ranged.groupBy("_pid").agg(F.sum("_w").alias("s")).orderBy("_pid").collect()
+        offsets, acc = [], 0
+        for r in sums:
+            offsets.append((r["_pid"], acc))
+            acc += r["s"]
+        total = acc
+        if total == 0:
+            return spark.createDataFrame([], f"{id_col} long, weight long")
+        off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+        local = W.partitionBy("_pid").orderBy(id_col).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cum = (F.sum("_w").over(local) + F.col("_offset")).alias("_cum")
+        out = (
+            ranged.join(F.broadcast(off_df), "_pid")
+            .select(id_col, F.col("_w").alias("weight"), cum)
+            .where(
+                F.expr(f"(_cum * {n}) div {total}")
+                > F.expr(f"((_cum - weight) * {n}) div {total}")
+            )
+            .select(id_col, "weight")
+        )
+        # materialize under the cache (same reason as percentiles: _pid must
+        # mean the same partition in both jobs); result is <= n rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        ranged.unpersist()

@@ -296,3 +296,41 @@ class TestBloomContamination:
         for d, n in exact.items():
             assert bloom[d] >= n
         assert sum(bloom.values()) > sum(exact.values())  # FPs exist at m=8
+
+
+class TestPpsSample:
+    def test_selection_is_weight_proportional_and_deterministic(self, spark):
+        from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+        # one heavy row among light ones: the heavy row must always be in
+        rows = [(i, 10) for i in range(100)] + [(100, 5000)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {r["doc_id"] for r in pps_systematic_sample(df, "doc_id", "w", n=10).collect()}
+        assert 100 in got
+        assert len(got) <= 10
+        # deterministic: second run picks the identical set
+        again = {r["doc_id"] for r in pps_systematic_sample(df, "doc_id", "w", n=10).collect()}
+        assert got == again
+
+    def test_partitioning_does_not_change_the_sample(self, spark):
+        from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+        rows = [(i, (i * 37) % 50 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = {r["doc_id"] for r in pps_systematic_sample(df, "doc_id", "w", n=20).collect()}
+        b = {
+            r["doc_id"]
+            for r in pps_systematic_sample(
+                df.repartition(7), "doc_id", "w", n=20, n_part=3
+            ).collect()
+        }
+        assert a == b
+
+    def test_zero_and_negative_weights_are_excluded(self, spark):
+        from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, -5), (3, 100)], "doc_id long, w long"
+        )
+        got = [r["doc_id"] for r in pps_systematic_sample(df, "doc_id", "w", n=2).collect()]
+        assert got == [3]
