@@ -1563,6 +1563,8 @@ def _pq_topk_oracle() -> str:
     qv = _pq_query_vec()
     m, ksub = 8, 16
     dsub = 8
+    from dataengineer_spark.operators.similarity import _half_sqnorm
+
     code_exprs = []
     for j in range(m):
         cbj = (
@@ -1570,14 +1572,14 @@ def _pq_topk_oracle() -> str:
             + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb[j])
             + "]"
         )
+        halves = "[" + ", ".join(repr(_half_sqnorm(c)) for c in cb[j]) + "]"
         scored = (
             f"list_transform(generate_series(0, {ksub - 1}), i -> "
-            f"{{'d': list_reduce(list_transform(generate_series(1, {dsub}), "
-            f"t -> (v[{j * dsub} + t] - ({cbj})[i + 1][t]) * "
-            f"(v[{j * dsub} + t] - ({cbj})[i + 1][t])), (a, b) -> a + b), "
-            f"'i': i}})"
+            f"{{'s': list_reduce(list_transform(generate_series(1, {dsub}), "
+            f"t -> v[{j * dsub} + t] * ({cbj})[i + 1][t]), (a, b) -> a + b) "
+            f"- (CAST({halves} AS DOUBLE[]))[i + 1], 'ni': -i}})"
         )
-        code_exprs.append(f"(list_min({scored})).i AS code{j}")
+        code_exprs.append(f"-((list_max({scored})).ni) AS code{j}")
     luts = []
     for j in range(m):
         lut_j = [
@@ -3037,7 +3039,7 @@ def q_prep_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_overlap,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     bloom = bloom_contamination(docs, bench, "text", "doc_id", n=8)
     exact = ngram_overlap(docs, bench, "text", "doc_id", n=8).select(
@@ -4960,6 +4962,45 @@ WHERE (old.o_orderkey IS NULL) OR (new.o_orderkey IS NULL)
 """
 
 
+def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 mixture monitoring: KL(source unigram dist ‖ corpus dist) and
+    corpus-vocabulary coverage per source (quality.distribution_drift) —
+    the audit that catches one source's language drifting away from the
+    blend its mixture weight assumed.  Per-word double terms are summed
+    as decimals, so the result is independent of aggregation order and
+    the DuckDB oracle reproduces it exactly."""
+    from dataengineer_spark.operators import quality
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    return quality.distribution_drift(docs, "source", "text")
+
+
+_DQ_DRIFT_ORACLE = r"""
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS word
+  FROM documents
+), gw AS (
+  SELECT source, word, count(*) AS c_gw FROM w GROUP BY 1, 2
+), gt AS (
+  SELECT source, sum(c_gw) AS n_g FROM gw GROUP BY 1
+), wt AS (
+  SELECT word, sum(c_gw) AS c_w FROM gw GROUP BY 1
+), nt AS (
+  SELECT sum(c_gw) AS n FROM gw
+)
+SELECT gw.source,
+       CAST(any_value(n_g) AS BIGINT) AS n_words,
+       round(CAST(sum(CAST((c_gw / n_g) * ln((c_gw / n_g) / (c_w / n))
+             AS DECIMAL(28,18))) AS DOUBLE), 6) AS kl_divergence,
+       round(CAST(sum(CAST(c_w / n AS DECIMAL(28,18))) AS DOUBLE), 6)
+         AS vocab_coverage
+FROM gw JOIN gt USING (source) JOIN wt USING (word) CROSS JOIN nt
+GROUP BY gw.source
+"""
+
+
 def q_dq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15+E17 — survival funnel of the ordered Gopher rule chain: how
 
@@ -5239,7 +5280,7 @@ _ROUND4_FIRST = [
     "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
-    "q_prep_bloom_decontaminate", "q_prep_pps_sample",
+    "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5338,6 +5379,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_dsir": q_prep_dsir,
         "q_dq_funnel": q_dq_funnel,
         "q_dq_snapshot_diff": q_dq_snapshot_diff,
+        "q_dq_drift": q_dq_drift,
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_k6_scd2": q_k6_scd2,
         "q_e3_topk_arrow": q_e3_topk_arrow,
@@ -5620,6 +5662,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_dsir": _PREP_DSIR_ORACLE.format(words=_SQL_WORDS),
         "q_dq_funnel": _gopher_funnel_oracle(),
         "q_dq_snapshot_diff": _DQ_SNAPSHOT_DIFF_ORACLE,
+        "q_dq_drift": _DQ_DRIFT_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,

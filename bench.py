@@ -81,6 +81,11 @@ HEADLINE = [
     "q_e5_corr_stats",
     "q_prep_chunk",
     "q_e3_kmeans",
+    # round-4 additions: sketch, ANN-compression, and decontamination
+    # scale paths (each also oracled at sf0.01)
+    "q_e5_cms_topk",
+    "q_e3_pq_topk",
+    "q_prep_bloom_decontaminate",
 ]
 
 

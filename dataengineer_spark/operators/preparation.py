@@ -444,23 +444,29 @@ def bloom_contamination(
         ).dropDuplicates(),
         "_g", k, m,
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-    ).dropDuplicates()
-    probes = doc_grams.select(
-        id_col, "_g", F.explode(_bloom_positions(F.col("_g"), k, m)).alias("pos")
-    ).dropDuplicates()  # duplicate positions within a gram collapse
-    need = doc_grams.select(
-        id_col, "_g", F.size(F.array_distinct(_bloom_positions(F.col("_g"), k, m))).alias("_need")
+    # one distinct on (id, gram); positions dedupe IN-ROW (array_distinct)
+    # so the only exchanges after it are the (id, gram) re-group — which
+    # AQE elides, same keys — and the final per-doc rollup
+    doc_grams = (
+        df.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+        )
+        .dropDuplicates()
+        .select(
+            id_col,
+            "_g",
+            F.array_distinct(_bloom_positions(F.col("_g"), k, m)).alias("_ps"),
+        )
+        .select(id_col, "_g", F.size("_ps").alias("_need"), "_ps")
     )
-    present = (
-        probes.join(F.broadcast(bits), "pos")
-        .groupBy(id_col, "_g")
-        .agg(F.count("*").alias("_have"))
+    probes = doc_grams.select(
+        id_col, "_g", "_need", F.explode("_ps").alias("pos")
     )
     gram_hits = (
-        need.join(present, [id_col, "_g"], "left")
-        .where(F.coalesce(F.col("_have"), F.lit(0)) == F.col("_need"))
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_have"), F.first("_need").alias("_need"))
+        .where(F.col("_have") == F.col("_need"))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bloom_hits"))
     )

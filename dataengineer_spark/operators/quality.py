@@ -146,3 +146,44 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def distribution_drift(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group corpus drift: KL(group's unigram distribution ‖ corpus
+
+    distribution) plus the corpus-vocabulary mass the group covers — the
+    mixture-monitoring audit that tells a training pipeline when one
+    source's language shifts away from the blend it was weighted for.
+
+    Plan: one (group, word) count shuffle; per-group totals and the
+    corpus totals both reduce FROM the already-aggregated counts (no
+    second scan); group totals broadcast.  KL is finite without
+    smoothing because every group word exists in the corpus.  Per-word
+    double terms are cast to decimal before summing so the result is
+    independent of aggregation order — reproducible on any partitioning
+    (and in the SQL oracle) bit-for-bit.
+    """
+    from dataengineer_spark.operators.preparation import explode_words
+
+    words = explode_words(df.select(group_col, text_col), text_col)
+    gw = words.groupBy(group_col, "word").agg(F.count("*").alias("c_gw"))
+    g_tot = gw.groupBy(group_col).agg(F.sum("c_gw").alias("n_g"))
+    w_tot = gw.groupBy("word").agg(F.sum("c_gw").alias("c_w"))
+    n_tot = gw.select(F.sum("c_gw").alias("n"))
+    p_g = F.col("c_gw") / F.col("n_g")
+    p_c = F.col("c_w") / F.col("n")
+    term_kl = (p_g * F.log(p_g / p_c)).cast("decimal(28,18)")
+    term_cov = p_c.cast("decimal(28,18)")
+    return (
+        gw.join(F.broadcast(g_tot), group_col)
+        .join(w_tot, "word")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy(group_col)
+        .agg(
+            F.first("n_g").alias("n_words"),
+            F.round(F.sum(term_kl).cast("double"), 6).alias("kl_divergence"),
+            F.round(F.sum(term_cov).cast("double"), 6).alias("vocab_coverage"),
+        )
+    )

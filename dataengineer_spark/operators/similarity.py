@@ -641,16 +641,37 @@ def pq_encode(
     codes = []
     for j, cb in enumerate(codebook):
         sub = F.slice(v, j * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    sqdist(sub, array_lit(c)).alias("d"), F.lit(i).alias("i")
-                )
-                for i, c in enumerate(cb)
-            ]
+        ksub = len(cb)
+        # argmin ||s-c||² ≡ argmax s·c - ||c||²/2 (||s||² is constant per
+        # row): ONE fold carries all ksub dot partial sums (the lsh_bucket
+        # accumulator pattern — 8 interpreted passes instead of 128), the
+        # half-norms fold in as literals computed driver-side with the
+        # same left-fold order the oracle repr's.
+        pmat = array_lit([[c[t] for c in cb] for t in range(dsub)])
+        dots = F.aggregate(
+            F.zip_with(sub, pmat, lambda x, row: F.transform(row, lambda cv: x * cv)),
+            F.array_repeat(F.lit(0.0), ksub),
+            lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
         )
-        codes.append(F.array_min(scored).getField("i"))
+        halves = array_lit([_half_sqnorm(c) for c in cb])
+        scores = F.zip_with(dots, halves, lambda d, h: d - h)
+        # max score wins; ties to the LOWER index via the negated-index
+        # struct field (mirrors the SQL oracle's list_max over {'s','ni'})
+        best = F.array_max(
+            F.transform(scores, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
+        )
+        codes.append((-best.getField("ni")).cast("int"))
     return df.withColumn(out, F.array(*codes))
+
+
+def _half_sqnorm(c: list[float]) -> float:
+    """||c||²/2 with an explicit left fold — the float-op order both the
+
+    Spark literal and the SQL oracle reproduce."""
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return acc * 0.5
 
 
 def pq_top_k(
