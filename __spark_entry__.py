@@ -4159,6 +4159,40 @@ def q_s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof salted fact-fact join (joins.salted_join): lineitem
+    salts each row by a whole-row hash, orders replicates n_salt ways,
+    and the exchange spreads any hot orderkey over n_salt tasks — the
+    deterministic fallback when AQE's skew split can't break a single
+    key's sort group.  Result is row-identical to the plain join, which
+    is exactly what the oracle asserts."""
+    from dataengineer_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_J5_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_s8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order-clustered lake write + box-predicate read-back.  orders is
     written sorted by the Morton interleave of (o_custkey, o_totalprice)
@@ -5281,6 +5315,7 @@ _ROUND4_FIRST = [
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
+    "q_j5_salted_join",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5362,6 +5397,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k3_orc_roundtrip": q_k3_orc_roundtrip,
         "q_s7_bucketed_join": q_s7_bucketed_join,
         "q_s8_zorder_scan": q_s8_zorder_scan,
+        "q_j5_salted_join": q_j5_salted_join,
         "q_dq_constraints": q_dq_constraints,
         "q_dq_null_rates": q_dq_null_rates,
         "q_dq_orphans": q_dq_orphans,
@@ -5621,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e11_stream_join": _E11_JOIN_ORACLE,
         "q_s7_bucketed_join": _S7_BUCKETED_ORACLE,
         "q_s8_zorder_scan": _S8_ZORDER_ORACLE,
+        "q_j5_salted_join": _J5_SALTED_ORACLE,
         "q_e11_stateful": _E11_STATEFUL_ORACLE,
         "q_e1_incremental_dedup": _E1_INCR_ORACLE,
         "q_e11_stream_session": _E10_SESSION_ORACLE,

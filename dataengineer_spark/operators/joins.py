@@ -203,3 +203,38 @@ def asof_join(
         *[F.when(keep, F.col("_rrow_m").getField(c)).otherwise(F.lit(None)).alias(c)
           for c in r_payload],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Hot-key-proof equi-join: the (skewed) left side salts each row into
+
+    one of ``n_salt`` sub-keys — derived from a hash of the WHOLE row, so
+    a hot key's rows spread across salts — and the right side replicates
+    each row ``n_salt`` times; the join runs on (key, salt).  The hot
+    key's work lands on ``n_salt`` tasks instead of one.  Result is
+    row-identical to the plain inner join.
+
+    When to use: AQE's skew-join split (pinned in tests/test_plans.py)
+    already handles sort-merge skew at runtime, but it can only split a
+    partition, not a single key's sort group in every topology — explicit
+    salting is the deterministic fallback, and the standard tool when the
+    right side is too big to broadcast yet small next to the fact
+    (replication costs n_salt × |right| shuffle volume).
+    """
+    l_cols = [F.col(c) for c in left.columns]
+    salt = F.pmod(F.xxhash64(*l_cols), F.lit(n_salt))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = l.join(
+        r,
+        (F.col(left_on) == F.col(right_on)) & (l["_salt"] == r["_salt"]),
+    )
+    return out.drop("_salt")

@@ -111,6 +111,37 @@ class TestJoins:
         assert join_ops.anti_join(a, b, "k").collect()[0]["k"] == 1
 
 
+class TestSaltedJoin:
+    def test_result_identical_to_plain_join_under_skew(self, spark):
+        from dataengineer_spark.operators.joins import salted_join
+
+        # one hot key (90% of the fact side) plus a long tail
+        fact = spark.createDataFrame(
+            [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+            "k long, v long",
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(1, 102)], "dk long, label string"
+        )
+        salted = salted_join(fact, dim, "k", "dk", n_salt=8)
+        plain = fact.join(dim, fact.k == dim.dk)
+        assert salted.count() == plain.count() == 1000
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+    def test_hot_key_spreads_over_salts(self, spark):
+        from pyspark.sql import functions as F
+
+        # the whole-row hash must spread one key's rows across salts
+        fact = spark.createDataFrame([(1, i) for i in range(500)], "k long, v long")
+        n_distinct = (
+            fact.select(F.pmod(F.xxhash64("k", "v"), F.lit(8)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_distinct == 8
+
+
 class TestAggregates:
     def test_accuracy_with_nulls(self, spark):
         df = spark.createDataFrame(
