@@ -275,3 +275,43 @@ class TestChunkingProperties:
                 ]
                 covered |= set(range(r["start_token"], r["start_token"] + r["n_tokens"]))
             assert covered == set(range(1, n + 1))
+
+
+class TestScd2Invariants:
+    @prop
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),        # key
+                st.sampled_from(["a", "b", "c", None]),       # new value
+                st.integers(min_value=1, max_value=9),        # eff day
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_one_current_per_key_and_contiguous_history(self, spark, updates):
+        from dataengineer_spark.operators.dimensions import scd2_apply
+
+        dim = spark.createDataFrame(
+            [(k, "a", "day0", None, True) for k in range(1, 6)],
+            "k long, v string, valid_from string, valid_to string, is_current boolean",
+        )
+        upd = spark.createDataFrame(
+            [(k, v, f"day{d}") for k, v, d in updates],
+            "k long, v string, eff_date string",
+        )
+        out = scd2_apply(dim, upd, ["k"], ["v"]).collect()
+        by_key: dict[int, list] = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, rows in by_key.items():
+            # exactly one current version per key, with open valid_to
+            current = [r for r in rows if r["is_current"]]
+            assert len(current) == 1, (k, rows)
+            assert current[0]["valid_to"] is None
+            # every closed row's valid_to equals some version's valid_from
+            closed = [r for r in rows if not r["is_current"]]
+            froms = {r["valid_from"] for r in rows}
+            for c in closed:
+                assert c["valid_to"] in froms, (k, c, froms)
