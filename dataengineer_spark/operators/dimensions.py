@@ -33,6 +33,7 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Merge an update batch into a type-2 dimension; returns the new dim.
 
@@ -50,6 +51,9 @@ def scd2_apply(
       ``eff_col`` (ties break on the tracked values for determinism).
 
     History rows (``is_current`` = false) pass through untouched.
+    ``broadcast_updates`` (default) hints the update batch broadcast —
+    dimension updates are control-plane-sized next to facts; set False
+    for a bulk backfill batch so the join shuffles on the keys instead.
     """
     out_cols = key_cols + tracked_cols + [valid_from, valid_to, is_current]
 
@@ -70,7 +74,8 @@ def scd2_apply(
     join_cond = reduce(
         lambda a, b: a & b, [F.col(c) == F.col(f"_u_{c}") for c in key_cols]
     )
-    j = cur.join(F.broadcast(u), join_cond, "left")
+    u_side = F.broadcast(u) if broadcast_updates else u
+    j = cur.join(u_side, join_cond, "left")
 
     changed = F.col("_u_eff").isNotNull() & reduce(
         lambda a, b: a | b,
@@ -98,8 +103,12 @@ def scd2_apply(
             F.lit(True).alias(is_current),
         )
     )
+    # NOTE: no broadcast here — the anti-join's right side is the (large)
+    # dimension's keys; both sides shuffle on the keys and the update side
+    # is small, so the exchange is cheap. AQE may still demote to a
+    # broadcast where stats justify it.
     brand_new = (
-        upd.join(F.broadcast(cur.select(*key_cols)), key_cols, "left_anti")
+        upd.join(cur.select(*key_cols), key_cols, "left_anti")
         .select(
             *key_cols,
             *tracked_cols,

@@ -31,29 +31,40 @@ def _scale_expr(col: str, lo: Column, hi: Column, bits: int) -> Column:
         F.lit(0.0)
     )
     cells = F.lit((1 << bits) - 1)
-    return F.least(F.floor(frac * (cells + F.lit(1))), cells).cast("long")
+    cell = F.least(F.floor(frac * (cells + F.lit(1))), cells)
+    # clamp below too: caller-supplied approximate ranges may undershoot
+    return F.greatest(cell, F.lit(0)).cast("long")
 
 
 def zorder_value(
-    df: DataFrame, zcols: list[str], bits: int = 16, out: str = "_z"
+    df: DataFrame,
+    zcols: list[str],
+    bits: int = 16,
+    out: str = "_z",
+    ranges: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Append the Morton interleave of ``zcols`` as column ``out``.
 
     Ranges come from one min/max aggregate over the input (control-plane:
-    2 scalars per column).  Each column scales to ``bits`` bits; bit j of
-    column c lands at position j*len(zcols)+c, so ``bits * len(zcols)``
-    must stay <= 63.  Deterministic for a given input regardless of
-    partitioning.
+    2 scalars per column) — or pass ``ranges`` ({col: (lo, hi)}) when
+    they're already known (partition metadata, a stats table) to skip
+    that extra full scan at 100 TB; out-of-range values clamp, so
+    approximate bounds only cost clustering quality at the edges, never
+    correctness.  Each column scales to ``bits`` bits; bit j of column c
+    lands at position j*len(zcols)+c, so ``bits * len(zcols)`` must stay
+    <= 63.  Deterministic for a given input regardless of partitioning.
     """
     if bits * len(zcols) > 63:
         raise ValueError("bits * len(zcols) must fit in a signed long")
-    stats = df.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in zcols],
-        *[F.max(c).alias(f"_hi_{c}") for c in zcols],
-    ).first()
+    if ranges is None:
+        stats = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in zcols],
+            *[F.max(c).alias(f"_hi_{c}") for c in zcols],
+        ).first()
+        ranges = {c: (stats[f"_lo_{c}"], stats[f"_hi_{c}"]) for c in zcols}
     n = len(zcols)
     scaled = [
-        _scale_expr(c, F.lit(stats[f"_lo_{c}"]), F.lit(stats[f"_hi_{c}"]), bits)
+        _scale_expr(c, F.lit(ranges[c][0]), F.lit(ranges[c][1]), bits)
         for c in zcols
     ]
     parts = [

@@ -270,3 +270,21 @@ class TestScd2:
         assert (3, "y") in cur and (3, "x") not in cur
         closed = out.where("k = 3 AND NOT is_current").first()
         assert closed["valid_to"] == "1996-01-01"
+
+
+class TestZorderKnownRanges:
+    def test_caller_ranges_skip_scan_and_clamp(self, spark):
+        from dataengineer_spark.operators.layout import zorder_value
+
+        df = spark.createDataFrame(
+            [(0, 0), (3, 3), (10, -5)], "x long, y long"   # out-of-range row
+        )
+        z = {
+            (r["x"], r["y"]): r["_z"]
+            for r in zorder_value(
+                df, ["x", "y"], bits=2, ranges={"x": (0, 3), "y": (0, 3)}
+            ).collect()
+        }
+        assert z[(0, 0)] == 0 and z[(3, 3)] == 15
+        # overshoot clamps to the top cell, undershoot to 0: (3_clamped, 0)
+        assert z[(10, -5)] == z[(3, 3)] & 0b0101  # x bits only
