@@ -2358,6 +2358,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_e5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 profiling: equi-width histogram of order totals per priority
+    over EXPLICIT pinned bin edges (agg_ops.histogram — one map-side-
+    combined aggregate, ≤ n_bins+2 rows per group, under/overflow bins
+    kept so out-of-range mass is visible).  Pinned edges are what make
+    day-over-day distribution monitoring comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return agg_ops.histogram(
+        orders, "o_totalprice", 0.0, 600000.0, 24, keys=["o_orderpriority"]
+    )
+
+
+_E5_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CASE WHEN floor((o_totalprice - 0.0) / 25000.0) < 0 THEN -1
+              WHEN floor((o_totalprice - 0.0) / 25000.0) >= 24 THEN 24
+              ELSE CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT)
+         END AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority, CAST(bin AS BIGINT) AS bin,
+       round(0.0 + bin * 25000.0, 6) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY o_orderpriority, bin
+"""
+
+
 def q_e5_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle: count-min-sketch heavy hitters as a RELATIONAL
     table (sketches.cms_table — (layer,bucket,cnt) rows, no opaque binary,
@@ -5315,7 +5343,7 @@ _ROUND4_FIRST = [
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
-    "q_j5_salted_join",
+    "q_j5_salted_join", "q_e5_histogram",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5474,6 +5502,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_approx_distinct": q_e5_approx_distinct,
         "q_e5_hll_rollup": q_e5_hll_rollup,
         "q_e5_cms_topk": q_e5_cms_topk,
+        "q_e5_histogram": q_e5_histogram,
         "q_m1_classifier": q_m1_classifier,
         "q_m2_qa_sectionize": q_m2_qa_sectionize,
         "q_mm_features": q_mm_features,
@@ -5591,6 +5620,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_approx_percentile": _E5_APPROX_PCT_ORACLE,
         "q_e5_hll_rollup": _E5_HLL_ROLLUP_ORACLE,
         "q_e5_cms_topk": _E5_CMS_TOPK_ORACLE,
+        "q_e5_histogram": _E5_HISTOGRAM_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e4_perplexity_ref": _E4_PPL_REF_ORACLE,

@@ -300,3 +300,43 @@ def corr_stats(
         F.round(F.sqrt(var_x / (n - 1)), 6).alias("stddev_x"),
         F.round(F.sqrt(var_y / (n - 1)), 6).alias("stddev_y"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram over an EXPLICIT [lo, hi) range — one
+
+    map-side-combined aggregate, at most ``n_bins + 2`` rows per group
+    (bin -1 underflows, bin ``n_bins`` overflows — a profile that hides
+    out-of-range mass is a profile that lies).  The range is a parameter,
+    not a data scan: distribution monitoring compares TODAY'S histogram
+    against yesterday's, which only works when the bin edges are pinned.
+    Pure integer bin math on a scaled value — engine-portable."""
+    ks = list(keys or [])
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bin_id = (
+        F.when(F.col(col).isNull(), None)
+        .when(raw < 0, F.lit(-1))
+        .when(raw >= n_bins, F.lit(n_bins))
+        .otherwise(raw)
+        .cast("long")
+    )
+    return (
+        df.select(*ks, bin_id.alias("bin"))
+        .where(F.col("bin").isNotNull())
+        .groupBy(*ks, "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            *ks,
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -993,3 +993,25 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "x")], "k long, s string")
         rows = snapshot_diff(old, new, ["k"]).collect()
         assert [(r["k"], r["change"]) for r in rows] == [(1, "changed")]
+
+
+class TestHistogram:
+    def test_bins_underflow_overflow_and_nulls(self, spark):
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (100.0,), (None,)],
+            "v double",
+        )
+        got = {
+            r["bin"]: (r["bin_lo"], r["n"])
+            for r in agg_ops.histogram(df, "v", 0.0, 100.0, 10).collect()
+        }
+        # -5 underflows; 0 and 9.9 in bin 0; 10 in bin 1; 25 in bin 2;
+        # 100 == hi overflows into the explicit overflow bin; NULL dropped
+        assert got == {
+            -1: (-10.0, 1),
+            0: (0.0, 2),
+            1: (10.0, 1),
+            2: (20.0, 1),
+            10: (100.0, 1),
+        }
+        assert sum(n for _, n in got.values()) == 6
