@@ -2358,6 +2358,48 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_e5_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 feature cleaning: per-priority winsorization of order totals at
+    the exact [p5, p95] percentiles (agg_ops.winsorize — one cut-point
+    aggregate broadcast back onto the rows; keeps rows, bounds
+    influence).  Emits the clipped aggregate per group so the oracle
+    verifies both the cut points and their application."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = agg_ops.winsorize(
+        orders.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        0.05,
+        0.95,
+        out="clipped",
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("clipped"), 2).alias("sum_clipped"),
+        F.round(F.min("clipped"), 2).alias("min_clipped"),
+        F.round(F.max("clipped"), 2).alias("max_clipped"),
+    )
+
+
+_E5_WINSORIZE_ORACLE = """
+WITH cuts AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT o.o_orderpriority,
+         least(greatest(o.o_totalprice, c.lo), c.hi) AS clipped
+  FROM orders o JOIN cuts c USING (o_orderpriority)
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(clipped) AS DOUBLE), 2) AS sum_clipped,
+       round(CAST(min(clipped) AS DOUBLE), 2) AS min_clipped,
+       round(CAST(max(clipped) AS DOUBLE), 2) AS max_clipped
+FROM w GROUP BY o_orderpriority
+"""
+
+
 def q_e5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 profiling: equi-width histogram of order totals per priority
     over EXPLICIT pinned bin edges (agg_ops.histogram — one map-side-
@@ -5343,7 +5385,7 @@ _ROUND4_FIRST = [
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
-    "q_j5_salted_join", "q_e5_histogram",
+    "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5503,6 +5545,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e5_hll_rollup": q_e5_hll_rollup,
         "q_e5_cms_topk": q_e5_cms_topk,
         "q_e5_histogram": q_e5_histogram,
+        "q_e5_winsorize": q_e5_winsorize,
         "q_m1_classifier": q_m1_classifier,
         "q_m2_qa_sectionize": q_m2_qa_sectionize,
         "q_mm_features": q_mm_features,
@@ -5621,6 +5664,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e5_hll_rollup": _E5_HLL_ROLLUP_ORACLE,
         "q_e5_cms_topk": _E5_CMS_TOPK_ORACLE,
         "q_e5_histogram": _E5_HISTOGRAM_ORACLE,
+        "q_e5_winsorize": _E5_WINSORIZE_ORACLE,
         "q_e1_dup_weights": _E1_DUP_WEIGHTS_ORACLE,
         "q_e4_perplexity": _E4_PPL_ORACLE,
         "q_e4_perplexity_ref": _E4_PPL_REF_ORACLE,

@@ -340,3 +340,30 @@ def histogram(
             "n",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out: str | None = None,
+) -> DataFrame:
+    """Clip ``col`` to its per-group exact [p_lo, p_hi] percentiles — the
+
+    outlier treatment that keeps rows (unlike a filter) and bounds
+    influence (unlike raw values): the feature-cleaning step before
+    scaling/aggregation.  One group aggregate computes both cut points
+    (SQL ``percentile``, exact with linear interpolation), broadcast back
+    onto the rows — no window over the raw data, no sort."""
+    cuts = df.groupBy(*keys).agg(
+        F.percentile(F.col(col), F.lit(p_lo)).alias("_lo"),
+        F.percentile(F.col(col), F.lit(p_hi)).alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(cuts), keys)
+        .withColumn(out or col, clipped)
+        .drop("_lo", "_hi")
+    )

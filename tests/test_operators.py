@@ -1015,3 +1015,24 @@ class TestHistogram:
             10: (100.0, 1),
         }
         assert sum(n for _, n in got.values()) == 6
+
+
+class TestWinsorize:
+    def test_clips_to_exact_percentiles_per_group(self, spark):
+        rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 500.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = agg_ops.winsorize(df, ["g"], "v", 0.10, 0.90, out="c")
+        a_vals = sorted(r["c"] for r in out.where("g = 'a'").collect())
+        # exact p10/p90 of 1..100 with linear interpolation: 10.9 / 90.1
+        assert round(a_vals[0], 9) == 10.9 and round(a_vals[-1], 9) == 90.1
+        assert len(a_vals) == 100
+        # two-row group: p10..p90 interpolate between the two values
+        b_vals = {round(r["c"], 2) for r in out.where("g = 'b'").collect()}
+        assert b_vals == {54.5, 450.5}
+
+    def test_keeps_rows_and_other_columns(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 100.0)], "g string, id long, v double"
+        )
+        out = agg_ops.winsorize(df, ["g"], "v", 0.0, 1.0)
+        assert out.count() == 2 and set(out.columns) == {"g", "id", "v"}
