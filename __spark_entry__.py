@@ -909,6 +909,47 @@ UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
 """
 
 
+def q_e10_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 metric-drift tripwire: per-user trailing-window z-score anomaly
+    flags (event_ops.trailing_anomalies — bounded rows frame ending at
+    -1, one shuffle on user_id, O(lookback) window state).  z computed
+    from exact frame sums so the SQL oracle replays the identical float
+    sequence; event_id makes the order total."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.trailing_anomalies(
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        lookback=20,
+        z_threshold=3.0,
+        min_history=5,
+        tiebreakers=["event_id"],
+    )
+
+
+_E10_ANOMALY_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         count(value) OVER win AS n,
+         sum(value) OVER win AS s1,
+         sum(value * value) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, ts, value,
+         CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         END AS zs
+  FROM w
+)
+SELECT user_id, ts, value, round(zs, 6) AS z_score,
+       coalesce(abs(zs) > 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -5385,7 +5426,7 @@ _ROUND4_FIRST = [
     "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
-    "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize",
+    "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize", "q_e10_anomaly",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5431,6 +5472,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_sliding": q_e10_sliding,
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
+        "q_e10_anomaly": q_e10_anomaly,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -5709,6 +5751,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_sliding": _E10_SLIDING_ORACLE,
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
+        "q_e10_anomaly": _E10_ANOMALY_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -118,3 +118,50 @@ def sessionize_lag(
     return df.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
     ).drop("_new")
+
+
+def trailing_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Per-key anomaly flags: an event is anomalous when its value sits
+
+    more than ``z_threshold`` sample standard deviations from the mean of
+    the PRECEDING ``lookback`` events (frame ends at -1, so the point
+    never scores against itself).  One shuffle on the keys; the bounded
+    rows-frame keeps window state O(lookback) per key — the metric-drift
+    tripwire over event streams.  Events with under ``min_history``
+    preceding points emit NULL z (cold start is not an anomaly).
+
+    The z-score is computed from exact sums (Σv, Σv², n over the frame)
+    rather than ``stddev`` so the SQL oracle reproduces the same float
+    sequence; ``tiebreakers`` make the order total when timestamps repeat.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(value_col).over(w)
+    s1 = F.sum(value_col).over(w)
+    s2 = F.sum(F.col(value_col) * F.col(value_col)).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when(
+        (n >= min_history) & (var > 0),
+        (F.col(value_col) - mean) / F.sqrt(var),
+    )
+    return df.select(
+        *keys,
+        ts_col,
+        value_col,
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

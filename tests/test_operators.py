@@ -1036,3 +1036,35 @@ class TestWinsorize:
         )
         out = agg_ops.winsorize(df, ["g"], "v", 0.0, 1.0)
         assert out.count() == 2 and set(out.columns) == {"g", "id", "v"}
+
+
+class TestTrailingAnomalies:
+    def test_flags_spike_and_cold_start(self, spark):
+        # 10 flat points then a spike: the spike is the only anomaly and
+        # the first min_history points emit NULL z (cold start)
+        rows = [(1, t, 10.0 + (0.1 if t % 2 else -0.1)) for t in range(1, 11)]
+        rows.append((1, 11, 100.0))
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        out = {
+            r["ts"]: (r["z_score"], r["is_anomaly"])
+            for r in event_ops.trailing_anomalies(
+                df, ["k"], "ts", "v", lookback=5, min_history=3
+            ).collect()
+        }
+        assert out[11][1] is True and out[11][0] > 3
+        assert all(not out[t][1] for t in range(1, 11))
+        # first three points have < min_history trailing rows -> NULL z
+        assert out[1][0] is None and out[2][0] is None and out[3][0] is None
+
+    def test_point_never_scores_against_itself(self, spark):
+        # frame ends at -1: a lone huge value after constants is anomalous
+        # even though including it in its own window would dilute z
+        rows = [(1, t, 5.0 + 0.01 * (-1) ** t) for t in range(1, 7)]
+        rows.append((1, 7, 50.0))
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        row = (
+            event_ops.trailing_anomalies(df, ["k"], "ts", "v", lookback=10)
+            .where("ts = 7")
+            .first()
+        )
+        assert row["is_anomaly"] is True
