@@ -27,6 +27,13 @@ REPRESENTATIVE = [
     "q_e2_semantic_dedup",
     "q_e4_fingerprint_portable",
     "q_prep_decontaminate_portable",
+    # round-4b additions: sketch/layout/ANN/stream families with literal
+    # codebooks, timestamp sentinels, or streaming runs
+    "q_e5_cms_topk",
+    "q_k6_scd2",        # timestamp literals → session timezone sensitivity
+    "q_e3_pq_topk",
+    "q_e11_stream_hll", # streaming + window on the conf-less session
+    "q_e10_anomaly",
 ]
 
 
