@@ -1701,6 +1701,69 @@ FROM cs ORDER BY cos_sim DESC NULLS LAST, vec_id LIMIT 10
 """
 
 
+def q_f9_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/F5 completion: BPE vocabulary TRAINING on the corpus
+    (functions/bpe.bpe_train — one corpus scan to a vocab-sized word
+    histogram, then per-merge pair-count shuffles over vocab rows with a
+    one-row argmax collect: the kmeans_codebook iteration shape, cost
+    independent of corpus size).  The DuckDB oracle replays all six
+    merge rounds as unrolled CTE stages — double-sentinel segmentation
+    strings make the non-overlapping replace reproduce BPE's greedy-left
+    merge in both engines bit-for-bit."""
+    from dataengineer_spark.functions.bpe import bpe_train
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges = bpe_train(docs, "text", n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string, merged string",
+    )
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    s = "chr(1)"
+    ss = "chr(1) || chr(1)"
+    stages = [
+        f"""h0 AS (
+  SELECT {ss} || array_to_string(regexp_split_to_array(word, ''), {ss})
+           || {ss} AS seg,
+         CAST(n AS BIGINT) AS n
+  FROM (
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(
+        regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
+      FROM documents
+    ) GROUP BY word
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f"""m{i} AS (
+  SELECT a, b FROM (
+    SELECT t[j] AS a, t[j + 1] AS b, sum(n) AS cnt
+    FROM (
+      SELECT list_filter(string_split(seg, chr(1)), x -> x <> '') AS t, n
+      FROM h{i - 1}
+    ), unnest(generate_series(1, len(t) - 1)) AS u(j)
+    GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+  )
+)"""
+        )
+        stages.append(
+            f"""h{i} AS (
+  SELECT replace(seg, {s} || m.a || {ss} || m.b || {s},
+                 {s} || m.a || m.b || {s}) AS seg, n
+  FROM h{i - 1}, m{i} m
+)"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, a || b AS merged FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + selects
+
+
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
@@ -5427,6 +5490,7 @@ _ROUND4_FIRST = [
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
     "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize", "q_e10_anomaly",
+    "q_f9_bpe_train",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5473,6 +5537,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_f9_bpe_train": q_f9_bpe_train,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -5752,6 +5817,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_f9_bpe_train": _bpe_oracle(),
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -199,3 +199,36 @@ class TestDatesAndLabels:
         assert _one(spark, split_label(F.col("t"), as_long=False), "LABEL_x") == "x"
         # non-numeric suffix under try_cast → NULL, not an error
         assert _one(spark, split_label(F.col("t")), "LABEL_x") is None
+
+
+class TestBpe:
+    def test_merges_match_hand_computation(self, spark):
+        from dataengineer_spark.functions.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [("aaab aaab aaab aab aab",)], "text string"
+        )
+        merges = bpe_train(df, "text", n_merges=6)
+        # hand-derived: (a,a)=8 first; then tie (aa,a)=3 vs (a,b)=3 breaks
+        # to the lexicographically smaller left token; then the rest; the
+        # loop stops early once no pairs remain (4 < 6 requested)
+        assert merges == [("a", "a"), ("a", "b"), ("aa", "ab"), ("aa", "b")]
+
+    def test_segment_applies_merges_greedy_left(self, spark):
+        from dataengineer_spark.functions.bpe import bpe_segment
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("xyxy",), ("xxx",), ("yx",)], "w string"
+        )
+        out = {
+            r["w"]: r["toks"]
+            for r in df.select(
+                "w", bpe_segment(F.col("w"), [("x", "y"), ("xy", "xy")]).alias("toks")
+            ).collect()
+        }
+        # back-to-back merges both fire (the double-sentinel property),
+        # then the second merge consumes the result
+        assert out["xyxy"] == ["xyxy"]
+        assert out["xxx"] == ["x", "x", "x"]   # no (x,x) merge learned
+        assert out["yx"] == ["y", "x"]
