@@ -5209,6 +5209,49 @@ GROUP BY gw.source
 """
 
 
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 ANALYZE: one-scan per-column profile of orders (quality.
+    table_profile — row/null counts, numeric min/max as doubles, exact +
+    HLL++ distincts with a bound-check boolean).  This is the stats table
+    that feeds layout.zorder_value(ranges=...) and broadcast decisions
+    without a second scan."""
+    from dataengineer_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.table_profile(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+_DQ_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_val,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       TRUE AS ndv_est_ok
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+       count(DISTINCT o_custkey), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+       count(DISTINCT o_totalprice), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       count(DISTINCT o_orderpriority), TRUE
+FROM orders
+"""
+
+
 def q_dq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15+E17 — survival funnel of the ordered Gopher rule chain: how
 
@@ -5490,7 +5533,7 @@ _ROUND4_FIRST = [
     "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
     "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize", "q_e10_anomaly",
-    "q_f9_bpe_train",
+    "q_f9_bpe_train", "q_dq_profile",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5593,6 +5636,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_funnel": q_dq_funnel,
         "q_dq_snapshot_diff": q_dq_snapshot_diff,
         "q_dq_drift": q_dq_drift,
+        "q_dq_profile": q_dq_profile,
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_k6_scd2": q_k6_scd2,
         "q_e3_topk_arrow": q_e3_topk_arrow,
@@ -5883,6 +5927,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_funnel": _gopher_funnel_oracle(),
         "q_dq_snapshot_diff": _DQ_SNAPSHOT_DIFF_ORACLE,
         "q_dq_drift": _DQ_DRIFT_ORACLE,
+        "q_dq_profile": _DQ_PROFILE_ORACLE,
         "q_tpch_q3": _TPCH_Q3_ORACLE,
         "q_tpch_q5": _TPCH_Q5_ORACLE,
         "q_tpch_q10": _TPCH_Q10_ORACLE,

@@ -86,6 +86,8 @@ HEADLINE = [
     "q_e5_cms_topk",
     "q_e3_pq_topk",
     "q_prep_bloom_decontaminate",
+    "q_e10_anomaly",
+    "q_f9_bpe_train",
 ]
 
 

@@ -191,3 +191,61 @@ def distribution_drift(
             F.round(F.sum(term_cov).cast("double"), 6).alias("vocab_coverage"),
         )
     )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column statistics in ONE scan: row/null counts, numeric
+
+    min/max, exact and approximate (HLL++) distinct counts — the ANALYZE
+    step whose output feeds ``layout.zorder_value(ranges=...)``, mixture
+    planning, and broadcast-vs-shuffle decisions without re-scanning.
+    Numeric min/max are emitted as doubles (string columns profile NULL
+    there — cross-engine float-to-string formatting is not portable, so
+    the profile never stringifies numbers).  Output is column-count-sized.
+    """
+    from pyspark.sql import types as T
+
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType,))
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+            F.approx_count_distinct(F.col(c), 0.05).alias(f"_andv_{c}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+            ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                (
+                    F.col(f"_min_{c}") if c in numeric else F.lit(None).cast("double")
+                ).alias("min_val"),
+                (
+                    F.col(f"_max_{c}") if c in numeric else F.lit(None).cast("double")
+                ).alias("max_val"),
+                F.col(f"_ndv_{c}").alias("n_distinct"),
+                (
+                    F.abs(F.col(f"_andv_{c}") - F.col(f"_ndv_{c}"))
+                    <= F.greatest(
+                        F.lit(2.0), F.col(f"_ndv_{c}").cast("double") * 0.15
+                    )
+                ).alias("ndv_est_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1068,3 +1068,22 @@ class TestTrailingAnomalies:
             .first()
         )
         assert row["is_anomaly"] is True
+
+
+class TestTableProfile:
+    def test_one_scan_profile_with_nulls_and_strings(self, spark):
+        from dataengineer_spark.operators.quality import table_profile
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "x"), (2, None, "y"), (3, 30.0, "y"), (4, 40.0, None)],
+            "k long, v double, s string",
+        )
+        got = {r["column"]: r for r in table_profile(df, ["k", "v", "s"]).collect()}
+        assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 0
+        assert (got["k"]["min_val"], got["k"]["max_val"]) == (1.0, 4.0)
+        assert got["k"]["n_distinct"] == 4 and got["k"]["ndv_est_ok"]
+        assert got["v"]["n_nulls"] == 1
+        assert (got["v"]["min_val"], got["v"]["max_val"]) == (10.0, 40.0)
+        # string column: no numeric range, distincts still counted
+        assert got["s"]["min_val"] is None and got["s"]["n_distinct"] == 2
+        assert got["s"]["n_nulls"] == 1
