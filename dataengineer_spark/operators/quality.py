@@ -222,30 +222,28 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
                 F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
             ]
-    row = df.agg(*aggs)
-    parts = []
+    # ONE job; the aggregate result is a single row (control-plane) — a
+    # union of per-column selects over the lazy agg would recompute the
+    # full-scan aggregate once per column (no ReuseExchange across
+    # differently-pruned branches), so collect it and pivot driver-side
+    row = df.agg(*aggs).first()
+    out_rows = []
     for c in cols:
-        parts.append(
-            row.select(
-                F.lit(c).alias("column"),
-                F.col("_n").alias("n_rows"),
-                F.col(f"_nulls_{c}").alias("n_nulls"),
-                (
-                    F.col(f"_min_{c}") if c in numeric else F.lit(None).cast("double")
-                ).alias("min_val"),
-                (
-                    F.col(f"_max_{c}") if c in numeric else F.lit(None).cast("double")
-                ).alias("max_val"),
-                F.col(f"_ndv_{c}").alias("n_distinct"),
-                (
-                    F.abs(F.col(f"_andv_{c}") - F.col(f"_ndv_{c}"))
-                    <= F.greatest(
-                        F.lit(2.0), F.col(f"_ndv_{c}").cast("double") * 0.15
-                    )
-                ).alias("ndv_est_ok"),
+        ndv = row[f"_ndv_{c}"]
+        est_ok = abs(row[f"_andv_{c}"] - ndv) <= max(2.0, ndv * 0.15)
+        out_rows.append(
+            (
+                c,
+                row["_n"],
+                row[f"_nulls_{c}"],
+                float(row[f"_min_{c}"]) if c in numeric and row[f"_min_{c}"] is not None else None,
+                float(row[f"_max_{c}"]) if c in numeric and row[f"_max_{c}"] is not None else None,
+                ndv,
+                bool(est_ok),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "column string, n_rows long, n_nulls long, min_val double, "
+        "max_val double, n_distinct long, ndv_est_ok boolean",
+    )
