@@ -73,6 +73,7 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_session",
     "q_k5_merge_upsert",  # lake writes + read-back
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
+    "q_graph_pagerank",  # power-iteration loop under localCheckpoint at build
     "q_e2_neardup_dedup_portable",  # same CC loop on portable pairs
     "q_e2_neardup_dedup",
     "q_o6_batch_lifecycle",
@@ -947,6 +948,267 @@ WITH w AS (
 SELECT user_id, ts, value, round(zs, 6) AS z_score,
        coalesce(abs(zs) > 3.0, FALSE) AS is_anomaly
 FROM z
+"""
+
+
+def q_e10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 cohort-retention matrix (event_ops.cohort_retention): users
+    cohorted by first-event day; each (cohort_day, period_day) cell counts
+    distinct cohort members active that many days later.  One shuffle on
+    user_id shared by the first-touch agg and the activity join; output
+    is bounded by days², independent of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    # DATE → TIMESTAMP for the cross-engine compare (pandas reads Spark
+    # dates as objects but DuckDB dates as datetime64)
+    return event_ops.cohort_retention(ev, "user_id", "ts").withColumn(
+        "cohort_day", F.col("cohort_day").cast("timestamp")
+    )
+
+
+_E10_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(datediff('day', f.cohort_day, act.d) AS INTEGER) AS period_day,
+       count(DISTINCT act.user_id) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_e10_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 time-series densify: daily mean resample per user with
+    calendar gap-fill (sequence-exploded day grid bounded by each user's
+    span) and forward fill (last ignorenulls over an unbounded-preceding
+    frame).  Day means use exact decimal sums over 6-digit-rounded values
+    so the oracle replays identical floats; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    out = event_ops.resample_ffill(ev, ["user_id"], "ts", "value", scale=6)
+    # DATE → TIMESTAMP for the cross-engine compare (see q_e10_retention)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_E10_RESAMPLE_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               / count(value), 6) AS day_avg
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day, d.day_avg,
+       last_value(d.day_avg IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+"""
+
+
+def q_e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 conversion attribution (event_ops.touch_attribution): every
+    purchase credits its user's first-ever and most-recent prior touch
+    (click/view) via first/last-ignorenulls windows ending at -1 — one
+    shuffle on user_id, O(1) window state, tiny (model, touch) output.
+    Conversions with no prior touch land in '(direct)'."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.touch_attribution(
+        ev, "user_id", "ts", "event_type", "value",
+        ["click", "view"], "purchase", tiebreakers=["event_id"],
+    )
+
+
+_E10_ATTRIBUTION_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type,
+         CAST(round(value, 6) AS DECIMAL(27,6)) AS v,
+         first_value(CASE WHEN event_type IN ('click','view')
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+), conv AS (SELECT * FROM t WHERE event_type = 'purchase')
+SELECT 'first_touch' AS model, coalesce(ft, '(direct)') AS touch_type,
+       count(*) AS n_conversions, round(CAST(sum(v) AS DOUBLE), 2) AS total_value
+FROM conv GROUP BY 2
+UNION ALL
+SELECT 'last_touch' AS model, coalesce(lt, '(direct)') AS touch_type,
+       count(*) AS n_conversions, round(CAST(sum(v) AS DOUBLE), 2) AS total_value
+FROM conv GROUP BY 2
+"""
+
+
+def q_a2_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family model evaluation: exact ROC AUC by the Mann-Whitney
+    rank-sum identity WITHOUT a global row sort (agg_ops.roc_auc) — one
+    hash aggregate to per-distinct-score (n_pos, n_neg) counts, one
+    window over the distinct-score axis (cardinality bounded by score
+    precision, not rows), ties as half-credit; all pair counts integral
+    so the result is an exact rational.  Score = first embedding
+    component (6-digit), positive = label >= 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("score"),
+        "label",
+    )
+    return agg_ops.roc_auc(scored, "score", F.col("label") >= 5)
+
+
+_A2_AUC_ORACLE = """
+WITH s AS (
+  SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS sc,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), per AS (
+  SELECT sc, sum(y) AS np, sum(1 - y) AS nn FROM s GROUP BY sc
+), acc AS (
+  SELECT np, nn,
+         2 * np * coalesce(sum(nn) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + np * nn AS num2
+  FROM per
+)
+SELECT round(CAST(sum(num2) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 6) AS auc,
+       sum(np) AS n_pos, sum(nn) AS n_neg
+FROM acc
+"""
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (operators/graph.py): 5-iteration PageRank over
+    the supplier co-occurrence graph (suppliers sharing an order, both
+    directions — symmetric, so no dangling mass).  Each round is one
+    shuffle join on src + one hash aggregate on dst, localCheckpoint-ed;
+    contributions round-then-decimal-sum so the whole power iteration is
+    bit-reproducible and the oracle can replay it as unrolled CTEs."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return graph_ops.pagerank(edges, "src", "dst", damping=0.85, iterations=5)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-stage power iteration; every float step mirrors
+    operators/graph.py:pagerank (round/14 → decimal sum → ×0.85 +
+    (1-0.85)/N → round/12)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS (
+  SELECT src AS node, round(1.0 / nn.n, 12) AS rank FROM deg CROSS JOIN nn
+)"""
+    steps = []
+    for i in range(1, 6):
+        steps.append(f""", r{i} AS (
+  SELECT e.dst AS node,
+         round((1.0 - 0.85) / nn.n
+               + 0.85 * CAST(sum(CAST(round(r.rank / deg.d, 14)
+                                      AS DECIMAL(38,14))) AS DOUBLE),
+               12) AS rank
+  FROM e JOIN deg ON deg.src = e.src
+  JOIN r{i - 1} r ON r.node = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)""")
+    return head + "".join(steps) + "\nSELECT node, round(rank, 8) AS rank FROM r5"
+
+
+def q_e9_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/ER blocked fuzzy self-join (join_ops.fuzzy_join): candidates
+    only from equality on (lang, n_chars//8) — an ordinary shuffled
+    equi-join — verified by levenshtein on a 60-char prefix.  Cost is
+    Σ block², bounded by blocking-key design, never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    block = [
+        (F.col("lang"), F.col("lang")),
+        (F.floor(F.col("n_chars") / 8), F.floor(F.col("n_chars") / 8)),
+    ]
+    return join_ops.fuzzy_join(
+        docs, docs, "doc_id", "doc_id", "text", "text",
+        block_on=block, max_distance=10, prefix_len=60,
+    )
+
+
+_E9_FUZZY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 8 AS bkt, substring(text, 1, 60) AS p
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS lev_dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 10
+"""
+
+
+def q_f10_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F/LM collocation mining (lm_ops.pmi_collocations): PMI over
+    adjacent-token bigrams vs unigram expectations — in-array bigram
+    build (no pre-count explode), one (w1,w2) count shuffle, two
+    shuffled unigram joins, total-N as a one-row broadcast; integer
+    counts make the rounded ln engine-portable."""
+    from dataengineer_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_ops.pmi_collocations(docs, min_count=5)
+
+
+_F10_PMI_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents
+), toks0 AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS ord FROM d
+), toks AS (
+  SELECT * FROM toks0 WHERE length(w) > 0
+), big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), pc AS (
+  SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2
+), uni AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(pair_n) AS DOUBLE) AS n FROM pc
+)
+SELECT pc.w1, pc.w2, pc.pair_n,
+       round(ln(CAST(pc.pair_n AS DOUBLE) * tot.n
+                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM pc
+JOIN uni u1 ON u1.w = pc.w1
+JOIN uni u2 ON u2.w = pc.w2
+CROSS JOIN tot
+WHERE pc.pair_n >= 5
 """
 
 
@@ -5534,6 +5796,8 @@ _ROUND4_FIRST = [
     "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
     "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize", "q_e10_anomaly",
     "q_f9_bpe_train", "q_dq_profile",
+    "q_e10_retention", "q_e10_resample", "q_e10_attribution", "q_a2_auc",
+    "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5580,6 +5844,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_e10_retention": q_e10_retention,
+        "q_e10_resample": q_e10_resample,
+        "q_e10_attribution": q_e10_attribution,
+        "q_a2_auc": q_a2_auc,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_e9_fuzzy_join": q_e9_fuzzy_join,
+        "q_f10_pmi": q_f10_pmi,
         "q_f9_bpe_train": q_f9_bpe_train,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
@@ -5861,6 +6132,13 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_e10_retention": _E10_RETENTION_ORACLE,
+        "q_e10_resample": _E10_RESAMPLE_ORACLE,
+        "q_e10_attribution": _E10_ATTRIBUTION_ORACLE,
+        "q_a2_auc": _A2_AUC_ORACLE,
+        "q_graph_pagerank": _pagerank_oracle(),
+        "q_e9_fuzzy_join": _E9_FUZZY_ORACLE,
+        "q_f10_pmi": _F10_PMI_ORACLE,
         "q_f9_bpe_train": _bpe_oracle(),
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,

@@ -23,6 +23,52 @@ def accuracy(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
     return df.agg(F.avg(hit).alias("accuracy"))
 
 
+def roc_auc(df: DataFrame, score_col: str, label_col: Column) -> DataFrame:
+    """A1-family — exact ROC AUC via the Mann-Whitney rank-sum identity,
+
+    computed WITHOUT a global sort of the rows: scores are first reduced
+    to per-distinct-score (n_pos, n_neg) counts (one hash aggregate with
+    map-side combine), then a single window over the distinct-score axis
+    accumulates negatives-below; correct-pair counting handles ties as
+    half-credit.  All pair counts are integers, so the result is an
+    exact rational — no float-summation order dependence, hence
+    engine-portable bit-for-bit after the final rounded division.
+
+    The only non-distributed step is the window over DISTINCT scores,
+    whose cardinality is bounded by score precision (round scores
+    upstream to cap it), not by row count — at 100 TB a 6-digit score
+    axis is ≤2M rows on one partition, vs a global sort of the data.
+
+    Output: one row (auc, n_pos, n_neg).
+    """
+    from pyspark.sql import Window as W
+
+    per_score = df.select(
+        F.col(score_col).alias("_s"),
+        label_col.cast("int").alias("_y"),
+    ).groupBy("_s").agg(
+        F.sum("_y").alias("_np"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
+    )
+    w = W.orderBy(F.col("_s").asc()).rowsBetween(W.unboundedPreceding, -1)
+    # 2 * (pairs where pos > neg) + (tied pairs) — stays integral
+    paired = per_score.select(
+        (2 * F.col("_np") * F.coalesce(F.sum("_nn").over(w), F.lit(0))
+         + F.col("_np") * F.col("_nn")).alias("_num2"),
+        "_np",
+        "_nn",
+    )
+    return paired.agg(
+        F.round(
+            F.sum("_num2").cast("double")
+            / (2.0 * F.sum("_np") * F.sum("_nn")),
+            6,
+        ).alias("auc"),
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+    )
+
+
 def first_row(df: DataFrame, order_by: list[Column] | None = None):
     """A2 — ``iloc[0]`` (reference prostate_dag.py:62-63). The reference
 

@@ -120,6 +120,143 @@ def sessionize_lag(
     ).drop("_new")
 
 
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Classic cohort-retention matrix: users are cohorted by the day of
+
+    their first event; each (cohort_day, period_day) cell counts the
+    distinct cohort members active ``period_day`` days after joining.
+
+    Shape: one hash aggregate on the user column for first-touch, one
+    distinct-project of (user, day) activity, an equi-join back on the
+    user column (the exchanges share one partitioning), and a final
+    small aggregate on (cohort_day, period_day) — cells are bounded by
+    days², not rows, so the output is tiny at any scale.  No window
+    functions, no global sort; survives a 1000-executor shuffle on
+    ``user_col`` unchanged.
+    """
+    first = df.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    activity = df.select(
+        F.col(user_col), F.to_date(ts_col).alias("_day")
+    ).distinct()
+    return (
+        activity.join(first, user_col)
+        .select(
+            "cohort_day",
+            F.datediff("_day", "cohort_day").alias("period_day"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "period_day")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Daily resample + forward fill per key: aggregate ``value_col`` to a
+
+    per-day mean, densify each key's [min_day, max_day] span with
+    ``sequence``-exploded calendar days, and carry the most recent
+    observed day-mean into the gaps (``last`` with ``ignorenulls`` over
+    an unbounded-preceding rows frame).
+
+    The day-mean uses exact decimal sums over values pre-rounded to
+    ``scale`` digits so a SQL engine replays bit-identical floats.  One
+    shuffle on the keys does the day-aggregate, the span, and the fill
+    window; the explode is bounded by each key's span in days (never by
+    row count), so a key with a million events and a 90-day span still
+    produces 90 grid rows.  Output: keys, day, day_avg (null on gap
+    days), filled.
+    """
+    day = F.to_date(ts_col).alias("_day")
+    dec = F.round(F.col(value_col), scale).cast("decimal(27,%d)" % scale)
+    daily = df.select(*keys, day, dec.alias("_v")).groupBy(*keys, "_day").agg(
+        F.round(F.sum("_v").cast("double") / F.count("_v"), scale).alias("day_avg")
+    )
+    spans = daily.groupBy(*keys).agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("_day"),
+    )
+    joined = grid.join(daily, [*keys, "_day"], "left")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_day").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        F.col("_day").alias("day"),
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """First-touch and last-touch conversion attribution in one pass:
+
+    within each user's event history (ordered by ``ts_col`` plus
+    ``tiebreakers`` for a total order), every conversion event credits
+    (a) the touch type it saw first ever, and (b) the most recent touch
+    type strictly before it — both via ``first``/``last`` with
+    ``ignorenulls`` over an unbounded-preceding frame ending at -1, so
+    the conversion row never attributes to itself.
+
+    One shuffle on the user column, O(1) window state per row, and a
+    final tiny aggregate on (model, touch_type) — the same plan shape at
+    150 users or 150 million.  Conversions with no preceding touch fall
+    into the ``(direct)`` bucket.  Conversion values are summed as exact
+    decimals post-round so the figure is engine-portable.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(touch_types), F.col(type_col))
+    tagged = df.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.round(F.col(value_col), 6).cast("decimal(27,6)").alias("_v"),
+        F.first(touch, ignorenulls=True).over(w).alias("_first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("_last_touch"),
+    ).where(F.col(type_col) == conversion_type)
+    models = []
+    for model, col in [("first_touch", "_first_touch"), ("last_touch", "_last_touch")]:
+        models.append(
+            tagged.groupBy(
+                F.lit(model).alias("model"),
+                F.coalesce(F.col(col), F.lit("(direct)")).alias("touch_type"),
+            ).agg(
+                F.count("*").alias("n_conversions"),
+                F.round(F.sum("_v").cast("double"), 2).alias("total_value"),
+            )
+        )
+    return models[0].unionByName(models[1])
+
+
 def trailing_anomalies(
     df: DataFrame,
     keys: list[str],

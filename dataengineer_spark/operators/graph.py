@@ -1,0 +1,102 @@
+"""Iterative graph analytics over relational edge lists.
+
+Companion to the min-label connected-components loop in
+``operators/dedup.py`` (the cluster-collapse step of near-dup dedup):
+this module holds general graph measures computed the same Spark-native
+way — the graph is a plain (src, dst) DataFrame, every iteration is one
+hash join plus one partially-aggregated groupBy on the node key, and
+``localCheckpoint`` truncates lineage so a 20-round loop doesn't build a
+20-deep plan.  No GraphX/RDDs: the edge list at 100 TB is just another
+shuffled table, and Catalyst handles the join strategy per round.
+
+Determinism contract (shared with the engine's other float reducers):
+per-node contributions are rounded then summed as exact decimals, so
+rank vectors are bit-identical across engines and partitionings — a SQL
+oracle can replay the whole power iteration as unrolled CTE stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration on an edge list.
+
+    Per round: each node ships ``rank / out_degree`` along its out-edges
+    (the join on ``src`` reuses the degree table's partitioning), and
+    every node's new rank is ``(1-d)/N + d * Σ contributions``.  The
+    contribution is rounded to 14 digits and summed as DECIMAL(38,14),
+    so the Σ is exact and order-independent; the new rank is re-rounded
+    to 12 digits — the float sequence is reproducible on any engine and
+    any partition count.
+
+    Scale shape: ``iterations`` × (one shuffle join on src + one hash
+    aggregate on dst), each ``localCheckpoint``-ed — the classic
+    Pregel-without-Pregel loop.  Nodes are taken from the src side; on a
+    symmetrized graph (undirected input) that covers every node and
+    leaves no dangling mass, which callers should ensure (or accept the
+    standard dangling-rank leak).
+
+    Output: (node, rank) with rank rounded to 8 digits.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg")).persist()
+    # control-plane scalar (node count), same pattern as the engine's
+    # other documented driver-side scalars (aggregates.py partition counts)
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(
+        F.col("_src").alias("node"),
+        F.round(F.lit(1.0 / n_nodes), 12).alias("rank"),
+    ).localCheckpoint()
+    try:
+        for _ in range(iterations):
+            contribs = (
+                e.join(deg, "_src")
+                .join(ranks, F.col("_src") == F.col("node"))
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.round(F.col("rank") / F.col("_deg"), 14)
+                    .cast("decimal(38,14)")
+                    .alias("_c"),
+                )
+            )
+            ranks = (
+                contribs.groupBy("node")
+                .agg(
+                    F.round(
+                        base + damping * F.sum("_c").cast("double"), 12
+                    ).alias("rank")
+                )
+                .localCheckpoint()
+            )
+        return ranks.select("node", F.round("rank", 8).alias("rank"))
+    finally:
+        deg.unpersist()
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree in one pass: explode each edge into two
+
+    (node, is_out) rows and hash-aggregate — a single shuffle on the
+    node key regardless of direction mix."""
+    both = edges.select(
+        F.col(src).alias("node"), F.lit(1).alias("out_d"), F.lit(0).alias("in_d")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("node"), F.lit(0).alias("out_d"), F.lit(1).alias("in_d")
+        )
+    )
+    return both.groupBy("node").agg(
+        F.sum("out_d").alias("out_degree"), F.sum("in_d").alias("in_degree")
+    )

@@ -238,3 +238,51 @@ def salted_join(
         (F.col(left_on) == F.col(right_on)) & (l["_salt"] == r["_salt"]),
     )
     return out.drop("_salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_on: list[tuple[Column, Column]],
+    max_distance: int = 5,
+    prefix_len: int = 40,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+
+    workhorse: candidate pairs come ONLY from equality on the blocking
+    keys (an ordinary shuffled equi-join, never a cross product), then
+    each candidate is verified with ``levenshtein`` on a bounded text
+    prefix.  Cost is Σ |block|² over blocks, so blocking-key design, not
+    data volume, bounds the work — the standard ER trade of recall
+    (pairs split across blocks are missed) for a scalable plan.
+
+    ``prefix_len`` caps the O(n·m) edit-distance verify per pair;
+    Spark's ``levenshtein`` and ANSI SQL's agree on semantics, so the
+    pair set is engine-portable.  Output: (id_a, id_b, lev_dist) with
+    id_a < id_b (self-join safe).
+    """
+    l = left.select(
+        F.col(left_id).alias("_ida"),
+        F.substring(F.col(left_text), 1, prefix_len).alias("_ta"),
+        *[expr.alias(f"_bk{i}") for i, (expr, _) in enumerate(block_on)],
+    )
+    r = right.select(
+        F.col(right_id).alias("_idb"),
+        F.substring(F.col(right_text), 1, prefix_len).alias("_tb"),
+        *[expr.alias(f"_bk{i}") for i, (_, expr) in enumerate(block_on)],
+    )
+    keys = [f"_bk{i}" for i in range(len(block_on))]
+    pairs = l.join(r, keys).where(F.col("_ida") < F.col("_idb"))
+    return (
+        pairs.withColumn("lev_dist", F.levenshtein("_ta", "_tb"))
+        .where(F.col("lev_dist") <= max_distance)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "lev_dist",
+        )
+    )

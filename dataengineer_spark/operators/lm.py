@@ -116,3 +116,51 @@ def bigram_perplexity(
         # ppl derives from the already-rounded CE so both floats are stable
         F.round(F.exp(F.col("cross_entropy")), 6).alias("ppl"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining by pointwise mutual information:
+
+    PMI(w1,w2) = ln( c(w1,w2)·N / (c(w1)·c(w2)) ) over adjacent-token
+    bigrams, the standard phrase-detection signal (word2vec-phrases /
+    Gensim method, public).  High-PMI pairs occur together far more than
+    their unigram frequencies predict — multiword units worth fusing
+    into single tokens before LM training.
+
+    Scale shape: reuses the perplexity module's in-array bigram build
+    (no per-token explode before counting), then one (w1,w2) count
+    shuffle and two shuffled joins against the unigram count table —
+    the unigram table is itself corpus-sized, so it joins, not
+    broadcasts; the total-bigram N rides as a one-row broadcast scalar.
+    All counts are integers, so the PMI argument is an exact rational
+    and the rounded ln is engine-portable.
+
+    Output: (w1, w2, pair_n, pmi) for pairs seen ≥ ``min_count`` times.
+    """
+    big = doc_bigrams(df, text_col, id_col)
+    pair_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    uni = (
+        doc_token_arrays(df, text_col, id_col)
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = pair_counts.agg(F.sum("pair_n").cast("double").alias("_n"))
+    out = (
+        pair_counts.where(F.col("pair_n") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(
+            uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c2"), "w2"
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        F.col("pair_n").cast("double") * F.col("_n")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return out.select("w1", "w2", "pair_n", F.round(pmi, 6).alias("pmi"))

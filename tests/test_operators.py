@@ -1087,3 +1087,157 @@ class TestTableProfile:
         # string column: no numeric range, distincts still counted
         assert got["s"]["min_val"] is None and got["s"]["n_distinct"] == 2
         assert got["s"]["n_nulls"] == 1
+
+
+class TestCohortRetention:
+    def test_cells_count_distinct_cohort_members(self, spark):
+        rows = [
+            (1, "2024-01-01 08:00:00"), (1, "2024-01-03 09:00:00"),
+            (2, "2024-01-02 10:00:00"),
+            (3, "2024-01-01 11:00:00"), (3, "2024-01-01 12:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = {
+            (str(r["cohort_day"]), r["period_day"]): r["n_users"]
+            for r in event_ops.cohort_retention(df, "user_id", "ts").collect()
+        }
+        # users 1 and 3 cohort on Jan-1; only user 1 returns on day 2
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-01", 2)] == 1
+        assert out[("2024-01-02", 0)] == 1
+        assert len(out) == 3
+
+
+class TestResampleFfill:
+    def test_gap_days_are_densified_and_filled(self, spark):
+        rows = [
+            (1, "2024-01-01 01:00:00", 10.0),
+            (1, "2024-01-01 02:00:00", 20.0),
+            (1, "2024-01-04 03:00:00", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string, v double").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), F.col("v")
+        )
+        out = {
+            str(r["day"]): (r["day_avg"], r["filled"])
+            for r in event_ops.resample_ffill(df, ["user_id"], "ts", "v").collect()
+        }
+        assert len(out) == 4  # Jan 1-4 densified
+        assert out["2024-01-01"] == (15.0, 15.0)
+        assert out["2024-01-02"] == (None, 15.0)  # gap day forward-filled
+        assert out["2024-01-03"] == (None, 15.0)
+        assert out["2024-01-04"] == (30.0, 30.0)
+
+
+class TestTouchAttribution:
+    def test_first_last_and_direct_buckets(self, spark):
+        rows = [
+            (1, 1, "purchase", 5.0),   # before any touch -> (direct)
+            (1, 2, "click", 0.0),
+            (1, 3, "view", 0.0),
+            (1, 4, "purchase", 10.0),  # first=click, last=view
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, et string, v double"
+        ).select(
+            "user_id", "event_id",
+            F.timestamp_seconds(F.col("event_id") * 60).alias("ts"),
+            F.col("et"), F.col("v"),
+        )
+        out = {
+            (r["model"], r["touch_type"]): (r["n_conversions"], r["total_value"])
+            for r in event_ops.touch_attribution(
+                df, "user_id", "ts", "et", "v",
+                ["click", "view"], "purchase", tiebreakers=["event_id"],
+            ).collect()
+        }
+        assert out[("first_touch", "(direct)")] == (1, 5.0)
+        assert out[("first_touch", "click")] == (1, 10.0)
+        assert out[("last_touch", "(direct)")] == (1, 5.0)
+        assert out[("last_touch", "view")] == (1, 10.0)
+
+
+class TestRocAuc:
+    def test_perfect_separation(self, spark):
+        rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+        df = spark.createDataFrame(rows, "score double, y int")
+        row = agg_ops.roc_auc(df, "score", F.col("y") == 1).first()
+        assert row["auc"] == 1.0 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+    def test_ties_get_half_credit(self, spark):
+        # pairs: (1.0>0.5)=1, (1.0>0.0)=1, (0.5==0.5)=0.5, (0.5>0.0)=1
+        rows = [(1.0, 1), (0.5, 1), (0.5, 0), (0.0, 0)]
+        df = spark.createDataFrame(rows, "score double, y int")
+        row = agg_ops.roc_auc(df, "score", F.col("y") == 1).first()
+        assert row["auc"] == 0.875
+
+
+class TestPagerank:
+    def test_symmetric_triangle_is_uniform(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        ranks = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(edges, iterations=5).collect()
+        }
+        assert len(ranks) == 3
+        # output ranks round to 8 digits
+        assert all(abs(v - 1.0 / 3) < 1e-7 for v in ranks.values())
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    def test_star_center_dominates(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        leaves = [2, 3, 4, 5]
+        pairs = [(1, leaf) for leaf in leaves] + [(leaf, 1) for leaf in leaves]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        ranks = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(edges, iterations=10).collect()
+        }
+        assert ranks[1] > max(ranks[leaf] for leaf in leaves) * 2
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    def test_degree_stats(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+        out = {
+            r["node"]: (r["out_degree"], r["in_degree"])
+            for r in graph_ops.degree_stats(edges).collect()
+        }
+        assert out == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+class TestFuzzyJoin:
+    def test_blocked_pairs_verified_by_edit_distance(self, spark):
+        rows = [
+            (1, "b1", "hello world"),
+            (2, "b1", "hello wurld"),   # dist 1 from doc 1
+            (3, "b1", "completely different text"),
+            (4, "b2", "hello world"),   # identical to 1 but other block
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+        out = join_ops.fuzzy_join(
+            df, df, "doc_id", "doc_id", "text", "text",
+            block_on=[(F.col("blk"), F.col("blk"))], max_distance=3,
+        ).collect()
+        assert {(r["id_a"], r["id_b"], r["lev_dist"]) for r in out} == {(1, 2, 1)}
+
+
+class TestPmiCollocations:
+    def test_pmi_value_matches_hand_count(self, spark):
+        from dataengineer_spark.operators import lm as lm_ops
+
+        df = spark.createDataFrame([(1, "a b a b a b a b")], "doc_id long, text string")
+        out = {
+            (r["w1"], r["w2"]): (r["pair_n"], r["pmi"])
+            for r in lm_ops.pmi_collocations(df, min_count=1).collect()
+        }
+        # c(a)=4 c(b)=4 c(a,b)=4 c(b,a)=3 N=7
+        assert out[("a", "b")] == (4, round(math.log(4 * 7 / 16), 6))
+        assert out[("b", "a")] == (3, round(math.log(3 * 7 / 16), 6))
