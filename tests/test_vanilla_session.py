@@ -34,6 +34,13 @@ REPRESENTATIVE = [
     "q_e3_pq_topk",
     "q_e11_stream_hll", # streaming + window on the conf-less session
     "q_e10_anomaly",
+    # round-4c additions: date-typed outputs (cast-to-timestamp parity),
+    # the checkpointed power-iteration loop, and IGNORE NULLS windows
+    "q_e10_retention",
+    "q_e10_resample",
+    "q_e10_attribution",
+    "q_graph_pagerank",
+    "q_a2_auc",
 ]
 
 
