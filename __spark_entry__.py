@@ -1212,6 +1212,252 @@ WHERE pc.pair_n >= 5
 """
 
 
+def q_e5_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 grouped OLS (agg_ops.group_ols): per-returnflag slope /
+    intercept / R² of extendedprice on quantity, closed-form from exact
+    decimal moment sums — one partial-combined hash aggregate, closing
+    formulas on per-group scalars (F.regr_* would accumulate partition-
+    order-dependent doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.group_ols(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+_E5_REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round(CASE WHEN (sxx - sx*sx/n) > 0
+             THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) END, 6) AS slope,
+  round((sy - CASE WHEN (sxx - sx*sx/n) > 0
+                   THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) END * sx) / n, 6)
+    AS intercept,
+  round(CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+             THEN (sxy - sx*sy/n) * (sxy - sx*sy/n)
+                  / ((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 6) AS r2
+FROM m
+"""
+
+
+def q_e5_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 RFM segmentation: per-customer recency/frequency/monetary from
+    one orders aggregate, then quintile scores via
+    preparation.equal_frequency_bin — distinct-VALUE cumulative counts
+    instead of a global-row ntile, so ties land in one bin and the only
+    serial axis is value cardinality.  R score inverts (recent = 5)."""
+    from dataengineer_spark.operators.preparation import equal_frequency_bin
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("monetary"),
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+    )
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("_ref"))
+    m = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey", "frequency", "monetary",
+        F.datediff("_ref", "_last").alias("recency_days"),
+    )
+    b = equal_frequency_bin(m, "recency_days", 5, "_r_raw")
+    b = equal_frequency_bin(b, "frequency", 5, "f_score")
+    b = equal_frequency_bin(b, "monetary", 5, "m_score")
+    return b.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        (F.lit(6) - F.col("_r_raw")).cast("int").alias("r_score"),
+        "f_score", "m_score",
+        F.concat(
+            (F.lit(6) - F.col("_r_raw")).cast("int").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+_E5_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey, count(*) AS frequency,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS monetary,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+m AS (
+  SELECT o_custkey, frequency, monetary,
+         CAST(datediff('day', last_d, ref.ref_d) AS INTEGER) AS recency_days
+  FROM cust CROSS JOIN ref
+),
+rc AS (SELECT recency_days AS v, count(*) AS c FROM m GROUP BY 1),
+rbin AS (SELECT v, CAST(floor(5 * coalesce(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / (SELECT sum(c) FROM rc)) + 1 AS INTEGER) AS b FROM rc),
+fc AS (SELECT frequency AS v, count(*) AS c FROM m GROUP BY 1),
+fbin AS (SELECT v, CAST(floor(5 * coalesce(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / (SELECT sum(c) FROM fc)) + 1 AS INTEGER) AS b FROM fc),
+mc AS (SELECT monetary AS v, count(*) AS c FROM m GROUP BY 1),
+mbin AS (SELECT v, CAST(floor(5 * coalesce(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / (SELECT sum(c) FROM mc)) + 1 AS INTEGER) AS b FROM mc)
+SELECT m.o_custkey, m.recency_days, m.frequency, m.monetary,
+       CAST(6 - rbin.b AS INTEGER) AS r_score,
+       fbin.b AS f_score, mbin.b AS m_score,
+       CAST(6 - rbin.b AS VARCHAR) || CAST(fbin.b AS VARCHAR)
+         || CAST(mbin.b AS VARCHAR) AS segment
+FROM m
+JOIN rbin ON rbin.v = m.recency_days
+JOIN fbin ON fbin.v = m.frequency
+JOIN mbin ON mbin.v = m.monetary
+"""
+
+
+def q_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking fusion (ranking.rrf_fuse): reciprocal-rank fusion of two
+    heterogeneous per-language rankers (quality score, length) — rank
+    windows partition by lang (never global), fusion is a fan-in join +
+    map-side 1/(k+rank) sum with integer ranks, portable bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators import ranking
+
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(textops.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    wa = W.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wb = W.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ra = q.select("lang", "doc_id", F.row_number().over(wa).alias("ra"))
+    rb = q.select("lang", "doc_id", F.row_number().over(wb).alias("rb"))
+    return ranking.rrf_fuse([(ra, "ra"), (rb, "rb")], ["lang", "doc_id"], k=60)
+
+
+_RANK_RRF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, length(text) AS n,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS toks,
+         length(regexp_replace(text, '{textops.PUNCT_NEGATED}', '', 'g')) AS punct,
+         len(regexp_split_to_array(lower(text),
+             '\\b(?:the|and|of|to|a|in|is|it)\\b')) - 1 AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n_chars, round((
+      (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN n = 0 THEN 0.0 WHEN punct / n < 0.1 THEN 1.0 ELSE 0.5 END)
+    + (CASE WHEN toks = 0 THEN 0.0 WHEN stop_hits / toks > 0.05 THEN 1.0 ELSE 0.5 END)
+  ) / 3.0, 6) AS quality
+  FROM t
+), ra AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS r
+  FROM q
+), rb AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r
+  FROM q
+)
+SELECT ra.lang, ra.doc_id,
+       round(1.0 / (60 + ra.r) + 1.0 / (60 + rb.r), 6) AS rrf_score
+FROM ra JOIN rb ON ra.lang = rb.lang AND ra.doc_id = rb.doc_id
+"""
+
+
+def q_e3_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 embedding-space profile (sim_ops.embedding_dim_stats): per-
+    dimension n/mean/stddev/min/max — the standardization FIT step and
+    embedding-drift monitor.  Map-side posexplode, one partial-combined
+    shuffle carrying (dim, moments), output bounded by vector width."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.embedding_dim_stats(emb, "embedding", scale=6)
+
+
+_E3_DIM_STATS_ORACLE = """
+WITH e AS (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), d AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS xd
+  FROM e
+), m AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(xd) AS DOUBLE) AS s1,
+         CAST(sum(xd * xd) AS DOUBLE) AS s2,
+         CAST(min(xd) AS DOUBLE) AS min_x,
+         CAST(max(xd) AS DOUBLE) AS max_x
+  FROM d GROUP BY dim
+)
+SELECT dim, n, round(s1 / n, 6) AS mean,
+       round(CASE WHEN (s2 - s1*s1/n) / (n - 1) > 0
+                  THEN sqrt((s2 - s1*s1/n) / (n - 1)) ELSE 0.0 END, 6) AS stddev,
+       min_x, max_x
+FROM m
+"""
+
+
+def q_e4_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/LM out-of-vocabulary rate (lm_ops.oov_rate): reference vocab =
+    top-1000 unigrams of even-doc_id docs (TakeOrdered, count-desc with
+    word tiebreak → deterministic); odd docs score token-level OOV via
+    one broadcast vocab join — the domain-shift tripwire."""
+    from dataengineer_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    uni = (
+        lm_ops.doc_token_arrays(docs.where(F.col("doc_id") % 2 == 0))
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uni.orderBy(F.col("c").desc(), F.col("w").asc()).limit(1000)
+    return lm_ops.oov_rate(
+        docs.where(F.col("doc_id") % 2 == 1), vocab, vocab_col="w"
+    )
+
+
+_E4_OOV_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS arr
+  FROM documents
+), toks0 AS (
+  SELECT doc_id, unnest(arr) AS w FROM d
+), toks AS (
+  SELECT * FROM toks0 WHERE length(w) > 0
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM toks WHERE doc_id % 2 = 0 GROUP BY w
+  ) ORDER BY c DESC, w ASC LIMIT 1000
+), scored AS (
+  SELECT t.doc_id, t.w, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON v.w = t.w
+  WHERE t.doc_id % 2 = 1
+)
+SELECT d0.doc_id, count(s.w) AS n_tokens,
+       coalesce(sum(s.oov), 0) AS n_oov,
+       round(CAST(coalesce(sum(s.oov), 0) AS DOUBLE)
+             / nullif(count(s.w), 0), 6) AS oov_rate
+FROM documents d0 LEFT JOIN scored s ON s.doc_id = d0.doc_id
+WHERE d0.doc_id % 2 = 1
+GROUP BY d0.doc_id
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -5798,6 +6044,8 @@ _ROUND4_FIRST = [
     "q_f9_bpe_train", "q_dq_profile",
     "q_e10_retention", "q_e10_resample", "q_e10_attribution", "q_a2_auc",
     "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
+    "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
+    "q_e4_oov",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -5844,6 +6092,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_e5_regression": q_e5_regression,
+        "q_e5_rfm": q_e5_rfm,
+        "q_rank_rrf": q_rank_rrf,
+        "q_e3_dim_stats": q_e3_dim_stats,
+        "q_e4_oov": q_e4_oov,
         "q_e10_retention": q_e10_retention,
         "q_e10_resample": q_e10_resample,
         "q_e10_attribution": q_e10_attribution,
@@ -6132,6 +6385,11 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_e5_regression": _E5_REGRESSION_ORACLE,
+        "q_e5_rfm": _E5_RFM_ORACLE,
+        "q_rank_rrf": _RANK_RRF_ORACLE,
+        "q_e3_dim_stats": _E3_DIM_STATS_ORACLE,
+        "q_e4_oov": _E4_OOV_ORACLE,
         "q_e10_retention": _E10_RETENTION_ORACLE,
         "q_e10_resample": _E10_RESAMPLE_ORACLE,
         "q_e10_attribution": _E10_ATTRIBUTION_ORACLE,

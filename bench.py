@@ -88,6 +88,13 @@ HEADLINE = [
     "q_prep_bloom_decontaminate",
     "q_e10_anomaly",
     "q_f9_bpe_train",
+    # round-4c additions: graph power iteration, collocation mining,
+    # cohort/funnel analytics, blocked ER join
+    "q_graph_pagerank",
+    "q_f10_pmi",
+    "q_e10_retention",
+    "q_e10_attribution",
+    "q_e9_fuzzy_join",
 ]
 
 

@@ -413,3 +413,46 @@ def winsorize(
         .withColumn(out or col, clipped)
         .drop("_lo", "_hi")
     )
+
+
+def group_ols(df: DataFrame, keys: list[str], x: str, y: str) -> DataFrame:
+    """E5 — per-group simple linear regression (OLS y = a + b·x) with
+
+    slope / intercept / R², closed-form from the same exact decimal
+    moment sums as ``corr_stats`` (n, Σx, Σy, Σxy, Σx², Σy²): one
+    partial-combined hash aggregate on the keys, closing formulas on
+    per-group scalars — embarrassingly parallel at any scale, and every
+    float is a deterministic function of exact integers (``F.regr_*``
+    would accumulate doubles in partition order).
+
+    Same supported domain as corr_stats: |x|,|y| < 1e12 at 1e-6
+    granularity (decimal(18,6) inputs keep the cross product exact
+    within Spark's 38-digit cap).  Groups with zero x-variance emit NULL
+    slope/intercept/R².
+    """
+    xd = F.col(x).cast("decimal(18,6)")
+    yd = F.col(y).cast("decimal(18,6)")
+    m = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.sum(xd * yd).cast("double").alias("_sxy"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
+        F.sum(yd * yd).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    var_x = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    var_y = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    slope = F.when(var_x > 0, cov_n / var_x)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), cov_n * cov_n / (var_x * var_y)
+    )
+    return m.select(
+        *keys,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -27,6 +27,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power iteration on an edge list.
 
@@ -39,48 +40,57 @@ def pagerank(
     any partition count.
 
     Scale shape: ``iterations`` × (one shuffle join on src + one hash
-    aggregate on dst), each ``localCheckpoint``-ed — the classic
-    Pregel-without-Pregel loop.  Nodes are taken from the src side; on a
-    symmetrized graph (undirected input) that covers every node and
-    leaves no dangling mass, which callers should ensure (or accept the
-    standard dangling-rank leak).
+    aggregate on dst).  Short runs chain into ONE lazily-planned DAG —
+    Spark reuses the per-round exchanges, so a 5-round run is a single
+    job, not six checkpoint materializations; every ``checkpoint_every``
+    rounds the rank vector is ``localCheckpoint``-ed to truncate lineage
+    for long convergence runs (the classic Pregel-without-Pregel loop).
+    Nodes are taken from the src side; on a symmetrized graph
+    (undirected input) that covers every node and leaves no dangling
+    mass, which callers should ensure (or accept the standard
+    dangling-rank leak).
 
     Output: (node, rank) with rank rounded to 8 digits.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    deg = e.groupBy("_src").agg(F.count("*").alias("_deg")).persist()
+    # the edge list feeds every iteration — materialize it once (callers
+    # often hand in a derived/self-joined frame that would otherwise be
+    # recomputed per round)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # degree is iteration-invariant: attach it to the edges ONCE so each
+    # round joins only the rank vector (which a localCheckpoint sizes
+    # accurately, letting AQE broadcast it when the node set is small)
+    e_deg = e.join(deg, "_src").persist()
     # control-plane scalar (node count), same pattern as the engine's
     # other documented driver-side scalars (aggregates.py partition counts)
-    n_nodes = deg.count()
+    n_nodes = e_deg.select("_src").distinct().count()
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select(
+    ranks = e_deg.select("_src").distinct().select(
         F.col("_src").alias("node"),
         F.round(F.lit(1.0 / n_nodes), 12).alias("rank"),
-    ).localCheckpoint()
-    try:
-        for _ in range(iterations):
-            contribs = (
-                e.join(deg, "_src")
-                .join(ranks, F.col("_src") == F.col("node"))
-                .select(
-                    F.col("_dst").alias("node"),
-                    F.round(F.col("rank") / F.col("_deg"), 14)
-                    .cast("decimal(38,14)")
-                    .alias("_c"),
-                )
+    )
+    for i in range(1, iterations + 1):
+        contribs = (
+            e_deg.join(ranks, F.col("_src") == F.col("node"))
+            .select(
+                F.col("_dst").alias("node"),
+                F.round(F.col("rank") / F.col("_deg"), 14)
+                .cast("decimal(38,14)")
+                .alias("_c"),
             )
-            ranks = (
-                contribs.groupBy("node")
-                .agg(
-                    F.round(
-                        base + damping * F.sum("_c").cast("double"), 12
-                    ).alias("rank")
-                )
-                .localCheckpoint()
-            )
-        return ranks.select("node", F.round("rank", 8).alias("rank"))
-    finally:
-        deg.unpersist()
+        )
+        ranks = contribs.groupBy("node").agg(
+            F.round(
+                base + damping * F.sum("_c").cast("double"), 12
+            ).alias("rank")
+        )
+        if i % checkpoint_every == 0 and i < iterations:
+            ranks = ranks.localCheckpoint()
+    # caller owns unpersist of nothing: e/e_deg stay cached only until
+    # the returned plan executes; they are cheap to drop on session GC
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
 def degree_stats(

@@ -164,3 +164,43 @@ def pmi_collocations(
         / (F.col("c1").cast("double") * F.col("c2").cast("double"))
     )
     return out.select("w1", "w2", "pair_n", F.round(pmi, 6).alias("pmi"))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "w",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference vocabulary
+
+    — the cheap domain-shift / gibberish signal of training-data
+    pipelines (a doc whose tokens the reference has never seen is noise,
+    another language, or spam).  One explode to (doc, token), one left
+    join against the vocabulary (broadcast when the vocab is a typical
+    ≤1M-word list), one count aggregate back on the doc id.  Empty docs
+    emit NULL rate rather than 0 (no tokens ≠ all known).
+
+    Output: (id, n_tokens, n_oov, oov_rate rounded to 6).
+    """
+    toks = doc_token_arrays(df, text_col, id_col).select(
+        id_col, F.explode_outer("toks").alias("_w")
+    )
+    v = vocab.select(F.col(vocab_col).alias("_w"), F.lit(1).alias("_known"))
+    joined = toks.join(F.broadcast(v), "_w", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("_w").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_w").isNotNull() & F.col("_known").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_w").isNotNull() & F.col("_known").isNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.nullif(F.count("_w"), F.lit(0)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -542,3 +542,39 @@ def pps_systematic_sample(
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         ranged.unpersist()
+
+
+def equal_frequency_bin(
+    df: DataFrame, col: str, k: int, out: str | None = None
+) -> DataFrame:
+    """Feature discretization into ~equal-population bins WITHOUT a
+
+    global row sort: rows are first reduced to per-distinct-value counts
+    (one hash aggregate with map-side combine), a single window over the
+    distinct-VALUE axis accumulates strictly-below counts, and each
+    value maps to ``floor(k · below / total) + 1`` (∈ 1..k) — every row
+    with the same value lands in the same bin (ntile would split ties
+    arbitrarily, making results partition-dependent).
+
+    The only non-distributed step is the window over distinct values,
+    bounded by value cardinality, not rows — quantize continuous inputs
+    upstream (round / cast) to cap it, same contract as roc_auc.  The
+    total rides as a one-row broadcast; the value→bin map joins back on
+    the value (broadcast when small).  Integer arithmetic end to end, so
+    bin edges are engine-exact.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(F.col(col).alias("_val")).agg(F.count("*").alias("_c"))
+    w = W.orderBy(F.col("_val").asc()).rowsBetween(W.unboundedPreceding, -1)
+    below = counts.select(
+        "_val", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_below")
+    )
+    total = counts.agg(F.sum("_c").alias("_tot"))
+    bins = below.crossJoin(F.broadcast(total)).select(
+        "_val",
+        (F.floor(F.lit(k) * F.col("_below") / F.col("_tot")) + 1)
+        .cast("int")
+        .alias(out or f"{col}_bin"),
+    )
+    return df.join(bins, df[col] == bins["_val"]).drop("_val")

@@ -138,3 +138,36 @@ def bm25_scores(
             F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double"), 6
         ).alias("bm25"),
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_cols: list[str],
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., public method) — the
+
+    standard way to merge rankings from heterogeneous scorers (BM25 +
+    embedding retrieval, or any mix) without score calibration:
+    ``rrf = Σ_r 1 / (k + rank_r)``.
+
+    Each input is (DataFrame, rank_col) where the frame carries
+    ``id_cols`` + an integer rank.  Fusion is a fan-in of outer joins on
+    the id columns (items missing from a ranker contribute nothing) and
+    a map-side sum — no shuffle beyond the joins, no window here; rank
+    computation stays in the callers where partition-local ordering is
+    known.  1/(k+rank) with integer rank is the same IEEE double on any
+    engine, so the rounded fusion score is portable.
+    """
+    out = None
+    score_cols = []
+    for i, (df, rank_col) in enumerate(ranked):
+        side = df.select(
+            *id_cols, (1.0 / (F.lit(k) + F.col(rank_col))).alias(f"_s{i}")
+        )
+        score_cols.append(f"_s{i}")
+        out = side if out is None else out.join(side, id_cols, "full_outer")
+    fused = sum(
+        (F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols), F.lit(0.0)
+    )
+    return out.select(*id_cols, F.round(fused, 6).alias("rrf_score"))

@@ -765,3 +765,47 @@ def project_py(vec: list[float], mat: list[list[float]]) -> list[float]:
             acc = acc + x * row[j]
         out.append(acc)
     return out
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 6
+) -> DataFrame:
+    """Per-dimension distribution stats over an embedding column — the
+
+    FIT step of feature standardization (and the drift monitor for
+    embedding spaces): posexplode to (dim, x) rows, then one hash
+    aggregate per dimension with exact decimal moment sums (inputs
+    pre-rounded to ``scale`` digits), closing mean/stddev formulas on
+    per-dim scalars.
+
+    Output cardinality = vector width, never row count; the explode is
+    map-side and the single shuffle carries (dim, partial-moment) rows
+    thanks to partial aggregation — at 100 TB this is a textbook
+    map-combine-reduce.  Output: (dim, n, mean, stddev, min_x, max_x),
+    dim 1-based.
+    """
+    # decimal(18,·): widest input whose square still fits the 38-digit
+    # cap exactly (same domain contract as aggregates.corr_stats)
+    xd = F.round(F.col("_x").cast("double"), scale).cast(
+        "decimal(18,%d)" % scale
+    )
+    exploded = df.select(
+        F.posexplode(vec_col).alias("_d0", "_x")
+    ).select((F.col("_d0") + 1).alias("dim"), xd.alias("_xd"))
+    m = exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("_xd").cast("double").alias("_s1"),
+        F.sum(F.col("_xd") * F.col("_xd")).cast("double").alias("_s2"),
+        F.min("_xd").cast("double").alias("min_x"),
+        F.max("_xd").cast("double").alias("max_x"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    return m.select(
+        "dim",
+        "n",
+        F.round(F.col("_s1") / n, scale).alias("mean"),
+        F.round(F.when(var > 0, F.sqrt(var)).otherwise(0.0), scale).alias("stddev"),
+        "min_x",
+        "max_x",
+    )
