@@ -95,6 +95,11 @@ HEADLINE = [
     "q_e10_retention",
     "q_e10_attribution",
     "q_e9_fuzzy_join",
+    "q_e5_regression",
+    "q_e5_rfm",
+    "q_rank_rrf",
+    "q_e3_dim_stats",
+    "q_e4_oov",
 ]
 
 
