@@ -6030,7 +6030,7 @@ _ROUND4_FIRST = [
     "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
     # rows-only scale twins of the oracled queries above
     "q_e2_neardup_dedup", "q_prep_decontaminate",
-    "q_prep_decontaminate_arrow", "q_e2_dup_spans_hashed",
+    "q_prep_decontaminate_arrow",
     "q_prep_dsir_hashed",
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
@@ -6046,6 +6046,10 @@ _ROUND4_FIRST = [
     "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
     "q_e4_oov",
+    # rows-only scale twin whose oracled sibling (q_e2_dup_spans) is
+    # already green — lowest marginal evidence, so it takes the slot
+    # right at the ~50/round driver budget boundary
+    "q_e2_dup_spans_hashed",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
