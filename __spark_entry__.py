@@ -1458,6 +1458,145 @@ GROUP BY d0.doc_id
 """
 
 
+def q_a5_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family model evaluation: confusion matrix of the n-gram langid
+    vs the labeled language (agg_ops.confusion_matrix) — one hash agg on
+    (pred, truth), output bounded by label-space²."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        textops.language_id(F.col("text")).alias("detected"), "lang"
+    )
+    return agg_ops.confusion_matrix(scored, "detected", "lang")
+
+
+def _confusion_oracle() -> str:
+    inner = _langid_oracle()
+    return f"""
+WITH scored AS ({inner})
+SELECT detected AS pred, lang AS truth, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_a3_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family model evaluation: Cohen's κ of langid vs labeled lang
+    (agg_ops.cohens_kappa) — chance-corrected agreement; everything past
+    the one (pred, truth) hash aggregate runs on label-space²-sized
+    frames, counts stay integral until two closing IEEE divisions."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        textops.language_id(F.col("text")).alias("detected"), "lang"
+    )
+    return agg_ops.cohens_kappa(scored, "detected", "lang")
+
+
+def _kappa_oracle() -> str:
+    inner = _langid_oracle()
+    return f"""
+WITH scored AS ({inner}),
+cm AS (
+  SELECT detected AS pred, lang AS truth, count(*) AS n FROM scored GROUP BY 1, 2
+), rt AS (SELECT pred, sum(n) AS r FROM cm GROUP BY pred),
+ct AS (SELECT truth, sum(n) AS c FROM cm GROUP BY truth),
+mg AS (
+  SELECT coalesce(rt.r, 0) * coalesce(ct.c, 0) AS rc
+  FROM rt FULL OUTER JOIN ct ON rt.pred = ct.truth
+), ag AS (
+  SELECT sum(n) AS nn,
+         sum(CASE WHEN pred = truth THEN n ELSE 0 END) AS diag
+  FROM cm
+), ee AS (SELECT sum(rc) AS src FROM mg)
+SELECT nn AS n,
+       round(CAST(diag AS DOUBLE) / nn, 6) AS po,
+       round(CAST(src AS DOUBLE) / (nn * nn), 6) AS pe,
+       round((CAST(diag AS DOUBLE) / nn - CAST(src AS DOUBLE) / (nn * nn))
+             / (1.0 - CAST(src AS DOUBLE) / (nn * nn)), 6) AS kappa
+FROM ag CROSS JOIN ee
+"""
+
+
+def q_a4_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family model evaluation: reliability bins + per-bin Brier sums
+    (agg_ops.calibration_report) over a deterministic pseudo-probability
+    (first embedding component clamped to [-1,1], shifted to [0,1]);
+    one hash aggregate, output bounded by n_bins, decimal-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = F.element_at("embedding", 1).cast("double")
+    p = (F.least(F.greatest(e1, F.lit(-1.0)), F.lit(1.0)) + 1.0) / 2.0
+    scored = emb.select(p.alias("p"), "label")
+    return agg_ops.calibration_report(scored, "p", F.col("label") >= 5, n_bins=10)
+
+
+_A4_CALIBRATION_ORACLE = """
+WITH s AS (
+  SELECT round((least(greatest(CAST(embedding[1] AS DOUBLE), -1.0), 1.0)
+                + 1.0) / 2.0, 6) AS p,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), b AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+         CAST(p AS DECIMAL(8,6)) AS pd, y
+  FROM s
+)
+SELECT bin, count(*) AS n,
+       round(CAST(sum(pd) AS DOUBLE) / count(*), 6) AS mean_p,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+       round(CAST(sum((pd - CAST(y AS DECIMAL(8,6)))
+                      * (pd - CAST(y AS DECIMAL(8,6)))) AS DOUBLE), 6) AS brier
+FROM b GROUP BY bin
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (graph.triangle_stats): triangle census +
+    clustering coefficient of the part co-purchase graph (parts sharing
+    an order, canonical src<dst) — ordered-wedge join + closing-edge
+    semi join, intermediate bounded by ordered wedges, all counts
+    integral."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return graph_ops.triangle_stats(edges)
+
+
+_GRAPH_TRIANGLES_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e
+  ) GROUP BY node
+), c1 AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+), c2 AS (SELECT count(*) AS n_edges FROM e),
+w AS (
+  SELECT e1.s AS x, e2.t AS z FROM e e1 JOIN e e2 ON e1.t = e2.s
+), c3 AS (
+  SELECT count(*) AS n_triangles FROM w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.s = w.x AND e.t = w.z)
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS clustering_coeff
+FROM c1 CROSS JOIN c2 CROSS JOIN c3
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -6045,7 +6184,8 @@ _ROUND4_FIRST = [
     "q_e10_retention", "q_e10_resample", "q_e10_attribution", "q_a2_auc",
     "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
-    "q_e4_oov",
+    "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
+    "q_graph_triangles",
     # rows-only scale twin whose oracled sibling (q_e2_dup_spans) is
     # already green — lowest marginal evidence, so it takes the slot
     # right at the ~50/round driver budget boundary
@@ -6096,6 +6236,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_a5_confusion": q_a5_confusion,
+        "q_a3_kappa": q_a3_kappa,
+        "q_a4_calibration": q_a4_calibration,
+        "q_graph_triangles": q_graph_triangles,
         "q_e5_regression": q_e5_regression,
         "q_e5_rfm": q_e5_rfm,
         "q_rank_rrf": q_rank_rrf,
@@ -6389,6 +6533,10 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_a5_confusion": _confusion_oracle(),
+        "q_a3_kappa": _kappa_oracle(),
+        "q_a4_calibration": _A4_CALIBRATION_ORACLE,
+        "q_graph_triangles": _GRAPH_TRIANGLES_ORACLE,
         "q_e5_regression": _E5_REGRESSION_ORACLE,
         "q_e5_rfm": _E5_RFM_ORACLE,
         "q_rank_rrf": _RANK_RRF_ORACLE,

@@ -456,3 +456,94 @@ def group_ols(df: DataFrame, keys: list[str], x: str, y: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def confusion_matrix(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """A-family — dense confusion counts: one hash aggregate on
+
+    (pred, truth) with map-side combine; output bounded by label-space²,
+    never rows.  Nulls pass through as their own row/column (a model
+    that abstains is a fact worth counting, not an error)."""
+    return df.groupBy(
+        F.col(pred_col).alias("pred"), F.col(truth_col).alias("truth")
+    ).agg(F.count("*").alias("n"))
+
+
+def cohens_kappa(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """A-family — Cohen's κ (chance-corrected agreement):
+
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate and
+    p_e the marginal-product expectation.  Everything reduces to the
+    confusion counts (label-space² rows), so after one hash aggregate
+    the marginal joins and the closing formula run on a tiny frame; all
+    counts stay integral until two final IEEE divisions — engine-exact
+    after rounding.
+
+    Output: one row (n, po, pe, kappa), po/pe/kappa rounded to 6.
+    """
+    cm = confusion_matrix(df, pred_col, truth_col)
+    row_tot = cm.groupBy("pred").agg(F.sum("n").alias("_rt"))
+    col_tot = cm.groupBy("truth").agg(F.sum("n").alias("_ct"))
+    # Σ row_i·col_i over labels present in EITHER margin: full outer on
+    # the label so a label predicted-but-never-true still contributes 0
+    margins = row_tot.join(
+        col_tot, row_tot["pred"] == col_tot["truth"], "full_outer"
+    ).select(
+        (F.coalesce(F.col("_rt"), F.lit(0)) * F.coalesce(F.col("_ct"), F.lit(0)))
+        .alias("_rc")
+    )
+    agree = cm.agg(
+        F.sum("n").alias("_n"),
+        F.sum(F.when(F.col("pred").eqNullSafe(F.col("truth")), F.col("n"))
+              .otherwise(F.lit(0))).alias("_diag"),
+    )
+    e = margins.agg(F.sum("_rc").alias("_sum_rc"))
+    out = agree.crossJoin(F.broadcast(e))
+    po = F.col("_diag").cast("double") / F.col("_n")
+    pe = F.col("_sum_rc").cast("double") / (F.col("_n") * F.col("_n"))
+    return out.select(
+        F.col("_n").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def calibration_report(
+    df: DataFrame, prob_col: str, label_col: Column, n_bins: int = 10
+) -> DataFrame:
+    """A-family — reliability diagram + per-bin Brier decomposition:
+
+    probabilities bucket into ``n_bins`` fixed-width bins (top edge
+    closed), each bin reports count, exact-decimal mean predicted
+    probability, observed positive rate, and the bin's Brier sum —
+    one hash aggregate, output bounded by n_bins.  Inputs pre-round to
+    6 digits so decimal sums are engine-exact; the Brier term
+    (p − y)² squares a decimal(9,6) — probabilities live in [0,1], so
+    the narrow type keeps the square exact (decimal(19,12)) well inside
+    the 38-digit cap on any engine.
+
+    Output: (bin, n, mean_p, frac_pos, brier) per non-empty bin.
+    """
+    p = F.round(F.col(prob_col).cast("double"), 6)
+    pd_ = p.cast("decimal(8,6)")
+    y = label_col.cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        pd_.alias("_p"),
+        y.alias("_y"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("_p").cast("double") / F.count("*"), 6).alias("mean_p"),
+        F.round(F.sum("_y").cast("double") / F.count("*"), 6).alias("frac_pos"),
+        F.round(
+            F.sum(
+                (F.col("_p") - F.col("_y").cast("decimal(8,6)"))
+                * (F.col("_p") - F.col("_y").cast("decimal(8,6)"))
+            ).cast("double"),
+            6,
+        ).alias("brier"),
+    )

@@ -110,3 +110,60 @@ def degree_stats(
     return both.groupBy("node").agg(
         F.sum("out_d").alias("out_degree"), F.sum("in_d").alias("in_degree")
     )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census over a canonical undirected edge list
+
+    (callers pass each edge once as src < dst, deduplicated): triangle
+    {x<y<z} is counted exactly once by joining (x,y)⋈(y,z) into wedges
+    and semi-checking the closing edge (x,z) — two shuffle joins whose
+    intermediate is the ordered-wedge count, the standard bound that
+    keeps dense-node blowup in check (counting via unordered wedges
+    would cost Σ deg² instead of Σ C(deg,2)/orientation).
+
+    Wedge totals come from the degree distribution (one more hash
+    aggregate); the global clustering coefficient closes on scalars.
+    All counts integral → engine-exact; coefficient rounds to 6.
+
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_coeff).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    counts = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("z"))
+    )
+    tri = (
+        wedges.join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        ).agg(F.count("*").alias("n_triangles"))
+    )
+    out = counts.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering_coeff"),
+    )

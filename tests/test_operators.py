@@ -1241,3 +1241,61 @@ class TestPmiCollocations:
         # c(a)=4 c(b)=4 c(a,b)=4 c(b,a)=3 N=7
         assert out[("a", "b")] == (4, round(math.log(4 * 7 / 16), 6))
         assert out[("b", "a")] == (3, round(math.log(3 * 7 / 16), 6))
+
+
+class TestModelEvaluation:
+    def test_confusion_counts(self, spark):
+        rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")]
+        df = spark.createDataFrame(rows, "p string, t string")
+        out = {
+            (r["pred"], r["truth"]): r["n"]
+            for r in agg_ops.confusion_matrix(df, "p", "t").collect()
+        }
+        assert out == {("a", "a"): 1, ("a", "b"): 1, ("b", "b"): 2}
+
+    def test_kappa_textbook_case(self, spark):
+        # 20 a/a, 5 a/b, 10 b/a, 15 b/b: po=0.7, pe=0.5, kappa=0.4
+        rows = (
+            [("a", "a")] * 20 + [("a", "b")] * 5
+            + [("b", "a")] * 10 + [("b", "b")] * 15
+        )
+        df = spark.createDataFrame(rows, "p string, t string")
+        r = agg_ops.cohens_kappa(df, "p", "t").first()
+        assert (r["n"], r["po"], r["pe"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+
+    def test_kappa_label_only_in_one_margin(self, spark):
+        # 'c' is predicted but never true; its marginal product is 0
+        rows = [("a", "a"), ("c", "a"), ("a", "a"), ("a", "b")]
+        df = spark.createDataFrame(rows, "p string, t string")
+        r = agg_ops.cohens_kappa(df, "p", "t").first()
+        # po=2/4; pe=(3*3 + 0*1 + 1*0)/16 = 9/16
+        assert r["po"] == 0.5 and r["pe"] == 0.5625
+        assert r["kappa"] == round((0.5 - 0.5625) / (1 - 0.5625), 6)
+
+    def test_calibration_bins_and_brier(self, spark):
+        rows = [(0.05, 0), (0.15, 0), (0.85, 1), (0.95, 1), (1.0, 1)]
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = {
+            r["bin"]: (r["n"], r["mean_p"], r["frac_pos"], r["brier"])
+            for r in agg_ops.calibration_report(
+                df, "p", F.col("y") == 1, n_bins=10
+            ).collect()
+        }
+        assert out[0] == (1, 0.05, 0.0, 0.0025)
+        assert out[1] == (1, 0.15, 0.0, 0.0225)
+        assert out[8] == (1, 0.85, 1.0, 0.0225)
+        # p=1.0 clamps into the top bin with 0.95
+        assert out[9] == (2, 0.975, 1.0, 0.0025)
+
+
+class TestTriangleStats:
+    def test_triangle_plus_tail(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+        )
+        r = graph_ops.triangle_stats(edges).first()
+        assert r["n_nodes"] == 4 and r["n_edges"] == 4
+        assert r["n_wedges"] == 5 and r["n_triangles"] == 1
+        assert r["clustering_coeff"] == 0.6
