@@ -6165,12 +6165,6 @@ _ROUND4_FIRST = [
     "q_prep_decontaminate_portable",
     # sketch family (bound-check oracles)
     "q_e5_approx_distinct", "q_e5_approx_percentile", "q_e5_hll_rollup",
-    # multimodal (deterministic fakes, hash-safe outputs)
-    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
-    # rows-only scale twins of the oracled queries above
-    "q_e2_neardup_dedup", "q_prep_decontaminate",
-    "q_prep_decontaminate_arrow",
-    "q_prep_dsir_hashed",
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
     # new this round (oracled on arrival)
@@ -6186,9 +6180,14 @@ _ROUND4_FIRST = [
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles",
-    # rows-only scale twin whose oracled sibling (q_e2_dup_spans) is
-    # already green — lowest marginal evidence, so it takes the slot
-    # right at the ~50/round driver budget boundary
+    # never-checked rows-only entries (multimodal deterministic fakes +
+    # scale twins whose oracled siblings are green above): a rows-only
+    # driver row closes the registry but carries less evidence than an
+    # oracle first-contact, so they straddle the ~50/round budget
+    # boundary — whatever spills waits one round
+    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
+    "q_e2_neardup_dedup", "q_prep_decontaminate",
+    "q_prep_decontaminate_arrow", "q_prep_dsir_hashed",
     "q_e2_dup_spans_hashed",
     # stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
