@@ -1597,6 +1597,187 @@ FROM c1 CROSS JOIN c2 CROSS JOIN c3
 """
 
 
+def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ diagnostics (quality.key_skew_report): the top-20 heaviest
+    supplier keys of lineitem with share / cumulative share — the table
+    read before choosing salting vs AQE skew handling; per-key hash agg
+    + TakeOrdered top-N, totals as a one-row broadcast."""
+    from dataengineer_spark.operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.key_skew_report(li, ["l_suppkey"], top_n=20)
+
+
+_DQ_SKEW_ORACLE = """
+WITH c AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+), tot AS (SELECT sum(n) AS t FROM c),
+top AS (
+  SELECT l_suppkey, n FROM c ORDER BY n DESC, l_suppkey LIMIT 20
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, l_suppkey) AS INTEGER) AS rank,
+       l_suppkey, n,
+       round(CAST(n AS DOUBLE) / t, 6) AS share,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / t, 6) AS cum_share
+FROM top CROSS JOIN tot
+"""
+
+
+def q_e10_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 period-over-period report (event_ops.period_over_period):
+    per-event-type daily decimal-exact totals, compared against the
+    same weekday one week back via a calendar equi-join (never a row
+    lag — gaps can't misalign); first-week days emit NULL change."""
+    ev = load_table(spark, sf_dir, "events")
+    out = event_ops.period_over_period(
+        ev, ["event_type"], "ts", "value", period_days=7, scale=2
+    )
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_E10_WOW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE), 2)
+           AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.total,
+       p.total AS prev_total,
+       round((d.total - p.total) / p.total, 6) AS pct_change
+FROM daily d LEFT JOIN daily p
+  ON p.event_type = d.event_type AND p.day + INTERVAL 7 DAY = CAST(d.day AS TIMESTAMP)
+"""
+
+
+#: Fellegi–Sunter (m, u) agreement probabilities per compared field —
+#: shared between the Spark query and the oracle so the log2 weights are
+#: the same Python-computed double literals on both sides
+_LINKAGE_FIELDS = [
+    ("same_source", 0.7, 0.05),
+    ("close_len", 0.9, 0.3),
+    ("close_text", 0.85, 0.02),
+]
+
+
+def q_e9_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/ER probabilistic record linkage (join_ops.linkage_score):
+    candidates from the (lang, n_chars//8) block join, scored by three
+    Fellegi–Sunter field agreements (source match, length proximity,
+    prefix edit distance) — map-only CASE chain over fixed log2-weight
+    literals after the blocked candidate join."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, 40).alias("_p"),
+        F.floor(F.col("n_chars") / 8).alias("_bkt"),
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), ["lang", "_bkt"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (F.col("a.source") == F.col("b.source")).alias("same_source"),
+            (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5
+            ).alias("close_len"),
+            (
+                F.levenshtein(F.col("a._p"), F.col("b._p")) <= 10
+            ).alias("close_text"),
+        )
+    )
+    agreements = [
+        (F.col(name), m, u) for name, m, u in _LINKAGE_FIELDS
+    ]
+    return join_ops.linkage_score(pairs, agreements, threshold=2.0).select(
+        "id_a", "id_b", "link_score", "is_match"
+    )
+
+
+def _linkage_oracle() -> str:
+    import math
+
+    cases = []
+    preds = {
+        "same_source": "a.source = b.source",
+        "close_len": "abs(a.n_chars - b.n_chars) <= 5",
+        "close_text": "levenshtein(a.p, b.p) <= 10",
+    }
+    for name, m, u in _LINKAGE_FIELDS:
+        w_a = repr(math.log2(m / u))
+        w_d = repr(math.log2((1.0 - m) / (1.0 - u)))
+        cases.append(f"(CASE WHEN {preds[name]} THEN {w_a} ELSE {w_d} END)")
+    score = " + ".join(cases)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, substring(text, 1, 40) AS p,
+         n_chars // 8 AS bkt
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({score}, 6) AS link_score,
+       round({score}, 6) >= 2.0 AS is_match
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+"""
+
+
+def q_e2_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 EXACT set-similarity self-join (dedup.setsim_join): PPJoin
+    prefix filtering — candidates only where the rarest-token prefixes
+    collide, then exact |∩|/|∪| verification on the full sorted token
+    arrays.  The deterministic complement to the MinHash estimate."""
+    docs = _docs(spark, sf_dir)
+    return dedup_ops.setsim_join(
+        docs, "text", "doc_id", threshold=0.6, shingle_size=5
+    )
+
+
+_E2_SETSIM_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 4, 1)),
+           i -> substr(text, CAST(i AS INT), 5))) AS ws
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), tkf AS (
+  SELECT * FROM tk WHERE length(w) > 0
+), fr AS (
+  SELECT w, count(*) AS c FROM tkf GROUP BY w
+), ar AS (
+  SELECT doc_id, array_agg(tkf.w ORDER BY fr.c, tkf.w) AS toks,
+         count(*) AS n
+  FROM tkf JOIN fr ON fr.w = tkf.w GROUP BY doc_id
+), px0 AS (
+  SELECT doc_id, n,
+         toks[1 : CAST(n - ceil(0.6 * n) + 1 AS BIGINT)] AS pf
+  FROM ar
+), px AS (
+  SELECT doc_id, n, unnest(pf) AS w, generate_subscripts(pf, 1) AS p
+  FROM px0
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM px a JOIN px b ON a.w = b.w AND a.doc_id < b.doc_id
+    AND a.n >= 0.6 * b.n AND b.n >= 0.6 * a.n
+    AND least(a.n - a.p, b.n - b.p) + 1
+        >= ceil(0.37499999999999994 * (a.n + b.n))
+), v AS (
+  SELECT ia, ib, len(list_intersect(x.toks, y.toks)) AS inter,
+         x.n AS na, y.n AS nb
+  FROM cand JOIN ar x ON x.doc_id = ia JOIN ar y ON y.doc_id = ib
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM v
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+"""
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -6179,7 +6360,8 @@ _ROUND4_FIRST = [
     "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
-    "q_graph_triangles",
+    "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
+    "q_e2_setsim_join",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6235,6 +6417,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_dq_skew": q_dq_skew,
+        "q_e10_wow": q_e10_wow,
+        "q_e9_linkage": q_e9_linkage,
+        "q_e2_setsim_join": q_e2_setsim_join,
         "q_a5_confusion": q_a5_confusion,
         "q_a3_kappa": q_a3_kappa,
         "q_a4_calibration": q_a4_calibration,
@@ -6532,6 +6718,10 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_dq_skew": _DQ_SKEW_ORACLE,
+        "q_e10_wow": _E10_WOW_ORACLE,
+        "q_e9_linkage": _linkage_oracle(),
+        "q_e2_setsim_join": _E2_SETSIM_ORACLE,
         "q_a5_confusion": _confusion_oracle(),
         "q_a3_kappa": _kappa_oracle(),
         "q_a4_calibration": _A4_CALIBRATION_ORACLE,

@@ -780,3 +780,128 @@ def minhash_signatures_arrow(
         ]
     )
     return df.mapInPandas(run, schema=out_schema)
+
+
+def setsim_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_size: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering — the
+
+    PPJoin family (Xiao et al., public method), the deterministic
+    complement to the MinHash estimate: two documents with word-set
+    Jaccard ≥ t MUST share at least one token among each one's
+    ``|set| − ceil(t·|set|) + 1`` globally-rarest tokens, so candidate
+    pairs come from an equi-join on those prefix tokens only.  Ordering
+    tokens rarest-first makes prefixes collide as little as possible —
+    the filter does the work of the quadratic loop.
+
+    Shape: one token explode + global frequency count, a per-doc
+    array_sort by (freq, token) (deterministic tie-break, NO
+    collect_list order dependence), a prefix explode bounded by
+    (1−t)·|set|+1 per doc, the candidate equi-join, and one verify join
+    computing exact |∩|/|∪| from the full sorted token arrays.  All
+    counts integral → the rounded Jaccard is engine-exact.
+
+    Set elements are whitespace words by default; pass ``shingle_size``
+    to use character n-shingles instead (``char_shingles`` — the same
+    elements the MinHash family estimates over, far more discriminative
+    on templated text whose word VOCABULARY overlaps even when content
+    differs).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t.
+    """
+    t = float(threshold)
+    if shingle_size is not None:
+        elems = char_shingles(F.col(text_col), shingle_size)
+    else:
+        elems = F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        )
+    base = df.select(F.col(id_col).alias("_id"), elems.alias("_ws")).select(
+        "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
+    )
+    toks = base.select("_id", F.explode("_ws").alias("_w"))
+    freq = toks.groupBy("_w").agg(F.count("*").alias("_c"))
+    arr = (
+        toks.join(freq, "_w")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_c"), F.col("_w")))
+            ).alias("_sw")
+        )
+        .select(
+            "_id",
+            F.transform("_sw", lambda x: x["_w"]).alias("_toks"),
+            F.size("_sw").alias("_n"),
+        )
+        # consumed three times (prefix explode + both verify sides);
+        # persisted like the minhash candidate intermediates — compact
+        # (one row per doc), caller owns cache cleanup
+        .persist()
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    prefix = arr.select(
+        "_id",
+        "_n",
+        F.posexplode(F.slice("_toks", 1, prefix_len)).alias("_p", "_w"),
+    ).select("_id", "_n", (F.col("_p") + 1).alias("_p"), "_w")
+    # PPJoin candidate filters, both cheap integer/float predicates
+    # inside the equi-join, both applied BEFORE the distinct and the
+    # (much heavier) array-verify join:
+    #  - size filter: Jaccard >= t forces min(|x|,|y|) >= t·max(|x|,|y|)
+    #  - positional filter: a collision at prefix positions (pa, pb)
+    #    bounds the possible overlap by min(na-pa, nb-pb)+1, which must
+    #    reach the minoverlap alpha = ceil(t/(1+t)·(na+nb)); keeping
+    #    pairs where ANY collision passes is a safe superset
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")))
+    ubound = (
+        F.least(
+            F.col("a._n") - F.col("a._p"), F.col("b._n") - F.col("b._p")
+        )
+        + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_w")
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.col("a._n") >= t * F.col("b._n"))
+            & (F.col("b._n") >= t * F.col("a._n"))
+            & (ubound >= alpha)
+        )
+        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .distinct()
+    )
+    x = arr.select(
+        F.col("_id").alias("_ia"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    y = arr.select(
+        F.col("_id").alias("_ib"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+    )
+    v = (
+        cand.join(x, "_ia")
+        .join(y, "_ib")
+        .select(
+            "_ia",
+            "_ib",
+            F.size(F.array_intersect("_ta", "_tb")).alias("_inter"),
+            "_na",
+            "_nb",
+        )
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
+    return (
+        v.where(jac >= t)
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -302,3 +302,41 @@ def trailing_anomalies(
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    period_days: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Period-over-period change report (day granularity): per-key daily
+
+    totals (exact decimal sums over pre-rounded values) joined against
+    themselves shifted ``period_days`` forward — an equi-join on
+    (keys, day), NOT a lag over row position, so calendar gaps never
+    misalign the comparison.  One shuffle for the daily aggregate; the
+    self-join reuses its partitioning.  Days without a prior period
+    emit NULL pct_change.
+
+    Output: keys, day, total, prev_total, pct_change (rounded 6).
+    """
+    dec = F.round(F.col(value_col), 6).cast("decimal(27,6)")
+    daily = df.select(
+        *keys, F.to_date(ts_col).alias("day"), dec.alias("_v")
+    ).groupBy(*keys, "day").agg(
+        F.round(F.sum("_v").cast("double"), scale).alias("total")
+    )
+    prev = daily.select(
+        *keys,
+        F.date_add("day", period_days).alias("day"),
+        F.col("total").alias("prev_total"),
+    )
+    out = daily.join(prev, [*keys, "day"], "left")
+    pct = (F.col("total") - F.col("prev_total")) / F.col("prev_total")
+    return out.select(
+        *keys, "day", "total", "prev_total",
+        F.round(pct, 6).alias("pct_change"),
+    )

@@ -286,3 +286,32 @@ def fuzzy_join(
             "lev_dist",
         )
     )
+
+
+def linkage_score(
+    pairs: DataFrame,
+    agreements: list[tuple[Column, float, float]],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (public
+
+    method) over candidate pairs (produced by ``fuzzy_join`` or any
+    blocking stage): each field contributes ``log2(m/u)`` when it
+    agrees and ``log2((1-m)/(1-u))`` when it doesn't, with (m, u) the
+    match/non-match agreement probabilities.  The weights are Python-
+    side constants, so the per-row work is a CASE chain over fixed
+    double literals — map-only, exact, and trivially SQL-replicable.
+
+    ``agreements`` is [(agree_predicate, m, u), …].  Adds
+    ``link_score`` (rounded 6) and ``is_match`` (score ≥ threshold).
+    """
+    import math
+
+    score = F.lit(0.0)
+    for pred, m, u in agreements:
+        w_a = math.log2(m / u)
+        w_d = math.log2((1.0 - m) / (1.0 - u))
+        score = score + F.when(pred, F.lit(w_a)).otherwise(F.lit(w_d))
+    return pairs.withColumn("link_score", F.round(score, 6)).withColumn(
+        "is_match", F.round(score, 6) >= threshold
+    )

@@ -247,3 +247,36 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         "column string, n_rows long, n_nulls long, min_val double, "
         "max_val double, n_distinct long, ndv_est_ok boolean",
     )
+
+
+def key_skew_report(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Partition-skew diagnostic: the top-N heaviest key groups with
+
+    their share of total rows — the table you read before deciding
+    whether a join needs salting / AQE skew handling.  One hash
+    aggregate to per-key counts (map-side combined), a TakeOrdered
+    top-N (each partition keeps N rows, driver merges N·p — no global
+    sort), totals ride as a one-row broadcast.  Integer counts → shares
+    are exact rationals, engine-portable after rounding.
+
+    Output: (rank, key cols…, n, share, cum_share) for the N heaviest
+    keys, rank 1 = heaviest (ties broken by the key columns ascending
+    so the report is deterministic).
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    order = [F.col("n").desc()] + [F.col(k).asc() for k in keys]
+    top = counts.orderBy(*order).limit(top_n)
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(W.orderBy(*order)).alias("rank"),
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            F.round(F.sum("n").over(w) / F.col("_tot"), 6).alias("cum_share"),
+        )
+    )

@@ -1299,3 +1299,79 @@ class TestTriangleStats:
         assert r["n_nodes"] == 4 and r["n_edges"] == 4
         assert r["n_wedges"] == 5 and r["n_triangles"] == 1
         assert r["clustering_coeff"] == 0.6
+
+
+class TestKeySkewReport:
+    def test_ranks_shares_and_ties(self, spark):
+        from dataengineer_spark.operators import quality
+
+        rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 3 + [(4,)] * 0 + [(5,)] * 2
+        df = spark.createDataFrame(rows, "k long")
+        out = quality.key_skew_report(df, ["k"], top_n=3).collect()
+        got = [(r["rank"], r["k"], r["n"], r["share"], r["cum_share"]) for r in out]
+        # 14 rows total; tie between keys 2 and 3 breaks ascending
+        assert got[0] == (1, 1, 6, round(6 / 14, 6), round(6 / 14, 6))
+        assert got[1] == (2, 2, 3, round(3 / 14, 6), round(9 / 14, 6))
+        assert got[2] == (3, 3, 3, round(3 / 14, 6), round(12 / 14, 6))
+
+
+class TestPeriodOverPeriod:
+    def test_calendar_shift_handles_gaps(self, spark):
+        rows = [
+            ("a", "2024-01-01 10:00:00", 10.0),
+            ("a", "2024-01-08 10:00:00", 15.0),   # +50% vs Jan 1
+            ("a", "2024-01-09 10:00:00", 20.0),   # no Jan 2 -> NULL
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+        )
+        out = {
+            str(r["day"]): (r["total"], r["prev_total"], r["pct_change"])
+            for r in event_ops.period_over_period(df, ["k"], "ts", "v").collect()
+        }
+        assert out["2024-01-01"] == (10.0, None, None)
+        assert out["2024-01-08"] == (15.0, 10.0, 0.5)
+        assert out["2024-01-09"] == (20.0, None, None)
+
+
+class TestLinkageScore:
+    def test_weights_sum_per_agreement_pattern(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, 2, True, False)], "id_a long, id_b long, f1 boolean, f2 boolean"
+        )
+        out = join_ops.linkage_score(
+            df, [(F.col("f1"), 0.8, 0.1), (F.col("f2"), 0.9, 0.2)], threshold=1.0
+        ).first()
+        expected = math.log2(0.8 / 0.1) + math.log2(0.1 / 0.8)
+        assert out["link_score"] == round(expected, 6)
+        assert out["is_match"] == (round(expected, 6) >= 1.0)
+
+
+class TestSetSimJoin:
+    def test_exact_jaccard_with_prefix_filter(self, spark):
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b c d f"),   # jaccard 4/6 = 0.667 vs doc 1
+            (3, "x y z w v"),   # disjoint
+            (4, "a b"),         # size filter prunes vs 5-token docs
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_ops.setsim_join(df, "text", "doc_id", 0.6).collect()
+        }
+        assert out == {(1, 2): round(4 / 6, 6)}
+
+    def test_shingle_mode_matches_char_shingles(self, spark):
+        rows = [(1, "abcdefgh"), (2, "abcdefgx"), (3, "zzzzzzzz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_ops.setsim_join(
+            df, "text", "doc_id", threshold=0.5, shingle_size=5
+        ).collect()
+        # docs 1/2: shingles of 'abcdefgh' vs 'abcdefgx' share 3 of 5
+        # 5-grams (abcde, bcdef, cdefg); union 5 -> jaccard 0.6
+        assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in out} == {
+            (1, 2, 0.6)
+        }
