@@ -1755,7 +1755,7 @@ WITH base AS (
   FROM tkf JOIN fr ON fr.w = tkf.w GROUP BY doc_id
 ), px0 AS (
   SELECT doc_id, n,
-         toks[1 : CAST(n - ceil(0.6 * n) + 1 AS BIGINT)] AS pf
+         toks[1 : CAST(n - ceil(0.6 * n - 1e-9) + 1 AS BIGINT)] AS pf
   FROM ar
 ), px AS (
   SELECT doc_id, n, unnest(pf) AS w, generate_subscripts(pf, 1) AS p
@@ -1763,9 +1763,9 @@ WITH base AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
   FROM px a JOIN px b ON a.w = b.w AND a.doc_id < b.doc_id
-    AND a.n >= 0.6 * b.n AND b.n >= 0.6 * a.n
+    AND a.n >= 0.6 * b.n - 1e-9 AND b.n >= 0.6 * a.n - 1e-9
     AND least(a.n - a.p, b.n - b.p) + 1
-        >= ceil(0.37499999999999994 * (a.n + b.n))
+        >= ceil(0.37499999999999994 * (a.n + b.n) - 1e-9)
 ), v AS (
   SELECT ia, ib, len(list_intersect(x.toks, y.toks)) AS inter,
          x.n AS na, y.n AS nb

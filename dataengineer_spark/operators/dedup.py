@@ -815,6 +815,14 @@ def setsim_join(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t.
     """
     t = float(threshold)
+    # float-boundary slack: the prefix length, size filter, and
+    # positional minoverlap all derive from t·n products whose IEEE
+    # rounding can land a hair ABOVE the exact rational (e.g.
+    # 0.4/1.4*7 = 2.0000000000000004 → ceil 3, wrongly pruning a pair
+    # at exactly the threshold).  Relaxing each bound by eps only admits
+    # extra candidates — the final verify is exact, so correctness is
+    # untouched and the filter stays lossless.
+    eps = 1e-9
     if shingle_size is not None:
         elems = char_shingles(F.col(text_col), shingle_size)
     else:
@@ -844,7 +852,7 @@ def setsim_join(
         # (one row per doc), caller owns cache cleanup
         .persist()
     )
-    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
     prefix = arr.select(
         "_id",
         "_n",
@@ -858,7 +866,9 @@ def setsim_join(
     #    bounds the possible overlap by min(na-pa, nb-pb)+1, which must
     #    reach the minoverlap alpha = ceil(t/(1+t)·(na+nb)); keeping
     #    pairs where ANY collision passes is a safe superset
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")))
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")) - eps
+    )
     ubound = (
         F.least(
             F.col("a._n") - F.col("a._p"), F.col("b._n") - F.col("b._p")
@@ -870,8 +880,8 @@ def setsim_join(
         .join(prefix.alias("b"), "_w")
         .where(
             (F.col("a._id") < F.col("b._id"))
-            & (F.col("a._n") >= t * F.col("b._n"))
-            & (F.col("b._n") >= t * F.col("a._n"))
+            & (F.col("a._n") >= t * F.col("b._n") - eps)
+            & (F.col("b._n") >= t * F.col("a._n") - eps)
             & (ubound >= alpha)
         )
         .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))

@@ -315,3 +315,102 @@ class TestScd2Invariants:
             froms = {r["valid_from"] for r in rows}
             for c in closed:
                 assert c["valid_to"] in froms, (k, c, froms)
+
+
+class TestSetSimJoinExactness:
+    @prop
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("abcdefgh"), min_size=1, max_size=12
+            ).map(lambda ws: " ".join(ws)),
+            min_size=2,
+            max_size=12,
+        ),
+        st.sampled_from([0.4, 0.6, 0.8]),
+    )
+    def test_no_false_negatives_vs_brute_force(self, spark, texts, t):
+        """The PPJoin prefix filter must be LOSSLESS: output == the
+        brute-force exact word-set Jaccard join at the same threshold."""
+        from dataengineer_spark.operators.dedup import setsim_join
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in setsim_join(df, "text", "doc_id", t).collect()
+        }
+        spark.catalog.clearCache()
+        sets = {i: set(s.split()) for i, s in enumerate(texts)}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    uni = len(sets[a] | sets[b])
+                    if inter / uni >= t:
+                        want[(a, b)] = round(inter / uni, 6)
+        assert got == want
+
+
+class TestRocAucParity:
+    @prop
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),  # coarse score → ties
+                st.booleans(),
+            ),
+            min_size=4,
+            max_size=60,
+        )
+    )
+    def test_matches_pair_counting(self, spark, rows):
+        from dataengineer_spark.operators.aggregates import roc_auc
+
+        labels = {y for _, y in rows}
+        if len(labels) < 2:
+            return  # AUC undefined without both classes
+        df = spark.createDataFrame(
+            [(float(s), bool(y)) for s, y in rows], "score double, y boolean"
+        )
+        got = roc_auc(df, "score", F.col("y")).first()
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        num = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+        )
+        assert got["auc"] == round(num / (len(pos) * len(neg)), 6)
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+class TestEqualFrequencyBinInvariants:
+    @prop
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=80),
+        st.sampled_from([2, 4, 5]),
+    )
+    def test_monotone_and_bounded(self, spark, vals, k):
+        from dataengineer_spark.operators.preparation import equal_frequency_bin
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        out = [
+            (r["v"], r["v_bin"])
+            for r in equal_frequency_bin(df, "v", k).collect()
+        ]
+        # bins are within 1..k, monotone in value, equal values share a bin
+        by_val = {}
+        for v, b in out:
+            assert 1 <= b <= k
+            assert by_val.setdefault(v, b) == b
+        items = sorted(by_val.items())
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(items, items[1:]))
+        # a bin never exceeds the population of values <= its upper edge:
+        # floor-based edges guarantee each bin holds < n/k + max multiplicity
+        from collections import Counter
+
+        n = len(vals)
+        counts = Counter(b for _, b in out)
+        max_mult = max(Counter(vals).values())
+        assert all(c <= n / k + max_mult for c in counts.values())
