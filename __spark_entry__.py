@@ -1778,6 +1778,55 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
 """
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (graph.bfs_distances): multi-source BFS out to 3
+    hops over the part co-purchase graph, seeds = partkeys divisible by
+    97 — frontier join + visited anti-join per level, all-integer
+    levels, lazily chained like pagerank."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = edges.select("src").where(F.col("src") % 97 == 0).distinct()
+    return graph_ops.bfs_distances(edges, seeds, max_depth=3)
+
+
+def _bfs_oracle() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), d0 AS (
+  SELECT DISTINCT s AS node FROM e WHERE s % 97 = 0
+)"""
+    prev_sets = ["d0"]
+    steps = []
+    for depth in range(1, 4):
+        visited = " UNION ALL ".join(
+            f"SELECT node FROM {p}" for p in prev_sets
+        )
+        steps.append(f""", n{depth} AS (
+  SELECT DISTINCT e.t AS node
+  FROM e JOIN {prev_sets[-1]} f ON e.s = f.node
+  WHERE e.t NOT IN ({visited})
+)""")
+        prev_sets.append(f"n{depth}")
+    selects = ["SELECT node, 0 AS dist FROM d0"] + [
+        f"SELECT node, {d} AS dist FROM n{d}" for d in range(1, 4)
+    ]
+    return head + "".join(steps) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_e10_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = event_ops.sessionize_lag(
@@ -6361,7 +6410,7 @@ _ROUND4_FIRST = [
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
-    "q_e2_setsim_join",
+    "q_e2_setsim_join", "q_graph_bfs",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6417,6 +6466,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_funnel": q_e10_funnel,
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
+        "q_graph_bfs": q_graph_bfs,
         "q_dq_skew": q_dq_skew,
         "q_e10_wow": q_e10_wow,
         "q_e9_linkage": q_e9_linkage,
@@ -6718,6 +6768,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_funnel": _E10_FUNNEL_ORACLE,
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
+        "q_graph_bfs": _bfs_oracle(),
         "q_dq_skew": _DQ_SKEW_ORACLE,
         "q_e10_wow": _E10_WOW_ORACLE,
         "q_e9_linkage": _linkage_oracle(),

@@ -167,3 +167,48 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop distance from any seed node, out to
+
+    ``max_depth`` hops — the reachability / blast-radius primitive.
+    Frontier expansion: each round joins the edge list against the
+    previous frontier (one shuffle join), anti-joins the visited set so
+    a node keeps its FIRST (minimal) level, and unions into the distance
+    table.  Like ``pagerank``, short fixed-depth runs chain into one
+    lazily-planned DAG (the persisted edge exchange is reused per
+    round); ``checkpoint_every`` truncates lineage on deep traversals.
+    All-integer levels → deterministic on any engine or partitioning.
+
+    Output: (node, dist) for every node within ``max_depth`` hops of a
+    seed (seeds themselves at dist 0).
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).alias("dist")
+    )
+    frontier = dist
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, F.col("_src") == F.col("node"))
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+        if depth % checkpoint_every == 0 and depth < max_depth:
+            dist = dist.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return dist

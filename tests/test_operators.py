@@ -1375,3 +1375,33 @@ class TestSetSimJoin:
         assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in out} == {
             (1, 2, 0.6)
         }
+
+
+class TestBfsDistances:
+    def test_levels_and_visited_exclusion(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        # path 1-2-3-4-5 (symmetric) + shortcut 1-4: node 4 is dist 1,
+        # node 5 is dist 2 (through the shortcut), node 3 is dist 2
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        out = {
+            r["node"]: r["dist"]
+            for r in graph_ops.bfs_distances(edges, seeds, max_depth=3).collect()
+        }
+        assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    def test_depth_cap(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        pairs = [(1, 2), (2, 3), (3, 4)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        out = {
+            r["node"]: r["dist"]
+            for r in graph_ops.bfs_distances(edges, seeds, max_depth=2).collect()
+        }
+        assert out == {1: 0, 2: 1, 3: 2}  # node 4 beyond the cap
