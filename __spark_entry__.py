@@ -72,6 +72,7 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_dedup",
     "q_e11_stream_session",
     "q_k5_merge_upsert",  # lake writes + read-back
+    "q_k7_incremental_agg",  # staged aggregate-state writes + read-back
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
     "q_graph_pagerank",  # power-iteration loop under localCheckpoint at build
     "q_e2_neardup_dedup_portable",  # same CC loop on portable pairs
@@ -1775,6 +1776,45 @@ SELECT ia AS id_a, ib AS id_b,
        round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
 FROM v
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+"""
+
+
+def q_k7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family incremental view maintenance (catalog.merge_aggregate):
+    per-customer order counts and decimal spend folded in from THREE
+    successive delta batches of mergeable partials — refresh cost
+    follows each delta, the raw facts are never re-scanned, and
+    associative decimal sums make the final state identical to a full
+    recompute (which is exactly what the oracle runs)."""
+    from dataengineer_spark.catalog import Catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_incragg_"))
+    for i in range(3):
+        delta = (
+            orders.where(F.col("o_orderkey") % 3 == i)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            )
+        )
+        cat.merge_aggregate(
+            delta, "cust_aggs", ["o_custkey"], ["n_orders", "total"]
+        )
+    state = cat.read("cust_aggs")
+    return state.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
+
+
+_K7_INCRAGG_ORACLE = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total
+FROM orders GROUP BY o_custkey
 """
 
 
@@ -6410,7 +6450,7 @@ _ROUND4_FIRST = [
     "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
-    "q_e2_setsim_join", "q_graph_bfs",
+    "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6467,6 +6507,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
         "q_graph_bfs": q_graph_bfs,
+        "q_k7_incremental_agg": q_k7_incremental_agg,
         "q_dq_skew": q_dq_skew,
         "q_e10_wow": q_e10_wow,
         "q_e9_linkage": q_e9_linkage,
@@ -6769,6 +6810,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
         "q_graph_bfs": _bfs_oracle(),
+        "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
         "q_dq_skew": _DQ_SKEW_ORACLE,
         "q_e10_wow": _E10_WOW_ORACLE,
         "q_e9_linkage": _linkage_oracle(),

@@ -243,6 +243,45 @@ class Catalog:
         os.rename(staging, self.path(table))
         shutil.rmtree(retired)
 
+    def merge_aggregate(
+        self,
+        delta: DataFrame,
+        table: str,
+        key_cols: list[str],
+        merge_cols: list[str],
+    ) -> None:
+        """Incremental aggregate maintenance: fold a DELTA of mergeable
+
+        partial aggregates (counts, decimal sums — anything associative)
+        into a stored aggregate table, without ever touching the raw
+        fact data again.  The incremental-view-maintenance pattern: the
+        stored state is per-key partials, refresh cost follows the delta
+        (one union + one hash re-aggregate on the keys), and the result
+        is identical to a full recompute because the merged columns are
+        associative-commutative.
+
+        First call seeds the table; later calls read state + union delta
+        + re-sum through the same staged swap as ``merge_upsert`` (never
+        reading lazily from the path being replaced).
+        """
+        from pyspark.sql import functions as F
+
+        if not self.exists(table):
+            delta.write.parquet(self.path(table))
+            return
+        current = self.read(table)
+        merged = current.unionByName(delta).groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in merge_cols]
+        )
+        staging = f"{self.path(table)}_merging"
+        retired = f"{self.path(table)}_retired"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        merged.write.parquet(staging)
+        os.rename(self.path(table), retired)
+        os.rename(staging, self.path(table))
+        shutil.rmtree(retired)
+
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose tables as temp views for the SQL API (P2)."""
         names = tables if tables is not None else list(self._external)

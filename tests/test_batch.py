@@ -288,3 +288,38 @@ class TestZorderKnownRanges:
         assert z[(0, 0)] == 0 and z[(3, 3)] == 15
         # overshoot clamps to the top cell, undershoot to 0: (3_clamped, 0)
         assert z[(10, -5)] == z[(3, 3)] & 0b0101  # x bits only
+
+
+class TestMergeAggregate:
+    def test_incremental_equals_full_recompute(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "lake"))
+        rows = [(k, float(v)) for k in range(5) for v in range(k + 1)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        for i in range(3):
+            delta = (
+                df.where(F.col("v").cast("long") % 3 == i)
+                .groupBy("k")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                )
+            )
+            cat.merge_aggregate(delta, "aggs", ["k"], ["n", "s"])
+        got = {
+            r["k"]: (r["n"], float(r["s"]))
+            for r in cat.read("aggs").collect()
+        }
+        want = {
+            r["k"]: (r["n"], float(r["s"]))
+            for r in df.groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            )
+            .collect()
+        }
+        assert got == want
