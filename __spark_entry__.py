@@ -2562,6 +2562,93 @@ FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 ANN, IVF-PQ composite (sim_ops.ivf_pq_top_k) — the FAISS-style
+    production index: literal coarse centroids prune to n_probe=4 of 16
+    cells (pushdown-able IN filter), survivors score by PQ asymmetric
+    distance (8 LUT lookups/row).  ORACLED end to end: DuckDB replays
+    cell assignment, the literal probe list, the PQ encode, and the
+    same LUT — approximate distances hash-match exactly."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    from dataengineer_spark.operators.similarity import _centroids
+
+    coarse = _centroids(64, 16, seed=7)
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    top = sim_ops.ivf_pq_top_k(
+        emb, _pq_query_vec(), coarse, cb, k=10, n_probe=4
+    )
+    return top.select("vec_id", F.round("approx_dist", 6).alias("approx_dist"))
+
+
+def _ivfpq_oracle() -> str:
+    from dataengineer_spark.operators.similarity import (
+        _centroids,
+        _half_sqnorm,
+        probe_cells_py,
+    )
+
+    coarse = _centroids(64, 16, seed=7)
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    qv = _pq_query_vec()
+    m, ksub, dsub, n_centroids = 8, 16, 8, 16
+    probe = probe_cells_py(qv, coarse, 4)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in coarse)
+        + "]"
+    )
+    cell_scores = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
+        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
+    )
+    code_exprs = []
+    for j in range(m):
+        cbj = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb[j])
+            + "]"
+        )
+        halves = "[" + ", ".join(repr(_half_sqnorm(c)) for c in cb[j]) + "]"
+        scored = (
+            f"list_transform(generate_series(0, {ksub - 1}), i -> "
+            f"{{'s': list_reduce(list_transform(generate_series(1, {dsub}), "
+            f"t -> v[{j * dsub} + t] * ({cbj})[i + 1][t]), (a, b) -> a + b) "
+            f"- (CAST({halves} AS DOUBLE[]))[i + 1], 'ni': -i}})"
+        )
+        code_exprs.append(f"-((list_max({scored})).ni) AS code{j}")
+    luts = []
+    for j in range(m):
+        lut_j = [
+            sum(
+                (qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t])
+                for t in range(dsub)
+            )
+            for c in cb[j]
+        ]
+        luts.append("[" + ", ".join(repr(x) for x in lut_j) + "]")
+    adist = " + ".join(f"({luts[j]})[code{j} + 1]" for j in range(m))
+    codes = ",\n    ".join(code_exprs)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cells AS (
+  SELECT vec_id, v, (list_max({cell_scores})).cell AS cell FROM e
+), cand AS (
+  SELECT vec_id, v FROM cells WHERE cell IN ({probe_list})
+), enc AS (
+  SELECT vec_id,
+    {codes}
+  FROM cand
+), scored AS (
+  SELECT vec_id, {adist} AS ad FROM enc
+)
+SELECT vec_id, round(ad, 6) AS approx_dist
+FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q_e3_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 dimensionality reduction: Johnson-Lindenstrauss random projection
     64→16 (sim_ops.project — one fold per row carrying all 16 partial
@@ -6451,6 +6538,7 @@ _ROUND4_FIRST = [
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
     "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
+    "q_e3_ivfpq_topk",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6507,6 +6595,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_session": q_e10_session,
         "q_e10_anomaly": q_e10_anomaly,
         "q_graph_bfs": q_graph_bfs,
+        "q_e3_ivfpq_topk": q_e3_ivfpq_topk,
         "q_k7_incremental_agg": q_k7_incremental_agg,
         "q_dq_skew": q_dq_skew,
         "q_e10_wow": q_e10_wow,
@@ -6810,6 +6899,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_session": _E10_SESSION_ORACLE,
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
         "q_graph_bfs": _bfs_oracle(),
+        "q_e3_ivfpq_topk": _ivfpq_oracle(),
         "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
         "q_dq_skew": _DQ_SKEW_ORACLE,
         "q_e10_wow": _E10_WOW_ORACLE,

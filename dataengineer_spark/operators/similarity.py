@@ -809,3 +809,56 @@ def embedding_dim_stats(
         "min_x",
         "max_x",
     )
+
+
+def probe_cells_py(
+    query_vec: list[float], cents: list[list[float]], n_probe: int
+) -> list[int]:
+    """Driver-side probe-cell selection for a LITERAL query vector: the
+
+    same left-fold dot products and the same (score desc, cell desc)
+    tie order as the ``_cell_scores``/``reverse(array_sort(...))``
+    expression path, so the resulting cell list is a shared constant an
+    oracle can inline verbatim."""
+    scored = []
+    for i, cent in enumerate(cents):
+        acc = 0.0
+        for q, c in zip(query_vec, cent):
+            acc = acc + q * c
+        scored.append((acc, i))
+    scored.sort(reverse=True)
+    return [i for _, i in scored[:n_probe]]
+
+
+def ivf_pq_top_k(
+    corpus: DataFrame,
+    query_vec: list[float],
+    coarse: list[list[float]],
+    pq_cb: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 ANN, IVF-PQ composite — the production ANN index shape (FAISS
+
+    IVFPQ, public architecture): a coarse inverted file prunes the
+    corpus to ``n_probe`` cells (plan-literal centroids, map-only cell
+    assignment + an `IN` filter the scan can push down), and the
+    surviving candidates score by PQ asymmetric distance (m table
+    lookups + adds per row against a driver-built LUT).  Scan cost
+    drops twice: |corpus|·n_probe/n_cells rows touched, ~m bytes read
+    per row instead of 8·dim.  No shuffle anywhere — filter, map,
+    TakeOrdered.
+
+    Recall < 1 from both stages by design; raise ``n_probe`` and the
+    PQ ``m`` to trade cost for recall.
+    """
+    c = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .withColumn("_cell", nearest_cell(F.col("_cv"), coarse))
+        .where(F.col("_cell").isin(probe_cells_py(query_vec, coarse, n_probe)))
+    )
+    return pq_top_k(c, query_vec, pq_cb, k=k, id_col=id_col, vec_col="_cv")

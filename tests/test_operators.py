@@ -1405,3 +1405,42 @@ class TestBfsDistances:
             for r in graph_ops.bfs_distances(edges, seeds, max_depth=2).collect()
         }
         assert out == {1: 0, 2: 1, 3: 2}  # node 4 beyond the cap
+
+
+class TestIvfPqTopK:
+    def test_full_probe_equals_plain_pq(self, spark):
+        # probing ALL coarse cells disables the IVF pruning, so the
+        # composite must reduce exactly to the plain PQ ADC scan
+        import random
+
+        from dataengineer_spark.operators.similarity import (
+            _centroids,
+            ivf_pq_top_k,
+            pq_codebook,
+            pq_top_k,
+        )
+
+        rnd = random.Random(3)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = [rnd.uniform(-1, 1) for _ in range(16)]
+        coarse = _centroids(16, 4, seed=7)
+        cb = pq_codebook(16, m=4, ksub=8, seed=11)
+        full = ivf_pq_top_k(df, qv, coarse, cb, k=5, n_probe=4)
+        plain = pq_top_k(df, qv, cb, k=5)
+        assert [
+            (r["vec_id"], round(r["approx_dist"], 9)) for r in full.collect()
+        ] == [
+            (r["vec_id"], round(r["approx_dist"], 9)) for r in plain.collect()
+        ]
+
+    def test_probe_cells_are_distinct_and_capped(self):
+        from dataengineer_spark.operators.similarity import (
+            _centroids,
+            probe_cells_py,
+        )
+
+        cells = probe_cells_py([0.1] * 16, _centroids(16, 8, seed=7), 3)
+        assert len(cells) == 3 and len(set(cells)) == 3
