@@ -41,6 +41,10 @@ REPRESENTATIVE = [
     "q_e10_attribution",
     "q_graph_pagerank",
     "q_a2_auc",
+    # round-4d: persisted-intermediate prefix filtering and the literal
+    # probe-list composite must not depend on engine session confs
+    "q_e2_setsim_join",
+    "q_e3_ivfpq_topk",
 ]
 
 
