@@ -1779,6 +1779,74 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
 """
 
 
+def q_f11_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: Zipf's-law fit — OLS slope of
+    ln(frequency) on ln(rank) over the top-100 words (composition:
+    preparation.word_counts → TakeOrdered top-N → rank window over 100
+    rows → agg_ops.group_ols exact-moment regression).  Natural text
+    slopes near -1; templated/synthetic corpora flatten.  The only
+    non-distributed step is the 100-row rank window."""
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators.preparation import explode_words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    counts = (
+        explode_words(docs, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(100)
+    )
+    ranked = counts.select(
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), F.col("word").asc()))
+            .cast("double")
+        ).alias("ln_rank"),
+        F.log(F.col("c").cast("double")).alias("ln_freq"),
+    )
+    return agg_ops.group_ols(ranked, [], "ln_rank", "ln_freq")
+
+
+def _zipf_oracle() -> str:
+    # replicate preparation.explode_words tokenization (lower, trim,
+    # split \s+, drop empties) + the regression oracle's moment frame
+    return r"""
+WITH w0 AS (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS word
+  FROM documents
+), top AS (
+  SELECT word, count(*) AS c FROM w0 GROUP BY word
+  ORDER BY c DESC, word ASC LIMIT 100
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, word ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+), m AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT n,
+  round(CASE WHEN (sxx - sx*sx/n) > 0
+             THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) END, 6) AS slope,
+  round((sy - CASE WHEN (sxx - sx*sx/n) > 0
+                   THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) END * sx) / n, 6)
+    AS intercept,
+  round(CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+             THEN (sxy - sx*sy/n) * (sxy - sx*sy/n)
+                  / ((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 6) AS r2
+FROM m
+"""
+
+
 def q_k7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-family incremental view maintenance (catalog.merge_aggregate):
     per-customer order counts and decimal spend folded in from THREE
@@ -6538,7 +6606,7 @@ _ROUND4_FIRST = [
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
     "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
-    "q_e3_ivfpq_topk",
+    "q_e3_ivfpq_topk", "q_f11_zipf",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6597,6 +6665,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_bfs": q_graph_bfs,
         "q_e3_ivfpq_topk": q_e3_ivfpq_topk,
         "q_k7_incremental_agg": q_k7_incremental_agg,
+        "q_f11_zipf": q_f11_zipf,
         "q_dq_skew": q_dq_skew,
         "q_e10_wow": q_e10_wow,
         "q_e9_linkage": q_e9_linkage,
@@ -6901,6 +6970,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_bfs": _bfs_oracle(),
         "q_e3_ivfpq_topk": _ivfpq_oracle(),
         "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
+        "q_f11_zipf": _zipf_oracle(),
         "q_dq_skew": _DQ_SKEW_ORACLE,
         "q_e10_wow": _E10_WOW_ORACLE,
         "q_e9_linkage": _linkage_oracle(),

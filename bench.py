@@ -100,6 +100,9 @@ HEADLINE = [
     "q_rank_rrf",
     "q_e3_dim_stats",
     "q_e4_oov",
+    # FAISS-style composite index: coarse-cell pruning + ADC scan —
+    # the ANN shape that actually ships at corpus scale
+    "q_e3_ivfpq_topk",
 ]
 
 
