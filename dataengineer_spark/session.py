@@ -37,6 +37,12 @@ _DEFAULTS: dict[str, str] = {
     # DuckDB reports for the same files (FIXTURES.md precision warning)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # local[N] puts driver and executors in ONE JVM whose default heap is
+    # 1g — far too small next to the 64MB broadcast threshold once a long
+    # session accumulates broadcast refs (a 70-query bench loop OOMed the
+    # build side of a broadcast exchange).  Only read at JVM launch; a
+    # cluster launcher's --driver-memory simply overrides it.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
