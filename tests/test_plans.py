@@ -200,3 +200,40 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound4dPlanShapes:
+    def test_ivfpq_is_filter_map_takeordered(self, spark, sf_dir):
+        # the composite index must plan NO shuffle joins at all: literal
+        # cell filter + per-row LUT arithmetic + per-partition top-k
+        p = _plan(spark, sf_dir, "q_e3_ivfpq_topk")
+        assert "TakeOrderedAndProject" in p
+        for bad in ["SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoop", "CartesianProduct"]:
+            assert bad not in p
+
+    def test_fuzzy_join_is_equi_not_cartesian(self, spark, sf_dir):
+        # blocking must surface as an equi-join; levenshtein stays a
+        # post-join filter, never a join strategy fallback
+        p = _plan(spark, sf_dir, "q_e9_fuzzy_join")
+        assert "BroadcastNestedLoop" not in p
+        assert "CartesianProduct" not in p
+
+    def test_setsim_candidates_are_equi_joined(self, spark, sf_dir):
+        p = _plan(spark, sf_dir, "q_e2_setsim_join")
+        assert "BroadcastNestedLoop" not in p
+        assert "CartesianProduct" not in p
+
+    def test_auc_reduces_before_the_window(self, spark, sf_dir):
+        # the only window must run over the per-distinct-score aggregate,
+        # i.e. a partial+final HashAggregate pair precedes the Window
+        p = _plan(spark, sf_dir, "q_a2_auc")
+        assert p.count("HashAggregate") >= 2
+        assert "Window" in p
+
+    def test_retention_shares_the_user_partitioning(self, spark, sf_dir):
+        # no cartesian, no nested loop; the first-touch agg and activity
+        # join both key on user_id
+        p = _plan(spark, sf_dir, "q_e10_retention")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
