@@ -71,6 +71,7 @@ EFFECTFUL_QUERIES = {
     "q_e5_percentile_dist",  # two-pass: collects control-plane counts
     "q_e11_stream_dedup",
     "q_e11_stream_session",
+    "q_e11_stream_anomaly",
     "q_k5_merge_upsert",  # lake writes + read-back
     "q_k7_incremental_agg",  # staged aggregate-state writes + read-back
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
@@ -5549,6 +5550,62 @@ FROM events GROUP BY event_type
 
 
 
+def q_e11_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 ONLINE anomaly detection: per-user trailing z-scores with a
+    bounded deque of the last 20 milli-unit-quantized observations as
+    explicit group state (streaming.stream_trailing_anomalies) —
+    availableNow over the events lake equals the batch trailing window,
+    and the exact-integer sums make z engine-portable bit-for-bit."""
+    from dataengineer_spark.streaming import (
+        stream_events,
+        stream_trailing_anomalies,
+    )
+
+    stream = stream_events(spark, sf_dir + "/events.parquet")
+    flags = stream_trailing_anomalies(
+        stream, lookback=20, z_threshold=3.0, min_history=5
+    )
+    name = f"anomaly_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "ts", F.round("value", 6).alias("value"),
+        "z_score", "is_anomaly",
+    )
+
+
+_E11_STREAM_ANOMALY_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 1000, 0) AS BIGINT) AS mv
+  FROM events
+), w AS (
+  SELECT user_id, ts, value, mv,
+         count(mv) OVER win AS n,
+         sum(mv) OVER win AS s1,
+         sum(mv * mv) OVER win AS s2
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, ts, value, mv,
+         CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN (mv - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         END AS zs
+  FROM w
+)
+SELECT user_id, ts, round(value, 6) AS value, round(zs, 6) AS z_score,
+       coalesce(abs(zs) > 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second flagship: corpus-curation pipeline (quality + language filter
 
@@ -6606,7 +6663,7 @@ _ROUND4_FIRST = [
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
     "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
-    "q_e3_ivfpq_topk", "q_f11_zipf",
+    "q_e3_ivfpq_topk", "q_f11_zipf", "q_e11_stream_anomaly",
     # never-checked rows-only entries (multimodal deterministic fakes +
     # scale twins whose oracled siblings are green above): a rows-only
     # driver row closes the registry but carries less evidence than an
@@ -6666,6 +6723,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_ivfpq_topk": q_e3_ivfpq_topk,
         "q_k7_incremental_agg": q_k7_incremental_agg,
         "q_f11_zipf": q_f11_zipf,
+        "q_e11_stream_anomaly": q_e11_stream_anomaly,
         "q_dq_skew": q_dq_skew,
         "q_e10_wow": q_e10_wow,
         "q_e9_linkage": q_e9_linkage,
@@ -6971,6 +7029,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e3_ivfpq_topk": _ivfpq_oracle(),
         "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
         "q_f11_zipf": _zipf_oracle(),
+        "q_e11_stream_anomaly": _E11_STREAM_ANOMALY_ORACLE,
         "q_dq_skew": _DQ_SKEW_ORACLE,
         "q_e10_wow": _E10_WOW_ORACLE,
         "q_e9_linkage": _linkage_oracle(),

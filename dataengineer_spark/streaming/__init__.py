@@ -9,6 +9,7 @@ from dataengineer_spark.streaming.pipeline import (
     stream_documents,
     stream_contamination,
     windowed_distinct_approx,
+    stream_trailing_anomalies,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "stream_documents",
     "stream_contamination",
     "windowed_distinct_approx",
+    "stream_trailing_anomalies",
 ]

@@ -305,3 +305,86 @@ def windowed_distinct_approx(
             "approx_users",
         )
     )
+
+
+def stream_trailing_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """ONLINE trailing-window anomaly detection — the streaming twin of
+
+    ``events.trailing_anomalies``: per-key state is a bounded deque of
+    the last ``lookback`` observations carried across micro-batches
+    (``applyInPandasWithState``; state size O(lookback) per key, never
+    data volume), and every arriving event scores against the PRECEDING
+    window only.
+
+    Engine-parity contract: observations quantize to milli-unit
+    integers (round-half-away, the SQL ``round(x*1000, 0)`` rule), so
+    window sums stay exact integers below 2^53 and the z-score is the
+    same IEEE double on any engine, partitioning, or micro-batch
+    boundary — the batch SQL oracle replays the identical float
+    sequence.  z is scale-invariant, so milli-unit z == raw-unit z.
+    """
+    import math
+
+    import pandas as pd  # noqa: F811 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def quantize(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) * 1000.0 + 0.5), x))
+
+    def round_away(x: float, digits: int = 6) -> float:
+        # SQL round() is half-away-from-zero; Python round() is half-even
+        scale = 10.0 ** digits
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    def update(key, pdfs, state: GroupState):
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        out_ts, out_v, out_z, out_flag = [], [], [], []
+        for ts, v in zip(batch[ts_col], batch[value_col]):
+            mv = quantize(float(v))
+            n = len(hist)
+            z_raw = None
+            if n >= min_history:
+                s1 = sum(hist)
+                s2 = sum(h * h for h in hist)
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    z_raw = (mv - s1 / n) / math.sqrt(var)
+            out_ts.append(ts)
+            out_v.append(float(v))
+            out_z.append(None if z_raw is None else round_away(z_raw))
+            out_flag.append(bool(z_raw is not None and abs(z_raw) > z_threshold))
+            hist.append(mv)
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_ts),
+                ts_col: out_ts,
+                value_col: out_v,
+                "z_score": out_z,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, {ts_col} timestamp, {value_col} double, "
+            "z_score double, is_anomaly boolean"
+        ),
+        stateStructType="hist array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

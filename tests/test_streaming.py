@@ -256,3 +256,63 @@ class TestStreamContamination:
             for r in ngram_overlap(docs, bench_docs, "text", "doc_id", n=8).collect()
         }
         assert streamed == batch
+
+
+class TestStreamTrailingAnomalies:
+    def test_state_window_matches_across_micro_batches(self, spark, sf_dir, tmp_path):
+        # split one user's history over TWO files -> two micro-batches:
+        # the deque state must carry the trailing window across the
+        # boundary, flagging a spike in batch 2 against batch-1 history
+        import os
+
+        import pandas as pd
+
+        from dataengineer_spark.streaming import stream_trailing_anomalies
+
+        src = str(tmp_path / "ev_parts")
+        os.makedirs(src)
+        base = pd.Timestamp("2024-01-01")
+        part1 = pd.DataFrame(
+            {
+                "event_id": range(1, 9),
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(8)],
+                "user_id": [1] * 8,
+                "event_type": ["view"] * 8,
+                "value": [10.0 + 0.01 * (-1) ** i for i in range(8)],
+                "props": ["{}"] * 8,
+            }
+        )
+        part2 = pd.DataFrame(
+            {
+                "event_id": [9],
+                "ts": [base + pd.Timedelta(minutes=9)],
+                "user_id": [1],
+                "event_type": ["view"],
+                "value": [100.0],
+                "props": ["{}"],
+            }
+        )
+        part1.to_parquet(src + "/p1.parquet")
+        part2.to_parquet(src + "/p2.parquet")
+        from dataengineer_spark.streaming import stream_events
+
+        stream = stream_events(spark, src)
+        flags = stream_trailing_anomalies(
+            stream, lookback=5, z_threshold=3.0, min_history=3
+        )
+        name = f"t_anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            flags.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {str(r["ts"]): (r["z_score"], r["is_anomaly"])
+                for r in spark.table(name).collect()}
+        spike = rows[str(base + pd.Timedelta(minutes=9))]
+        assert spike[1] is True and abs(spike[0]) > 3
+        # early cold-start rows have NULL z
+        assert rows[str(base)][0] is None
