@@ -2410,19 +2410,25 @@ def _lsh_topk_oracle() -> str:
             f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
         )
 
+    # planes hoisted into a 1-row CTE: a literal list inside a lambda is
+    # re-materialized per element evaluation by DuckDB (minutes at 500
+    # rows); a cross-joined column reference is materialized once
     bucket = " + ".join(
-        f"(CASE WHEN {dot_sql('v', plane_lits[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {dot_sql('v', f'pl[{i + 1}]')} > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
+    pl = "[" + ", ".join(plane_lits) + "]"
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({pl} AS DOUBLE[][]) AS pl
 ), bk AS (
   SELECT vec_id, v,
     {bucket} AS bucket,
     sqrt(list_reduce(list_transform(generate_series(1, 64),
       j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e
+  FROM e CROSS JOIN lits
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
     CASE WHEN q.nrm * c.nrm > 0 THEN
@@ -2462,10 +2468,11 @@ def _kmeans_oracle() -> str:
         + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
         + "]"
     )
+    # cm hoisted into a 1-row CTE (literal-in-lambda re-materialization)
     scores1 = (
         f"list_transform(generate_series(0, {n_centroids - 1}), "
         "i -> {'score': list_reduce(list_transform(generate_series(1, "
-        f"{dim}), j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), "
+        f"{dim}), j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), "
         "'cell': i})"
     )
     scores2 = (
@@ -2480,8 +2487,10 @@ def _kmeans_oracle() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
 ), a1 AS (
-  SELECT vec_id, v, (list_max({scores1})).cell AS cell FROM e
+  SELECT vec_id, v, (list_max({scores1})).cell AS cell FROM e CROSS JOIN lits
 ), x1 AS (
   SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
   FROM a1
@@ -2524,20 +2533,23 @@ def _ivf_topk_oracle() -> str:
         + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
         + "]"
     )
+    # cm hoisted into a 1-row CTE (literal-in-lambda re-materialization)
     scores = (
         f"list_transform(generate_series(0, {n_centroids - 1}), "
         "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
-        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
+        "j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), 'cell': i})"
     )
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
 ), bk AS (
   SELECT vec_id, v,
     {scores} AS scores,
     sqrt(list_reduce(list_transform(generate_series(1, 64),
       j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e
+  FROM e CROSS JOIN lits
 ), c AS (
   SELECT vec_id AS corpus_id, v AS cv, nrm AS cn,
          (list_max(scores)).cell AS cell
@@ -2585,47 +2597,62 @@ def q_e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("approx_dist", 6).alias("approx_dist"))
 
 
+def _pq_relational_ctes(cb, qv, source_cte: str) -> str:
+    """PQ encode + asymmetric distance as RELATIONAL DuckDB CTEs.
+
+    The first-cut oracles inlined the 16x8 codebook literals inside
+    nested lambdas; DuckDB re-materializes a literal list on every
+    lambda-element evaluation, which took minutes even at 500 rows.
+    Here the codebook is a 128-row VALUES table (j, i, cvec, half, lut):
+    encode = cross join + per-(vec,j) window argmax, distance = the 8
+    LUT rows re-added in fixed subquantizer order (one CASE per j) so
+    float addition order matches the Spark side exactly.  Arithmetic is
+    unchanged from the lambda form — left-fold dot, score = dot - half,
+    ties to the LOWER centroid index — so hashes still match."""
+    from dataengineer_spark.operators.similarity import _half_sqnorm
+
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    rows = []
+    for j in range(m):
+        for i in range(ksub):
+            c = cb[j][i]
+            cvec = "[" + ", ".join(repr(x) for x in c) + "]"
+            lut = sum(
+                (qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t])
+                for t in range(dsub)
+            )
+            rows.append(
+                f"({j}, {i}, CAST({cvec} AS DOUBLE[]), "
+                f"CAST({_half_sqnorm(c)!r} AS DOUBLE), CAST({lut!r} AS DOUBLE))"
+            )
+    cbt = ",\n    ".join(rows)
+    adist = " + ".join(f"sum(CASE WHEN j = {j} THEN lut END)" for j in range(m))
+    return f"""cbt(j, i, cvec, half, lut) AS (
+  VALUES {cbt}
+), encscore AS (
+  SELECT s.vec_id, cbt.j, cbt.i, cbt.lut,
+    list_reduce(list_transform(generate_series(1, {dsub}),
+      t -> s.v[cbt.j * {dsub} + t] * cbt.cvec[t]), (a, b) -> a + b)
+      - cbt.half AS sc
+  FROM {source_cte} s CROSS JOIN cbt
+), enc AS (
+  SELECT vec_id, j, lut FROM (
+    SELECT vec_id, j, lut,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
+    FROM encscore) WHERE rn = 1
+), scored AS (
+  SELECT vec_id, {adist} AS ad FROM enc GROUP BY vec_id
+)"""
+
+
 def _pq_topk_oracle() -> str:
     cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
     qv = _pq_query_vec()
-    m, ksub = 8, 16
-    dsub = 8
-    from dataengineer_spark.operators.similarity import _half_sqnorm
-
-    code_exprs = []
-    for j in range(m):
-        cbj = (
-            "["
-            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb[j])
-            + "]"
-        )
-        halves = "[" + ", ".join(repr(_half_sqnorm(c)) for c in cb[j]) + "]"
-        scored = (
-            f"list_transform(generate_series(0, {ksub - 1}), i -> "
-            f"{{'s': list_reduce(list_transform(generate_series(1, {dsub}), "
-            f"t -> v[{j * dsub} + t] * ({cbj})[i + 1][t]), (a, b) -> a + b) "
-            f"- (CAST({halves} AS DOUBLE[]))[i + 1], 'ni': -i}})"
-        )
-        code_exprs.append(f"-((list_max({scored})).ni) AS code{j}")
-    luts = []
-    for j in range(m):
-        lut_j = [
-            sum((qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t]) for t in range(dsub))
-            for c in cb[j]
-        ]
-        luts.append("[" + ", ".join(repr(x) for x in lut_j) + "]")
-    adist = " + ".join(f"({luts[j]})[code{j} + 1]" for j in range(m))
-    codes = ",\n    ".join(code_exprs)
+    pq = _pq_relational_ctes(cb, qv, "e")
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), enc AS (
-  SELECT vec_id,
-    {codes}
-  FROM e
-), scored AS (
-  SELECT vec_id, {adist} AS ad FROM enc
-)
+), {pq}
 SELECT vec_id, round(ad, 6) AS approx_dist
 FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
 """
@@ -2652,67 +2679,39 @@ def q_e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_oracle() -> str:
     from dataengineer_spark.operators.similarity import (
         _centroids,
-        _half_sqnorm,
         probe_cells_py,
     )
 
     coarse = _centroids(64, 16, seed=7)
     cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
     qv = _pq_query_vec()
-    m, ksub, dsub, n_centroids = 8, 16, 8, 16
     probe = probe_cells_py(qv, coarse, 4)
-    cm = (
-        "["
-        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in coarse)
-        + "]"
+    crows = ",\n    ".join(
+        f"({i}, CAST([" + ", ".join(repr(x) for x in c) + "] AS DOUBLE[]))"
+        for i, c in enumerate(coarse)
     )
-    cell_scores = (
-        f"list_transform(generate_series(0, {n_centroids - 1}), "
-        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
-        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
-    )
-    code_exprs = []
-    for j in range(m):
-        cbj = (
-            "["
-            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb[j])
-            + "]"
-        )
-        halves = "[" + ", ".join(repr(_half_sqnorm(c)) for c in cb[j]) + "]"
-        scored = (
-            f"list_transform(generate_series(0, {ksub - 1}), i -> "
-            f"{{'s': list_reduce(list_transform(generate_series(1, {dsub}), "
-            f"t -> v[{j * dsub} + t] * ({cbj})[i + 1][t]), (a, b) -> a + b) "
-            f"- (CAST({halves} AS DOUBLE[]))[i + 1], 'ni': -i}})"
-        )
-        code_exprs.append(f"-((list_max({scored})).ni) AS code{j}")
-    luts = []
-    for j in range(m):
-        lut_j = [
-            sum(
-                (qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t])
-                for t in range(dsub)
-            )
-            for c in cb[j]
-        ]
-        luts.append("[" + ", ".join(repr(x) for x in lut_j) + "]")
-    adist = " + ".join(f"({luts[j]})[code{j} + 1]" for j in range(m))
-    codes = ",\n    ".join(code_exprs)
     probe_list = ", ".join(str(p) for p in probe)
+    pq = _pq_relational_ctes(cb, qv, "cand")
+    # cell assignment ties go to the LARGER cell id (struct max over
+    # {'score','cell'} on the Spark side) — hence ci DESC in the window
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), cells AS (
-  SELECT vec_id, v, (list_max({cell_scores})).cell AS cell FROM e
+), coarse(ci, cvec) AS (
+  VALUES {crows}
+), cellscore AS (
+  SELECT e.vec_id, c.ci,
+    list_reduce(list_transform(generate_series(1, 64),
+      j -> e.v[j] * c.cvec[j]), (a, b) -> a + b) AS sc
+  FROM e CROSS JOIN coarse c
+), cellpick AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ci,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, ci DESC) AS rn
+    FROM cellscore) WHERE rn = 1 AND ci IN ({probe_list})
 ), cand AS (
-  SELECT vec_id, v FROM cells WHERE cell IN ({probe_list})
-), enc AS (
-  SELECT vec_id,
-    {codes}
-  FROM cand
-), scored AS (
-  SELECT vec_id, {adist} AS ad FROM enc
-)
+  SELECT e.vec_id, e.v FROM e JOIN cellpick USING (vec_id)
+), {pq}
 SELECT vec_id, round(ad, 6) AS approx_dist
 FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
 """
@@ -2747,23 +2746,26 @@ def _jl_topk_oracle() -> str:
         + "]"
     )
     qlit = "CAST([" + ", ".join(repr(x) for x in qv) + "] AS DOUBLE[])"
+    # mt/qv hoisted into a 1-row CTE (literal-in-lambda re-materialization)
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({mt} AS DOUBLE[][]) AS mt, {qlit} AS qv
 ), p AS (
-  SELECT vec_id,
+  SELECT vec_id, qv,
     list_transform(generate_series(0, 15), i ->
       list_reduce(list_transform(generate_series(1, 64),
-        j -> v[j] * ({mt})[i + 1][j]), (a, b) -> a + b)) AS rv
-  FROM e
+        j -> v[j] * mt[i + 1][j]), (a, b) -> a + b)) AS rv
+  FROM e CROSS JOIN lits
 ), scored AS (
   SELECT vec_id,
     sqrt(list_reduce(list_transform(generate_series(1, 16),
       t -> rv[t] * rv[t]), (a, b) -> a + b)) *
     sqrt(list_reduce(list_transform(generate_series(1, 16),
-      t -> ({qlit})[t] * ({qlit})[t]), (a, b) -> a + b)) AS denom,
+      t -> qv[t] * qv[t]), (a, b) -> a + b)) AS denom,
     list_reduce(list_transform(generate_series(1, 16),
-      t -> rv[t] * ({qlit})[t]), (a, b) -> a + b) AS dp
+      t -> rv[t] * qv[t]), (a, b) -> a + b) AS dp
   FROM p
 ), cs AS (
   SELECT vec_id, CASE WHEN denom > 0 THEN dp / denom END AS cos_sim
@@ -5974,20 +5976,23 @@ def _semantic_dedup_oracle() -> str:
         + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
         + "]"
     )
+    # cm hoisted into a 1-row CTE (literal-in-lambda re-materialization)
     scores = (
         f"list_transform(generate_series(0, {n_centroids - 1}), "
         "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
-        f"j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), 'cell': i}})"
+        "j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), 'cell': i})"
     )
     return f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
 ), bk AS (
   SELECT id, v,
     CAST((list_max({scores})).cell AS BIGINT) AS cell,
     sqrt(list_reduce(list_transform(generate_series(1, 64),
       j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e
+  FROM e CROSS JOIN lits
 ), dup AS (
   SELECT a.id, min(b.id) AS kept_by
   FROM bk a JOIN bk b ON a.cell = b.cell AND a.id > b.id
@@ -6031,10 +6036,11 @@ def _semantic_dedup_trained_oracle() -> str:
         + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
         + "]"
     )
+    # cm hoisted into a 1-row CTE (literal-in-lambda re-materialization)
     scores1 = (
         f"list_transform(generate_series(0, {n_centroids - 1}), "
         f"i -> {{'score': list_reduce(list_transform(generate_series(1, "
-        f"{dim}), j -> v[j] * ({cm})[i + 1][j]), (a, b) -> a + b), "
+        f"{dim}), j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), "
         "'cell': i})"
     )
     scores_cb = (
@@ -6049,8 +6055,10 @@ def _semantic_dedup_trained_oracle() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
 ), a1 AS (
-  SELECT id, v, (list_max({scores1})).cell AS cell FROM e
+  SELECT id, v, (list_max({scores1})).cell AS cell FROM e CROSS JOIN lits
 ), x1 AS (
   SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
   FROM a1

@@ -140,18 +140,25 @@ def main() -> int:
             print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s, rows-only)")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        # oracle time printed separately: a pathological DuckDB plan (e.g.
+        # a literal list inside a lambda, re-materialized per element) can
+        # take minutes while the Spark side reads sub-second — without this
+        # the slowness hides until a driver/pytest subprocess timeout
+        ddt = time.time() - t1
+        slow = "  ORACLE-SLOW" if ddt > 10 else ""
         problems = compare(name, sdf, ddf)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"ok    {name}: {len(sdf)} rows ({dt:.1f}s)")
+            print(f"ok    {name}: {len(sdf)} rows ({dt:.1f}s, oracle {ddt:.1f}s){slow}")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0
