@@ -1887,6 +1887,45 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_k8_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family training-data export (preparation.shard_export): the
+    curated corpus lands as 16 hash-sharded parquet directories — one
+    repartition shuffle, one file per shard, partitionBy for shard-pruned
+    reads — and the returned manifest (per-shard docs / whitespace
+    tokens / utf-8 bytes) aggregates from a READ-BACK of the written
+    lake.  ORACLED: the portable poly shard hash and both count
+    conventions replay in DuckDB, so the manifest — proof of what the
+    sink wrote — hash-matches."""
+    from dataengineer_spark.operators.preparation import shard_export
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="spark_graft_shards_") + "/corpus"
+    return shard_export(docs, path, n_shards=16, portable_hash=True)
+
+
+_K8_SHARD_EXPORT_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''),
+                                   x -> x <> ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000003) % 16 AS shard
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+            THEN 0
+            ELSE len(regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+         AS BIGINT) AS n_tokens,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM s GROUP BY shard
+"""
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics (graph.bfs_distances): multi-source BFS out to 3
     hops over the part co-purchase graph, seeds = partkeys divisible by
@@ -3236,7 +3275,12 @@ def q_e11_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multimodal plumbing with the deterministic fake decoder."""
+    """Multimodal feature-extraction plumbing (mapInPandas, Arrow batch).
+
+    ORACLED end to end: the deterministic fake decoder is the portable
+    poly-hash fold (multimodal._fake_feature), so DuckDB replays hash →
+    per-dim affine expansion → float32 rounding → double-fold L2 norm
+    and the norms hash-match, not just row counts."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -3249,6 +3293,34 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, deterministic_fake=True)
     return feats.select("media_id", "kind", F.round("feat_norm", 4).alias("feat_norm"))
+
+
+_MM_FEATURES_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(substr(text, 1, 64), ''),
+                                     x -> x <> ''),
+                         ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000003)
+    END AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+  round(CASE WHEN h IS NULL THEN 0.0 ELSE
+    sqrt(list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(0, 15), i ->
+          CAST(CAST(((h * (2 * i + 3) + 97 * i) % 1000003) / 1000003.0
+               AS REAL) AS DOUBLE)
+          * CAST(CAST(((h * (2 * i + 3) + 97 * i) % 1000003) / 1000003.0
+                 AS REAL) AS DOUBLE))),
+      (a, b) -> a + b))
+  END, 4) AS feat_norm
+FROM h
+"""
 
 
 def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3297,9 +3369,11 @@ FROM documents GROUP BY 1
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: video frame-sampling plumbing (1 row → N frame rows via
+    """Video frame-sampling plumbing: 1 row → N frame rows via mapInPandas
 
-    mapInPandas; fake codec slices payload at every_ms boundaries)."""
+    (output cardinality differs from input); fake codec slices payload at
+    every_ms boundaries.  ORACLED: frame fan-out, offsets, and slice byte
+    counts are pure metadata arithmetic DuckDB replays exactly."""
     from dataengineer_spark.operators.multimodal import sample_frames
 
     media = _fake_media(spark, sf_dir).where(F.col("kind") == "video")
@@ -3309,15 +3383,46 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: image-resize plumbing (binary in → binary out, metadata
+_MM_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, coalesce(octet_length(encode(text)), 0) AS len,
+         coalesce(n_chars * 10, 0) AS dur
+  FROM documents WHERE doc_id % 3 = 2
+), p AS (
+  SELECT doc_id, len,
+    CASE WHEN dur = 0 THEN 1 ELSE greatest(dur // 2000, 1) END AS n
+  FROM v
+), f AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, len,
+         greatest(len // n, 1) AS step
+  FROM p
+)
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * 2000 AS BIGINT) AS frame_ms,
+       CAST(greatest(least((i + 1) * step, len) - least(i * step, len), 0)
+            AS INT) AS frame_bytes
+FROM f
+"""
 
-    updated; fake codec pads/truncates payload to the target byte size)."""
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary in → binary out, metadata updated;
+
+    fake codec pads/truncates payload to the target byte size.  ORACLED:
+    the output metadata (target dims, result byte count) is deterministic
+    arithmetic."""
     from dataengineer_spark.operators.multimodal import resize_images
 
     media = _fake_media(spark, sf_dir).where(F.col("kind") == "image")
     out = resize_images(media, width=16, height=16, deterministic_fake=True)
     return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+_MM_RESIZE_ORACLE = """
+SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CASE WHEN text IS NULL THEN NULL ELSE CAST(256 AS INT) END AS n_bytes
+FROM documents WHERE doc_id % 3 = 0
+"""
 
 
 
@@ -6655,6 +6760,9 @@ _ROUND4_FIRST = [
     "q_prep_decontaminate_portable",
     # sketch family (bound-check oracles)
     "q_e5_approx_distinct", "q_e5_approx_percentile", "q_e5_hll_rollup",
+    # multimodal plumbing, upgraded rows-only → full oracles (portable
+    # poly-hash fake decoder; metadata arithmetic replayed in SQL)
+    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
     # r1 rows-only whose oracles were attached in r3 but never run
     "q_e3_lsh_topk", "q_e2_ngram_jaccard",
     # new this round (oracled on arrival)
@@ -6671,13 +6779,13 @@ _ROUND4_FIRST = [
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
     "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
+    "q_k8_shard_export",
     "q_e3_ivfpq_topk", "q_f11_zipf", "q_e11_stream_anomaly",
-    # never-checked rows-only entries (multimodal deterministic fakes +
-    # scale twins whose oracled siblings are green above): a rows-only
-    # driver row closes the registry but carries less evidence than an
-    # oracle first-contact, so they straddle the ~50/round budget
-    # boundary — whatever spills waits one round
-    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
+    # never-checked rows-only entries (scale twins whose oracled siblings
+    # are green above): a rows-only driver row closes the registry but
+    # carries less evidence than an oracle first-contact, so they
+    # straddle the ~50/round budget boundary — whatever spills waits one
+    # round
     "q_e2_neardup_dedup", "q_prep_decontaminate",
     "q_prep_decontaminate_arrow", "q_prep_dsir_hashed",
     "q_e2_dup_spans_hashed",
@@ -6730,6 +6838,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_bfs": q_graph_bfs,
         "q_e3_ivfpq_topk": q_e3_ivfpq_topk,
         "q_k7_incremental_agg": q_k7_incremental_agg,
+        "q_k8_shard_export": q_k8_shard_export,
         "q_f11_zipf": q_f11_zipf,
         "q_e11_stream_anomaly": q_e11_stream_anomaly,
         "q_dq_skew": q_dq_skew,
@@ -7036,6 +7145,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_bfs": _bfs_oracle(),
         "q_e3_ivfpq_topk": _ivfpq_oracle(),
         "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
+        "q_k8_shard_export": _K8_SHARD_EXPORT_ORACLE,
         "q_f11_zipf": _zipf_oracle(),
         "q_e11_stream_anomaly": _E11_STREAM_ANOMALY_ORACLE,
         "q_dq_skew": _DQ_SKEW_ORACLE,
@@ -7144,6 +7254,9 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q21": _TPCH_Q21_ORACLE,
         "q_o6_batch_lifecycle": _O6_ORACLE,
         "q_mm_stats": _MM_STATS_ORACLE,
+        "q_mm_features": _MM_FEATURES_ORACLE,
+        "q_mm_resize": _MM_RESIZE_ORACLE,
+        "q_mm_frame_sample": _MM_FRAME_SAMPLE_ORACLE,
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         "q_pipeline_curation": _curation_oracle(),

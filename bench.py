@@ -103,6 +103,8 @@ HEADLINE = [
     # FAISS-style composite index: coarse-cell pruning + ADC scan —
     # the ANN shape that actually ships at corpus scale
     "q_e3_ivfpq_topk",
+    # pipeline-final sink: hash-sharded export + read-back manifest
+    "q_k8_shard_export",
 ]
 
 

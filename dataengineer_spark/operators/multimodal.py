@@ -15,6 +15,7 @@ enough that one Arrow batch of payloads fits executor memory.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -29,15 +30,34 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _fake_feature(payload: bytes | None, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a decoder+encoder: seed an RNG from the
+_POLY_MOD = 1_000_003  # preparation.portable_word_hash's modulus
 
-    payload hash so the same bytes always map to the same vector."""
+
+def _fake_feature(payload: bytes | None, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoder+encoder: poly-hash the first
+
+    64 chars of the payload's UTF-8 decode (the same ``(acc*31 + cp) %
+    1_000_003`` fold as ``preparation.portable_word_hash``), then expand
+    to ``dim`` values by per-dim affine transforms mod the same prime.
+    Engine-portable by construction — for valid-UTF-8 payloads a SQL
+    oracle replays the fold and the affine expansion bit-for-bit, so the
+    multimodal plumbing is hash-verifiable end to end, not rows-only."""
     if payload is None:
         return np.zeros(dim, dtype=np.float32)
-    seed = int.from_bytes(bytes(payload)[:8].ljust(8, b"\0"), "little") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.rand(dim).astype(np.float32)
+    h = 0
+    for ch in bytes(payload).decode("utf-8", "replace")[:64]:
+        h = (h * 31 + ord(ch)) % _POLY_MOD
+    vals = [((h * (2 * i + 3) + 97 * i) % _POLY_MOD) / float(_POLY_MOD) for i in range(dim)]
+    return np.array(vals, dtype=np.float32)
+
+
+def _feat_norm(f: np.ndarray) -> float:
+    """L2 norm as an explicit double left fold (float32 inputs widened
+    per element) — the float-op order a SQL oracle can reproduce."""
+    acc = 0.0
+    for x in f:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def extract_features(
@@ -62,7 +82,7 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": [f.tolist() for f in feats],
-                    "feat_norm": [float(np.linalg.norm(f)) for f in feats],
+                    "feat_norm": [_feat_norm(f) for f in feats],
                 }
             )
 

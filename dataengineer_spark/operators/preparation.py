@@ -578,3 +578,69 @@ def equal_frequency_bin(
         .alias(out or f"{col}_bin"),
     )
     return df.join(bins, df[col] == bins["_val"]).drop("_val")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+    out: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id per row: ``hash(id) mod n_shards``.
+
+    Map-only (no shuffle — the write's repartition does that once).
+    Stable across runs AND engines: re-running an export yields
+    byte-identical shard membership, so downstream dataloaders can
+    resume mid-epoch and exports are diffable.  ``xxhash64`` is the
+    scale default (one JVM hash call); ``portable_hash=True`` swaps the
+    poly char fold a DuckDB oracle replays bit-for-bit.
+    """
+    sid = F.col(id_col).cast("string")
+    if portable_hash:
+        h = portable_word_hash(sid)
+    else:
+        h = F.xxhash64(sid)
+    return df.withColumn(out, F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def shard_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Hash-sharded training-data export + per-shard manifest — the last
+
+    step of a curation pipeline, where the corpus becomes the fixed
+    shard files a dataloader streams.  Plan: shard assignment is a
+    map-only column append; ONE ``repartition(n_shards, shard)``
+    shuffle co-locates each shard in exactly one task, so
+    ``partitionBy('shard')`` writes one file per shard directory
+    (shard-pruned reads, no small-file spray).  At 100 TB pick
+    ``n_shards`` so a shard ≈ executor-memory-sized; skewed ids are
+    immune since the hash is uniform by construction.
+
+    Returns the manifest (per-shard docs / whitespace tokens / utf-8
+    bytes) aggregated from a READ-BACK of the written lake — the
+    numbers certify what landed on disk, not what the plan intended.
+    """
+    from dataengineer_spark.operators.textops import token_count
+
+    sharded = assign_shards(
+        df, n_shards, id_col=id_col, portable_hash=portable_hash
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+        F.sum(F.octet_length(text_col).cast("bigint")).alias("n_bytes"),
+    )

@@ -334,3 +334,42 @@ class TestPpsSample:
         )
         got = [r["doc_id"] for r in pps_systematic_sample(df, "doc_id", "w", n=2).collect()]
         assert got == [3]
+
+
+class TestShardExport:
+    def test_manifest_matches_input_and_files_per_shard(self, spark, tmp_path):
+        from dataengineer_spark.operators.preparation import shard_export
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i} has some words") for i in range(200)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "shards")
+        manifest = shard_export(df, path, n_shards=8, portable_hash=True)
+        rows = manifest.collect()
+        assert sum(r["n_docs"] for r in rows) == 200
+        assert {r["shard"] for r in rows} <= set(range(8))
+        # every doc contributes 5 whitespace tokens
+        assert sum(r["n_tokens"] for r in rows) == 200 * 5
+        # one data file per shard directory (repartition co-located it)
+        import glob
+
+        for r in rows:
+            files = glob.glob(f"{path}/shard={r['shard']}/*.parquet")
+            assert len(files) == 1
+
+    def test_assignment_is_stable_across_partitionings(self, spark):
+        from dataengineer_spark.operators.preparation import assign_shards
+
+        df = spark.createDataFrame(
+            [(i, "t") for i in range(100)], "doc_id long, text string"
+        )
+        a = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(df, 16).collect()
+        }
+        b = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(df.repartition(7), 16).collect()
+        }
+        assert a == b
