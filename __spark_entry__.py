@@ -2878,6 +2878,72 @@ def _bpe_oracle(n_merges: int = 6) -> str:
     return "WITH " + ",\n".join(stages) + "\n" + selects
 
 
+#: a trained-artifact merge list (the production shape: train once with
+#: bpe_train, ship the merges as plan literals, tokenize everywhere)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("an", "d"), ("s", "t"),
+]
+
+
+def q_f12_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/F5 completion, apply side: tokenize the corpus with a TRAINED
+    BPE merge list (functions/bpe.bpe_segment — one sentinel replace per
+    merge, pure expression chain, map-only at any scale; the merges ship
+    as plan literals exactly like the ANN codebooks).  Per-doc whitespace
+    word count + subword count after all 8 merges.  ORACLED: DuckDB
+    replays the double-sentinel segmentation and the same ordered
+    replace chain bit-for-bit."""
+    from dataengineer_spark.functions.bpe import bpe_segment
+    from dataengineer_spark.operators.textops import trim_ws
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = trim_ws(F.lower(F.col("text")))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    counts = F.transform(words, lambda w: F.size(bpe_segment(w, _BPE_MERGES)))
+    n_bpe = (
+        F.when(F.length(t) == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.aggregate(
+                counts, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    s = "chr(1)"
+    ss = "chr(1) || chr(1)"
+    seg = f"{ss} || array_to_string(regexp_split_to_array(w, ''), {ss}) || {ss}"
+    for a, b in _BPE_MERGES:
+        seg = (
+            f"replace({seg}, {s} || '{a}' || {ss} || '{b}' || {s}, "
+            f"{s} || '{a}{b}' || {s})"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS w
+  FROM d WHERE length(t) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS nw,
+         sum(len(list_filter(string_split({seg}, chr(1)), x -> x <> ''))) AS nb
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(cnt.nw, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(cnt.nb, 0) AS BIGINT) AS n_bpe_tokens
+FROM d LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def q_e4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = textops.quality_features(docs, "text")
@@ -6779,7 +6845,7 @@ _ROUND4_FIRST = [
     "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
     "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
     "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
-    "q_k8_shard_export",
+    "q_k8_shard_export", "q_f12_bpe_tokenize",
     "q_e3_ivfpq_topk", "q_f11_zipf", "q_e11_stream_anomaly",
     # never-checked rows-only entries (scale twins whose oracled siblings
     # are green above): a rows-only driver row closes the registry but
@@ -6862,6 +6928,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e9_fuzzy_join": q_e9_fuzzy_join,
         "q_f10_pmi": q_f10_pmi,
         "q_f9_bpe_train": q_f9_bpe_train,
+        "q_f12_bpe_tokenize": q_f12_bpe_tokenize,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -7169,6 +7236,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_fuzzy_join": _E9_FUZZY_ORACLE,
         "q_f10_pmi": _F10_PMI_ORACLE,
         "q_f9_bpe_train": _bpe_oracle(),
+        "q_f12_bpe_tokenize": _bpe_tokenize_oracle(),
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

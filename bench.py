@@ -105,6 +105,8 @@ HEADLINE = [
     "q_e3_ivfpq_topk",
     # pipeline-final sink: hash-sharded export + read-back manifest
     "q_k8_shard_export",
+    # trained-BPE corpus tokenization (map-only expression chain)
+    "q_f12_bpe_tokenize",
 ]
 
 
