@@ -45,6 +45,12 @@ REPRESENTATIVE = [
     # probe-list composite must not depend on engine session confs
     "q_e2_setsim_join",
     "q_e3_ivfpq_topk",
+    # round-4e: the portable-fake multimodal oracle, the parquet-writing
+    # shard-export sink, and the literal-merge tokenizer all run on the
+    # driver's conf-less session
+    "q_mm_features",
+    "q_k8_shard_export",
+    "q_f12_bpe_tokenize",
 ]
 
 
