@@ -237,3 +237,33 @@ class TestRound4dPlanShapes:
         p = _plan(spark, sf_dir, "q_e10_retention")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
+
+
+class TestRound4ePlanShapes:
+    def test_bpe_tokenize_is_map_only(self, spark, sf_dir):
+        # literal-merge tokenization must stay a pure expression chain:
+        # no keyed shuffle, no join, no aggregate, no Python eval — the
+        # only allowed exchange is _docs()'s round-robin fan_out (a
+        # local-mode parallelism aid, not part of the operator)
+        p = _plan(spark, sf_dir, "q_f12_bpe_tokenize")
+        assert "hashpartitioning" not in p
+        for bad in ["HashAggregate", "SortMergeJoin", "BroadcastHashJoin",
+                    "Window", "BatchEvalPython", "ArrowEvalPython"]:
+            assert bad not in p
+
+    def test_shard_assignment_adds_no_shuffle(self, spark, sf_dir):
+        # assign_shards is a map-only column append — the export's single
+        # repartition is the only exchange, owned by the writer
+        from dataengineer_spark.operators.preparation import assign_shards
+        from dataengineer_spark.testdata import load_table
+
+        import contextlib
+        import io
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assign_shards(docs, 16).explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p
