@@ -89,6 +89,7 @@ EFFECTFUL_QUERIES = {
     "q_j2_point_lookup",
     "q_a1_accuracy",
     "q_e14_partitioned_scan",  # temp-dir lake write
+    "q_k8_shard_export",  # shard-partitioned lake write + read-back
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
