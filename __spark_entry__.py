@@ -1085,7 +1085,7 @@ WITH s AS (
   FROM per
 )
 SELECT round(CAST(sum(num2) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 6) AS auc,
-       sum(np) AS n_pos, sum(nn) AS n_neg
+       CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
 FROM acc
 """
 
@@ -1452,7 +1452,7 @@ WITH d AS (
   WHERE t.doc_id % 2 = 1
 )
 SELECT d0.doc_id, count(s.w) AS n_tokens,
-       coalesce(sum(s.oov), 0) AS n_oov,
+       CAST(coalesce(sum(s.oov), 0) AS BIGINT) AS n_oov,
        round(CAST(coalesce(sum(s.oov), 0) AS DOUBLE)
              / nullif(count(s.w), 0), 6) AS oov_rate
 FROM documents d0 LEFT JOIN scored s ON s.doc_id = d0.doc_id
@@ -1509,7 +1509,7 @@ mg AS (
          sum(CASE WHEN pred = truth THEN n ELSE 0 END) AS diag
   FROM cm
 ), ee AS (SELECT sum(rc) AS src FROM mg)
-SELECT nn AS n,
+SELECT CAST(nn AS BIGINT) AS n,
        round(CAST(diag AS DOUBLE) / nn, 6) AS po,
        round(CAST(src AS DOUBLE) / (nn * nn), 6) AS pe,
        round((CAST(diag AS DOUBLE) / nn - CAST(src AS DOUBLE) / (nn * nn))
@@ -6541,22 +6541,22 @@ SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS ndv_est_ok
 FROM orders
 UNION ALL
-SELECT 'o_custkey', count(*),
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
-       count(DISTINCT o_custkey), TRUE
+       CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
 FROM orders
 UNION ALL
-SELECT 'o_totalprice', count(*),
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
-       count(DISTINCT o_totalprice), TRUE
+       CAST(count(DISTINCT o_totalprice) AS BIGINT), TRUE
 FROM orders
 UNION ALL
-SELECT 'o_orderpriority', count(*),
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       count(DISTINCT o_orderpriority), TRUE
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT), TRUE
 FROM orders
 """
 
@@ -6820,43 +6820,28 @@ GROUP BY o_orderpriority
 # hash checks), then already-green queries stalest-first (r1-latest,
 # oracled before rows-only, then r2-latest) so the remaining ~32 slots
 # refresh the oldest evidence.
-_ROUND4_FIRST = [
-    # the 16 never-checked: oracled twins built in r2/r3 first
-    "q_e2_simhash_portable", "q_e2_neardup_dedup_portable",
-    "q_e2_semantic_dedup", "q_e4_fingerprint_portable",
-    "q_prep_decontaminate_portable",
-    # sketch family (bound-check oracles)
-    "q_e5_approx_distinct", "q_e5_approx_percentile", "q_e5_hll_rollup",
-    # multimodal plumbing, upgraded rows-only → full oracles (portable
-    # poly-hash fake decoder; metadata arithmetic replayed in SQL)
-    "q_mm_features", "q_mm_resize", "q_mm_frame_sample",
-    # r1 rows-only whose oracles were attached in r3 but never run
-    "q_e3_lsh_topk", "q_e2_ngram_jaccard",
-    # new this round (oracled on arrival)
-    "q_prep_chunk", "q_e3_kmeans", "q_e2_semantic_dedup_trained",
-    "q_e4_perplexity_ref", "q_e11_stream_decontaminate",
-    "q_dq_snapshot_diff", "q_e5_cms_topk", "q_s8_zorder_scan", "q_k6_scd2",
-    "q_e3_pq_topk", "q_e3_jl_topk", "q_e11_stream_hll",
-    "q_prep_bloom_decontaminate", "q_prep_pps_sample", "q_dq_drift",
-    "q_j5_salted_join", "q_e5_histogram", "q_e5_winsorize", "q_e10_anomaly",
-    "q_f9_bpe_train", "q_dq_profile",
-    "q_e10_retention", "q_e10_resample", "q_e10_attribution", "q_a2_auc",
-    "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi",
-    "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
-    "q_e4_oov", "q_a5_confusion", "q_a3_kappa", "q_a4_calibration",
-    "q_graph_triangles", "q_dq_skew", "q_e10_wow", "q_e9_linkage",
-    "q_e2_setsim_join", "q_graph_bfs", "q_k7_incremental_agg",
-    "q_k8_shard_export", "q_f12_bpe_tokenize",
-    "q_e3_ivfpq_topk", "q_f11_zipf", "q_e11_stream_anomaly",
-    # never-checked rows-only entries (scale twins whose oracled siblings
-    # are green above): a rows-only driver row closes the registry but
-    # carries less evidence than an oracle first-contact, so they
-    # straddle the ~50/round budget boundary — whatever spills waits one
-    # round
+_ROUND5_FIRST = [
+    # The 16 queries that have never had a driver row (the r4 spill: the
+    # 11 new-in-r4 oracled queries + the 5 rows-only scale twins), then
+    # the 4 r4 dtype-miss queries whose oracles now CAST integer sums to
+    # BIGINT.  20 items — deliberately far under the 50/round budget this
+    # time (the r3/r4 overstuffed fronts are why the registry stayed one
+    # round behind itself); new round-5 queries follow at 21+ so the
+    # whole priority block still fits one driver pass.
+    "q_dq_skew", "q_e10_wow", "q_e9_linkage", "q_e2_setsim_join",
+    "q_graph_bfs", "q_k7_incremental_agg", "q_k8_shard_export",
+    "q_f12_bpe_tokenize", "q_e3_ivfpq_topk", "q_f11_zipf",
+    "q_e11_stream_anomaly",
+    # rows-only scale twins (oracled siblings all driver-green)
     "q_e2_neardup_dedup", "q_prep_decontaminate",
     "q_prep_decontaminate_arrow", "q_prep_dsir_hashed",
     "q_e2_dup_spans_hashed",
-    # stalest greens: r1-latest, oracled first
+    # r4 dtype-miss fixes (oracle CAST ... AS BIGINT; values were already
+    # exact-equal per the r4 judge)
+    "q_a2_auc", "q_a3_kappa", "q_e4_oov", "q_dq_profile",
+    # --- new in round 5 (oracled on arrival) ---
+    # (inserted here as they are built; keep total ≤ 50)
+    # --- stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
     "q_e5_groupagg", "q_e5_rollup", "q_e6_frames", "q_e6_window",
@@ -6889,7 +6874,7 @@ _ROUND4_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    front = {k: q[k] for k in _ROUND4_FIRST}
+    front = {k: q[k] for k in _ROUND5_FIRST}
     return front | {k: v for k, v in q.items() if k not in front}
 
 

@@ -57,6 +57,20 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_family(dt) -> str:
+    """int / float / bool / other — the driver's row hash renders values
+    per-dtype (``246`` vs ``246.0``), so an int-vs-float mismatch between
+    Spark and the DuckDB oracle hash-fails even when values are exact-equal
+    (the r4 dtype-miss family: DuckDB sum() -> HUGEINT -> float64)."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "other"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(duck_df):
@@ -65,6 +79,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     sa, da = canon(spark_df), canon(duck_df)
     if list(sa.columns) != list(da.columns):
         problems.append(f"columns {list(sa.columns)} vs {list(da.columns)}")
+        return problems
+    for c in sa.columns:
+        sf, df_ = dtype_family(sa[c].dtype), dtype_family(da[c].dtype)
+        if sf != df_ and {sf, df_} <= {"int", "float", "bool"}:
+            problems.append(
+                f"col {c}: dtype family {sa[c].dtype} vs {da[c].dtype} "
+                f"(driver hash is dtype-sensitive — CAST the oracle)"
+            )
+    if problems:
         return problems
     for c in sa.columns:
         sv, dv = sa[c].tolist(), da[c].tolist()
