@@ -75,8 +75,11 @@ def bpe_train(
 
     order.  Iteration cost is independent of corpus size (the histogram
     is persisted once; each round shuffles vocab-sized pair rows and
-    collects one row)."""
-    hist = _segmented_histogram(df, text_col).persist()
+    collects one row).  The merge list is fully collected before
+    returning, so the histogram cache is dropped on exit — repeated
+    trainings in a long-lived session leak nothing."""
+    base = _segmented_histogram(df, text_col).persist()
+    hist = base
     try:
         merges: list[tuple[str, str]] = []
         for _ in range(n_merges):
@@ -100,7 +103,7 @@ def bpe_train(
             )
         return merges
     finally:
-        pass  # hist stays persisted for the caller's plan; bench drops caches
+        base.unpersist()  # merges already collected; nothing reads the cache
 
 
 def bpe_segment(col, merges: list[tuple[str, str]]):

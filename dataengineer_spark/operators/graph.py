@@ -40,15 +40,19 @@ def pagerank(
     any partition count.
 
     Scale shape: ``iterations`` × (one shuffle join on src + one hash
-    aggregate on dst).  Short runs chain into ONE lazily-planned DAG —
-    Spark reuses the per-round exchanges, so a 5-round run is a single
-    job, not six checkpoint materializations; every ``checkpoint_every``
+    aggregate on dst + one co-partitioned left join back onto the node
+    universe).  Short runs chain into ONE lazily-planned DAG — Spark
+    reuses the per-round exchanges, so a 5-round run is a single job,
+    not six checkpoint materializations; every ``checkpoint_every``
     rounds the rank vector is ``localCheckpoint``-ed to truncate lineage
     for long convergence runs (the classic Pregel-without-Pregel loop).
-    Nodes are taken from the src side; on a symmetrized graph
-    (undirected input) that covers every node and leaves no dangling
-    mass, which callers should ensure (or accept the standard
-    dangling-rank leak).
+    The node universe is src ∪ dst, and every round's new rank vector is
+    left-joined back onto it (nodes receiving no contributions default
+    to ``(1-d)/N``), so source-only nodes keep a rank instead of
+    silently vanishing after iteration 1 and sink-only nodes are ranked
+    too.  Sink-only nodes still contribute nothing forward — the
+    standard dangling-rank leak, which symmetrized (undirected) inputs
+    avoid entirely.
 
     Output: (node, rank) with rank rounded to 8 digits.
     """
@@ -63,13 +67,22 @@ def pagerank(
     # round joins only the rank vector (which a localCheckpoint sizes
     # accurately, letting AQE broadcast it when the node set is small)
     e_deg = e.join(deg, "_src").persist()
+    # full node universe, materialized once: localCheckpoint gives AQE
+    # an exact size so the per-round left join broadcasts when the node
+    # set is small; at scale it is rank-vector-sized, the loop's
+    # inherent state, and the join co-partitions with the groupBy
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     # control-plane scalar (node count), same pattern as the engine's
     # other documented driver-side scalars (aggregates.py partition counts)
-    n_nodes = e_deg.select("_src").distinct().count()
+    n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
-    ranks = e_deg.select("_src").distinct().select(
-        F.col("_src").alias("node"),
-        F.round(F.lit(1.0 / n_nodes), 12).alias("rank"),
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), 12).alias("rank")
     )
     for i in range(1, iterations + 1):
         contribs = (
@@ -81,10 +94,15 @@ def pagerank(
                 .alias("_c"),
             )
         )
-        ranks = contribs.groupBy("node").agg(
+        new_ranks = contribs.groupBy("node").agg(
             F.round(
                 base + damping * F.sum("_c").cast("double"), 12
             ).alias("rank")
+        )
+        # keep contribution-less nodes alive at the teleport floor
+        ranks = nodes.join(new_ranks, "node", "left").select(
+            "node",
+            F.coalesce("rank", F.round(F.lit(base), 12)).alias("rank"),
         )
         if i % checkpoint_every == 0 and i < iterations:
             ranks = ranks.localCheckpoint()

@@ -250,6 +250,7 @@ def fuzzy_join(
     block_on: list[tuple[Column, Column]],
     max_distance: int = 5,
     prefix_len: int = 40,
+    self_join: bool = True,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the entity-resolution
 
@@ -262,8 +263,14 @@ def fuzzy_join(
 
     ``prefix_len`` caps the O(n·m) edit-distance verify per pair;
     Spark's ``levenshtein`` and ANSI SQL's agree on semantics, so the
-    pair set is engine-portable.  Output: (id_a, id_b, lev_dist) with
-    id_a < id_b (self-join safe).
+    pair set is engine-portable.  Output: (id_a, id_b, lev_dist).
+
+    ``self_join=True`` (the ER dedup default) keeps only id_a < id_b so
+    each unordered pair appears once and a row never matches itself.
+    Pass ``self_join=False`` when left and right are genuinely
+    different tables: every blocked (id_a, id_b) combination is then
+    kept regardless of id ordering (ids may even collide across
+    tables — they are different key spaces).
     """
     l = left.select(
         F.col(left_id).alias("_ida"),
@@ -276,7 +283,9 @@ def fuzzy_join(
         *[expr.alias(f"_bk{i}") for i, (_, expr) in enumerate(block_on)],
     )
     keys = [f"_bk{i}" for i in range(len(block_on))]
-    pairs = l.join(r, keys).where(F.col("_ida") < F.col("_idb"))
+    pairs = l.join(r, keys)
+    if self_join:
+        pairs = pairs.where(F.col("_ida") < F.col("_idb"))
     return (
         pairs.withColumn("lev_dist", F.levenshtein("_ta", "_tb"))
         .where(F.col("lev_dist") <= max_distance)

@@ -562,10 +562,18 @@ def equal_frequency_bin(
     total rides as a one-row broadcast; the value→bin map joins back on
     the value (broadcast when small).  Integer arithmetic end to end, so
     bin edges are engine-exact.
+
+    NULL values don't participate in the bin population (they would
+    skew edge placement) and pass through with a NULL bin — the join
+    back is a LEFT join, so no row is ever dropped.
     """
     from pyspark.sql import Window as W
 
-    counts = df.groupBy(F.col(col).alias("_val")).agg(F.count("*").alias("_c"))
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_val"))
+        .agg(F.count("*").alias("_c"))
+    )
     w = W.orderBy(F.col("_val").asc()).rowsBetween(W.unboundedPreceding, -1)
     below = counts.select(
         "_val", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_below")
@@ -577,7 +585,7 @@ def equal_frequency_bin(
         .cast("int")
         .alias(out or f"{col}_bin"),
     )
-    return df.join(bins, df[col] == bins["_val"]).drop("_val")
+    return df.join(bins, df[col] == bins["_val"], "left").drop("_val")
 
 
 def assign_shards(

@@ -378,11 +378,14 @@ def stream_trailing_anomalies(
             }
         )
 
+    # derive the key field's type from the input schema so non-long keys
+    # (e.g. string user ids) work — the rest of the output is fixed-typed
+    key_sql_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} long, {ts_col} timestamp, {value_col} double, "
-            "z_score double, is_anomaly boolean"
+            f"{key_col} {key_sql_type}, {ts_col} timestamp, "
+            f"{value_col} double, z_score double, is_anomaly boolean"
         ),
         stateStructType="hist array<long>",
         outputMode="append",

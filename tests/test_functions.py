@@ -214,6 +214,17 @@ class TestBpe:
         # loop stops early once no pairs remain (4 < 6 requested)
         assert merges == [("a", "a"), ("a", "b"), ("aa", "ab"), ("aa", "b")]
 
+    def test_train_leaves_no_cached_rdds(self, spark):
+        # VERDICT r4 item 6: repeated trainings in a long-lived session
+        # must not leak cached vocab histograms
+        from dataengineer_spark.functions.bpe import bpe_train
+
+        df = spark.createDataFrame([("ab ab abc",)], "text string")
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        bpe_train(df, "text", n_merges=2)
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after <= before
+
     def test_segment_applies_merges_greedy_left(self, spark):
         from dataengineer_spark.functions.bpe import bpe_segment
         from pyspark.sql import functions as F

@@ -1202,6 +1202,24 @@ class TestPagerank:
         assert ranks[1] > max(ranks[leaf] for leaf in leaves) * 2
         assert abs(sum(ranks.values()) - 1.0) < 1e-6
 
+    def test_source_only_node_keeps_rank(self, spark):
+        # 1 -> 2 -> 3 chain: node 1 has no in-edges and must stay at the
+        # teleport floor (1-d)/N every round, not vanish after round 1;
+        # node 3 is sink-only (never a src) and must still be ranked.
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        ranks = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(edges, iterations=3).collect()
+        }
+        assert set(ranks) == {1, 2, 3}
+        base = (1.0 - 0.85) / 3
+        assert abs(ranks[1] - base) < 1e-7
+        # 2 receives only 1's floor rank; 3 receives 2's rank
+        assert abs(ranks[2] - (base + 0.85 * base)) < 1e-7
+        assert ranks[3] > ranks[2] > ranks[1]
+
     def test_degree_stats(self, spark):
         from dataengineer_spark.operators import graph as graph_ops
 
@@ -1227,6 +1245,25 @@ class TestFuzzyJoin:
             block_on=[(F.col("blk"), F.col("blk"))], max_distance=3,
         ).collect()
         assert {(r["id_a"], r["id_b"], r["lev_dist"]) for r in out} == {(1, 2, 1)}
+
+    def test_two_table_mode_keeps_all_id_orderings(self, spark):
+        # different tables: ids are separate key spaces, so pairs where
+        # left id >= right id (even equal ids) must NOT be dropped
+        a = spark.createDataFrame(
+            [(5, "b1", "hello world")], "doc_id long, blk string, text string"
+        )
+        b = spark.createDataFrame(
+            [(5, "b1", "hello wurld"), (2, "b1", "hello world")],
+            "doc_id long, blk string, text string",
+        )
+        out = join_ops.fuzzy_join(
+            a, b, "doc_id", "doc_id", "text", "text",
+            block_on=[(F.col("blk"), F.col("blk"))], max_distance=3,
+            self_join=False,
+        ).collect()
+        assert {(r["id_a"], r["id_b"], r["lev_dist"]) for r in out} == {
+            (5, 5, 1), (5, 2, 0)
+        }
 
 
 class TestPmiCollocations:

@@ -414,3 +414,17 @@ class TestEqualFrequencyBinInvariants:
         counts = Counter(b for _, b in out)
         max_mult = max(Counter(vals).values())
         assert all(c <= n / k + max_mult for c in counts.values())
+
+    def test_null_rows_pass_through_with_null_bin(self, spark):
+        # ADVICE r4: NULLs must not be silently dropped by the bin join,
+        # and must not distort the non-null bin edges
+        from dataengineer_spark.operators.preparation import equal_frequency_bin
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (3,), (4,), (None,), (None,)], "v long"
+        )
+        out = [(r["v"], r["v_bin"]) for r in equal_frequency_bin(df, "v", 2).collect()]
+        assert len(out) == 6
+        bins = dict((v, b) for v, b in out if v is not None)
+        assert bins == {1: 1, 2: 1, 3: 2, 4: 2}  # edges from the 4 non-nulls
+        assert all(b is None for v, b in out if v is None)

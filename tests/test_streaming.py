@@ -316,3 +316,45 @@ class TestStreamTrailingAnomalies:
         assert spike[1] is True and abs(spike[0]) > 3
         # early cold-start rows have NULL z
         assert rows[str(base)][0] is None
+
+    def test_string_key_column(self, spark, tmp_path):
+        # ADVICE r4: the output schema must derive the key's type from
+        # the input, not hardcode long — string user ids must work
+        import os
+
+        import pandas as pd
+
+        from dataengineer_spark.streaming import stream_trailing_anomalies
+
+        src = str(tmp_path / "ev_str")
+        os.makedirs(src)
+        base = pd.Timestamp("2024-01-01")
+        pd.DataFrame(
+            {
+                "event_id": range(1, 7),
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(6)],
+                "user": ["u-alpha"] * 6,
+                "value": [10.0, 10.0, 10.0, 10.0, 10.0, 99.0],
+            }
+        ).to_parquet(src + "/p1.parquet", coerce_timestamps="us")
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user string, value double"
+            ).parquet(src)
+        )
+        flags = stream_trailing_anomalies(
+            stream, key_col="user", lookback=5, z_threshold=3.0, min_history=3
+        )
+        assert dict(flags.dtypes)["user"] == "string"
+        name = f"t_anom_s_{uuid.uuid4().hex[:8]}"
+        q = (
+            flags.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt_anom_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        assert len(rows) == 6 and all(r["user"] == "u-alpha" for r in rows)
