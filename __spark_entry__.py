@@ -1096,10 +1096,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions — symmetric, so no dangling mass).  Each round is one
     shuffle join on src + one hash aggregate on dst, localCheckpoint-ed;
     contributions round-then-decimal-sum so the whole power iteration is
-    bit-reproducible and the oracle can replay it as unrolled CTEs."""
+    bit-reproducible and the oracle can replay it as unrolled CTEs.
+
+    fan_out on the scan: AQE broadcasts the self-join, so the pair
+    explosion + distinct partial-agg runs on the scan's partitions —
+    3 tasks on a single-file local input (VERDICT r4 item 5: the edge
+    build, not the iteration, was 8.6 of the 11.8 s bench wall)."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -1271,7 +1278,9 @@ def q_e5_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cust.crossJoin(F.broadcast(ref)).select(
         "o_custkey", "frequency", "monetary",
         F.datediff("_ref", "_last").alias("recency_days"),
-    )
+    ).persist()  # three bin passes each re-scan m (counts + total + join
+    # back): without the cache every pass re-plans the orders aggregate
+    # and the plan balloons to ~92 exchanges (VERDICT r4 item 3)
     b = equal_frequency_bin(m, "recency_days", 5, "_r_raw")
     b = equal_frequency_bin(b, "frequency", 5, "f_score")
     b = equal_frequency_bin(b, "monetary", 5, "m_score")
@@ -1555,10 +1564,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficient of the part co-purchase graph (parts sharing
     an order, canonical src<dst) — ordered-wedge join + closing-edge
     semi join, intermediate bounded by ordered wedges, all counts
-    integral."""
+    integral.  fan_out: same scan-partition-bound explosion as
+    q_graph_pagerank."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -1769,15 +1781,24 @@ WITH base AS (
     AND a.n >= 0.6 * b.n - 1e-9 AND b.n >= 0.6 * a.n - 1e-9
     AND least(a.n - a.p, b.n - b.p) + 1
         >= ceil(0.37499999999999994 * (a.n + b.n) - 1e-9)
-), v AS (
-  SELECT ia, ib, len(list_intersect(x.toks, y.toks)) AS inter,
-         x.n AS na, y.n AS nb
-  FROM cand JOIN ar x ON x.doc_id = ia JOIN ar y ON y.doc_id = ib
+), inter AS (
+  -- |∩| via a token equi-join on the (per-doc-distinct) shingle rows:
+  -- list_intersect over the full toks arrays re-inlined ar twice and was
+  -- the whole oracle's cost (14 s at sf0.01 → 2 s this way); pairs with
+  -- zero common tokens drop out of the inner join, but their jaccard is
+  -- 0 < threshold so the result set is identical
+  SELECT c.ia, c.ib, count(*) AS inter
+  FROM cand c
+  JOIN tkf x ON x.doc_id = c.ia
+  JOIN tkf y ON y.doc_id = c.ib AND y.w = x.w
+  GROUP BY c.ia, c.ib
+), nn AS (
+  SELECT doc_id, count(*) AS n FROM tkf GROUP BY doc_id
 )
-SELECT ia AS id_a, ib AS id_b,
-       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-FROM v
-WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+SELECT i.ia AS id_a, i.ib AS id_b,
+       round(CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter), 6) AS jaccard
+FROM inter i JOIN nn a ON a.doc_id = i.ia JOIN nn b ON b.doc_id = i.ib
+WHERE CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) >= 0.6
 """
 
 
@@ -1931,10 +1952,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics (graph.bfs_distances): multi-source BFS out to 3
     hops over the part co-purchase graph, seeds = partkeys divisible by
     97 — frontier join + visited anti-join per level, all-integer
-    levels, lazily chained like pagerank."""
+    levels, lazily chained like pagerank.  fan_out: same scan-
+    partition-bound explosion as q_graph_pagerank."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -2014,7 +2038,14 @@ FROM y GROUP BY user_id, session_id
 
 
 def q_e1_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    """E1 content dedup.  Deliberately NO fan_out here (VERDICT r4 item
+    4: the r2 switch to _docs caused a 0.49→0.97 s creep): content_dedup
+    is one full-text shuffle on the content hash, and that shuffle
+    already redistributes the single-row-group local scan across all
+    cores — a pre-repartition would shuffle the text a second time for
+    nothing.  fan_out is for CPU-bound MAP stages, not one-shuffle
+    aggregations (tuning.py contract)."""
+    docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.content_dedup(docs, "text", "doc_id").select("doc_id", "lang")
 
 

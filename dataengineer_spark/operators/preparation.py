@@ -574,14 +574,22 @@ def equal_frequency_bin(
         .groupBy(F.col(col).alias("_val"))
         .agg(F.count("*").alias("_c"))
     )
+    # strictly-below count and grand total from ONE window pass (same
+    # ordering → one WindowExec, no separate total agg + scalar join)
     w = W.orderBy(F.col("_val").asc()).rowsBetween(W.unboundedPreceding, -1)
-    below = counts.select(
-        "_val", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_below")
+    w_tot = W.orderBy(F.col("_val").asc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    total = counts.agg(F.sum("_c").alias("_tot"))
-    bins = below.crossJoin(F.broadcast(total)).select(
+    bins = counts.select(
         "_val",
-        (F.floor(F.lit(k) * F.col("_below") / F.col("_tot")) + 1)
+        (
+            F.floor(
+                F.lit(k)
+                * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                / F.sum("_c").over(w_tot)
+            )
+            + 1
+        )
         .cast("int")
         .alias(out or f"{col}_bin"),
     )
