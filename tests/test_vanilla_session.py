@@ -51,6 +51,14 @@ REPRESENTATIVE = [
     "q_mm_features",
     "q_k8_shard_export",
     "q_f12_bpe_tokenize",
+    # round-5 front-load (VERDICT r4 item 9): remaining never-checked
+    # queries meet the conf-less session here before the driver does
+    "q_dq_skew",
+    "q_e10_wow",
+    "q_e9_linkage",
+    "q_k7_incremental_agg",
+    "q_f11_zipf",
+    "q_e11_stream_anomaly",
 ]
 
 
