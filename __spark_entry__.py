@@ -90,6 +90,9 @@ EFFECTFUL_QUERIES = {
     "q_a1_accuracy",
     "q_e14_partitioned_scan",  # temp-dir lake write
     "q_k8_shard_export",  # shard-partitioned lake write + read-back
+    "q_k9_quarantine",  # dual lake write + audit read-back
+    "q_s9_schema_evolution",  # temp-dir two-batch write
+    "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -6836,6 +6839,263 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: corpus normalization, mixture upsampling, semantic
+# decontamination, duplication census, dead-letter sink, schema-evolution
+# scan, token-budget accounting
+# ---------------------------------------------------------------------------
+
+
+def q_f13_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family corpus normalization (cleaning.normalize_text): lower →
+    literal accent fold → control strip → whitespace collapse → trim.
+    Map-only expression chain (whole-stage codegen); run before exact/
+    near dedup so encoding-trivial variants hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", cleaning.normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+def _normalize_oracle() -> str:
+    from dataengineer_spark.functions.cleaning import ACCENT_FROM, ACCENT_TO
+
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           translate(lower(text), '{ACCENT_FROM}', '{ACCENT_TO}'),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+           '\\s+', ' ', 'g'),
+           '^\\s+|\\s+$', '', 'g') AS norm_text
+FROM documents
+"""
+
+
+def q_prep_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 mixture UP-sampling (preparation.mixture_upsample): books-like
+    domains repeated 2.5× / 3×, one downweighted 0.5× — integer part
+    repeats every row, fractional part decided by the deterministic
+    hash-bucket rule; map-only explode(sequence), no shuffle, no RNG."""
+    from dataengineer_spark.operators.preparation import mixture_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_upsample(
+        docs, "doc_id", "source",
+        {"src3": 2.5, "src11": 3.0, "src7": 0.5},
+        default_factor=1.0,
+    )
+    return out.select("doc_id", "source", "copy_n")
+
+
+_PREP_UPSAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 100000 AS bkt,
+         CASE source WHEN 'src3' THEN 2 WHEN 'src11' THEN 3
+                     WHEN 'src7' THEN 0 ELSE 1 END AS whole,
+         CASE source WHEN 'src3' THEN 50000 WHEN 'src11' THEN 0
+                     WHEN 'src7' THEN 50000 ELSE 0 END AS fthr
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         whole + CASE WHEN bkt < fthr THEN 1 ELSE 0 END AS n_rep
+  FROM f
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_rep)) AS INTEGER) AS copy_n
+FROM n WHERE n_rep >= 1
+"""
+
+
+def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 semantic (embedding-space) benchmark decontamination
+    (similarity.semantic_decontaminate): benchmark = every 50th vector,
+    collected control-plane-side (eval suites are small by nature) and
+    inlined as a literal; the corpus is scanned ONCE, map-only — each
+    row folds a sequential-sum cosine over the literal benchmark list,
+    so DuckDB replays the exact float sequence.  The semantic complement
+    of the n-gram/Bloom decontaminators for paraphrased eval items."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_rows = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    bench = [list(r["embedding"]) for r in bench_rows]
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return sim_ops.semantic_decontaminate(
+        corpus, bench, threshold=0.5
+    ).orderBy("vec_id")
+
+
+_PREP_SEMDECON_ORACLE = """
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS b,
+         sqrt(list_reduce(list_transform(generate_series(1, 64),
+              j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
+              (a, x) -> a + x)) AS bnrm
+  FROM embeddings WHERE vec_id % 50 = 0
+), corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_transform(generate_series(1, 64),
+              j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
+              (a, x) -> a + x)) AS vnrm
+  FROM embeddings WHERE vec_id % 50 <> 0
+), scored AS (
+  SELECT c.vec_id,
+         max(list_reduce(list_transform(generate_series(1, 64),
+             j -> c.v[j] * b.b[j]), (a, x) -> a + x) / (c.vnrm * b.bnrm))
+           AS best
+  FROM corpus c CROSS JOIN bench b
+  GROUP BY c.vec_id
+)
+SELECT vec_id, round(best, 6) AS max_bench_sim, best >= 0.5 AS contaminated
+FROM scored ORDER BY vec_id
+"""
+
+
+def q_dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+E1 duplication census (quality.duplication_profile): content
+    clusters per multiplicity with corpus shares — the report read
+    before choosing a dedup treatment.  One content-hash shuffle, then
+    a multiplicity-bounded histogram aggregate; never row-scale
+    output."""
+    from dataengineer_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    # same synthetic corpus as q_e1_incremental_dedup: re-crawled copies
+    # (new ids, same text) make the multiplicity axis non-degenerate
+    recrawl = docs.where(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return quality.duplication_profile(docs.unionByName(recrawl), "text")
+
+
+_DQ_DUP_RATE_ORACLE = """
+WITH c AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT count(*) AS sz FROM c GROUP BY text
+), h AS (
+  SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM s GROUP BY sz
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters, n_docs,
+       round(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM h), 6)
+         AS pct_docs
+FROM h ORDER BY CAST(cluster_size AS BIGINT)
+"""
+
+
+def q_k9_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 dead-letter sink (catalog.quarantine_write): constraint-routed
+    dual append — rows failing any rule land in <table>_quarantine with
+    a pipe-joined reject_reason instead of silently vanishing or
+    poisoning the clean table.  Effectful (temp-dir lake writes); the
+    returned audit manifest is oracled against rule counts recomputed
+    directly from the source table."""
+    from dataengineer_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="spark_graft_k9_")
+    cat = Catalog(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+    checks = {
+        "price_cap_300k": F.col("o_totalprice") <= 300000.0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "has_custkey": F.col("o_custkey").isNotNull(),
+    }
+    return cat.quarantine_write(orders, "orders_clean", checks).orderBy("rule")
+
+
+_K9_QUARANTINE_ORACLE = """
+SELECT '_quarantined' AS rule,
+       CAST(sum(CASE WHEN NOT (o_totalprice <= 300000.0
+                 AND o_orderstatus IN ('O','F','P')
+                 AND o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM orders
+UNION ALL
+SELECT '_valid',
+       CAST(sum(CASE WHEN o_totalprice <= 300000.0
+                 AND o_orderstatus IN ('O','F','P')
+                 AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'has_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'price_cap_300k',
+       CAST(sum(CASE WHEN NOT o_totalprice <= 300000.0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'status_known',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                     OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+ORDER BY rule
+"""
+
+
+def q_s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 schema-evolution scan (sources.read_parquet_merged): batch 1
+    written before n_regionkey existed, batch 2 after; mergeSchema
+    unions the footers so old files read back NULL-filled — history is
+    never rewritten for a schema change.  Effectful (temp-dir write)."""
+    from dataengineer_spark.sources import read_parquet_merged
+
+    root = tempfile.mkdtemp(prefix="spark_graft_s9_")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").withColumn(
+        "batch", F.lit(1)
+    ).write.parquet(root + "/b1")
+    nation.select("n_nationkey", "n_name", "n_regionkey").withColumn(
+        "batch", F.lit(2)
+    ).write.parquet(root + "/b2")
+    merged = read_parquet_merged(spark, root + "/b1", root + "/b2")
+    return merged.select("n_nationkey", "n_name", "batch", "n_regionkey")
+
+
+_S9_SCHEMA_EVOLUTION_ORACLE = """
+SELECT n_nationkey, n_name, 1 AS batch, CAST(NULL AS BIGINT) AS n_regionkey
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, 2, n_regionkey FROM nation
+"""
+
+
+def q_prep_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 token-budget accounting (preparation.corpus_budget_report):
+    per-domain doc/token counts with exact shares + cumulative share,
+    heaviest first — the table a mixture design starts from.  One hash
+    aggregate; window arithmetic on the domain-bounded result."""
+    from dataengineer_spark.operators.preparation import corpus_budget_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_budget_report(docs, "source")
+
+
+_PREP_BUDGET_ORACLE = r"""
+WITH t AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                 w -> length(w) > 0))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM t), 6)
+         AS token_share,
+       round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, domain ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT sum(n_tokens) FROM t), 6) AS cum_token_share
+FROM t ORDER BY n_tokens DESC, domain ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -6870,8 +7130,10 @@ _ROUND5_FIRST = [
     # r4 dtype-miss fixes (oracle CAST ... AS BIGINT; values were already
     # exact-equal per the r4 judge)
     "q_a2_auc", "q_a3_kappa", "q_e4_oov", "q_dq_profile",
-    # --- new in round 5 (oracled on arrival) ---
-    # (inserted here as they are built; keep total ≤ 50)
+    # --- new in round 5 (oracled on arrival; 27 total ≤ 50) ---
+    "q_f13_normalize", "q_prep_upsample", "q_prep_semantic_decontaminate",
+    "q_dq_dup_rate", "q_k9_quarantine", "q_s9_schema_evolution",
+    "q_prep_budget",
     # --- stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -6946,6 +7208,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_f10_pmi": q_f10_pmi,
         "q_f9_bpe_train": q_f9_bpe_train,
         "q_f12_bpe_tokenize": q_f12_bpe_tokenize,
+        "q_f13_normalize": q_f13_normalize,
+        "q_prep_upsample": q_prep_upsample,
+        "q_prep_semantic_decontaminate": q_prep_semantic_decontaminate,
+        "q_dq_dup_rate": q_dq_dup_rate,
+        "q_k9_quarantine": q_k9_quarantine,
+        "q_s9_schema_evolution": q_s9_schema_evolution,
+        "q_prep_budget": q_prep_budget,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -7254,6 +7523,13 @@ def oracle_sql() -> dict[str, str]:
         "q_f10_pmi": _F10_PMI_ORACLE,
         "q_f9_bpe_train": _bpe_oracle(),
         "q_f12_bpe_tokenize": _bpe_tokenize_oracle(),
+        "q_f13_normalize": _normalize_oracle(),
+        "q_prep_upsample": _PREP_UPSAMPLE_ORACLE,
+        "q_prep_semantic_decontaminate": _PREP_SEMDECON_ORACLE,
+        "q_dq_dup_rate": _DQ_DUP_RATE_ORACLE,
+        "q_k9_quarantine": _K9_QUARANTINE_ORACLE,
+        "q_s9_schema_evolution": _S9_SCHEMA_EVOLUTION_ORACLE,
+        "q_prep_budget": _PREP_BUDGET_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -107,6 +107,13 @@ HEADLINE = [
     "q_k8_shard_export",
     # trained-BPE corpus tokenization (map-only expression chain)
     "q_f12_bpe_tokenize",
+    # round-5 additions: corpus normalization, mixture upsampling,
+    # semantic decontamination, duplication census, token budgeting
+    "q_f13_normalize",
+    "q_prep_upsample",
+    "q_prep_semantic_decontaminate",
+    "q_dq_dup_rate",
+    "q_prep_budget",
 ]
 
 

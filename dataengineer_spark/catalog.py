@@ -282,6 +282,57 @@ class Catalog:
         os.rename(staging, self.path(table))
         shutil.rmtree(retired)
 
+    def quarantine_write(
+        self,
+        df: DataFrame,
+        table: str,
+        checks: "dict[str, object]",
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Constraint-routed dual sink — the dead-letter pattern: rows
+
+        passing ALL ``checks`` (name → boolean Column) append to
+        ``table``; failing rows append to ``<table>_quarantine`` with a
+        ``reject_reason`` column naming every violated rule (pipe-
+        joined, deterministic order), so bad records are never silently
+        dropped NOR poison the clean table, and a later backfill can
+        replay the quarantine after a rule fix.
+
+        Scale shape: the rule predicates are one map-side projection
+        evaluated once; the two writes each re-scan the (cheap,
+        file-backed) input rather than caching row-scale data.  Returns
+        the audit manifest (n_valid, n_quarantined, and per-rule
+        violation counts as rows) — control-plane-sized.
+        """
+        from pyspark.sql import functions as F
+
+        names = sorted(checks)
+        flagged = df.withColumn(
+            "reject_reason",
+            F.concat_ws(
+                "|",
+                *[F.when(~checks[n], F.lit(n)) for n in names],
+            ),
+        )
+        if batch_id is not None:
+            flagged = flagged.withColumn("batch_id", F.lit(batch_id))
+        valid = flagged.where(F.col("reject_reason") == "").drop("reject_reason")
+        bad = flagged.where(F.col("reject_reason") != "")
+        self.write(valid, table)
+        self.write(bad, f"{table}_quarantine")
+        clean_n = self.read(table).count()
+        quar = self.read(f"{table}_quarantine")
+        per_rule = [
+            quar.where(
+                F.array_contains(F.split("reject_reason", r"\|"), n)
+            ).count()
+            for n in names
+        ]
+        rows = [("_valid", clean_n), ("_quarantined", quar.count())] + list(
+            zip(names, per_rule)
+        )
+        return self.spark.createDataFrame(rows, "rule string, n long")
+
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose tables as temp views for the SQL API (P2)."""
         names = tables if tables is not None else list(self._external)

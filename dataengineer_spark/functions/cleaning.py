@@ -46,6 +46,32 @@ def clean_msg(col: Column | str) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+# Literal accent-fold table (Latin-1/Latin-Extended common cases): the
+# SAME from/to strings feed Spark's and the SQL oracle's translate(), so
+# normalization is engine-portable without relying on ICU/NFKC (whose
+# availability and tailoring differ per engine).
+ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšž"
+ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyyncsz"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Corpus-prep canonical form (training-data normalization stage):
+
+    lowercase → fold accented Latin letters to ASCII via a LITERAL
+    translate table → strip control characters → collapse ALL whitespace
+    runs to one space → trim.  A pure map-side expression chain
+    (whole-stage codegen, no Python); used before exact/near dedup so
+    trivially-different encodings of the same text hash identically.
+    NULL in → NULL out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.translate(c, ACCENT_FROM, ACCENT_TO)
+    c = F.regexp_replace(c, _CONTROL_CHARS, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def basic_reg(col: Column | str) -> Column:
     """Light cleaning (F2, reference mvp_pipe.py:32): keep word chars and
 

@@ -163,6 +163,93 @@ def mixture_sample(
     return df.where(bucket < threshold)
 
 
+def mixture_upsample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+    mod: int = 100_000,
+    salt: int = 0,
+    copy_col: str = "copy_n",
+) -> DataFrame:
+    """Per-domain weighted UP-sampling for dataset mixing — the ≥1×
+
+    complement of ``mixture_sample``: a factor of 2.3 repeats every row
+    of that domain twice and a deterministic 30% of them a third time
+    (fractional remainder decided by the same hash-bucket rule as
+    ``mixture_sample``, so epochs are reproducible across runs, engines,
+    and partitionings).  Factors below 1 degenerate to plain
+    downsampling (0 or 1 copies).  Emits ``copy_col`` (1..n) so
+    downstream ids can be re-uniquified (``id * max_copies + copy_n``).
+
+    A pure map-side ``explode(sequence(...))`` — no shuffle, no RNG
+    state; at 100 TB the output volume is exactly the mixture-weighted
+    corpus size, produced without ever materializing an intermediate.
+    """
+    bucket = F.pmod(F.col(key_col) * SPLIT_MULT + salt, F.lit(mod))
+    n_rep = F.lit(int(default_factor)) + (
+        bucket < F.lit(int((default_factor % 1.0) * mod))
+    ).cast("int")
+    for domain, f in sorted(factors.items()):
+        whole, frac = int(f), f % 1.0
+        n_rep = F.when(
+            F.col(domain_col) == domain,
+            F.lit(whole) + (bucket < F.lit(int(frac * mod))).cast("int"),
+        ).otherwise(n_rep)
+    # sequence(1, 0) would count DOWN ([1, 0]); zero-copy rows must yield
+    # an empty array so explode drops them
+    copies = F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))
+
+
+def corpus_budget_report(
+    df: DataFrame, domain_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Token-budget accounting per domain — the table a mixture design
+
+    starts from: document and (whitespace-)token counts per domain with
+    exact shares and a cumulative share over domains ordered
+    heaviest-first.  One hash aggregate (map-side combined token sums),
+    then window arithmetic on the domain-cardinality-bounded result;
+    totals ride as a one-row broadcast.  Integer counts → shares are
+    exact rationals, engine-portable after rounding.
+
+    Output: (domain, n_docs, n_tokens, token_share, cum_token_share)
+    ordered by n_tokens desc (ties by domain asc).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    order = [F.col("n_tokens").desc(), F.col("domain").asc()]
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+            F.round(F.sum("n_tokens").over(w) / F.col("_tot"), 6).alias(
+                "cum_token_share"
+            ),
+        )
+        .orderBy(*order)
+    )
+
+
 def word_ngrams(c: Column, n: int) -> Column:
     """In-row word ``n``-gram array (space-joined, order-preserving,
     duplicates kept); empty/short texts give an empty array."""

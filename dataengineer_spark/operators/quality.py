@@ -280,3 +280,42 @@ def key_skew_report(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFram
             F.round(F.sum("n").over(w) / F.col("_tot"), 6).alias("cum_share"),
         )
     )
+
+
+def duplication_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus duplication census — the before/after-dedup report card:
+
+    how many content clusters exist at each multiplicity, and what share
+    of the corpus each multiplicity band holds.  Reading it tells you
+    the dedup yield in advance (sum over (size-1)·n_clusters rows would
+    be removed) and whether duplication is a few mega-clusters (boiler-
+    plate/templates → dup-span treatment) or a long tail of pairs
+    (crawl recrawls → plain content dedup).
+
+    Scale shape: one full-text-hash shuffle to per-cluster sizes
+    (map-side combined), then a second aggregate on the SIZE axis whose
+    cardinality is bounded by max multiplicity — the output is a
+    histogram, never row-scale.  Integer counts throughout → shares are
+    exact rationals, engine-portable after rounding.
+
+    Output: (cluster_size, n_clusters, n_docs, pct_docs) ordered by
+    cluster_size.
+    """
+    sizes = df.groupBy(
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h")
+    ).agg(F.count("*").alias("_sz"))
+    hist = sizes.groupBy(F.col("_sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("_sz").alias("n_docs"),
+    )
+    total = hist.agg(F.sum("n_docs").alias("_tot"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_tot"), 6).alias("pct_docs"),
+        )
+        .orderBy("cluster_size")
+    )

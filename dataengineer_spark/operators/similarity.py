@@ -862,3 +862,46 @@ def ivf_pq_top_k(
         .where(F.col("_cell").isin(probe_cells_py(query_vec, coarse, n_probe)))
     )
     return pq_top_k(c, query_vec, pq_cb, k=k, id_col=id_col, vec_col="_cv")
+
+
+# -- semantic decontamination ----------------------------------------------
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench_vectors: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+
+    the n-gram/Bloom decontaminators (``preparation.bloom_contamination``):
+    flag every corpus vector whose max cosine against ANY benchmark
+    vector reaches ``threshold`` (a paraphrased eval item that n-gram
+    overlap misses).
+
+    Scale shape: the benchmark set is control-plane-sized (eval suites
+    are thousands of items, not corpora) and rides into the plan as a
+    LITERAL array of arrays — the corpus is scanned ONCE, map-only, no
+    shuffle, no join; each row folds over the benchmark list with a
+    sequential-sum cosine, so the whole operator is whole-stage-codegen
+    and a SQL oracle replays the identical float sequence.  At 100 TB
+    the cost is (rows × |bench| × dim) multiply-adds distributed over
+    every executor, with nothing exchanged.
+
+    Output: corpus columns + ``max_bench_sim`` (rounded 6) +
+    ``contaminated``; callers keep ``~contaminated`` rows.
+    """
+    from dataengineer_spark.tuning import array_lit
+
+    bench = array_lit([[float(x) for x in v] for v in bench_vectors])
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.transform(bench, lambda b: cosine(v, b))
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.round(best, 6).alias("max_bench_sim"),
+        (best >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -11,6 +11,7 @@ from dataengineer_spark.sources.files import (
     read_csv,
     read_json,
     read_orc,
+    read_parquet_merged,
     write_csv,
     write_json,
     write_orc,
@@ -26,6 +27,7 @@ __all__ = [
     "write_json",
     "read_orc",
     "write_orc",
+    "read_parquet_merged",
     "from_records",
     "JdbcConfig",
     "read_jdbc",

@@ -66,6 +66,20 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: union the footer schemas
+
+    of every file (``mergeSchema=true``) so batches written before a
+    column was added read back with that column NULL-filled — the lake
+    reality at 100 TB, where a schema change can never rewrite history.
+    mergeSchema costs one footer read per file (not a data pass) and is
+    off by default in Spark precisely because of that planning cost at
+    huge file counts; this helper scopes it to the scans that need it
+    instead of turning it on session-wide.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_orc(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

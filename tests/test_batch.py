@@ -323,3 +323,69 @@ class TestMergeAggregate:
             .collect()
         }
         assert got == want
+
+
+class TestQuarantineWrite:
+    def test_routing_and_manifest(self, spark, catalog):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, 10.0, "O"),    # clean
+            (2, -5.0, "O"),    # fails price
+            (3, 20.0, "X"),    # fails status
+            (4, -1.0, "X"),    # fails both
+        ]
+        df = spark.createDataFrame(rows, "id long, price double, status string")
+        checks = {
+            "price_pos": F.col("price") > 0,
+            "status_ok": F.col("status").isin("O", "F"),
+        }
+        manifest = {
+            r["rule"]: r["n"]
+            for r in catalog.quarantine_write(df, "facts", checks).collect()
+        }
+        assert manifest == {
+            "_valid": 1, "_quarantined": 3, "price_pos": 2, "status_ok": 2,
+        }
+        clean_ids = {r["id"] for r in catalog.read("facts").collect()}
+        assert clean_ids == {1}
+        quar = {
+            r["id"]: r["reject_reason"]
+            for r in catalog.read("facts_quarantine").collect()
+        }
+        # deterministic rule order in the reason string
+        assert quar == {
+            2: "price_pos", 3: "status_ok", 4: "price_pos|status_ok",
+        }
+
+    def test_append_mode_accumulates(self, spark, catalog):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, price double")
+        checks = {"price_pos": F.col("price") > 0}
+        catalog.quarantine_write(df, "t2", checks)
+        manifest = {
+            r["rule"]: r["n"]
+            for r in catalog.quarantine_write(df, "t2", checks).collect()
+        }
+        assert manifest["_valid"] == 2  # second append counted cumulatively
+
+
+class TestMergedSchemaScan:
+    def test_old_files_null_fill_new_column(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.sources import read_parquet_merged
+
+        base = spark.range(3).select(F.col("id").alias("k"))
+        base.write.parquet(str(tmp_path / "b1"))
+        base.withColumn("extra", F.col("k") * 10).write.parquet(
+            str(tmp_path / "b2")
+        )
+        out = read_parquet_merged(
+            spark, str(tmp_path / "b1"), str(tmp_path / "b2")
+        )
+        assert set(out.columns) == {"k", "extra"}
+        rows = out.collect()
+        assert len(rows) == 6
+        assert sum(1 for r in rows if r["extra"] is None) == 3

@@ -243,3 +243,25 @@ class TestBpe:
         assert out["xyxy"] == ["xyxy"]
         assert out["xxx"] == ["x", "x", "x"]   # no (x,x) merge learned
         assert out["yx"] == ["y", "x"]
+
+
+class TestNormalizeText:
+    def test_full_chain(self, spark):
+        from dataengineer_spark.functions.cleaning import normalize_text
+
+        df = spark.createDataFrame(
+            [("  Héllo\t WÖRLD \x07 naïve\n\ncafé  ",), (None,), ("",)],
+            "t string",
+        )
+        out = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+        assert out[0] == "hello world naive cafe"
+        assert out[1] is None
+        assert out[2] == ""
+
+    def test_idempotent(self, spark):
+        from dataengineer_spark.functions.cleaning import normalize_text
+
+        df = spark.createDataFrame([("Àé ÑÇ šŽ ýÿ",)], "t string")
+        once = df.select(normalize_text("t").alias("n"))
+        twice = once.select(normalize_text("n").alias("n"))
+        assert once.first()["n"] == twice.first()["n"] == "ae nc sz yy"

@@ -1481,3 +1481,64 @@ class TestIvfPqTopK:
 
         cells = probe_cells_py([0.1] * 16, _centroids(16, 8, seed=7), 3)
         assert len(cells) == 3 and len(set(cells)) == 3
+
+
+class TestDuplicationProfile:
+    def test_histogram_and_shares(self, spark):
+        from dataengineer_spark.operators.quality import duplication_profile
+
+        rows = (
+            [(i, "unique-%d" % i) for i in range(6)]
+            + [(10 + i, "twice-a") for i in range(2)]
+            + [(20 + i, "triple") for i in range(3)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["cluster_size"]: r for r in duplication_profile(df, "text").collect()}
+        assert out[1]["n_clusters"] == 6 and out[1]["n_docs"] == 6
+        assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+        assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+        assert abs(out[3]["pct_docs"] - 3 / 11) < 1e-6
+        assert abs(sum(r["pct_docs"] for r in out.values()) - 1.0) < 1e-5
+
+    def test_null_text_forms_one_cluster(self, spark):
+        from dataengineer_spark.operators.quality import duplication_profile
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+        )
+        out = {r["cluster_size"]: r for r in duplication_profile(df, "text").collect()}
+        assert out[2]["n_docs"] == 2  # both NULLs hash together
+
+
+class TestSemanticDecontaminate:
+    def test_flags_only_near_benchmark(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        bench = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        rows = [
+            (1, [0.99, 0.01, 0.0]),   # ~bench[0]
+            (2, [0.0, 0.0, 1.0]),     # orthogonal
+            (3, [0.0, -5.0, 0.0]),    # anti-parallel to bench[1]
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+            for r in sim_ops.semantic_decontaminate(df, bench, threshold=0.9).collect()
+        }
+        assert out[1][1] is True and out[1][0] > 0.99
+        assert out[2][1] is False and abs(out[2][0]) < 1e-9
+        # max over bench: cos vs bench[0] is 0, vs bench[1] is -1 → 0
+        assert out[3][1] is False and out[3][0] == 0.0
+
+    def test_map_only_plan(self, spark):
+        # the scale contract: literal benchmark, no join/exchange at all
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        plan = (
+            sim_ops.semantic_decontaminate(df, [[0.5, 0.5]], threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan

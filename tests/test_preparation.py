@@ -373,3 +373,65 @@ class TestShardExport:
             for r in assign_shards(df.repartition(7), 16).collect()
         }
         assert a == b
+
+
+class TestMixtureUpsample:
+    def test_integer_and_fractional_factors(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            SPLIT_MULT, mixture_upsample,
+        )
+
+        rows = [(i, "books" if i % 2 == 0 else "web") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mixture_upsample(
+            df, "doc_id", "source", {"books": 2.5, "web": 0.0},
+        ).collect()
+        # web rows vanish (factor 0); books rows appear 2 or 3 times
+        assert all(r["source"] == "books" for r in out)
+        from collections import Counter
+
+        copies = Counter(r["doc_id"] for r in out)
+        assert set(copies.values()) <= {2, 3}
+        # fractional third copy decided by the hash-bucket rule, exactly
+        for doc_id, n in copies.items():
+            extra = 1 if (doc_id * SPLIT_MULT) % 100_000 < 50_000 else 0
+            assert n == 2 + extra
+        # copy_n enumerates 1..n per row
+        seen = {}
+        for r in out:
+            seen.setdefault(r["doc_id"], set()).add(r["copy_n"])
+        assert all(s == set(range(1, copies[d] + 1)) for d, s in seen.items())
+
+    def test_default_factor_passthrough(self, spark):
+        from dataengineer_spark.operators.preparation import mixture_upsample
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, source string")
+        out = mixture_upsample(df, "doc_id", "source", {}).collect()
+        assert len(out) == 2 and all(r["copy_n"] == 1 for r in out)
+
+
+class TestCorpusBudgetReport:
+    def test_shares_and_cumulative(self, spark):
+        from dataengineer_spark.operators.preparation import corpus_budget_report
+
+        rows = [
+            (1, "a", "one two three four"),   # 4 tokens
+            (2, "a", "five six"),             # 2
+            (3, "b", "seven eight nine"),     # 3
+            (4, "c", "ten"),                  # 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = corpus_budget_report(df, "source").collect()
+        assert [r["domain"] for r in out] == ["a", "b", "c"]
+        assert [r["n_tokens"] for r in out] == [6, 3, 1]
+        assert out[0]["token_share"] == 0.6
+        assert out[-1]["cum_token_share"] == 1.0
+
+    def test_null_text_counts_zero(self, spark):
+        from dataengineer_spark.operators.preparation import corpus_budget_report
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", "x y")], "doc_id long, source string, text string"
+        )
+        row = corpus_budget_report(df, "source").collect()[0]
+        assert row["n_docs"] == 2 and row["n_tokens"] == 2
