@@ -6929,10 +6929,12 @@ def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _PREP_SEMDECON_ORACLE = """
 WITH bench AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS b,
-         sqrt(list_reduce(list_transform(generate_series(1, 64),
-              j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
-              (a, x) -> a + x)) AS bnrm
+  -- driver-side unit-normalization replayed: sequential square-sum →
+  -- sqrt → per-element divide (similarity.semantic_decontaminate)
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_reduce(list_transform(generate_series(1, 64),
+                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
+                (a, y) -> a + y))) AS bu
   FROM embeddings WHERE vec_id % 50 = 0
 ), corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -6941,12 +6943,13 @@ WITH bench AS (
               (a, x) -> a + x)) AS vnrm
   FROM embeddings WHERE vec_id % 50 <> 0
 ), scored AS (
+  -- max over raw dots FIRST, one divide by |v| after (max commutes
+  -- with the positive constant factor) — same order as the engine
   SELECT c.vec_id,
          max(list_reduce(list_transform(generate_series(1, 64),
-             j -> c.v[j] * b.b[j]), (a, x) -> a + x) / (c.vnrm * b.bnrm))
-           AS best
+             j -> c.v[j] * b.bu[j]), (a, x) -> a + x)) / c.vnrm AS best
   FROM corpus c CROSS JOIN bench b
-  GROUP BY c.vec_id
+  GROUP BY c.vec_id, c.vnrm
 )
 SELECT vec_id, round(best, 6) AS max_bench_sim, best >= 0.5 AS contaminated
 FROM scored ORDER BY vec_id

@@ -892,14 +892,30 @@ def semantic_decontaminate(
 
     Output: corpus columns + ``max_bench_sim`` (rounded 6) +
     ``contaminated``; callers keep ``~contaminated`` rows.
+
+    Arithmetic contract (the oracle replays it): benchmark vectors are
+    L2-normalized DRIVER-side (sequential square-sum → sqrt → per-element
+    divide, plain IEEE doubles), so per corpus row the engine folds ONE
+    dot product per benchmark vector, takes the max, and divides by the
+    row's own norm once — max commutes with the constant 1/|v| factor.
+    HOF lambdas are interpreted (not codegen), so halving the fold count
+    per pair is a direct wall-clock win at any scale.
     """
+    import math
+
     from dataengineer_spark.tuning import array_lit
 
-    bench = array_lit([[float(x) for x in v] for v in bench_vectors])
+    unit = []
+    for vec in bench_vectors:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        nrm = math.sqrt(acc)
+        unit.append([float(x) / nrm for x in vec])
+    bench = array_lit(unit)
     v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(
-        F.transform(bench, lambda b: cosine(v, b))
-    )
+    best_dot = F.array_max(F.transform(bench, lambda b: dot(v, b)))
+    best = F.when(l2_norm(v) > 0, best_dot / l2_norm(v))
     return corpus.select(
         F.col(id_col),
         F.round(best, 6).alias("max_bench_sim"),

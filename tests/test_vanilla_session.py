@@ -59,6 +59,15 @@ REPRESENTATIVE = [
     "q_k7_incremental_agg",
     "q_f11_zipf",
     "q_e11_stream_anomaly",
+    # new in round 5: literal-table normalizer, temp-dir dual/evolving
+    # writes, control-plane benchmark collect — all session-sensitive
+    "q_f13_normalize",
+    "q_prep_upsample",
+    "q_prep_semantic_decontaminate",
+    "q_dq_dup_rate",
+    "q_k9_quarantine",
+    "q_s9_schema_evolution",
+    "q_prep_budget",
 ]
 
 
