@@ -243,6 +243,95 @@ class Catalog:
         os.rename(staging, self.path(table))
         shutil.rmtree(retired)
 
+    def apply_cdc(
+        self,
+        changes: DataFrame,
+        table: str,
+        key_cols: list[str],
+        op_col: str = "op",
+        seq_col: str | None = None,
+        partition_col: str | None = None,
+    ) -> None:
+        """Apply a CDC change batch (insert/update/delete) to a lake
+
+        table — the replication-consumer completion of ``merge_upsert``:
+        rows with ``op_col`` in ('I', 'U') upsert, 'D' removes the key.
+        With ``seq_col`` (a monotonically increasing change sequence,
+        e.g. the source LSN), multiple changes to one key within the
+        batch collapse to the LATEST before applying — without it the
+        batch must be pre-deduplicated per key (enforced: raises on
+        duplicate keys so out-of-order applies can't corrupt silently).
+
+        Scale shape: one window (or none) over the CHANGE batch — never
+        the table; then exactly ``merge_upsert``'s touched-partition
+        rewrite, so rewrite volume follows the batch.  Deletes are
+        physical here (plain parquet has no tombstones — a transactional
+        format's metadata is what buys logical deletes).  Partitioned
+        caveat (same as every partition-pruned MERGE): an update that
+        MOVES a key across partitions must ship a 'D' for the old
+        partition too, since only touched partitions are rewritten.
+        """
+        from pyspark.sql import functions as F
+
+        if seq_col is not None:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            changes = (
+                changes.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            dup = (
+                changes.groupBy(*key_cols).count().where(F.col("count") > 1)
+            )
+            if dup.limit(1).count():
+                raise ValueError(
+                    "apply_cdc: duplicate keys in change batch and no "
+                    "seq_col to order them — collapse upstream or pass "
+                    "seq_col"
+                )
+        upserts = changes.where(F.col(op_col) != "D").drop(op_col)
+        if seq_col is not None:
+            upserts = upserts.drop(seq_col)
+        deletes = changes.where(F.col(op_col) == "D").select(*key_cols)
+        if not self.exists(table):
+            writer = upserts.write
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(self.path(table))
+            return
+        current = self.read(table)
+        touched_keys = changes.select(*key_cols).dropDuplicates()
+        _ = deletes  # delete keys are simply not re-inserted
+        if partition_col:
+            touched = [
+                r[0]
+                for r in changes.select(partition_col).dropDuplicates().collect()
+            ]
+            keep = current.where(F.col(partition_col).isin(touched)).join(
+                F.broadcast(touched_keys), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(upserts).localCheckpoint()
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(self.path(table))
+            )
+            return
+        keep = current.join(F.broadcast(touched_keys), key_cols, "left_anti")
+        merged = keep.unionByName(upserts)
+        staging = f"{self.path(table)}_merging"
+        retired = f"{self.path(table)}_retired"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        merged.write.parquet(staging)
+        os.rename(self.path(table), retired)
+        os.rename(staging, self.path(table))
+        shutil.rmtree(retired)
+
     def merge_aggregate(
         self,
         delta: DataFrame,

@@ -688,6 +688,91 @@ def minhash_lsh_join(
     )
 
 
+def signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) MinHash-LSH index rows — the REUSABLE near-dup
+
+    index artifact: computed once per ingested batch and appended to a
+    lake table, so later batches near-dup-check against ALL history
+    WITHOUT ever re-shingling it (at 100 TB the index is ~24 bytes ×
+    bands per doc; re-hashing the raw corpus per batch is the thing
+    that doesn't scale).  Exactly the band exchange ``minhash_lsh_pairs``
+    builds internally, exposed as a persistable table.
+    """
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(
+            char_shingles(F.col(text_col), shingle_size), num_hashes,
+            portable=portable,
+        ).alias("_sig"),
+    )
+    return _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
+
+
+def incremental_neardup(
+    new_batch: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_bands: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """E2+O6 — near-dup dedup of an incoming batch against ALL previously
+
+    ingested content, via the stored ``signature_table`` index: a new doc
+    is dropped when it shares a band bucket with any seen doc in at least
+    ``min_bands`` bands (signature-only decision — history's raw text is
+    never touched, the per-batch analogue of ``incremental_dedup``'s
+    fingerprint anti join, at near-dup instead of exact granularity).
+
+    Scale shape: the new batch's band rows are map-only; the probe is one
+    equi-join on (band, bucket) against the index — the only shuffle, and
+    it ships 24-byte rows.  ``min_bands > 1`` trades recall for precision
+    by requiring repeated collisions (one hash agg on the hit pairs,
+    collision-rate-sized).  Returns surviving ``new_batch`` rows; append
+    their ``signature_table`` rows to the index afterwards.
+    """
+    new_bands = signature_table(
+        new_batch, id_col, text_col, shingle_size, num_hashes, bands,
+        portable=portable,
+    )
+    if min_bands <= 1:
+        seen = seen_bands.select("band", "bucket").dropDuplicates()
+        flagged = (
+            new_bands.join(seen, ["band", "bucket"], "left_semi")
+            .select(id_col)
+            .dropDuplicates()
+        )
+    else:
+        # per-PAIR band agreement: >= min_bands collisions with the SAME
+        # seen doc (repeated collisions across different docs don't count)
+        seen_id = seen_bands.columns[0]
+        hits = new_bands.join(
+            seen_bands.select(
+                F.col(seen_id).alias("_seen"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        flagged = (
+            hits.groupBy(id_col, "_seen")
+            .agg(F.countDistinct("band").alias("_nb"))
+            .where(F.col("_nb") >= min_bands)
+            .select(id_col)
+            .dropDuplicates()
+        )
+    return new_batch.join(flagged, id_col, "left_anti")
+
+
 def dup_weights(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """E1 variant — soft dedup: keep every row but weight it by
     1/n_copies, so duplicated content contributes one document's worth of

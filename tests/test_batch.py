@@ -389,3 +389,51 @@ class TestMergedSchemaScan:
         rows = out.collect()
         assert len(rows) == 6
         assert sum(1 for r in rows if r["extra"] is None) == 3
+
+
+class TestApplyCdc:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, v string, price double",
+        )
+
+    def test_insert_update_delete(self, spark, catalog):
+        catalog.write(self._base(spark), "t", mode="overwrite")
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 22.0, "U"),
+                (3, "c", 30.0, "D"),
+                (4, "d", 40.0, "I"),
+            ],
+            "k long, v string, price double, op string",
+        )
+        catalog.apply_cdc(changes, "t", ["k"])
+        out = {r["k"]: (r["v"], r["price"]) for r in catalog.read("t").collect()}
+        assert out == {1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0)}
+
+    def test_seq_col_collapses_to_latest(self, spark, catalog):
+        catalog.write(self._base(spark), "t3", mode="overwrite")
+        changes = spark.createDataFrame(
+            [
+                (2, "first", 0.0, "U", 1),
+                (2, "last", 99.0, "U", 2),
+                (1, "x", 1.0, "U", 5),
+                (1, "x", 1.0, "D", 6),   # delete wins: higher seq
+            ],
+            "k long, v string, price double, op string, seq long",
+        )
+        catalog.apply_cdc(changes, "t3", ["k"], seq_col="seq")
+        out = {r["k"]: r["v"] for r in catalog.read("t3").collect()}
+        assert out == {2: "last", 3: "c"}
+
+    def test_duplicate_keys_without_seq_raise(self, spark, catalog):
+        import pytest
+
+        catalog.write(self._base(spark), "t4", mode="overwrite")
+        changes = spark.createDataFrame(
+            [(1, "a", 1.0, "U"), (1, "b", 2.0, "U")],
+            "k long, v string, price double, op string",
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            catalog.apply_cdc(changes, "t4", ["k"])

@@ -1542,3 +1542,66 @@ class TestSemanticDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestIncrementalNeardup:
+    def test_recrawl_dropped_fresh_kept(self, spark):
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog again and again",
+            2: "completely different content about spark physical planning",
+        }
+        seen = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        idx = dedup_ops.signature_table(seen, bands=4, portable=True)
+        new = spark.createDataFrame(
+            [
+                (10, texts[1]),                       # exact re-crawl
+                (11, texts[1].replace("dog", "cat")), # near-dup
+                (12, "entirely novel text that shares nothing at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedup_ops.incremental_neardup(
+                new, idx, bands=4, portable=True
+            ).collect()
+        }
+        assert 10 not in kept          # identical signature always collides
+        assert 12 in kept              # novel survives
+        # index rows are 24-byte (id, band, bucket) triples
+        assert set(idx.columns) == {"doc_id", "band", "bucket"}
+        assert idx.count() == 2 * 4
+
+    def test_min_bands_requires_same_seen_doc(self, spark):
+        # two seen docs each colliding in ONE band with the new doc must
+        # not satisfy min_bands=2 (agreement is per-pair)
+        seen_idx = spark.createDataFrame(
+            [(1, 0, "x"), (2, 1, "y")], "doc_id long, band int, bucket string"
+        )
+        new = spark.createDataFrame(
+            [(10, "abcdefghij")], "doc_id long, text string"
+        )
+        import dataengineer_spark.operators.dedup as dd
+        from pyspark.sql import functions as F
+
+        new_bands = dd.signature_table(new, bands=4, portable=True)
+        buckets = {r["band"]: r["bucket"] for r in new_bands.collect()}
+        # craft the seen index to collide in bands 0 and 1 via two docs
+        seen_idx = spark.createDataFrame(
+            [(1, 0, buckets[0]), (2, 1, buckets[1])],
+            "doc_id long, band int, bucket string",
+        )
+        kept = dd.incremental_neardup(
+            new, seen_idx, bands=4, min_bands=2, portable=True
+        )
+        assert kept.count() == 1  # split across seen docs → NOT flagged
+        seen_same = spark.createDataFrame(
+            [(1, 0, buckets[0]), (1, 1, buckets[1])],
+            "doc_id long, band int, bucket string",
+        )
+        kept2 = dd.incremental_neardup(
+            new, seen_same, bands=4, min_bands=2, portable=True
+        )
+        assert kept2.count() == 0  # same seen doc in 2 bands → flagged
