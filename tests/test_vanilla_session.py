@@ -68,6 +68,8 @@ REPRESENTATIVE = [
     "q_k9_quarantine",
     "q_s9_schema_evolution",
     "q_prep_budget",
+    "q_e2_incremental_neardup",
+    "q_k10_cdc_apply",
 ]
 
 
