@@ -94,6 +94,7 @@ EFFECTFUL_QUERIES = {
     "q_s9_schema_evolution",  # temp-dir two-batch write
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
+    "q_e11_stream_neardup",  # streaming run + lake writes
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -7123,7 +7124,12 @@ def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
-def _incremental_neardup_oracle() -> str:
+def _index_probe_oracle(newb_sql: str) -> str:
+    """Shared SQL builder for the stored-signature probe family
+    (q_e2_incremental_neardup and its streaming twin): replays the
+    portable MinHash signatures of the seen set AND the given new-batch
+    CTE, the 4-band raw-tuple buckets, the (band, bucket) probe, and the
+    anti join — bit-for-bit."""
     from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
 
     params = _affine_params(32, seed=42)
@@ -7160,9 +7166,7 @@ def _incremental_neardup_oracle() -> str:
 WITH seen AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 250
 ), newb AS (
-  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250
-  UNION ALL
-  SELECT doc_id + 5000, text, lang FROM documents WHERE doc_id < 50
+  {newb_sql}
 ), sh_s AS (
   SELECT doc_id, unnest({shingles}) AS s FROM seen
 ), hs AS (
@@ -7188,6 +7192,48 @@ SELECT nb.doc_id, nb.lang
 FROM newb nb LEFT JOIN flagged f ON f.doc_id = nb.doc_id
 WHERE f.doc_id IS NULL
 """
+
+
+def _incremental_neardup_oracle() -> str:
+    return _index_probe_oracle(
+        "SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 5000, text, lang FROM documents WHERE doc_id < 50"
+    )
+
+
+def q_e11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 × E2: near-dup-FILTERED ingest — the documents stream probes
+    the stored signature_table index per micro-batch (foreachBatch, the
+    reference's own per-batch contract) and only surviving rows land in
+    the lake.  The index is fixed for the run, so the result is
+    micro-batch-split-invariant and the batch SQL oracle checks the
+    streamed output row-for-row.  No state store: the index IS the
+    state, in the lake where it belongs."""
+    from dataengineer_spark.streaming import (
+        stream_documents,
+        stream_neardup_filter,
+    )
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    seen = docs_batch.where(F.col("doc_id") < 250)
+    idx = dedup_ops.signature_table(
+        seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+        portable=True,
+    ).localCheckpoint()  # fixed for the run; sized for broadcast
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_snd_") + "/kept"
+    s = stream_documents(spark, sf_dir + "/documents.parquet")
+    q = stream_neardup_filter(
+        s, idx, out_dir, shingle_size=5, num_hashes=32, bands=4,
+        portable=True,
+        checkpoint=tempfile.mkdtemp(prefix="spark_graft_snd_ck_"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "lang")
+
+
+def _stream_neardup_oracle() -> str:
+    return _index_probe_oracle("SELECT doc_id, text, lang FROM documents")
 
 
 def q_k10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7275,6 +7321,7 @@ _ROUND5_FIRST = [
     "q_f13_normalize", "q_prep_upsample", "q_prep_semantic_decontaminate",
     "q_dq_dup_rate", "q_k9_quarantine", "q_s9_schema_evolution",
     "q_prep_budget", "q_e2_incremental_neardup", "q_k10_cdc_apply",
+    "q_e11_stream_neardup",
     # --- stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -7358,6 +7405,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_budget": q_prep_budget,
         "q_e2_incremental_neardup": q_e2_incremental_neardup,
         "q_k10_cdc_apply": q_k10_cdc_apply,
+        "q_e11_stream_neardup": q_e11_stream_neardup,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -7675,6 +7723,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_budget": _PREP_BUDGET_ORACLE,
         "q_e2_incremental_neardup": _incremental_neardup_oracle(),
         "q_k10_cdc_apply": _K10_CDC_ORACLE,
+        "q_e11_stream_neardup": _stream_neardup_oracle(),
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -8,6 +8,7 @@ from dataengineer_spark.streaming.pipeline import (
     stream_stream_join,
     stream_documents,
     stream_contamination,
+    stream_neardup_filter,
     windowed_distinct_approx,
     stream_trailing_anomalies,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stream_stream_join",
     "stream_documents",
     "stream_contamination",
+    "stream_neardup_filter",
     "windowed_distinct_approx",
     "stream_trailing_anomalies",
 ]

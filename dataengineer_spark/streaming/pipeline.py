@@ -391,3 +391,48 @@ def stream_trailing_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_neardup_filter(
+    stream: DataFrame,
+    seen_bands: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    checkpoint: str | None = None,
+):
+    """Near-dup-filtered ingest — the streaming twin of
+
+    ``dedup.incremental_neardup``: every micro-batch probes the STORED
+    ``signature_table`` index (a static DataFrame; at deployment the
+    lake table, re-read per batch if it grows) and only surviving rows
+    are appended to ``out_path``.  The index is FIXED for the run, so
+    results are micro-batch-split-invariant — stream and batch agree
+    row-for-row, which is what lets the batch SQL oracle check the
+    streamed output.  State store: none (the index IS the state, in the
+    lake where it belongs — per-key operator state would grow with
+    corpus lifetime).
+
+    foreachBatch (the reference's own per-batch contract) rather than a
+    stream-stream anti join: the flag is an EXISTS over the band rows of
+    each document, which Structured Streaming cannot express without
+    stateful aggregation, while per-batch it is the ordinary two-join
+    batch plan.
+    """
+    from dataengineer_spark.operators.dedup import incremental_neardup
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        kept = incremental_neardup(
+            df, seen_bands, id_col, text_col, shingle_size, num_hashes,
+            bands, portable=portable,
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

@@ -358,3 +358,43 @@ class TestStreamTrailingAnomalies:
         q.awaitTermination()
         rows = spark.table(name).collect()
         assert len(rows) == 6 and all(r["user"] == "u-alpha" for r in rows)
+
+
+class TestStreamNeardupFilter:
+    def test_filters_against_fixed_index_across_batches(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from dataengineer_spark.operators import dedup as dedup_ops
+        from dataengineer_spark.streaming import stream_neardup_filter
+
+        seen_text = "the quick brown fox jumps over the lazy dog once more"
+        seen = spark.createDataFrame(
+            [(1, seen_text)], "doc_id long, text string"
+        )
+        idx = dedup_ops.signature_table(seen, bands=4, portable=True)
+        src = str(tmp_path / "docs_in")
+        os.makedirs(src)
+        # two files -> two micro-batches (maxFilesPerTrigger=1)
+        pd.DataFrame(
+            {"doc_id": [10], "text": [seen_text],
+             "lang": ["en"], "source": ["s"], "n_chars": [len(seen_text)]}
+        ).to_parquet(src + "/p1.parquet")
+        pd.DataFrame(
+            {"doc_id": [11], "text": ["totally novel content nothing shared"],
+             "lang": ["en"], "source": ["s"], "n_chars": [36]}
+        ).to_parquet(src + "/p2.parquet")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out_dir = str(tmp_path / "kept")
+        q = stream_neardup_filter(
+            stream, idx, out_dir, bands=4, portable=True,
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination()
+        kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+        assert kept == {11}  # exact re-crawl in batch 1 dropped, novel kept
