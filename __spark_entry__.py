@@ -95,6 +95,7 @@ EFFECTFUL_QUERIES = {
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
     "q_e11_stream_neardup",  # streaming run + lake writes
+    "q_s10_corrupt_json",  # temp-dir feed write
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -7282,6 +7283,86 @@ FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2050
 """
 
 
+def q_e1_dedup_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 survivorship-rule dedup (dedup.content_dedup_by): within each
+    content cluster keep the HIGHEST-quality copy (here: longest text,
+    ties to lowest id) instead of min id — the curation form, where
+    re-crawls differ in metadata quality.  Same corpus as q_dq_dup_rate
+    (re-crawls carry new ids ≥ 1e6, so the original always wins on the
+    id tie-break, pinning determinism).  One content-hash window
+    shuffle, rule = ORDER BY."""
+    docs = load_table(spark, sf_dir, "documents")
+    recrawl = docs.where(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    both = docs.unionByName(recrawl)
+    return dedup_ops.content_dedup_by(
+        both, "text", "doc_id", F.col("n_chars")
+    ).select("doc_id", "lang")
+
+
+_E1_DEDUP_BY_ORACLE = """
+WITH c AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+  WHERE doc_id < 100
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM c
+)
+SELECT doc_id, lang FROM r WHERE rn = 1
+"""
+
+
+def q_s10_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 malformed-feed ingest (sources.read_json_permissive): a JSONL
+    feed where every doc_id % 97 == 0 line is mangled; PERMISSIVE mode
+    lands bad lines verbatim in _corrupt_record (fields NULL) instead of
+    failing or silently dropping — the quarantine-ready ingest contract.
+    Effectful (temp-dir feed write via text lines)."""
+    from dataengineer_spark import schemas as S
+    from dataengineer_spark.sources import read_json_permissive
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed_dir = tempfile.mkdtemp(prefix="spark_graft_s10_") + "/feed"
+    # good lines are real JSON; bad lines are truncated prefixes (never
+    # valid JSON, deterministic content)
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(feed_dir)
+    schema = (
+        "doc_id long, lang string, n_chars long"
+    )
+    from pyspark.sql import types as T
+
+    parsed = read_json_permissive(
+        spark, feed_dir, T._parse_datatype_string(schema)
+    )
+    _ = S  # schemas import kept for parity with sibling S-queries
+    return parsed.select(
+        "doc_id", "lang", "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+_S10_CORRUPT_JSON_ORACLE = """
+SELECT CASE WHEN doc_id % 97 = 0 THEN NULL ELSE doc_id END AS doc_id,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END AS n_chars,
+       doc_id % 97 = 0 AS is_corrupt
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7321,7 +7402,7 @@ _ROUND5_FIRST = [
     "q_f13_normalize", "q_prep_upsample", "q_prep_semantic_decontaminate",
     "q_dq_dup_rate", "q_k9_quarantine", "q_s9_schema_evolution",
     "q_prep_budget", "q_e2_incremental_neardup", "q_k10_cdc_apply",
-    "q_e11_stream_neardup",
+    "q_e11_stream_neardup", "q_e1_dedup_by", "q_s10_corrupt_json",
     # --- stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -7406,6 +7487,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_incremental_neardup": q_e2_incremental_neardup,
         "q_k10_cdc_apply": q_k10_cdc_apply,
         "q_e11_stream_neardup": q_e11_stream_neardup,
+        "q_e1_dedup_by": q_e1_dedup_by,
+        "q_s10_corrupt_json": q_s10_corrupt_json,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -7724,6 +7807,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_incremental_neardup": _incremental_neardup_oracle(),
         "q_k10_cdc_apply": _K10_CDC_ORACLE,
         "q_e11_stream_neardup": _stream_neardup_oracle(),
+        "q_e1_dedup_by": _E1_DEDUP_BY_ORACLE,
+        "q_s10_corrupt_json": _S10_CORRUPT_JSON_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

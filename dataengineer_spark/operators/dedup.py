@@ -44,6 +44,33 @@ def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def content_dedup_by(
+    df: DataFrame, text_col: str, id_col: str, priority: Column
+) -> DataFrame:
+    """E1 variant — content dedup with a SURVIVORSHIP RULE: within each
+
+    content cluster keep the row with the highest ``priority`` (ties
+    broken by lowest id), not the arbitrary/min-id row — the curation
+    form of dedup, where re-crawls differ in metadata quality (longer
+    source chain, better lang confidence, fresher snapshot) and the
+    keeper should be the best copy, not the first.
+
+    Same single-shuffle shape as ``content_dedup``: one window over the
+    256-bit content hash, rank by (priority desc, id asc) — the text
+    moves once, the rule is an ordinary ORDER BY, deterministic on any
+    engine/partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    w = W.partitionBy(h).orderBy(priority.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame, seen: DataFrame, text_col: str
 ) -> DataFrame:

@@ -10,6 +10,7 @@ NotImplementedError, dx_group.py:112).
 from dataengineer_spark.sources.files import (
     read_csv,
     read_json,
+    read_json_permissive,
     read_orc,
     read_parquet_merged,
     write_csv,
@@ -24,6 +25,7 @@ __all__ = [
     "read_csv",
     "write_csv",
     "read_json",
+    "read_json_permissive",
     "write_json",
     "read_orc",
     "write_orc",

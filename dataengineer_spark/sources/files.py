@@ -66,6 +66,33 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Malformed-tolerant JSON scan: PERMISSIVE mode parses what it can
+
+    and lands each unparseable line VERBATIM in ``corrupt_col`` (data
+    fields NULL) instead of failing the job or silently dropping — the
+    ingest contract for third-party feeds at scale, feeding
+    ``catalog.quarantine_write`` (route ``corrupt_col IS NOT NULL``).
+    The corrupt column must be part of the declared schema for Spark to
+    populate it; this helper appends it so callers keep their clean
+    schema.  Still schema-first: no inference pass.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution-tolerant parquet scan: union the footer schemas
 

@@ -1605,3 +1605,28 @@ class TestIncrementalNeardup:
             new, seen_same, bands=4, min_bands=2, portable=True
         )
         assert kept2.count() == 0  # same seen doc in 2 bands → flagged
+
+
+class TestContentDedupBy:
+    def test_priority_wins_then_id_breaks_ties(self, spark):
+        rows = [
+            (1, "same text", 5),
+            (2, "same text", 9),   # higher priority → survivor
+            (3, "same text", 9),   # tie with 2 → loses on id
+            (4, "other", 1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+        kept = {
+            r["doc_id"]
+            for r in dedup_ops.content_dedup_by(
+                df, "text", "doc_id", F.col("q")
+            ).collect()
+        }
+        assert kept == {2, 4}
+
+    def test_null_text_clusters_together(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, 1), (2, None, 7)], "doc_id long, text string, q long"
+        )
+        kept = dedup_ops.content_dedup_by(df, "text", "doc_id", F.col("q")).collect()
+        assert [r["doc_id"] for r in kept] == [2]

@@ -248,3 +248,27 @@ class TestAvroGate:
         else:
             with pytest.raises(NotImplementedError, match="spark-avro"):
                 write_avro(nation, "/tmp/never_written_avro")
+
+
+class TestPermissiveJson:
+    def test_corrupt_lines_quarantined_not_dropped(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from dataengineer_spark.sources import read_json_permissive
+
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        (feed / "part.json").write_text(
+            '{"k": 1, "v": "a"}\n'
+            '{"k": 2, "v":\n'          # truncated → corrupt
+            'not json at all\n'
+            '{"k": 3, "v": "c"}\n'
+        )
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+        )
+        out = read_json_permissive(spark, str(feed), schema).collect()
+        good = {r["k"] for r in out if r["_corrupt_record"] is None}
+        bad = [r["_corrupt_record"] for r in out if r["_corrupt_record"] is not None]
+        assert good == {1, 3}
+        assert len(bad) == 2 and "not json at all" in bad
