@@ -267,3 +267,44 @@ class TestRound4ePlanShapes:
         p = buf.getvalue()
         assert "Exchange" not in p
         assert "BatchEvalPython" not in p
+
+    def test_normalize_and_upsample_are_map_only(self, spark, sf_dir):
+        # round-5 corpus-prep stages must be pure expression chains:
+        # zero exchanges, no join/agg/window, no Python eval
+        for name in ["q_f13_normalize", "q_prep_upsample"]:
+            p = _plan(spark, sf_dir, name)
+            assert "Exchange" not in p, name
+            for bad in ["HashAggregate", "Join", "Window",
+                        "BatchEvalPython", "ArrowEvalPython"]:
+                assert bad not in p, (name, bad)
+
+    def test_incremental_neardup_probes_never_reshingle_history(
+        self, spark, sf_dir
+    ):
+        # the stored-index probe: the SEEN side of the band join must be
+        # the 24-byte (band, bucket) projection — no shingle/signature
+        # expression may appear under the index input (history text is
+        # never re-read). The plan should contain exactly one
+        # aggregate-free probe join on (band, bucket).
+        from dataengineer_spark.operators import dedup as dedup_ops
+        from dataengineer_spark.testdata import load_table
+
+        import contextlib
+        import io
+
+        docs = load_table(spark, sf_dir, "documents")
+        # materialized index stands in for the lake table read
+        idx = dedup_ops.signature_table(
+            docs.where("doc_id < 50"), bands=4
+        ).localCheckpoint()
+        new = docs.where("doc_id >= 450")
+        kept = dedup_ops.incremental_neardup(new, idx, bands=4)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            kept.explain("formatted")
+        p = buf.getvalue()
+        # one anti join (id) + one semi join (band, bucket); the index
+        # side arrives as a checkpointed scan, not a recomputed pipeline
+        assert "LeftAnti" in p and "LeftSemi" in p
+        assert p.count("xxhash64") >= 1  # new side IS hashed
+        assert "Scan ExistingRDD" in p or "LogicalRDD" in p  # index scan

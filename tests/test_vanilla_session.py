@@ -70,6 +70,9 @@ REPRESENTATIVE = [
     "q_prep_budget",
     "q_e2_incremental_neardup",
     "q_k10_cdc_apply",
+    "q_e1_dedup_by",
+    "q_s10_corrupt_json",
+    "q_e11_stream_neardup",
 ]
 
 
