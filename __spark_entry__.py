@@ -7363,6 +7363,43 @@ FROM documents
 """
 
 
+def q_a6_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family two-proportion A/B test (agg_ops.ab_test_report): events
+    bucketed into 3 deterministic variants by user hash, success =
+    purchase; per-variant rates + pairwise pooled z.  One hash
+    aggregate to variant cardinality, pairwise stats on the tiny
+    per-variant frame — integral counts, engine-exact rates, two IEEE
+    sqrt's for z."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias(
+            "variant"
+        ),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return agg_ops.ab_test_report(tagged, "variant", F.col("ok"))
+
+
+_A6_ABTEST_ORACLE = """
+WITH per AS (
+  SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT a.variant AS variant_a, b.variant AS variant_b,
+       a.n AS n_a, b.n AS n_b,
+       round(CAST(a.s AS DOUBLE) / a.n, 6) AS rate_a,
+       round(CAST(b.s AS DOUBLE) / b.n, 6) AS rate_b,
+       round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt((CAST(a.s + b.s AS DOUBLE) / (a.n + b.n))
+                    * (1.0 - CAST(a.s + b.s AS DOUBLE) / (a.n + b.n))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+FROM per a JOIN per b ON a.variant < b.variant
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7403,6 +7440,7 @@ _ROUND5_FIRST = [
     "q_dq_dup_rate", "q_k9_quarantine", "q_s9_schema_evolution",
     "q_prep_budget", "q_e2_incremental_neardup", "q_k10_cdc_apply",
     "q_e11_stream_neardup", "q_e1_dedup_by", "q_s10_corrupt_json",
+    "q_a6_abtest",
     # --- stalest greens: r1-latest, oracled first
     "q_a1_accuracy", "q_e11_stream_tumbling", "q_e1_dedup", "q_e1_distinct",
     "q_e3_topk_sim", "q_e4_langid", "q_e4_text_stats", "q_e5_cube",
@@ -7489,6 +7527,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e11_stream_neardup": q_e11_stream_neardup,
         "q_e1_dedup_by": q_e1_dedup_by,
         "q_s10_corrupt_json": q_s10_corrupt_json,
+        "q_a6_abtest": q_a6_abtest,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -7809,6 +7848,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e11_stream_neardup": _stream_neardup_oracle(),
         "q_e1_dedup_by": _E1_DEDUP_BY_ORACLE,
         "q_s10_corrupt_json": _S10_CORRUPT_JSON_ORACLE,
+        "q_a6_abtest": _A6_ABTEST_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

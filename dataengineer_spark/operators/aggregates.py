@@ -547,3 +547,54 @@ def calibration_report(
             6,
         ).alias("brier"),
     )
+
+
+def ab_test_report(
+    df: DataFrame, variant_col: str, success: Column
+) -> DataFrame:
+    """A-family — two-proportion A/B test: per-variant trials/successes/
+
+    rate plus, for every variant pair, the pooled two-proportion
+    z-statistic (the experiment read-out before a ship decision).  One
+    hash aggregate to variant cardinality, then the pairwise stats close
+    on the tiny per-variant frame (a self-join bounded by variants²,
+    broadcast both sides).  Counts are integral → rates are exact
+    rationals; z is two IEEE square roots from exact integer moments, so
+    the statistic is engine-reproducible.  The p-value is left to the
+    caller's normal table (no erf on either engine — z is the portable
+    part).
+
+    Output: (variant_a, variant_b, n_a, n_b, rate_a, rate_b, z) for
+    every ordered pair variant_a < variant_b, z > 0 ⟺ a converts
+    better.
+    """
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count("*").alias("n"),
+        F.sum(success.cast("int")).alias("s"),
+    )
+    a = per.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = per.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    p_a = F.col("s_a") / F.col("n_a")
+    p_b = F.col("s_b") / F.col("n_b")
+    pool = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return pairs.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(F.when(se > 0, (p_a - p_b) / se), 6).alias("z"),
+    )

@@ -1630,3 +1630,26 @@ class TestContentDedupBy:
         )
         kept = dedup_ops.content_dedup_by(df, "text", "doc_id", F.col("q")).collect()
         assert [r["doc_id"] for r in kept] == [2]
+
+
+class TestAbTest:
+    def test_rates_and_z_sign(self, spark):
+        rows = (
+            [("a", True)] * 30 + [("a", False)] * 70
+            + [("b", True)] * 50 + [("b", False)] * 50
+        )
+        df = spark.createDataFrame(rows, "variant string, ok boolean")
+        out = agg_ops.ab_test_report(df, "variant", F.col("ok")).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["variant_a"], r["variant_b"]) == ("a", "b")
+        assert r["rate_a"] == 0.3 and r["rate_b"] == 0.5
+        assert r["z"] < -2.5  # b converts better, well past 95% signif
+
+    def test_degenerate_pool_yields_null_z(self, spark):
+        # all successes in both variants → pooled variance 0 → z NULL
+        df = spark.createDataFrame(
+            [("a", True), ("b", True)], "variant string, ok boolean"
+        )
+        r = agg_ops.ab_test_report(df, "variant", F.col("ok")).first()
+        assert r["z"] is None and r["rate_a"] == 1.0
