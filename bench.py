@@ -114,6 +114,8 @@ HEADLINE = [
     "q_prep_semantic_decontaminate",
     "q_dq_dup_rate",
     "q_prep_budget",
+    "q_e1_dedup_by",
+    "q_a6_abtest",
 ]
 
 
