@@ -98,6 +98,15 @@ EFFECTFUL_QUERIES = {
     "q_s10_corrupt_json",  # temp-dir feed write
 }
 
+#: theta joins that plan as BroadcastNestedLoop but whose BOTH sides are
+#: bounded by an aggregate's group-key cardinality, never data volume —
+#: the nested loop IS the right plan there (cheaper than any shuffle for
+#: a handful of rows); tools/plan_report.py renders these as BNL-bounded
+#: with the declared justification instead of flagging them raw
+BOUNDED_BNL_QUERIES = {
+    "q_a6_abtest": "variants² pair join over the per-variant aggregate",
+}
+
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
 #: the clinical report headers; F4 semantics identical)
 DOC_PATTERNS = {

@@ -572,6 +572,13 @@ def ab_test_report(
         F.count("*").alias("n"),
         F.sum(success.cast("int")).alias("s"),
     )
+    # The pair join is a theta join over the AGGREGATE OUTPUT — bounded
+    # by variant cardinality, not data volume — so the BroadcastNestedLoop
+    # Catalyst picks is the correct plan (a variants² nested loop beats
+    # any shuffle; an artificial equi key just gets constant-folded away
+    # because count(*) is non-nullable). tools/plan_report.py classifies
+    # BNLs whose build side closes over a full-input aggregate as
+    # "BNL-agg" for exactly this shape.
     a = per.select(
         F.col("variant").alias("variant_a"),
         F.col("n").alias("n_a"),
