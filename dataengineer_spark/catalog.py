@@ -392,6 +392,11 @@ class Catalog:
         file-backed) input rather than caching row-scale data.  Returns
         the audit manifest (n_valid, n_quarantined, and per-rule
         violation counts as rows) — control-plane-sized.
+
+        NULL semantics: a check evaluating to NULL (SQL unknown) does
+        NOT quarantine the row — write NULL-rejecting rules explicitly
+        (``col.isNotNull() & pred``) when unknown must fail, same as a
+        SQL CHECK constraint.
         """
         from pyspark.sql import functions as F
 

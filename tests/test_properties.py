@@ -428,3 +428,85 @@ class TestEqualFrequencyBinInvariants:
         bins = dict((v, b) for v, b in out if v is not None)
         assert bins == {1: 1, 2: 1, 3: 2, 4: 2}  # edges from the 4 non-nulls
         assert all(b is None for v, b in out if v is None)
+
+
+class TestMixtureUpsampleInvariants:
+    @prop
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.floats(min_value=0.0, max_value=3.5, allow_nan=False),
+    )
+    def test_output_count_matches_rule_exactly(self, spark, rows, factor):
+        from dataengineer_spark.operators.preparation import (
+            SPLIT_MULT, mixture_upsample,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mixture_upsample(df, "doc_id", "source", {"b": factor}).collect()
+        whole, frac_thr = int(factor), int((factor % 1.0) * 100_000)
+        expect = 0
+        for doc_id, src in rows:
+            if src == "b":
+                expect += whole + (1 if (doc_id * SPLIT_MULT) % 100_000 < frac_thr else 0)
+            else:
+                expect += 1
+        assert len(out) == expect
+        # stable under repartitioning (no RNG state)
+        out2 = mixture_upsample(
+            df.repartition(5), "doc_id", "source", {"b": factor}
+        ).collect()
+        assert sorted((r["doc_id"], r["copy_n"]) for r in out) == sorted(
+            (r["doc_id"], r["copy_n"]) for r in out2
+        )
+
+
+class TestNormalizeTextProperties:
+    @prop
+    @given(TEXT)
+    def test_idempotent_and_canonical(self, spark, s):
+        from dataengineer_spark.functions.cleaning import normalize_text
+
+        df = spark.createDataFrame([(s,)], "t string")
+        once = df.select(normalize_text("t").alias("n")).first()["n"]
+        twice = (
+            spark.createDataFrame([(once,)], "t string")
+            .select(normalize_text("t").alias("n"))
+            .first()["n"]
+        )
+        assert twice == once
+        assert once == once.strip()
+        assert "  " not in once and "\t" not in once and "\n" not in once
+        assert once == once.lower()
+
+
+class TestDuplicationProfileInvariants:
+    @prop
+    @given(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "v"]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_histogram_accounts_for_every_row(self, spark, texts):
+        from collections import Counter
+
+        from dataengineer_spark.operators.quality import duplication_profile
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplication_profile(df, "text").collect()
+        assert sum(r["n_docs"] for r in out) == len(texts)
+        assert all(
+            r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in out
+        )
+        sizes = Counter(Counter(texts).values())
+        assert {r["cluster_size"]: r["n_clusters"] for r in out} == dict(sizes)
