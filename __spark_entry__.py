@@ -6934,9 +6934,11 @@ def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bench = [list(r["embedding"]) for r in bench_rows]
     corpus = emb.where(F.col("vec_id") % 50 != 0)
-    return sim_ops.semantic_decontaminate(
-        corpus, bench, threshold=0.5
-    ).orderBy("vec_id")
+    return (
+        sim_ops.semantic_decontaminate(corpus, bench, threshold=0.5)
+        .select("vec_id", "max_bench_sim", "contaminated")
+        .orderBy("vec_id")
+    )
 
 
 _PREP_SEMDECON_ORACLE = """
@@ -7025,15 +7027,18 @@ def q_k9_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _K9_QUARANTINE_ORACLE = """
+-- engine contract throughout: a NULL check result does NOT quarantine
+-- (SQL CHECK semantics) — a row is quarantined only when some rule is
+-- DEFINITELY violated, so NULL price/status pass their value rules
 SELECT '_quarantined' AS rule,
-       CAST(sum(CASE WHEN NOT (o_totalprice <= 300000.0
-                 AND o_orderstatus IN ('O','F','P')
-                 AND o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n
+       CAST(sum(CASE WHEN o_totalprice > 300000.0
+                 OR o_orderstatus NOT IN ('O','F','P')
+                 OR o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
 FROM orders
 UNION ALL
 SELECT '_valid',
-       CAST(sum(CASE WHEN o_totalprice <= 300000.0
-                 AND o_orderstatus IN ('O','F','P')
+       CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 300000.0, FALSE)
+                 AND NOT coalesce(o_orderstatus NOT IN ('O','F','P'), FALSE)
                  AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders
 UNION ALL
@@ -7042,13 +7047,15 @@ SELECT 'has_custkey',
 FROM orders
 UNION ALL
 SELECT 'price_cap_300k',
-       CAST(sum(CASE WHEN NOT o_totalprice <= 300000.0 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END)
             AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'status_known',
+       -- engine contract: a NULL check result does NOT quarantine (SQL
+       -- CHECK semantics) — count only definite violations
        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                     OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders
 ORDER BY rule
 """
@@ -7401,10 +7408,13 @@ SELECT a.variant AS variant_a, b.variant AS variant_b,
        a.n AS n_a, b.n AS n_b,
        round(CAST(a.s AS DOUBLE) / a.n, 6) AS rate_a,
        round(CAST(b.s AS DOUBLE) / b.n, 6) AS rate_b,
-       round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+       -- engine NULLs z when the pooled SE is 0 (all/none convert);
+       -- unguarded IEEE division would yield ±inf/nan here instead
+       round(CASE WHEN a.s + b.s > 0 AND a.s + b.s < a.n + b.n
+             THEN (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
              / sqrt((CAST(a.s + b.s AS DOUBLE) / (a.n + b.n))
                     * (1.0 - CAST(a.s + b.s AS DOUBLE) / (a.n + b.n))
-                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+                    * (1.0 / a.n + 1.0 / b.n)) END, 6) AS z
 FROM per a JOIN per b ON a.variant < b.variant
 """
 

@@ -273,9 +273,33 @@ class Catalog:
         """
         from pyspark.sql import functions as F
 
+        # unrecognized ops would otherwise become silent deletes (the key
+        # joins into touched_keys but nothing re-inserts it) — refuse the
+        # batch instead; map vendor markers ('r', 'c', 'T', …) upstream
+        bad_op = changes.where(
+            ~F.col(op_col).isin("I", "U", "D") | F.col(op_col).isNull()
+        )
+        if bad_op.limit(1).count():
+            sample = bad_op.select(op_col).limit(3).collect()
+            raise ValueError(
+                "apply_cdc: change batch contains ops outside {'I','U','D'}: "
+                f"{[r[0] for r in sample]} — map or drop them upstream"
+            )
         if seq_col is not None:
             from pyspark.sql import Window as W
 
+            # ties on (key, seq) would make the winner partition-dependent
+            dup = (
+                changes.groupBy(*key_cols, seq_col)
+                .count()
+                .where(F.col("count") > 1)
+            )
+            if dup.limit(1).count():
+                raise ValueError(
+                    "apply_cdc: duplicate (key, seq) pairs in change batch "
+                    "— the latest-change collapse would be nondeterministic;"
+                    " refine seq_col granularity or pre-collapse upstream"
+                )
             w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
             changes = (
                 changes.withColumn("_rn", F.row_number().over(w))
@@ -295,7 +319,6 @@ class Catalog:
         upserts = changes.where(F.col(op_col) != "D").drop(op_col)
         if seq_col is not None:
             upserts = upserts.drop(seq_col)
-        deletes = changes.where(F.col(op_col) == "D").select(*key_cols)
         if not self.exists(table):
             writer = upserts.write
             if partition_col:
@@ -303,8 +326,9 @@ class Catalog:
             writer.parquet(self.path(table))
             return
         current = self.read(table)
+        # deletes need no separate frame: every changed key is anti-joined
+        # out of the kept rows and only I/U rows are re-inserted
         touched_keys = changes.select(*key_cols).dropDuplicates()
-        _ = deletes  # delete keys are simply not re-inserted
         if partition_col:
             touched = [
                 r[0]
@@ -320,6 +344,21 @@ class Catalog:
                 .partitionBy(partition_col)
                 .parquet(self.path(table))
             )
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # written data: a delete that empties a partition leaves the
+            # old directory behind — drop those explicitly (touched list
+            # is control-plane-sized)
+            remaining = {
+                r[0] for r in merged.select(partition_col).dropDuplicates().collect()
+            }
+            for val in touched:
+                if val not in remaining:
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path(table), f"{partition_col}={val}"
+                        ),
+                        ignore_errors=True,
+                    )
             return
         keep = current.join(F.broadcast(touched_keys), key_cols, "left_anti")
         merged = keep.unionByName(upserts)
@@ -416,15 +455,34 @@ class Catalog:
         self.write(bad, f"{table}_quarantine")
         clean_n = self.read(table).count()
         quar = self.read(f"{table}_quarantine")
-        per_rule = [
-            quar.where(
-                F.array_contains(F.split("reject_reason", r"\|"), n)
-            ).count()
-            for n in names
-        ]
-        rows = [("_valid", clean_n), ("_quarantined", quar.count())] + list(
-            zip(names, per_rule)
+        # ONE aggregate pass over the quarantine table yields the total
+        # AND every per-rule violation count (explode the reason list,
+        # count rows + rule hits together) — a per-rule filtered count
+        # would re-scan the growing table len(checks) times per batch
+        agg = (
+            quar.select(
+                F.explode(F.split("reject_reason", r"\|")).alias("rule"),
+                "reject_reason",
+            )
+            .groupBy("rule")
+            .agg(
+                F.count("*").alias("hits"),
+                # rows where this rule is the FIRST listed violation —
+                # summing these over rules counts each row exactly once
+                F.sum(
+                    (
+                        F.split("reject_reason", r"\|").getItem(0)
+                        == F.col("rule")
+                    ).cast("long")
+                ).alias("firsts"),
+            )
+            .collect()
         )
+        rule_hits = {r["rule"]: r["hits"] for r in agg}
+        quar_n = sum(r["firsts"] for r in agg)
+        rows = [("_valid", clean_n), ("_quarantined", quar_n)] + [
+            (n, rule_hits.get(n, 0)) for n in names
+        ]
         return self.spark.createDataFrame(rows, "rule string, n long")
 
     def register_views(self, tables: list[str] | None = None) -> None:

@@ -782,8 +782,17 @@ def incremental_neardup(
         )
     else:
         # per-PAIR band agreement: >= min_bands collisions with the SAME
-        # seen doc (repeated collisions across different docs don't count)
-        seen_id = seen_bands.columns[0]
+        # seen doc (repeated collisions across different docs don't count).
+        # The index id is the column that isn't (band, bucket) — column
+        # ORDER is not part of the signature_table contract (lake
+        # round-trips may reorder)
+        extra = [c for c in seen_bands.columns if c not in ("band", "bucket")]
+        if len(extra) != 1:
+            raise ValueError(
+                "incremental_neardup: seen_bands must have exactly one id "
+                f"column besides (band, bucket); got {seen_bands.columns}"
+            )
+        seen_id = extra[0]
         hits = new_bands.join(
             seen_bands.select(
                 F.col(seen_id).alias("_seen"), "band", "bucket"

@@ -870,7 +870,6 @@ def ivf_pq_top_k(
 def semantic_decontaminate(
     corpus: DataFrame,
     bench_vectors: list[list[float]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
 ) -> DataFrame:
@@ -897,9 +896,11 @@ def semantic_decontaminate(
     L2-normalized DRIVER-side (sequential square-sum → sqrt → per-element
     divide, plain IEEE doubles), so per corpus row the engine folds ONE
     dot product per benchmark vector, takes the max, and divides by the
-    row's own norm once — max commutes with the constant 1/|v| factor.
-    HOF lambdas are interpreted (not codegen), so halving the fold count
-    per pair is a direct wall-clock win at any scale.
+    row's own norm — max commutes with the constant 1/|v| factor.  HOF
+    lambdas are interpreted (not codegen), so cutting fold count per
+    pair is a direct wall-clock win at any scale; the zero-norm guard
+    re-folds the row norm once more, a ~2/|bench| overhead accepted for
+    NULL-correct degenerate rows.
     """
     import math
 
@@ -917,7 +918,7 @@ def semantic_decontaminate(
     best_dot = F.array_max(F.transform(bench, lambda b: dot(v, b)))
     best = F.when(l2_norm(v) > 0, best_dot / l2_norm(v))
     return corpus.select(
-        F.col(id_col),
+        "*",
         F.round(best, 6).alias("max_bench_sim"),
         (best >= F.lit(threshold)).alias("contaminated"),
     )

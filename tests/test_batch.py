@@ -437,3 +437,45 @@ class TestApplyCdc:
         )
         with pytest.raises(ValueError, match="duplicate keys"):
             catalog.apply_cdc(changes, "t4", ["k"])
+
+
+class TestApplyCdcGuards:
+    def test_unknown_op_rejected_not_silently_deleted(self, spark, catalog):
+        import pytest
+        from pyspark.sql import functions as F  # noqa: F401
+
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        catalog.write(base, "g1", mode="overwrite")
+        changes = spark.createDataFrame(
+            [(1, "a", "r")], "k long, v string, op string"  # Debezium read marker
+        )
+        with pytest.raises(ValueError, match="outside"):
+            catalog.apply_cdc(changes, "g1", ["k"])
+        # table untouched
+        assert catalog.read("g1").count() == 1
+
+    def test_duplicate_key_seq_pair_rejected(self, spark, catalog):
+        import pytest
+
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        catalog.write(base, "g2", mode="overwrite")
+        changes = spark.createDataFrame(
+            [(1, "x", "U", 5), (1, "y", "D", 5)],
+            "k long, v string, op string, seq long",
+        )
+        with pytest.raises(ValueError, match="nondeterministic"):
+            catalog.apply_cdc(changes, "g2", ["k"], seq_col="seq")
+
+    def test_delete_that_empties_a_partition_really_deletes(self, spark, catalog):
+        base = spark.createDataFrame(
+            [(1, 5, "a"), (2, 6, "b")], "k long, p long, v string"
+        )
+        catalog.apply_cdc(
+            base.withColumn("op", F.lit("I")), "g3", ["k"], partition_col="p"
+        )
+        changes = spark.createDataFrame(
+            [(1, 5, "a", "D")], "k long, p long, v string, op string"
+        )
+        catalog.apply_cdc(changes, "g3", ["k"], partition_col="p")
+        out = catalog.read("g3").collect()
+        assert [(r["k"], r["p"]) for r in out] == [(2, 6)]
