@@ -1610,7 +1610,9 @@ WITH e AS (
   ) GROUP BY node
 ), c1 AS (
   SELECT count(*) AS n_nodes,
-         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+         -- integer halving (d*(d-1) is even) — matches the engine's
+         -- shiftright, exact past 2^53 where double division isn't
+         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
   FROM deg
 ), c2 AS (SELECT count(*) AS n_edges FROM e),
 w AS (
@@ -1676,7 +1678,10 @@ WITH daily AS (
 )
 SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.total,
        p.total AS prev_total,
-       round((d.total - p.total) / p.total, 6) AS pct_change
+       -- engine emits NULL pct when the prior total is exactly 0
+       -- (undefined change; ANSI division would hard-fail there)
+       round(CASE WHEN p.total <> 0
+             THEN (d.total - p.total) / p.total END, 6) AS pct_change
 FROM daily d LEFT JOIN daily p
   ON p.event_type = d.event_type AND p.day + INTERVAL 7 DAY = CAST(d.day AS TIMESTAMP)
 """

@@ -56,7 +56,8 @@ def funnel_counts(
     the user column — the exchanges reuse one partitioning. Output:
     (step, event_type, n_users) per funnel stage.
     """
-    spark = df.sparkSession
+    if not steps:
+        raise ValueError("funnel_counts: steps must be a non-empty list")
     reached = None  # DataFrame(user, _t): entry time into the previous step
     counts = []
     for i, step in enumerate(steps):
@@ -318,8 +319,10 @@ def period_over_period(
     themselves shifted ``period_days`` forward — an equi-join on
     (keys, day), NOT a lag over row position, so calendar gaps never
     misalign the comparison.  One shuffle for the daily aggregate; the
-    self-join reuses its partitioning.  Days without a prior period
-    emit NULL pct_change.
+    self-join reuses its partitioning.  Days without a prior period —
+    or with a prior total of exactly 0 (pct change undefined; unguarded
+    division is a hard DIVIDE_BY_ZERO under ANSI mode) — emit NULL
+    pct_change.
 
     Output: keys, day, total, prev_total, pct_change (rounded 6).
     """
@@ -335,7 +338,10 @@ def period_over_period(
         F.col("total").alias("prev_total"),
     )
     out = daily.join(prev, [*keys, "day"], "left")
-    pct = (F.col("total") - F.col("prev_total")) / F.col("prev_total")
+    pct = F.when(
+        F.col("prev_total") != 0,
+        (F.col("total") - F.col("prev_total")) / F.col("prev_total"),
+    )
     return out.select(
         *keys, "day", "total", "prev_total",
         F.round(pct, 6).alias("pct_change"),

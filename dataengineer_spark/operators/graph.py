@@ -80,6 +80,12 @@ def pagerank(
     # control-plane scalar (node count), same pattern as the engine's
     # other documented driver-side scalars (aggregates.py partition counts)
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge list (e.g. an upstream filter dropped everything):
+        # empty rank vector, not a driver-side ZeroDivisionError
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).where(F.lit(False))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), 12).alias("rank")
@@ -156,7 +162,12 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     counts = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        # d*(d-1) is even, so a right-shift is EXACT integer halving —
+        # `/ 2` would detour through a double and lose exactness past
+        # 2^53 (hub nodes at 100 TB reach ~1e16 wedges)
+        F.shiftright(F.sum(F.col("d") * (F.col("d") - 1)), 1)
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     n_edges = e.agg(F.count("*").alias("n_edges"))
     wedges = (

@@ -127,9 +127,15 @@ def stateful_running_totals(
         state.update((n, total))
         yield pd.DataFrame({key_col: [key[0]], "n": [n], "total_value": [total]})
 
+    # derive the key field's type from the input schema so non-string
+    # keys (e.g. user_id long) work — same rule as
+    # stream_trailing_anomalies
+    key_sql_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n long, total_value double",
+        outputStructType=(
+            f"{key_col} {key_sql_type}, n long, total_value double"
+        ),
         stateStructType="n long, total_value double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -181,9 +187,22 @@ def batch_audited_sink(
     batch-audit lineage: stamp the epoch-derived batch_id, append the audit
     row, write the partition. Exactly the reference's per-batch pattern
     (SURVEY.md E11 note) with streaming semantics.
+
+    ``checkpoint`` is REQUIRED: epoch ids are monotonic only within one
+    checkpoint lineage — without it every run restarts at epoch 0 and
+    re-stamps batch_id=0 into the shared audit table, silently merging
+    unrelated micro-batches under one id.  batch_id uniqueness is scoped
+    to the checkpoint; point different pipelines (or a reset) at
+    different audit tables or id ranges.
     """
     from dataengineer_spark.batch import AUDIT_TABLE, stamp_batch
     from dataengineer_spark import schemas as S
+
+    if not checkpoint:
+        raise ValueError(
+            "batch_audited_sink: checkpoint is required — epoch-derived "
+            "batch_ids restart at 0 without one, corrupting audit lineage"
+        )
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -249,32 +268,43 @@ def stream_contamination(
     word n-grams IN-ROW, intersect with the broadcast benchmark gram set,
     emit (id, n_grams, n_hits, contaminated).
 
-    ``bench_gram_set`` is a ONE-ROW static DataFrame holding the distinct
-    benchmark grams as an array (eval suites are dimension-sized next to
-    a 100 TB corpus — same broadcast contract as the batch
-    ``ngram_overlap`` and ``minhash_lsh_join``). The join is stream-static
-    on a constant key with a broadcast build side, so the query is
-    MAP-ONLY: no state store, no watermark, append mode — per-event cost
-    is O(grams) regardless of stream lifetime. Batch twin:
-    ``preparation.ngram_overlap`` (same gram builder, same counts).
+    ``bench_gram_set`` is a ONE-ROW static DataFrame whose single
+    array<string> column — named ``_bg`` — holds the distinct benchmark
+    grams (build it with
+    ``bench.agg(F.collect_set(gram).alias("_bg"))``; any other column
+    name raises here rather than at stream runtime).  Eval suites are
+    dimension-sized next to a 100 TB corpus — same broadcast contract as
+    the batch ``ngram_overlap`` and ``minhash_lsh_join``.  The join is
+    stream-static on a constant key with a broadcast build side, so the
+    query is MAP-ONLY: no state store, no watermark, append mode —
+    per-event cost is O(grams) regardless of stream lifetime (the
+    intersection is computed ONCE per row, hits and flag both derive
+    from it).  Batch twin: ``preparation.ngram_overlap`` (same gram
+    builder, same counts).
     """
     from dataengineer_spark.operators.preparation import word_ngrams
 
+    if "_bg" not in bench_gram_set.columns:
+        raise ValueError(
+            "stream_contamination: bench_gram_set must carry the gram "
+            "array in a column named '_bg' (use collect_set(...)"
+            ".alias('_bg')); got columns "
+            f"{bench_gram_set.columns}"
+        )
     grams = word_ngrams(F.col(text_col), n)
     static = F.broadcast(bench_gram_set.withColumn("_k", F.lit(1)))
     return (
         docs.select(F.col(id_col), grams.alias("_grams"))
         .withColumn("_k", F.lit(1))
         .join(static, "_k")
+        .withColumn(
+            "n_hits", F.size(F.array_intersect("_grams", "_bg")).cast("bigint")
+        )
         .select(
             id_col,
             F.size("_grams").alias("n_grams"),
-            F.size(F.array_intersect("_grams", "_bg")).cast("bigint").alias(
-                "n_hits"
-            ),
-            (F.size(F.array_intersect("_grams", "_bg")) > 0).alias(
-                "contaminated"
-            ),
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
 
@@ -351,6 +381,15 @@ def stream_trailing_anomalies(
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
         out_ts, out_v, out_z, out_flag = [], [], [], []
         for ts, v in zip(batch[ts_col], batch[value_col]):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                # NULL observation: no score, and it never enters the
+                # window — mirrors the batch twin, whose frame sums
+                # ignore NULLs (quantize(NaN) would crash the query)
+                out_ts.append(ts)
+                out_v.append(None)
+                out_z.append(None)
+                out_flag.append(False)
+                continue
             mv = quantize(float(v))
             n = len(hist)
             z_raw = None

@@ -1653,3 +1653,42 @@ class TestAbTest:
         )
         r = agg_ops.ab_test_report(df, "variant", F.col("ok")).first()
         assert r["z"] is None and r["rate_a"] == 1.0
+
+
+class TestReviewedEdgeCases:
+    def test_period_over_period_zero_prior_yields_null(self, spark):
+        from dataengineer_spark.operators import events as event_ops
+
+        rows = [
+            (1, "2024-01-01 10:00:00", "k", 0.0),
+            (2, "2024-01-08 10:00:00", "k", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, key string, value double"
+        ).selectExpr("cast(ts as timestamp) ts", "key", "value")
+        out = {
+            str(r["day"]): r["pct_change"]
+            for r in event_ops.period_over_period(
+                df, ["key"], "ts", "value", period_days=7
+            ).collect()
+        }
+        # ANSI mode on: unguarded division would DIVIDE_BY_ZERO here
+        assert out["2024-01-08"] is None
+
+    def test_pagerank_empty_edges_returns_empty(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert graph_ops.pagerank(empty).count() == 0
+
+    def test_funnel_empty_steps_raises(self, spark):
+        import pytest
+
+        from dataengineer_spark.operators import events as event_ops
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1, "a")],
+            "event_id long, ts string, user_id long, event_type string",
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            event_ops.funnel_counts(df, "ts", "user_id", "event_type", [])

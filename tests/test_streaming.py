@@ -398,3 +398,86 @@ class TestStreamNeardupFilter:
         q.awaitTermination()
         kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
         assert kept == {11}  # exact re-crawl in batch 1 dropped, novel kept
+
+
+class TestReviewedStreamingEdgeCases:
+    def test_stateful_totals_long_key(self, spark, tmp_path):
+        import pandas as pd
+
+        src = str(tmp_path / "ev_long")
+        pd.DataFrame(
+            {"user_id": [7, 7, 8], "value": [1.0, 2.0, 5.0]}
+        ).to_parquet(src)
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            str(tmp_path)
+        )
+        out = stateful_running_totals(stream, key_col="user_id")
+        assert dict(out.dtypes)["user_id"] == "bigint"
+        name = f"t_sl_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ck_sl"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {r["user_id"]: (r["n"], r["total_value"]) for r in spark.table(name).collect()}
+        assert got == {7: (2, 3.0), 8: (1, 5.0)}
+
+    def test_trailing_anomalies_null_value_survives(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from dataengineer_spark.streaming import stream_trailing_anomalies
+
+        src = str(tmp_path / "ev_null")
+        os.makedirs(src)
+        base = pd.Timestamp("2024-01-01")
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(5)],
+                "user_id": [1] * 5,
+                "value": [10.0, None, 10.0, 10.0, 10.0],
+            }
+        ).to_parquet(src + "/p.parquet", coerce_timestamps="us")
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(src)
+        flags = stream_trailing_anomalies(
+            stream, lookback=5, z_threshold=3.0, min_history=2
+        )
+        name = f"t_nv_{uuid.uuid4().hex[:8]}"
+        q = (
+            flags.writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ck_nv"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        assert len(rows) == 5  # the NULL row is emitted, not a crash
+        nulls = [r for r in rows if r["value"] is None]
+        assert len(nulls) == 1 and nulls[0]["is_anomaly"] is False
+
+    def test_batch_audited_sink_requires_checkpoint(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        stream = stream_events(spark, sf_dir + "/events.parquet")
+        with pytest.raises(ValueError, match="checkpoint is required"):
+            batch_audited_sink(stream, catalog, "t", pipeline_name="x")
+
+    def test_stream_contamination_rejects_wrong_bench_column(self, spark, sf_dir):
+        import pytest
+
+        from dataengineer_spark.streaming import (
+            stream_contamination,
+            stream_documents,
+        )
+
+        bench = spark.createDataFrame([(["a b"],)], "grams array<string>")
+        s = stream_documents(spark, sf_dir + "/documents.parquet")
+        with pytest.raises(ValueError, match="_bg"):
+            stream_contamination(s, bench)
