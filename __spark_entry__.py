@@ -4430,8 +4430,10 @@ def q_prep_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREP_MIXTURE_ORACLE = """
+-- salt 7919 = preparation.MIXTURE_SALT (domain separation from the
+-- split hash)
 SELECT doc_id, lang, source FROM documents
-WHERE ((doc_id * 2654435761) % 100000 + 100000) % 100000 <
+WHERE ((doc_id * 2654435761 + 7919) % 100000 + 100000) % 100000 <
       CASE WHEN lang = 'en' THEN 80000
            WHEN lang = 'zh' THEN 25000
            ELSE 50000 END
@@ -6904,9 +6906,11 @@ def q_prep_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREP_UPSAMPLE_ORACLE = """
+-- salt 104729 = preparation.UPSAMPLE_SALT (domain separation from both
+-- the split hash and the mixture-sample hash)
 WITH f AS (
   SELECT doc_id, source,
-         (doc_id * 2654435761) % 100000 AS bkt,
+         (doc_id * 2654435761 + 104729) % 100000 AS bkt,
          CASE source WHEN 'src3' THEN 2 WHEN 'src11' THEN 3
                      WHEN 'src7' THEN 0 ELSE 1 END AS whole,
          CASE source WHEN 'src3' THEN 50000 WHEN 'src11' THEN 0
@@ -6970,7 +6974,8 @@ WITH bench AS (
   FROM corpus c CROSS JOIN bench b
   GROUP BY c.vec_id, c.vnrm
 )
-SELECT vec_id, round(best, 6) AS max_bench_sim, best >= 0.5 AS contaminated
+SELECT vec_id, round(best, 6) AS max_bench_sim,
+       coalesce(best >= 0.5, FALSE) AS contaminated
 FROM scored ORDER BY vec_id
 """
 

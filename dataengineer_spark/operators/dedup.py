@@ -72,7 +72,10 @@ def content_dedup_by(
 
 
 def incremental_dedup(
-    new_batch: DataFrame, seen: DataFrame, text_col: str
+    new_batch: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    seen_fingerprint_col: str | None = None,
 ) -> DataFrame:
     """E1+O6 — dedup an incoming batch against all previously-ingested
     content: anti join on the content hash. The ``seen`` side should be
@@ -81,15 +84,37 @@ def incremental_dedup(
     its own lake table, and the anti join shuffles hashes only, never
     text. This is the per-batch dedup step of a continuously-fed corpus:
     each micro-batch/run filters itself against the fingerprint table,
-    then appends its own new fingerprints.
+    then appends its own new fingerprints
+    (``content_fingerprint(new_batch, text_col)``).
+
+    ``seen_fingerprint_col``: name of the column in ``seen`` that ALREADY
+    holds sha2-256 fingerprints (the stored-table case — re-hashing a
+    hash would match nothing).  When None, ``seen`` is raw text and its
+    ``text_col`` is hashed here.
     """
     fp = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
-    seen_fp = seen.select(fp.alias("_fp")).distinct()
+    if seen_fingerprint_col is not None:
+        seen_fp = seen.select(
+            F.col(seen_fingerprint_col).alias("_fp")
+        ).distinct()
+    else:
+        seen_fp = seen.select(fp.alias("_fp")).distinct()
     return (
         new_batch.withColumn("_fp", fp)
         .join(seen_fp, "_fp", "left_anti")
         .drop("_fp")
     )
+
+
+def content_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint"
+) -> DataFrame:
+    """The ~32-byte/doc projection a batch appends to the fingerprint
+    lake table after passing ``incremental_dedup`` — feed it back as
+    ``seen`` with ``seen_fingerprint_col=out_col`` on the next batch."""
+    return df.select(
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias(out_col)
+    ).distinct()
 
 
 # -- shingling --------------------------------------------------------------
@@ -190,6 +215,12 @@ def _band_buckets(
     (string) bucket key instead of xxhash64-ing them — the equi-join
     semantics are identical and a SQL oracle can reproduce the key.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "otherwise trailing signature components are silently dropped "
+            "and the tuned (bands, rows) s-curve is not the one that runs"
+        )
     rows = num_hashes // bands
 
     def bucket(b: int) -> Column:

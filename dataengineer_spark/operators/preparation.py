@@ -13,13 +13,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SPLIT_MULT = 2654435761  # Knuth multiplicative-hash constant
+#: domain-separation salts: mixture decisions must not be correlated with
+#: split assignment (same affine hash + mod-100-divisible modulus would
+#: make a row's mixture bucket mod 100 literally BE its split bucket, so
+#: low-rate samples would consist entirely of 'train' rows)
+MIXTURE_SALT = 7919
+UPSAMPLE_SALT = 104729
+
+
+def _reduced_key(key: Column) -> Column:
+    """Key folded into [0, 2^31) before the affine multiply: keeps
+    ``reduced * SPLIT_MULT + salt`` inside int64 (ANSI mode makes the
+    overflow a hard ArithmeticException, not a wrap) while leaving every
+    key below 2^31 — including all test fixtures and typical dense ids —
+    bit-identical to the unreduced form the SQL oracles replay."""
+    return F.pmod(key, F.lit(1 << 31))
 
 
 def hash_bucket(key: Column, buckets: int = 100, salt: int = 0) -> Column:
     """Deterministic bucket in [0, buckets) from a numeric key — stable
 
-    across runs, partitionings, and engines (plain integer arithmetic)."""
-    return F.pmod(key * SPLIT_MULT + salt, F.lit(buckets))
+    across runs, partitionings, and engines (plain integer arithmetic;
+    64-bit-id-safe via the 2^31 pre-fold)."""
+    return F.pmod(_reduced_key(key) * SPLIT_MULT + salt, F.lit(buckets))
 
 
 def train_test_split(
@@ -74,13 +90,21 @@ def sample_n_per_group(
 def explode_words(
     df: DataFrame, text_col: str, out_col: str = "word", lowercase: bool = True
 ) -> DataFrame:
-    """One row per whitespace token (keeps all other columns)."""
+    """One row per whitespace token (keeps all other columns).
+
+    Empty/whitespace-only (and NULL) documents yield ZERO rows — without
+    the filter, ``split('')`` produces a single '' element and the empty
+    string shows up as a corpus word in every downstream frequency table.
+    """
     from dataengineer_spark.operators.textops import trim_ws
 
     c = F.col(text_col)
     if lowercase:
         c = F.lower(c)
-    return df.withColumn(out_col, F.explode(F.split(trim_ws(c), r"\s+")))
+    toks = F.filter(
+        F.split(trim_ws(c), r"\s+"), lambda w: w != F.lit("")
+    )
+    return df.withColumn(out_col, F.explode(toks))
 
 
 def word_counts(
@@ -145,7 +169,7 @@ def mixture_sample(
     rates: dict[str, float],
     default_rate: float = 0.0,
     mod: int = 100_000,
-    salt: int = 0,
+    salt: int = MIXTURE_SALT,
 ) -> DataFrame:
     """Per-domain weighted sampling for dataset mixing (e.g. upweight
 
@@ -153,12 +177,19 @@ def mixture_sample(
     falls under the domain's rate — reproducible across runs, engines, and
     partitionings, unlike ``sample()``. A pure map-side filter: no shuffle,
     no RNG state, safe to push below any downstream operator.
+
+    The default ``salt`` domain-separates the decision from
+    ``train_test_split`` (and from ``mixture_upsample``) — pass distinct
+    salts yourself when layering further hash-based decisions.
+    Thresholds round half-up so a rate of 0.3 means exactly 30 000 of
+    100 000 buckets (plain ``int()`` would truncate the IEEE product one
+    bucket short).
     """
-    bucket = F.pmod(F.col(key_col) * SPLIT_MULT + salt, F.lit(mod))
-    threshold = F.lit(int(default_rate * mod))
+    bucket = F.pmod(_reduced_key(F.col(key_col)) * SPLIT_MULT + salt, F.lit(mod))
+    threshold = F.lit(int(default_rate * mod + 0.5))
     for domain, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(domain_col) == domain, F.lit(int(rate * mod))
+            F.col(domain_col) == domain, F.lit(int(rate * mod + 0.5))
         ).otherwise(threshold)
     return df.where(bucket < threshold)
 
@@ -170,7 +201,7 @@ def mixture_upsample(
     factors: dict[str, float],
     default_factor: float = 1.0,
     mod: int = 100_000,
-    salt: int = 0,
+    salt: int = UPSAMPLE_SALT,
     copy_col: str = "copy_n",
 ) -> DataFrame:
     """Per-domain weighted UP-sampling for dataset mixing — the ≥1×
@@ -187,15 +218,18 @@ def mixture_upsample(
     state; at 100 TB the output volume is exactly the mixture-weighted
     corpus size, produced without ever materializing an intermediate.
     """
-    bucket = F.pmod(F.col(key_col) * SPLIT_MULT + salt, F.lit(mod))
+    bucket = F.pmod(_reduced_key(F.col(key_col)) * SPLIT_MULT + salt, F.lit(mod))
+    # thresholds round half-up: 2.3 % 1.0 is 0.29999…82 in IEEE, and a
+    # plain int() truncation would land one bucket short of the
+    # documented 30% third copy
     n_rep = F.lit(int(default_factor)) + (
-        bucket < F.lit(int((default_factor % 1.0) * mod))
+        bucket < F.lit(int((default_factor % 1.0) * mod + 0.5))
     ).cast("int")
     for domain, f in sorted(factors.items()):
         whole, frac = int(f), f % 1.0
         n_rep = F.when(
             F.col(domain_col) == domain,
-            F.lit(whole) + (bucket < F.lit(int(frac * mod))).cast("int"),
+            F.lit(whole) + (bucket < F.lit(int(frac * mod + 0.5))).cast("int"),
         ).otherwise(n_rep)
     # sequence(1, 0) would count DOWN ([1, 0]); zero-copy rows must yield
     # an empty array so explode drops them
@@ -609,7 +643,13 @@ def pps_systematic_sample(
             acc += r["s"]
         total = acc
         if total == 0:
-            return spark.createDataFrame([], f"{id_col} long, weight long")
+            # empty frame with the SAME schema as the non-empty path —
+            # a hardcoded `{id_col} long` would break unions/schema
+            # checks for non-long id columns on the all-zero-weights day
+            id_type = df.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"{id_col} {id_type}, weight long"
+            )
         off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
         local = W.partitionBy("_pid").orderBy(id_col).rowsBetween(
             W.unboundedPreceding, W.currentRow

@@ -393,7 +393,10 @@ def brute_force_top_k_arrow(
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
-    schema = f"{id_col} long, cos_sim double"
+    # id type comes from the input schema (a hardcoded long would crash
+    # string/int32 ids at runtime — same rule as minhash_signatures_arrow)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cos_sim double"
 
     def score(batches):
         for pdf in batches:
@@ -404,7 +407,14 @@ def brute_force_top_k_arrow(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cs = np.where(denom > 0, mat @ q / denom, np.nan)
             out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cos_sim": cs})
-            yield out.nlargest(min(k, len(out)), "cos_sim")
+            scored_rows = out[~out["cos_sim"].isna()]
+            top = scored_rows.nlargest(min(k, len(scored_rows)), "cos_sim")
+            # zero-norm rows: NULL cos_sim sorted LAST, like the
+            # expression twin (nlargest would silently drop NaN rows,
+            # breaking the 'same result' parity contract)
+            degenerate = out[out["cos_sim"].isna()].head(k)
+            degenerate = degenerate.assign(cos_sim=None)
+            yield pd.concat([top, degenerate], ignore_index=True)
 
     scored = df.select(id_col, vec_col).mapInPandas(score, schema)
     return scored.orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col)).limit(k)
@@ -912,7 +922,19 @@ def semantic_decontaminate(
         for x in vec:
             acc += float(x) * float(x)
         nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            # a zero benchmark vector has no direction to match (its
+            # cosine is undefined against everything) — skip it rather
+            # than ZeroDivisionError the whole job on one padded/missing
+            # eval embedding
+            continue
         unit.append([float(x) / nrm for x in vec])
+    if not unit:
+        return corpus.select(
+            "*",
+            F.lit(None).cast("double").alias("max_bench_sim"),
+            F.lit(False).alias("contaminated"),
+        )
     bench = array_lit(unit)
     v = F.col(vec_col).cast("array<double>")
     best_dot = F.array_max(F.transform(bench, lambda b: dot(v, b)))
@@ -920,5 +942,10 @@ def semantic_decontaminate(
     return corpus.select(
         "*",
         F.round(best, 6).alias("max_bench_sim"),
-        (best >= F.lit(threshold)).alias("contaminated"),
+        # zero-norm corpus rows have undefined similarity → NOT
+        # contaminated (a NULL flag would silently vanish from the
+        # documented `keep ~contaminated` filter)
+        F.coalesce(best >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
     )

@@ -1692,3 +1692,58 @@ class TestReviewedEdgeCases:
         )
         with pytest.raises(ValueError, match="non-empty"):
             event_ops.funnel_counts(df, "ts", "user_id", "event_type", [])
+
+
+class TestThirdReviewEdgeCases:
+    def test_band_buckets_reject_non_divisible(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="must divide"):
+            dedup_ops.minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=32, bands=5
+            ).collect()
+
+    def test_incremental_dedup_consumes_stored_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+        )
+        fp = dedup_ops.content_fingerprint(df, "text")
+        new = spark.createDataFrame(
+            [(10, "aaa"), (11, "new stuff")], "doc_id long, text string"
+        )
+        kept = dedup_ops.incremental_dedup(
+            new, fp, "text", seen_fingerprint_col="fingerprint"
+        ).collect()
+        assert [r["doc_id"] for r in kept] == [11]
+
+    def test_arrow_topk_keeps_degenerate_rows_and_string_ids(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rows = [("a", [1.0, 0.0]), ("b", [0.0, 0.0]), ("c", [0.5, 0.5])]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        out = sim_ops.brute_force_top_k_arrow(
+            df, [1.0, 0.0], k=10
+        ).collect()
+        # parity with the expression twin: zero-norm row kept, NULL last
+        assert [r["vec_id"] for r in out] == ["a", "c", "b"]
+        assert out[-1]["cos_sim"] is None
+
+    def test_semantic_decontaminate_zero_bench_vectors(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        # zero benchmark vector skipped, not ZeroDivisionError; zero-norm
+        # corpus row flagged False, not NULL
+        out = {
+            r["vec_id"]: r["contaminated"]
+            for r in sim_ops.semantic_decontaminate(
+                df, [[0.0, 0.0], [1.0, 0.0]], threshold=0.9
+            ).collect()
+        }
+        assert out == {1: True, 2: False}
+        # ALL-zero benchmark: nothing can be contaminated
+        out2 = sim_ops.semantic_decontaminate(df, [[0.0, 0.0]], threshold=0.9)
+        assert [r["contaminated"] for r in out2.collect()] == [False, False]

@@ -378,7 +378,7 @@ class TestShardExport:
 class TestMixtureUpsample:
     def test_integer_and_fractional_factors(self, spark):
         from dataengineer_spark.operators.preparation import (
-            SPLIT_MULT, mixture_upsample,
+            SPLIT_MULT, UPSAMPLE_SALT, mixture_upsample,
         )
 
         rows = [(i, "books" if i % 2 == 0 else "web") for i in range(40)]
@@ -394,7 +394,11 @@ class TestMixtureUpsample:
         assert set(copies.values()) <= {2, 3}
         # fractional third copy decided by the hash-bucket rule, exactly
         for doc_id, n in copies.items():
-            extra = 1 if (doc_id * SPLIT_MULT) % 100_000 < 50_000 else 0
+            extra = (
+                1
+                if (doc_id * SPLIT_MULT + UPSAMPLE_SALT) % 100_000 < 50_000
+                else 0
+            )
             assert n == 2 + extra
         # copy_n enumerates 1..n per row
         seen = {}
@@ -435,3 +439,48 @@ class TestCorpusBudgetReport:
         )
         row = corpus_budget_report(df, "source").collect()[0]
         assert row["n_docs"] == 2 and row["n_tokens"] == 2
+
+
+class TestHashBucketOverflow:
+    def test_64bit_ids_survive_ansi_mode(self, spark):
+        # ANSI mode makes key * SPLIT_MULT a hard ArithmeticException for
+        # keys >= ~3.47e9 without the 2^31 pre-fold
+        from dataengineer_spark.operators.preparation import (
+            mixture_sample, train_test_split,
+        )
+
+        df = spark.createDataFrame(
+            [(5_000_000_000,), (2**62,), (7,)], "doc_id long"
+        )
+        out = train_test_split(df, "doc_id").collect()
+        assert len(out) == 3
+        assert {r["split"] for r in out} <= {"train", "valid", "test"}
+        kept = mixture_sample(
+            df.withColumn("d", F.lit("x")), "doc_id", "d", {"x": 1.0}
+        )
+        assert kept.count() == 3
+
+    def test_small_ids_unchanged_by_fold(self, spark):
+        # keys < 2^31: the pre-fold is the identity, so the documented
+        # (k * M + salt) % mod arithmetic (and every SQL oracle) holds
+        from dataengineer_spark.operators.preparation import (
+            SPLIT_MULT, hash_bucket,
+        )
+
+        df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+        got = {
+            r["k"]: r["b"]
+            for r in df.select("k", hash_bucket(F.col("k"), 100, 3).alias("b")).collect()
+        }
+        assert got == {k: (k * SPLIT_MULT + 3) % 100 for k in range(100)}
+
+
+class TestExplodeWordsEmpty:
+    def test_empty_docs_yield_no_tokens(self, spark):
+        from dataengineer_spark.operators.preparation import word_counts
+
+        df = spark.createDataFrame(
+            [("",), ("   ",), (None,), ("a b a",)], "text string"
+        )
+        got = {r["word"]: r["n"] for r in word_counts(df, "text").collect()}
+        assert got == {"a": 2, "b": 1}  # no '' token

@@ -446,16 +446,20 @@ class TestMixtureUpsampleInvariants:
     )
     def test_output_count_matches_rule_exactly(self, spark, rows, factor):
         from dataengineer_spark.operators.preparation import (
-            SPLIT_MULT, mixture_upsample,
+            SPLIT_MULT, UPSAMPLE_SALT, mixture_upsample,
         )
 
         df = spark.createDataFrame(rows, "doc_id long, source string")
         out = mixture_upsample(df, "doc_id", "source", {"b": factor}).collect()
-        whole, frac_thr = int(factor), int((factor % 1.0) * 100_000)
+        whole, frac_thr = int(factor), int((factor % 1.0) * 100_000 + 0.5)
         expect = 0
         for doc_id, src in rows:
             if src == "b":
-                expect += whole + (1 if (doc_id * SPLIT_MULT) % 100_000 < frac_thr else 0)
+                expect += whole + (
+                    1
+                    if (doc_id * SPLIT_MULT + UPSAMPLE_SALT) % 100_000 < frac_thr
+                    else 0
+                )
             else:
                 expect += 1
         assert len(out) == expect
