@@ -59,6 +59,22 @@ class Catalog:
             return True
         return os.path.exists(p)
 
+    def _require_local(self, op: str) -> None:
+        """The staged-swap mutations (merge_upsert / apply_cdc /
+        merge_aggregate) and emptied-partition cleanup rename/delete
+        directories with os/shutil — atomic swap semantics a plain
+        object-store prefix cannot provide (and exists() can't even
+        probe remotely).  Refuse loudly on a remote root instead of
+        failing mid-swap: on object stores these operations belong to a
+        transactional table format's commit protocol (the same seam the
+        codec/JDBC stubs declare)."""
+        if "://" in self.root:
+            raise NotImplementedError(
+                f"Catalog.{op}: staged-swap table mutation requires a "
+                "local (POSIX) lake root; object-store merges need a "
+                "transactional table format's commit protocol"
+            )
+
     # -- IO ----------------------------------------------------------------
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
@@ -206,6 +222,7 @@ class Catalog:
         - without: whole-table rewrite through the same staged swap as
           compact_batch (never reads lazily from the path being replaced).
         """
+        self._require_local("merge_upsert")
         from pyspark.sql import functions as F
 
         if not self.exists(table):
@@ -271,6 +288,7 @@ class Catalog:
         MOVES a key across partitions must ship a 'D' for the old
         partition too, since only touched partitions are rewritten.
         """
+        self._require_local("apply_cdc")
         from pyspark.sql import functions as F
 
         # unrecognized ops would otherwise become silent deletes (the key
@@ -392,6 +410,7 @@ class Catalog:
         + re-sum through the same staged swap as ``merge_upsert`` (never
         reading lazily from the path being replaced).
         """
+        self._require_local("merge_aggregate")
         from pyspark.sql import functions as F
 
         if not self.exists(table):
@@ -430,7 +449,10 @@ class Catalog:
         evaluated once; the two writes each re-scan the (cheap,
         file-backed) input rather than caching row-scale data.  Returns
         the audit manifest (n_valid, n_quarantined, and per-rule
-        violation counts as rows) — control-plane-sized.
+        violation counts as rows) — control-plane-sized, and CUMULATIVE:
+        counts reflect the whole lake table/quarantine after the append
+        (the lake-state report; pinned by tests), not just this batch —
+        diff two manifests for per-batch deltas.
 
         NULL semantics: a check evaluating to NULL (SQL unknown) does
         NOT quarantine the row — write NULL-rejecting rules explicitly

@@ -193,6 +193,16 @@ def percentiles_distributed(
         counts = (
             ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()
         )
+        if not counts:
+            # empty input / all-NULL col: empty result with the REAL
+            # schema (createDataFrame from an empty list with name-only
+            # columns cannot infer types and raises)
+            fields = ", ".join(
+                f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+            )
+            probs_fields = ", ".join(f"p{int(p * 100)} double" for p in probs)
+            sep = ", " if fields and probs_fields else ""
+            return spark.createDataFrame([], fields + sep + probs_fields)
         # cumulative offsets + totals per group (driver-side, control-plane)
         offsets: list[tuple] = []
         totals: dict[tuple, int] = {}
@@ -326,6 +336,10 @@ def corr_stats(
     """
     xd = F.col(x).cast("decimal(18,6)")
     yd = F.col(y).cast("decimal(18,6)")
+    # complete pairs only (standard corr/regr semantics): count(*) over
+    # rows with a NULL x or y would disagree with the NULL-skipping
+    # moment sums and silently corrupt every statistic
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     m = df.groupBy(*keys).agg(
         F.count("*").alias("n"),
         F.sum(xd).cast("double").alias("_sx"),
@@ -406,12 +420,26 @@ def winsorize(
     cuts = df.groupBy(*keys).agg(
         F.percentile(F.col(col), F.lit(p_lo)).alias("_lo"),
         F.percentile(F.col(col), F.lit(p_hi)).alias("_hi"),
+    ).select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys], "_lo", "_hi"
     )
-    clipped = F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi"))
+    # NULL measurements must STAY NULL — greatest/least skip NULLs, so an
+    # unguarded clip would fabricate the p_lo cut for missing values
+    clipped = F.when(
+        F.col(col).isNotNull(),
+        F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
+    )
+    # null-SAFE key equality: rows in a NULL-keyed group keep their row
+    # (the docstring's whole point) instead of vanishing from an inner
+    # equi-join
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+        cond = c if cond is None else cond & c
     return (
-        df.join(F.broadcast(cuts), keys)
+        df.join(F.broadcast(cuts), cond)
         .withColumn(out or col, clipped)
-        .drop("_lo", "_hi")
+        .drop("_lo", "_hi", *[f"_ck_{k}" for k in keys])
     )
 
 
@@ -432,6 +460,10 @@ def group_ols(df: DataFrame, keys: list[str], x: str, y: str) -> DataFrame:
     """
     xd = F.col(x).cast("decimal(18,6)")
     yd = F.col(y).cast("decimal(18,6)")
+    # complete pairs only (standard corr/regr semantics): count(*) over
+    # rows with a NULL x or y would disagree with the NULL-skipping
+    # moment sums and silently corrupt every statistic
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     m = df.groupBy(*keys).agg(
         F.count("*").alias("n"),
         F.sum(xd).cast("double").alias("_sx"),
@@ -485,9 +517,12 @@ def cohens_kappa(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
     row_tot = cm.groupBy("pred").agg(F.sum("n").alias("_rt"))
     col_tot = cm.groupBy("truth").agg(F.sum("n").alias("_ct"))
     # Σ row_i·col_i over labels present in EITHER margin: full outer on
-    # the label so a label predicted-but-never-true still contributes 0
+    # the label so a label predicted-but-never-true still contributes 0.
+    # eqNullSafe: NULL is a real label here (p_o already counts NULL-NULL
+    # agreement via eqNullSafe below) — a null-unsafe join would drop the
+    # NULL×NULL marginal product from p_e and overstate kappa
     margins = row_tot.join(
-        col_tot, row_tot["pred"] == col_tot["truth"], "full_outer"
+        col_tot, row_tot["pred"].eqNullSafe(col_tot["truth"]), "full_outer"
     ).select(
         (F.coalesce(F.col("_rt"), F.lit(0)) * F.coalesce(F.col("_ct"), F.lit(0)))
         .alias("_rc")

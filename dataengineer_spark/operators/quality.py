@@ -14,6 +14,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into selectExpr —
+    caller-supplied column/check names are data, not SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _slit(name: str) -> str:
+    """Single-quoted SQL string literal with escapes — a quote in a
+    caller-supplied name must not break (or inject into) the stack."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """One row per named constraint with its violation count and the row
     total — ONE scan regardless of how many checks (conditional sums in a
@@ -30,7 +42,7 @@ def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         for name, cond in checks.items()
     ]
     wide = df.agg(F.count("*").alias("_total"), *aggs)
-    pairs = ", ".join(f"'{n}', {n}" for n in checks)
+    pairs = ", ".join(f"{_slit(n)}, {_ident(n)}" for n in checks)
     return wide.selectExpr(
         f"stack({len(checks)}, {pairs}) as (check_name, violations)", "_total"
     ).select(
@@ -48,7 +60,7 @@ def null_rates(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum(F.col(c).isNull().cast("int")).alias(c) for c in cols
         ],
     )
-    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    pairs = ", ".join(f"{_slit(c)}, {_ident(c)}" for c in cols)
     return wide.selectExpr(
         f"stack({len(cols)}, {pairs}) as (column_name, n_null)", "_total"
     ).select(
@@ -66,7 +78,10 @@ def orphan_rows(
     carries keys, not rows (project before joining if the child is wide).
     """
     parents = parent.select(F.col(pk).alias(fk)).distinct()
-    return child.join(parents, fk, "left_anti")
+    # SQL FK semantics: a NULL foreign key is NOT a violation (MATCH
+    # SIMPLE) — and the anti join would otherwise report every NULL-fk
+    # row as an orphan, since NULL never equi-matches a parent
+    return child.where(F.col(fk).isNotNull()).join(parents, fk, "left_anti")
 
 
 def funnel_report(
@@ -91,7 +106,8 @@ def funnel_report(
         aggs.append(F.sum(cum.cast("int")).alias(f"_c{i}"))
     wide = df.agg(F.count("*").alias("_total"), *aggs)
     cells = ", ".join(
-        f"{i + 1}, '{name}', _p{i}, _c{i}" for i, (name, _) in enumerate(rules)
+        f"{i + 1}, {_slit(name)}, _p{i}, _c{i}"
+        for i, (name, _) in enumerate(rules)
     )
     return wide.selectExpr(
         f"stack({len(rules)}, {cells}) as (step, rule_name, n_pass, n_cum)",

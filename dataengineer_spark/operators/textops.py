@@ -129,7 +129,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(text: Column | str) -> Column:
     """Scalar [0,1] quality score: penalize too-short/too-long docs, high
 
-    punctuation/digit density, and stopword-free (unnatural) text."""
+    punctuation/digit density, and stopword-free (unnatural) text.
+    NULL text scores NULL — the ``.otherwise`` defaults would otherwise
+    hand a missing document ~0.33, ranking it above a real empty one."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
     toks = token_count(c)
@@ -138,7 +140,9 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.when((n >= 100) & (n <= 20000), 1.0).when(n > 0, 0.5).otherwise(0.0)
     punct_score = F.when(n == 0, 0.0).when(punct / n < 0.1, 1.0).otherwise(0.5)
     stop_score = F.when(toks == 0, 0.0).when(stop_hits / toks > 0.05, 1.0).otherwise(0.5)
-    return (len_score + punct_score + stop_score) / 3.0
+    return F.when(
+        c.isNotNull(), (len_score + punct_score + stop_score) / 3.0
+    )
 
 
 def doc_fingerprint(text: Column | str, portable: bool = False) -> Column:

@@ -1747,3 +1747,78 @@ class TestThirdReviewEdgeCases:
         # ALL-zero benchmark: nothing can be contaminated
         out2 = sim_ops.semantic_decontaminate(df, [[0.0, 0.0]], threshold=0.9)
         assert [r["contaminated"] for r in out2.collect()] == [False, False]
+
+
+class TestFourthReviewEdgeCases:
+    def test_winsorize_preserves_nulls_and_null_keys(self, spark):
+        rows = [("a", float(v)) for v in range(1, 21)] + [
+            ("a", None), (None, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = agg_ops.winsorize(df, ["k"], "v", p_lo=0.05, p_hi=0.95)
+        got = out.collect()
+        assert len(got) == 22  # NULL-keyed row kept
+        assert any(r["v"] is None for r in got)  # NULL measurement stays NULL
+        assert any(r["k"] is None for r in got)
+
+    def test_corr_stats_complete_pairs_only(self, spark):
+        rows = [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+                ("g", None, 100.0), ("g", 50.0, None)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = agg_ops.corr_stats(df, ["g"], "x", "y").first()
+        assert r["n"] == 3          # incomplete pairs excluded from n
+        assert r["corr_xy"] == 1.0  # perfect correlation on complete pairs
+
+    def test_kappa_counts_null_label_marginals(self, spark):
+        rows = [(None, None)] * 50 + [("a", "b")] * 50
+        df = spark.createDataFrame(rows, "p string, t string")
+        r = agg_ops.cohens_kappa(df, "p", "t").first()
+        # po = 0.5; pe = (50*50 + 50*50)/100^2 = 0.5?? no: margins are
+        # pred {None:50, a:50}, truth {None:50, b:50}; only the None
+        # label appears in both margins → pe = 2500/10000 = 0.25
+        assert r["po"] == 0.5 and r["pe"] == 0.25
+        assert abs(r["kappa"] - (0.5 - 0.25) / 0.75) < 1e-6
+
+    def test_percentiles_distributed_empty_input(self, spark):
+        df = spark.createDataFrame([], "g string, v double")
+        out = agg_ops.percentiles_distributed(df, ["g"], "v", [0.5])
+        assert out.count() == 0
+        assert dict(out.dtypes) == {"g": "string", "p50": "double"}
+
+    def test_quality_report_names_with_specials(self, spark):
+        from dataengineer_spark.operators import quality
+
+        df = spark.createDataFrame([(1, None), (2, "x")], "`order id` long, v string")
+        out = {r["column_name"]: r["n_null"] for r in quality.null_rates(df, ["order id", "v"]).collect()}
+        assert out == {"order id": 0, "v": 1}
+        rep = quality.constraint_report(
+            df, {"can't be null": F.col("v").isNull()}
+        ).first()
+        assert rep["check_name"] == "can't be null" and rep["violations"] == 1
+
+    def test_orphans_ignore_null_fk(self, spark):
+        from dataengineer_spark.operators import quality
+
+        child = spark.createDataFrame([(1, 10), (2, None), (3, 99)], "id long, fk long")
+        parent = spark.createDataFrame([(10,)], "pk long")
+        out = quality.orphan_rows(child, parent, "fk", "pk").collect()
+        assert [r["id"] for r in out] == [3]  # NULL fk is not a violation
+
+    def test_quality_score_null_text(self, spark):
+        from dataengineer_spark.operators import textops
+
+        df = spark.createDataFrame([(None,), ("",)], "text string")
+        got = [r["q"] for r in df.select(textops.quality_score("text").alias("q")).collect()]
+        assert got[0] is None and got[1] == 0.0
+
+    def test_catalog_mutations_refuse_remote_root(self, spark):
+        import pytest
+
+        from dataengineer_spark.catalog import Catalog
+
+        cat = Catalog(spark, "s3a://bucket/lake")
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(NotImplementedError, match="POSIX"):
+            cat.merge_upsert(df, "t", ["k"])
+        with pytest.raises(NotImplementedError, match="POSIX"):
+            cat.merge_aggregate(df, "t", ["k"], [])
