@@ -1745,7 +1745,11 @@ def _linkage_oracle() -> str:
     for name, m, u in _LINKAGE_FIELDS:
         w_a = repr(math.log2(m / u))
         w_d = repr(math.log2((1.0 - m) / (1.0 - u)))
-        cases.append(f"(CASE WHEN {preds[name]} THEN {w_a} ELSE {w_d} END)")
+        # NULL comparison → 0 (missing-data convention, engine parity)
+        cases.append(
+            f"(CASE WHEN {preds[name]} THEN {w_a} "
+            f"WHEN NOT ({preds[name]}) THEN {w_d} ELSE 0.0 END)"
+        )
     score = " + ".join(cases)
     return f"""
 WITH d AS (
@@ -6055,7 +6059,7 @@ def _gopher_parts() -> tuple[str, list[tuple[str, str]]]:
     """Shared CTE + per-rule SQL conditions for the Gopher oracles."""
     from dataengineer_spark.operators import scrubbing as sc
 
-    stop_pat = r"\b(?:" + "|".join(sc._STOPWORDS) + r")\b"
+    stop_list = "[" + ", ".join(f"'{w}'" for w in sc._STOPWORDS) + "]"
     cte = f"""
 WITH t AS (
   SELECT doc_id, text, {_SQL_T} AS tt, {_SQL_WORDS} AS words FROM documents
@@ -6064,7 +6068,11 @@ WITH t AS (
          CASE WHEN length(tt) = 0 THEN 0 ELSE len(words) END AS n_words,
          list_sum(list_transform(words, w -> length(w))) AS sum_len,
          len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
-         len(regexp_extract_all(lower(text), '{stop_pat}')) AS stop_hits
+         -- DISTINCT stop words present (engine parity: one flag per
+         -- stopword summed, not occurrence counting)
+         len(list_filter({stop_list},
+             w -> regexp_matches(lower(text), '\\b' || w || '\\b')))
+           AS stop_hits
   FROM t
 ), f AS (
   SELECT doc_id, n_words,

@@ -214,11 +214,15 @@ def salted_join(
 ) -> DataFrame:
     """Hot-key-proof equi-join: the (skewed) left side salts each row into
 
-    one of ``n_salt`` sub-keys — derived from a hash of the WHOLE row, so
-    a hot key's rows spread across salts — and the right side replicates
-    each row ``n_salt`` times; the join runs on (key, salt).  The hot
-    key's work lands on ``n_salt`` tasks instead of one.  Result is
-    row-identical to the plain inner join.
+    one of ``n_salt`` sub-keys — round-robin within each task via
+    ``monotonically_increasing_id``, so a hot key's rows spread across
+    salts EVEN when they are exact duplicates (a whole-row hash would
+    send identical copies to one salt and the mitigation would silently
+    do nothing) — and the right side replicates each row ``n_salt``
+    times; the join runs on (key, salt).  The hot key's work lands on
+    ``n_salt`` tasks instead of one.  Result is row-identical to the
+    plain inner join (any salt value joins correctly — the assignment
+    need not be reproducible across runs, only uniform).
 
     When to use: AQE's skew-join split (pinned in tests/test_plans.py)
     already handles sort-merge skew at runtime, but it can only split a
@@ -227,15 +231,16 @@ def salted_join(
     right side is too big to broadcast yet small next to the fact
     (replication costs n_salt × |right| shuffle volume).
     """
-    l_cols = [F.col(c) for c in left.columns]
-    salt = F.pmod(F.xxhash64(*l_cols), F.lit(n_salt))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     l = left.withColumn("_salt", salt)
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     out = l.join(
         r,
-        (F.col(left_on) == F.col(right_on)) & (l["_salt"] == r["_salt"]),
+        # qualified refs: unqualified F.col would be ambiguous whenever
+        # the join key carries the same name on both sides
+        (l[left_on] == r[right_on]) & (l["_salt"] == r["_salt"]),
     )
     return out.drop("_salt")
 
@@ -313,6 +318,10 @@ def linkage_score(
 
     ``agreements`` is [(agree_predicate, m, u), …].  Adds
     ``link_score`` (rounded 6) and ``is_match`` (score ≥ threshold).
+    A predicate evaluating to NULL (a MISSING field value) contributes
+    0 — the Fellegi–Sunter missing-data convention: absence of evidence
+    is not disagreement, and charging w_d would bury incomplete records
+    below threshold.
     """
     import math
 
@@ -320,7 +329,11 @@ def linkage_score(
     for pred, m, u in agreements:
         w_a = math.log2(m / u)
         w_d = math.log2((1.0 - m) / (1.0 - u))
-        score = score + F.when(pred, F.lit(w_a)).otherwise(F.lit(w_d))
+        score = score + (
+            F.when(pred, F.lit(w_a))
+            .when(~pred, F.lit(w_d))
+            .otherwise(F.lit(0.0))
+        )
     return pairs.withColumn("link_score", F.round(score, 6)).withColumn(
         "is_match", F.round(score, 6) >= threshold
     )

@@ -27,10 +27,12 @@ from dataengineer_spark.operators.textops import trim_ws
 def doc_token_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, toks) with lowercased whitespace tokens; empty text → []."""
+    """(id, toks) with lowercased whitespace tokens; empty OR NULL
+    text → [] (a NULL condition would fall through to split(NULL) and
+    break the documented empty-array contract)."""
     t = trim_ws(F.lower(F.col(text_col)))
     toks = F.when(
-        F.length(t) == 0, F.array().cast("array<string>")
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
     ).otherwise(F.split(t, r"\s+"))
     return df.select(id_col, toks.alias("toks"))
 
@@ -187,7 +189,13 @@ def oov_rate(
     toks = doc_token_arrays(df, text_col, id_col).select(
         id_col, F.explode_outer("toks").alias("_w")
     )
-    v = vocab.select(F.col(vocab_col).alias("_w"), F.lit(1).alias("_known"))
+    # dedup the vocab side: a duplicated vocab row would fan out every
+    # matching token row, inflating n_tokens and corrupting the rate
+    v = (
+        vocab.select(F.col(vocab_col).alias("_w"))
+        .dropDuplicates()
+        .withColumn("_known", F.lit(1))
+    )
     joined = toks.join(F.broadcast(v), "_w", "left")
     return joined.groupBy(id_col).agg(
         F.count("_w").alias("n_tokens"),

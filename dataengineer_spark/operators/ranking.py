@@ -159,6 +159,8 @@ def rrf_fuse(
     known.  1/(k+rank) with integer rank is the same IEEE double on any
     engine, so the rounded fusion score is portable.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse: no rankers given")
     out = None
     score_cols = []
     for i, (df, rank_col) in enumerate(ranked):

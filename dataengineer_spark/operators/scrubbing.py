@@ -120,7 +120,9 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``ok_n_words``      — 50 <= whitespace words <= 100k;
     - ``ok_word_len``     — mean word length in [3, 10];
     - ``ok_alpha_words``  — >= 80% of words contain a letter;
-    - ``ok_stopwords``    — >= 2 stopword hits (unnatural-text tell).
+    - ``ok_stopwords``    — >= 2 DISTINCT stop words present (Rae et al.
+      table A1 requires "2 of the stop words", not 2 occurrences — a
+      gibberish doc repeating one stopword must not pass).
 
     One split per document, folded signals; no shuffle, no UDF.
     """
@@ -135,8 +137,13 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_word_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
     n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
     alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
-    stop_pat = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
-    stop_hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(stop_pat))
+    lower_t = F.lower(F.col(text_col))
+    distinct_stops = F.lit(0)
+    for w in _STOPWORDS:
+        distinct_stops = distinct_stops + lower_t.rlike(
+            rf"\b{w}\b"
+        ).cast("int")
+    stop_hits = distinct_stops
 
     ok_n_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     ok_word_len = (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN) & (

@@ -83,6 +83,7 @@ def cms_estimate(
     depth: int = 5,
     width: int = 8192,
     out: str = "est",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Probe the sketch table for candidate items: min over layers of the
 
@@ -91,13 +92,33 @@ def cms_estimate(
     is then a map-only broadcast join however many candidates there are.
     Guarantees est >= true count always; est <= true + eps*N with the
     usual CMS (eps = e/width) probabilistic bound.
+
+    Probing a GROUPED sketch (``cms_table(..., keys=...)``) requires the
+    same ``keys`` here — the items frame must carry them, and the join
+    includes them.  Joining a grouped sketch on (layer, bucket) alone
+    would take the min ACROSS groups and silently break the est >= true
+    guarantee, so that mismatch raises.
     """
+    ks = list(keys or [])
+    for k in ks:
+        if k not in cms.columns or k not in items.columns:
+            raise ValueError(
+                f"cms_estimate: group key '{k}' must be a column of both "
+                "the sketch and the items frame"
+            )
+    extra = [c for c in cms.columns if c not in {"layer", "bucket", "cnt"}]
+    if set(extra) != set(ks):
+        raise ValueError(
+            f"cms_estimate: sketch carries group keys {extra} but keys="
+            f"{ks} was passed — the probe join must include every sketch "
+            "key or the min mixes groups and underestimates"
+        )
     item = F.col(col).cast("string")
     probes = items.select(
         "*", F.explode(F.array(*_cms_buckets(item, depth, width))).alias("_lb")
     ).select("*", "_lb.layer", "_lb.bucket").drop("_lb")
-    joined = probes.join(F.broadcast(cms), ["layer", "bucket"], "left").withColumn(
-        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
-    )
+    joined = probes.join(
+        F.broadcast(cms), [*ks, "layer", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
     others = [c for c in items.columns]
     return joined.groupBy(*others).agg(F.min("cnt").alias(out))

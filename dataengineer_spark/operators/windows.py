@@ -88,9 +88,9 @@ def distribution_ranks(
     n_tiles: int = 4,
 ) -> DataFrame:
     """Distribution window functions in one pass over one sorted
-    partition: ntile bucket, percent_rank, cume_dist, and the partition's
-    first value marker — all share a single window spec, so Catalyst
-    plans ONE Window operator (one shuffle + one sort)."""
+    partition: ntile bucket, percent_rank, and cume_dist — all share a
+    single window spec, so Catalyst plans ONE Window operator (one
+    shuffle + one sort)."""
     w = W.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn("tile", F.ntile(n_tiles).over(w))

@@ -1822,3 +1822,89 @@ class TestFourthReviewEdgeCases:
             cat.merge_upsert(df, "t", ["k"])
         with pytest.raises(NotImplementedError, match="POSIX"):
             cat.merge_aggregate(df, "t", ["k"], [])
+
+
+class TestFifthReviewEdgeCases:
+    def test_salted_join_same_named_keys_and_duplicate_rows(self, spark):
+        # same-named key must not be ambiguous; identical duplicate rows
+        # of a hot key must spread across salts
+        left = spark.createDataFrame([(1, "x")] * 64 + [(2, "y")], "k long, v string")
+        right = spark.createDataFrame([(1, "dim1"), (2, "dim2")], "k long, d string")
+        out = join_ops.salted_join(left, right, "k", "k", n_salt=8)
+        rows = out.collect()
+        assert len(rows) == 65
+        # salt spread: the 64 duplicate rows must have used >1 salt —
+        # observable via partitioning? instead verify correctness only;
+        # spread is covered by monotonically_increasing_id construction
+        assert {r["d"] for r in rows} == {"dim1", "dim2"}
+
+    def test_linkage_null_field_contributes_zero(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2, None), (3, 4, True), (5, 6, False)],
+            "id_a long, id_b long, same_src boolean",
+        )
+        out = {
+            r["id_a"]: r["link_score"]
+            for r in join_ops.linkage_score(
+                pairs, [(F.col("same_src"), 0.9, 0.1)], threshold=0.0
+            ).collect()
+        }
+        import math
+
+        assert out[1] == 0.0  # missing field: no evidence either way
+        assert abs(out[3] - round(math.log2(0.9 / 0.1), 6)) < 1e-9
+        assert abs(out[5] - round(math.log2(0.1 / 0.9), 6)) < 1e-9
+
+    def test_cms_grouped_probe_requires_keys(self, spark):
+        import pytest
+
+        from dataengineer_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [("a", "w1")] * 5 + [("b", "w2")], "g string, w string"
+        )
+        cms = sketches.cms_table(df, "w", keys=["g"], depth=3, width=64)
+        items = spark.createDataFrame([("a", "w1"), ("b", "w1")], "g string, w string")
+        with pytest.raises(ValueError, match="group keys"):
+            sketches.cms_estimate(cms, items, "w", depth=3, width=64)
+        est = {
+            (r["g"], r["w"]): r["est"]
+            for r in sketches.cms_estimate(
+                cms, items, "w", depth=3, width=64, keys=["g"]
+            ).collect()
+        }
+        assert est[("a", "w1")] >= 5   # group-a count preserved
+        assert est[("b", "w1")] == 0   # absent from group b
+
+    def test_oov_vocab_duplicates_ignored(self, spark):
+        from dataengineer_spark.operators import lm
+
+        docs = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+        vocab = spark.createDataFrame(
+            [("the",), ("the",)], "w string"  # duplicated vocab row
+        )
+        r = lm.oov_rate(docs, vocab).first()
+        assert r["n_tokens"] == 2 and r["n_oov"] == 1
+
+    def test_gopher_stopwords_distinct_not_occurrences(self, spark):
+        from dataengineer_spark.operators import scrubbing
+
+        base = "xqz " * 60
+        one_stop_repeated = base + "the xqz the"
+        two_distinct = base + "the xqz of"
+        df = spark.createDataFrame(
+            [(1, one_stop_repeated), (2, two_distinct)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["ok_stopwords"]
+            for r in scrubbing.gopher_filter(df).collect()
+        }
+        assert out == {1: False, 2: True}
+
+    def test_rrf_empty_rankers_raise(self, spark):
+        import pytest
+
+        from dataengineer_spark.operators import ranking
+
+        with pytest.raises(ValueError, match="no rankers"):
+            ranking.rrf_fuse([], ["doc_id"])
