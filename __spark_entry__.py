@@ -123,8 +123,8 @@ LABEL_DIM = [(1, k, f"NAME_{k}") for k in range(16)]
 def _sql_clean(expr: str) -> str:
     """DuckDB replica of functions.cleaning.clean_msg's regexp chain."""
     s = expr
-    s = f"regexp_replace({s}, '{cleaning._HL7_SEGMENT_PREFIX}', '', 'g')"
     s = f"regexp_replace({s}, '{cleaning._HL7_BREAKS}', chr(10), 'g')"
+    s = f"regexp_replace({s}, '{cleaning._HL7_SEGMENT_PREFIX}', '', 'g')"
     s = f"regexp_replace({s}, '{cleaning._CONTROL_CHARS}', ' ', 'g')"
     s = f"regexp_replace({s}, '{cleaning._MULTI_WS}', ' ', 'g')"
     s = f"regexp_replace({s}, '{cleaning._MULTI_NL}', chr(10), 'g')"
@@ -139,7 +139,12 @@ def _sql_sections(msg: str) -> str:
     ex = {k: f"regexp_extract({msg}, '{p}', 1)" for k, p in DOC_PATTERNS.items()}
     names = list(DOC_PATTERNS)
     any_hit = " OR ".join(f"{ex[n]} <> ''" for n in names)
-    joined = "concat_ws(' ', " + ", ".join(ex[n] for n in names) + ")"
+    # empty slots skipped, matching the engine's array_join-over-filter
+    joined = (
+        "array_to_string(list_filter(["
+        + ", ".join(ex[n] for n in names)
+        + "], x -> x <> ''), ' ')"
+    )
     fields = ", ".join(f"{ex[n]} AS {n}" for n in names)
     return (
         f"{fields}, "

@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 # HL7 segment markers look like "OBX|1|TX|..." — strip the pipe-delimited
 # prefixes; also normalize escape sequences HL7 uses for line breaks.
+# Literal \r (raw HL7 is CR-delimited) normalizes with the escapes.
 _HL7_SEGMENT_PREFIX = r"(?m)^[A-Z0-9]{3}\|[^|]*\|"
-_HL7_BREAKS = r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\"
+_HL7_BREAKS = r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\|\r\n?"
 _CONTROL_CHARS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 _MULTI_WS = r"[ \t]+"
 _MULTI_NL = r"\n{2,}"
@@ -35,8 +36,11 @@ def clean_msg(col: Column | str) -> Column:
     lines, trim. NULL in → NULL out; '' in → '' out.
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, _HL7_SEGMENT_PREFIX, "")
+    # breaks FIRST: a segment delimited by '~'/'\X0D\' escapes isn't at
+    # line start until the break normalizes, so the (?m)^ prefix strip
+    # would miss every segment after the first
     c = F.regexp_replace(c, _HL7_BREAKS, "\n")
+    c = F.regexp_replace(c, _HL7_SEGMENT_PREFIX, "")
     c = F.regexp_replace(c, _CONTROL_CHARS, " ")
     c = F.regexp_replace(c, _MULTI_WS, " ")
     c = F.regexp_replace(c, _MULTI_NL, "\n")

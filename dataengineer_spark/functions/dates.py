@@ -27,12 +27,17 @@ def _spark_fmt(fmt: str) -> str:
 
 
 def format_date(col: Column | str, fmt: str = "%Y%m%d") -> Column:
-    """``strptime(date, fmt).strftime('%Y%m%d')`` as one expression."""
+    """``strptime(date, fmt).strftime('%Y%m%d')`` as one expression.
+
+    ``try_to_date``: a malformed/empty date string yields NULL instead
+    of an ANSI SparkDateTimeException — a single bad row must not kill
+    a 100 TB run (same policy as labels.split_label's try_cast)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(F.to_date(c, _spark_fmt(fmt)), "yyyyMMdd")
+    return F.date_format(F.try_to_date(c, _spark_fmt(fmt)), "yyyyMMdd")
 
 
 def parse_yyyymmdd(col: Column | str) -> Column:
-    """Edge string → DateType."""
+    """Edge string → DateType; malformed → NULL (try_to_date, same
+    bad-row policy as format_date)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c, "yyyyMMdd")
+    return F.try_to_date(c, "yyyyMMdd")

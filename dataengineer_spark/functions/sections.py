@@ -103,7 +103,16 @@ def create_sections(
     any_section = None
     for name in SECTION_NAMES:
         any_section = has[name] if any_section is None else (any_section | has[name])
-    joined = F.concat_ws(" ", *[parts[n] for n in SECTION_NAMES])
+    # skip EMPTY slots, not just NULLs (concat_ws only skips NULLs): a
+    # report matching two non-adjacent sections must join them with one
+    # space, not carry an interior run of separators
+    joined = F.array_join(
+        F.filter(
+            F.array(*[parts[n] for n in SECTION_NAMES]),
+            lambda x: x != F.lit(""),
+        ),
+        " ",
+    )
     filtered_message = F.when(any_section, F.trim(joined)).otherwise(c)
 
     return F.struct(
@@ -124,8 +133,20 @@ def sectionize(
     The struct is computed and expanded in one select — the distributed-safe
     replacement for the reference's index-aligned horizontal concat
     (dx_group.py:189).
+
+    Raises when the input already carries a section output column (e.g.
+    re-sectionizing sectionized output): the expansion would otherwise
+    produce duplicate column names that fail on first reference/write.
     """
-    base = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    base_names = keep if keep is not None else df.columns
+    outputs = set(SECTION_NAMES) | {"filtered_message", "part_of_report"}
+    clash = outputs & set(base_names)
+    if clash:
+        raise ValueError(
+            f"sectionize: input columns {sorted(clash)} collide with the "
+            "section output columns — drop or rename them (or pass keep=)"
+        )
+    base = [F.col(c) for c in base_names]
     return df.select(*base, create_sections(msg_col, patterns).alias("_s")).select(
         "*", "_s.*"
     ).drop("_s")

@@ -64,6 +64,11 @@ def arith_standin_classifier(
     """
     i = F.col(id_col) if isinstance(id_col, str) else id_col
     t = F.col(text_col) if isinstance(text_col, str) else text_col
+    # pre-fold the id into [0, 2^31) so the multiply stays inside int64
+    # for 64-bit ids (ANSI overflow is a hard error); ids < 2^31 —
+    # including every oracle fixture — are bit-identical to the
+    # unreduced arithmetic the SQL replays
+    i = F.pmod(i, F.lit(1 << 31))
     h = F.pmod(i * STANDIN_MULT + F.length(F.coalesce(t, F.lit(""))), F.lit(1_000_000))
     label = F.concat(F.lit("LABEL_"), F.pmod(h, F.lit(num_labels)).cast("string"))
     score = F.pmod(h, F.lit(1000)).cast("double") / 1000.0

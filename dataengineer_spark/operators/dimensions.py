@@ -63,8 +63,11 @@ def scd2_apply(
 
     upd = top_k_per_group(updates, key_cols, w_order, 1)
 
-    cur = dim.where(F.col(is_current))
-    hist = dim.where(~F.col(is_current)).select(*out_cols)
+    # coalesce: a NULL is_current row must land in history, not silently
+    # vanish from BOTH filters (three-valued logic drops it from each)
+    cur_flag = F.coalesce(F.col(is_current), F.lit(False))
+    cur = dim.where(cur_flag)
+    hist = dim.where(~cur_flag).select(*out_cols)
 
     u = upd.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],

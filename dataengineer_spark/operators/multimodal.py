@@ -133,7 +133,11 @@ def sample_frames(
                 raise NotImplementedError("video codecs not available; see docstring")
             rows = []
             for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
+                # NULL duration arrives as NaN (Arrow renders a nullable
+                # long column as float64) and NaN is truthy — `or 0`
+                # passes it through and int(NaN) raises
+                raw_dur = r["duration_ms"]
+                dur = 0 if raw_dur is None or pd.isna(raw_dur) else int(raw_dur)
                 payload = bytes(r["payload"] or b"")
                 n = max(dur // every_ms, 1) if dur else 1
                 step = max(len(payload) // n, 1)

@@ -23,14 +23,23 @@ def read_csv(
     encoding: str = "UTF-8",
     header: bool = True,
     empty_as_null: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """S1 — CSV scan. ``encoding='ISO-8859-1'`` reproduces the latin-1
 
-    variant; ``empty_as_null`` reproduces ``na_values=''``."""
+    variant; ``empty_as_null`` reproduces ``na_values=''``.
+
+    ``multiline=True`` parses quoted fields containing newlines (which
+    ``write_csv`` emits for free text) — required for such round-trips,
+    but it makes every file a SINGLE split (the parser can't start
+    mid-record), so at scale keep free text in the JSON/parquet lanes
+    and CSV for flat records.  Default False preserves splittability.
+    """
     reader = (
         spark.read.option("header", header)
         .option("encoding", encoding)
         .option("emptyValue", None if empty_as_null else "")
+        .option("multiLine", multiline)
     )
     if schema is not None:
         reader = reader.schema(schema)

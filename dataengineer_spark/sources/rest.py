@@ -70,7 +70,7 @@ class RestSource:
         fetch_fn, url, token = self.fetch_fn, self.api_url, self.api_token
         page_df = spark.createDataFrame(
             [(json.dumps(p),) for p in pages], schema="page_json string"
-        ).repartition(max(len(pages) // 1, 1))
+        ).repartition(max(len(pages), 1))  # one fetch task per page
 
         field_names = schema.fieldNames()
 

@@ -265,3 +265,54 @@ class TestNormalizeText:
         once = df.select(normalize_text("t").alias("n"))
         twice = once.select(normalize_text("n").alias("n"))
         assert once.first()["n"] == twice.first()["n"] == "ae nc sz yy"
+
+
+class TestSixthReviewEdgeCases:
+    def test_clean_msg_strips_tilde_delimited_segment_prefixes(self, spark):
+        out = _one(spark, clean_msg(F.col("t")), "OBX|1|TX|foo~OBX|2|TX|bar")
+        assert out == "TX|foo\nTX|bar"  # second segment's prefix stripped too
+
+    def test_clean_msg_normalizes_literal_carriage_returns(self, spark):
+        assert _one(spark, clean_msg(F.col("t")), "A\r\rB") == "A\nB"
+        assert _one(spark, clean_msg(F.col("t")), "A\r\nB") == "A\nB"
+
+    def test_filtered_message_no_interior_space_runs(self, spark):
+        from dataengineer_spark.functions.sections import create_sections
+
+        pats = {
+            "gross": r"GROSS:([^\n]*)",
+            "diagnosis": r"DIAGNOSIS:([^\n]*)",
+            "micro": r"MICRO:([^\n]*)",
+        }
+        row = (
+            spark.createDataFrame([("GROSS:g\nMICRO:m",)], "msg string")
+            .select(create_sections("msg", pats).alias("s"))
+            .select("s.filtered_message")
+            .first()
+        )
+        assert row["filtered_message"] == "g m"  # one space, not four
+
+    def test_sectionize_rejects_colliding_columns(self, spark):
+        import pytest
+
+        from dataengineer_spark.functions.sections import sectionize
+
+        df = spark.createDataFrame([(1, "x", "y")], "id long, msg string, diagnosis string")
+        with pytest.raises(ValueError, match="collide"):
+            sectionize(df, "msg")
+
+    def test_malformed_dates_yield_null_not_error(self, spark):
+        assert _one(spark, format_date(F.col("t")), "2022131") is None
+        assert _one(spark, format_date(F.col("t")), "") is None
+        assert _one(spark, parse_yyyymmdd(F.col("t")), "notadate") is None
+
+    def test_standin_classifier_64bit_ids(self, spark):
+        from dataengineer_spark.ml.inference import arith_standin_classifier
+
+        df = spark.createDataFrame(
+            [(4_000_000_000, "text")], "msgid long, model_input string"
+        )
+        row = df.select(
+            arith_standin_classifier("msgid", "model_input").alias("p")
+        ).select("p.*").first()
+        assert row["predicted_label"].startswith("LABEL_")

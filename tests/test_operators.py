@@ -1908,3 +1908,39 @@ class TestFifthReviewEdgeCases:
 
         with pytest.raises(ValueError, match="no rankers"):
             ranking.rrf_fuse([], ["doc_id"])
+
+
+class TestSixthReviewMultimodalScd:
+    def test_sample_frames_null_duration_survives(self, spark):
+        from dataengineer_spark.operators.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [(1, "image", bytes(b"abc"), None), (2, "video", bytes(b"abcdefgh"), 2000)],
+            "media_id long, kind string, payload binary, duration_ms long",
+        )
+        out = sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
+        # NULL-duration row yields exactly one frame, no crash
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert len(by_id[1]) == 1 and len(by_id[2]) == 2
+
+    def test_scd2_null_is_current_goes_to_history(self, spark):
+        from dataengineer_spark.operators.dimensions import scd2_apply
+
+        dim = spark.createDataFrame(
+            [
+                (1, "v1", "2020-01-01", None, True),
+                (2, "v0", "2019-01-01", "2020-01-01", None),  # NULL flag
+            ],
+            "k long, v string, valid_from string, valid_to string, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [(1, "v2", "2021-01-01")], "k long, v string, eff string"
+        )
+        out = scd2_apply(
+            dim, updates, ["k"], ["v"], eff_col="eff",
+        )
+        rows = out.collect()
+        # the NULL-flag row is retained (in history), not silently dropped
+        assert any(r["k"] == 2 for r in rows)

@@ -39,8 +39,8 @@ prop = settings(
 
 
 def _py_clean(s: str) -> str:
+    s = re.sub(r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\|\r\n?", "\n", s)
     s = re.sub(r"(?m)^[A-Z0-9]{3}\|[^|]*\|", "", s)
-    s = re.sub(r"\\\.br\\\.?|~|\\X0D\\|\\X0A\\", "\n", s)
     s = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ", s)
     s = re.sub(r"[ \t]+", " ", s)
     s = re.sub(r"\n{2,}", "\n", s)
