@@ -59,11 +59,14 @@ def test_c4_line_filter(spark):
 
 
 def test_gopher_filter_rules(spark):
-    good = "the quick brown fox " * 20  # 80 words, all alpha, stopwords
+    # two DISTINCT stopwords ('the', 'and') — the rule counts distinct
+    # stop words present, not occurrences (Rae et al. table A1)
+    good = "the quick brown fox and " * 16  # 80 words, all alpha
     short = "too short to pass."
     no_stop = "zzz qqq " * 40
+    one_stop_repeated = "the zzz " * 40  # 1 distinct stopword, 40 hits
     df = spark.createDataFrame(
-        [(1, good), (2, short), (3, no_stop), (4, "")],
+        [(1, good), (2, short), (3, no_stop), (4, ""), (5, one_stop_repeated)],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in scrubbing.gopher_filter(df).collect()}
@@ -71,6 +74,7 @@ def test_gopher_filter_rules(spark):
     assert out[2]["ok_n_words"] is False
     assert out[3]["ok_stopwords"] is False
     assert out[4]["n_words"] == 0 and out[4]["gopher_keep"] is False
+    assert out[5]["ok_stopwords"] is False  # repetition isn't diversity
 
 
 def test_tf_idf_top_terms_manual(spark):
