@@ -17,6 +17,13 @@ PART_OF_REPORT_DOMAIN = ("entire report", "gross_or_micro", "diag_or_add")
 
 
 def _check_yyyymmdd(value: str, name: str) -> None:
+    # strptime('%Y%m%d') also accepts 6/7-char strings ('202212' parses
+    # as 2022-01-02!) — an 8-char check is required before the parse for
+    # the lexicographic window comparison downstream to be meaningful
+    if len(value) != 8 or not value.isdigit():
+        raise ValueError(
+            f"{name} must be an 8-digit 'YYYYMMDD' string, got {value!r}"
+        )
     try:
         datetime.strptime(value, "%Y%m%d")
     except ValueError as exc:

@@ -102,9 +102,13 @@ def sessionize_lag(
     """Gap-based session assignment via lag + cumulative sum — the
 
     SQL-expressible form (same shape DuckDB can run): a new session starts
-    where the gap to the previous event exceeds ``gap_seconds``; the
-    running count of session starts within the key partition is the session
-    number. Adds ``session_id`` (per-key, 1-based).
+    where the gap to the previous event strictly EXCEEDS ``gap_seconds``
+    (>): verified against ``session_window``, which MERGES an event
+    arriving exactly ``gap`` after the last one (touching windows
+    coalesce), so the strict inequality is the parity-correct boundary
+    — pinned by a test. The running count of session starts within the
+    key partition is the session number. Adds ``session_id`` (per-key,
+    1-based).
 
     Gap arithmetic is in integer microseconds (``unix_micros``) so it is
     bit-exact and engine-portable. Pass ``tiebreakers`` to make the window
@@ -115,7 +119,9 @@ def sessionize_lag(
     w = W.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
-    is_new = F.when(prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
     return df.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
     ).drop("_new")

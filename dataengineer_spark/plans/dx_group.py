@@ -31,10 +31,13 @@ def clean_stage(source: DataFrame, batch_id: int, id_col: str = "msgid",
                 msg_col: str = "message") -> DataFrame:
     """Stage 1 — clean_data: normalize text, stamp lineage, project the
 
-    cleaned_data contract (batch_id, msgid, msg)."""
+    cleaned_data contract (batch_id, msgid, msg).  try_cast: a single
+    non-numeric id from a CSV/REST edge yields NULL (quarantine
+    upstream if needed) rather than an ANSI CAST_INVALID_INPUT that
+    kills the whole batch — the labels.split_label bad-row policy."""
     return stamp_batch(
         source.select(
-            F.col(id_col).cast("bigint").alias("msgid"),
+            F.col(id_col).try_cast("bigint").alias("msgid"),
             clean_msg(msg_col).alias("msg"),
         ),
         batch_id,

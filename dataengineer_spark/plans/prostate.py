@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from dataengineer_spark.operators.joins import fanin_merge
 from dataengineer_spark.schemas import PROSTATE_PRED_FIELDS
 
-_STANDIN_MULT = 2654435761  # Knuth multiplicative-hash constant
+from dataengineer_spark.ml.inference import STANDIN_MULT as _STANDIN_MULT
+# (shared with ml.inference.arith_standin_classifier — ONE stand-in hash
+# contract, one place for the DuckDB oracles to mirror)
 _CONSTANT_FIELDS = {"site_code", "behaviour_code", "laterality"}
 _CONSTANT_VALUES = {"site_code": "C61.9", "behaviour_code": "3", "laterality": "00"}
 
@@ -43,8 +45,10 @@ def _standin_exprs(field: str, salt: int) -> list[Column]:
 
     filtered-text length, per-branch salt) → code string + score — the same
     2-column contract as a real branch, in plain integer arithmetic."""
+    # 2^31 pre-fold keeps the multiply inside int64 for 64-bit ids (ANSI
+    # overflow is a hard error); ids < 2^31 match the oracle's raw form
     h = F.pmod(
-        F.col("msgid") * _STANDIN_MULT
+        F.pmod(F.col("msgid"), F.lit(1 << 31)) * _STANDIN_MULT
         + F.length(F.coalesce(F.col("filtered_message"), F.lit("")))
         + salt,
         F.lit(1_000_000),

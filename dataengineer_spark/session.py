@@ -42,7 +42,8 @@ _DEFAULTS: dict[str, str] = {
     # session accumulates broadcast refs (a 70-query bench loop OOMed the
     # build side of a broadcast exchange).  Only read at JVM launch; a
     # cluster launcher's --driver-memory simply overrides it.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # (SPARK_GRAFT_DRIVER_MEM is resolved in build_session, at call time —
+    # an env var set after import must not be silently ignored.)
 }
 
 
@@ -54,15 +55,23 @@ def build_session(
     """Build (or reuse) the engine SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
-    when no cluster master is configured — on a real cluster the launcher
-    sets ``--master`` and this argument is left None.
+    ONLY when no cluster master is configured — on a real cluster the
+    launcher sets ``--master`` (visible as the ``spark.master`` system
+    property) and this argument is left None; forcing local there would
+    silently run the whole job single-node on the driver.
     """
+    from pyspark import SparkConf
+
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_GRAFT_CPUS" in os.environ or master is None:
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkConf().contains("spark.master"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = builder.master(master)
+        builder = builder.master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "8g"
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

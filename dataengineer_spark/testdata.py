@@ -12,6 +12,7 @@ correctness driver's.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # plans mostly coalesce under AQE, but STREAMING state stores don't:
     # every stateful operator materializes one state store per shuffle
     # partition, and 200 of them made each gate streaming query ~4× slower.
+    # DELIBERATE session-global seam for the conf-less driver contract; a
+    # session that was intentionally tuned TO 200 is indistinguishable
+    # from the default and gets re-sized — pick any other value (or set
+    # SPARK_GRAFT_CPUS=200) to opt out.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,9 +98,25 @@ def normalized_sf_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.lexists(dst):
-            continue
+            if name == "events" and not os.path.exists(
+                os.path.join(dst, "_SUCCESS")
+            ):
+                # interrupted prior materialization: a partial directory
+                # without the commit marker must not be trusted
+                shutil.rmtree(dst, ignore_errors=True)
+            else:
+                continue
         if name == "events":
-            load_table(spark, sf_dir, "events").write.parquet(dst)
+            # write to a temp location, rename into place on success, so
+            # a killed run never leaves a truncated-but-present table
+            tmp = dst + "._tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            load_table(spark, sf_dir, "events").write.parquet(tmp)
+            os.rename(tmp, dst)
         else:
-            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), dst)
+            # abspath: a relative sf_dir would make the symlink resolve
+            # relative to out_dir and dangle
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")), dst
+            )
     return out_dir

@@ -49,6 +49,13 @@ def array_lit(values) -> "Column":
             # bare integral literal: the parser picks INT when it fits,
             # BIGINT otherwise — same typing as F.lit on a Python int
             return str(v)
-        return repr(float(v)) + "D"
+        f = float(v)
+        if f != f:  # NaN: repr 'nan' is not a SQL literal
+            return "CAST('NaN' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(f) + "D"
 
     return F.expr(render(list(values)))

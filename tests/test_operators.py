@@ -1944,3 +1944,52 @@ class TestSixthReviewMultimodalScd:
         rows = out.collect()
         # the NULL-flag row is retained (in history), not silently dropped
         assert any(r["k"] == 2 for r in rows)
+
+
+class TestSeventhReviewEdgeCases:
+    def test_sessionize_boundary_parity_lag_vs_native(self, spark):
+        # two events EXACTLY gap apart stay in ONE session in BOTH forms:
+        # session_window MERGES touching windows (verified empirically),
+        # so the lag rule's strict > is the parity-correct boundary;
+        # one microsecond past the gap splits in both
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+             (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00.000001")],
+            "user_id long, ts_s string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        lag_out = event_ops.sessionize_lag(df, "ts", 1800, ["user_id"])
+        lag_n = {
+            u: len({r["session_id"] for r in rows})
+            for u, rows in (
+                (1, [r for r in lag_out.collect() if r["user_id"] == 1]),
+                (2, [r for r in lag_out.collect() if r["user_id"] == 2]),
+            )
+        }
+        native = event_ops.sessionize_native(
+            df, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]
+        ).collect()
+        native_n = {}
+        for r in native:
+            native_n[r["user_id"]] = native_n.get(r["user_id"], 0) + 1
+        assert lag_n == native_n == {1: 1, 2: 2}
+
+    def test_array_lit_non_finite_floats(self, spark):
+        from dataengineer_spark.tuning import array_lit
+
+        df = spark.range(1)
+        row = df.select(
+            array_lit([float("nan"), float("inf"), float("-inf"), 1.5]).alias("a")
+        ).first()
+        import math
+
+        a = row["a"]
+        assert math.isnan(a[0]) and a[1] == float("inf") and a[2] == float("-inf")
+        assert a[3] == 1.5
+
+    def test_run_config_rejects_short_dates(self):
+        import pytest
+
+        from dataengineer_spark.config import RunConfig
+
+        with pytest.raises(ValueError):
+            RunConfig(date_from="20220101", date_to="202212")
