@@ -20,6 +20,54 @@ from pyspark.sql import types as T
 
 from dataengineer_spark import schemas as S
 
+#: Hive's NULL partition directory value (what Spark writes for a NULL key)
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def unescape_partition_value(name: str) -> "str | None":
+    """Decode one hive-style partition directory VALUE back to its string.
+
+    Spark/Hive escape special characters in partition paths as uppercase
+    ``%XX`` (e.g. ``a/b`` → ``a%2Fb``) and write NULL as
+    ``__HIVE_DEFAULT_PARTITION__`` — so matching directories by raw
+    f-string interpolation silently misses any partition whose value
+    contains an escaped character.  Decoding needs no knowledge of the
+    escape SET (any ``%XX`` decodes), which makes directory-diff cleanup
+    robust against Hive extending it.
+    """
+    if name == HIVE_DEFAULT_PARTITION:
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _partition_in(partition_col: str, touched: list):
+    """``col IN touched`` that also matches NULL when touched contains None.
+
+    Plain ``isin`` returns SQL NULL (not true) for a NULL partition value,
+    so a batch touching the NULL partition would exclude its kept rows
+    from the dynamic overwrite and the rewrite would drop them.
+    """
+    from pyspark.sql import functions as F
+
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
 
 class Catalog:
     """Read/write named tables under a root directory.
@@ -238,7 +286,7 @@ class Catalog:
                 r[0] for r in df.select(partition_col).dropDuplicates().collect()
             ]
             keep = (
-                current.where(F.col(partition_col).isin(touched))
+                current.where(_partition_in(partition_col, touched))
                 .join(F.broadcast(incoming_keys), key_cols, "left_anti")
             )
             merged = keep.unionByName(df).localCheckpoint()
@@ -352,7 +400,7 @@ class Catalog:
                 r[0]
                 for r in changes.select(partition_col).dropDuplicates().collect()
             ]
-            keep = current.where(F.col(partition_col).isin(touched)).join(
+            keep = current.where(_partition_in(partition_col, touched)).join(
                 F.broadcast(touched_keys), key_cols, "left_anti"
             )
             merged = keep.unionByName(upserts).localCheckpoint()
@@ -365,16 +413,27 @@ class Catalog:
             # dynamic overwrite only rewrites partitions PRESENT in the
             # written data: a delete that empties a partition leaves the
             # old directory behind — drop those explicitly (touched list
-            # is control-plane-sized)
+            # is control-plane-sized).  Match directories by DECODING the
+            # hive-escaped dir names rather than interpolating values into
+            # paths: Spark writes `a/b` as `a%2Fb` and NULL as
+            # __HIVE_DEFAULT_PARTITION__, so a raw f-string join would
+            # silently skip those partitions and their deleted rows would
+            # resurface on read.
             remaining = {
                 r[0] for r in merged.select(partition_col).dropDuplicates().collect()
             }
-            for val in touched:
-                if val not in remaining:
+            gone = {
+                None if v is None else str(v)
+                for v in touched
+                if v not in remaining
+            }
+            prefix = f"{partition_col}="
+            for entry in os.listdir(self.path(table)):
+                if not entry.startswith(prefix):
+                    continue
+                if unescape_partition_value(entry[len(prefix):]) in gone:
                     shutil.rmtree(
-                        os.path.join(
-                            self.path(table), f"{partition_col}={val}"
-                        ),
+                        os.path.join(self.path(table), entry),
                         ignore_errors=True,
                     )
             return
@@ -462,6 +521,16 @@ class Catalog:
         from pyspark.sql import functions as F
 
         names = sorted(checks)
+        # reject_reason is pipe-DELIMITED and later split on '|' for the
+        # per-rule hit counts — a name containing the delimiter (or an
+        # empty name, indistinguishable from "no violation") would make
+        # the audit manifest silently miscount
+        bad_names = [n for n in names if not n or "|" in n]
+        if bad_names:
+            raise ValueError(
+                "quarantine_write: check names must be non-empty and must "
+                f"not contain '|' (the reject_reason delimiter): {bad_names}"
+            )
         flagged = df.withColumn(
             "reject_reason",
             F.concat_ws(

@@ -47,6 +47,42 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def _cluster_master_configured() -> bool:
+    """True when a launcher already chose the master — never force local then.
+
+    Before the py4j gateway attaches, ``SparkConf()`` is dict-backed and
+    ``contains("spark.master")`` is always False even under
+    ``spark-submit --master yarn`` — so checking it alone would clobber a
+    cluster master with local[N].  The launcher's intent IS visible pre-JVM
+    through the environment: ``spark-submit`` exports the master via
+    ``PYSPARK_SUBMIT_ARGS`` and a driver-side gateway via
+    ``PYSPARK_GATEWAY_PORT``/``SECRET``; ``MASTER``/``SPARK_MASTER`` are the
+    documented env fallbacks SparkContext itself honours.  Once a JVM is
+    live (re-entrant getOrCreate), the system property check works too.
+    """
+    env = os.environ
+    if "--master" in env.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    if env.get("PYSPARK_GATEWAY_PORT") or env.get("PYSPARK_GATEWAY_SECRET"):
+        # launched by spark-submit: the JVM holds the launcher's conf and
+        # getOrCreate will inherit it — don't override.
+        return True
+    if env.get("MASTER") or env.get("SPARK_MASTER"):
+        return True
+    from pyspark import SparkConf, SparkContext
+
+    if SparkContext._active_spark_context is not None:
+        return True
+    try:
+        if SparkContext._jvm is not None and SparkConf().contains(
+            "spark.master"
+        ):
+            return True
+    except Exception:  # pragma: no cover - defensive: conf probe only
+        pass
+    return False
+
+
 def build_session(
     app_name: str = "dataengineer_spark",
     master: str | None = None,
@@ -60,12 +96,10 @@ def build_session(
     property) and this argument is left None; forcing local there would
     silently run the whole job single-node on the driver.
     """
-    from pyspark import SparkConf
-
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif not SparkConf().contains("spark.master"):
+    elif not _cluster_master_configured():
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         builder = builder.master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)

@@ -461,7 +461,19 @@ def stream_neardup_filter(
     each document, which Structured Streaming cannot express without
     stateful aggregation, while per-batch it is the ordinary two-join
     batch plan.
+
+    ``checkpoint`` is REQUIRED: the sink appends to ``out_path``, so a
+    checkpoint-less rerun would reprocess the whole source and write
+    every kept row twice.
     """
+    if not checkpoint:
+        raise ValueError(
+            "stream_neardup_filter: checkpoint is required — a rerun "
+            "without one reprocesses the whole source and appends "
+            "duplicate rows to out_path (same lineage hazard as "
+            "batch_audited_sink)"
+        )
+
     from dataengineer_spark.operators.dedup import incremental_neardup
 
     def sink(df: DataFrame, epoch_id: int) -> None:
@@ -471,7 +483,9 @@ def stream_neardup_filter(
         )
         kept.write.mode("append").parquet(out_path)
 
-    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
     return writer.trigger(availableNow=True).start()

@@ -479,3 +479,105 @@ class TestApplyCdcGuards:
         catalog.apply_cdc(changes, "g3", ["k"], partition_col="p")
         out = catalog.read("g3").collect()
         assert [(r["k"], r["p"]) for r in out] == [(2, 6)]
+
+    def test_emptied_partition_with_special_chars_is_cleaned(
+        self, spark, catalog
+    ):
+        import os
+
+        # Spark hive-escapes '/' and '=' in partition dir names (a%2Fb);
+        # a raw f"{col}={val}" rmtree would miss the dir and the deleted
+        # rows would resurface on read (ADVICE r5)
+        base = spark.createDataFrame(
+            [(1, "a/b=c", "x"), (2, "plain", "y")], "k long, p string, v string"
+        )
+        catalog.apply_cdc(
+            base.withColumn("op", F.lit("I")), "g4", ["k"], partition_col="p"
+        )
+        changes = spark.createDataFrame(
+            [(1, "a/b=c", "x", "D")], "k long, p string, v string, op string"
+        )
+        catalog.apply_cdc(changes, "g4", ["k"], partition_col="p")
+        assert [(r["k"], r["p"]) for r in catalog.read("g4").collect()] == [
+            (2, "plain")
+        ]
+        dirs = [
+            d for d in os.listdir(catalog.path("g4")) if d.startswith("p=")
+        ]
+        assert dirs == ["p=plain"]
+
+    def test_null_partition_keeps_untouched_rows(self, spark, catalog):
+        # isin(None) is SQL-unknown: without the isNull clause a batch
+        # touching the NULL partition would drop its kept rows
+        base = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, "q", "c")],
+            "k long, p string, v string",
+        )
+        catalog.apply_cdc(
+            base.withColumn("op", F.lit("I")), "g5", ["k"], partition_col="p"
+        )
+        changes = spark.createDataFrame(
+            [(1, None, "a", "D")], "k long, p string, v string, op string"
+        )
+        catalog.apply_cdc(changes, "g5", ["k"], partition_col="p")
+        out = sorted((r["k"], r["p"]) for r in catalog.read("g5").collect())
+        assert out == [(2, None), (3, "q")]
+
+    def test_null_partition_emptied_is_cleaned(self, spark, catalog):
+        import os
+
+        base = spark.createDataFrame(
+            [(1, None, "a"), (2, "q", "b")], "k long, p string, v string"
+        )
+        catalog.apply_cdc(
+            base.withColumn("op", F.lit("I")), "g6", ["k"], partition_col="p"
+        )
+        changes = spark.createDataFrame(
+            [(1, None, "a", "D")], "k long, p string, v string, op string"
+        )
+        catalog.apply_cdc(changes, "g6", ["k"], partition_col="p")
+        assert [(r["k"], r["p"]) for r in catalog.read("g6").collect()] == [
+            (2, "q")
+        ]
+        assert "p=__HIVE_DEFAULT_PARTITION__" not in os.listdir(
+            catalog.path("g6")
+        )
+
+
+class TestQuarantineNameGuard:
+    def test_pipe_and_empty_check_names_rejected(self, spark, catalog):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="delimiter"):
+            catalog.quarantine_write(df, "qn1", {"bad|name": F.col("k") > 0})
+        with pytest.raises(ValueError, match="non-empty"):
+            catalog.quarantine_write(df, "qn2", {"": F.col("k") > 0})
+
+
+
+class TestClusterMasterDetection:
+    """build_session must not clobber a launcher-chosen master (ADVICE r5):
+    SparkConf().contains('spark.master') is always False before the py4j
+    gateway attaches, so the launcher's intent must be read from env."""
+
+    def test_submit_args_master_detected(self, monkeypatch):
+        from dataengineer_spark.session import _cluster_master_configured
+
+        monkeypatch.setenv(
+            "PYSPARK_SUBMIT_ARGS", "--master yarn pyspark-shell"
+        )
+        assert _cluster_master_configured()
+
+    def test_gateway_port_detected(self, monkeypatch):
+        from dataengineer_spark.session import _cluster_master_configured
+
+        monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+        monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "25333")
+        assert _cluster_master_configured()
+
+    def test_master_env_detected(self, monkeypatch):
+        from dataengineer_spark.session import _cluster_master_configured
+
+        monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+        monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+        monkeypatch.setenv("MASTER", "spark://host:7077")
+        assert _cluster_master_configured()

@@ -391,6 +391,10 @@ class TestStreamNeardupFilter:
             ).option("maxFilesPerTrigger", 1).parquet(src)
         )
         out_dir = str(tmp_path / "kept")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="checkpoint is required"):
+            stream_neardup_filter(stream, idx, out_dir, bands=4, portable=True)
         q = stream_neardup_filter(
             stream, idx, out_dir, bands=4, portable=True,
             checkpoint=str(tmp_path / "ck"),
