@@ -93,6 +93,7 @@ EFFECTFUL_QUERIES = {
     "q_k9_quarantine",  # dual lake write + audit read-back
     "q_s9_schema_evolution",  # temp-dir two-batch write
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
+    "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
     "q_e11_stream_neardup",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
@@ -6993,6 +6994,34 @@ FROM scored ORDER BY vec_id
 """
 
 
+def q_prep_semantic_decontaminate_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rows-only: semantic decontamination on the Arrow/numpy engine
+    layer (similarity.semantic_decontaminate_arrow) — one BLAS matmul
+    ``batch @ benchᵀ`` per Arrow batch replaces the interpreted per-row
+    HOF fold; identical map-only zero-shuffle scale shape.
+
+    Verification chain: the oracled ``q_prep_semantic_decontaminate``
+    twin hash-verifies the identical benchmark set / threshold /
+    arithmetic contract; tests pin the two engines result-identical
+    (round-6) on this exact corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_rows = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    bench = [list(r["embedding"]) for r in bench_rows]
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return (
+        sim_ops.semantic_decontaminate_arrow(corpus, bench, threshold=0.5)
+        .select("vec_id", "max_bench_sim", "contaminated")
+        .orderBy("vec_id")
+    )
+
+
 def q_dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15+E1 duplication census (quality.duplication_profile): content
     clusters per multiplicity with corpus shares — the report read
@@ -7560,6 +7589,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_f13_normalize": q_f13_normalize,
         "q_prep_upsample": q_prep_upsample,
         "q_prep_semantic_decontaminate": q_prep_semantic_decontaminate,
+        "q_prep_semantic_decontaminate_arrow": q_prep_semantic_decontaminate_arrow,
         "q_dq_dup_rate": q_dq_dup_rate,
         "q_k9_quarantine": q_k9_quarantine,
         "q_s9_schema_evolution": q_s9_schema_evolution,

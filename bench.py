@@ -111,7 +111,10 @@ HEADLINE = [
     # semantic decontamination, duplication census, token budgeting
     "q_f13_normalize",
     "q_prep_upsample",
-    "q_prep_semantic_decontaminate",
+    # Arrow/BLAS engine layer takes the bench slot; the interpreted-HOF
+    # expression twin q_prep_semantic_decontaminate is the oracled
+    # verification baseline (pinned result-identical in tests)
+    "q_prep_semantic_decontaminate_arrow",
     "q_dq_dup_rate",
     "q_prep_budget",
     "q_e1_dedup_by",

@@ -1543,6 +1543,66 @@ class TestSemanticDecontaminate:
         )
         assert "Exchange" not in plan and "Join" not in plan
 
+    def test_arrow_twin_result_identical(self, spark):
+        # the Arrow/BLAS layer is the bench path; the expression twin is
+        # the oracled path — they must agree to the rounded contract
+        import random
+
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rng = random.Random(17)
+        dim = 16
+        bench = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(8)]
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(250)
+        ]
+        rows.append((900, [0.0] * dim))  # zero-norm corpus row
+        # a row nearly parallel to bench[0] so both sides of the
+        # threshold flag are exercised
+        rows.append((901, [x * 3.0 for x in bench[0]]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        native = {
+            r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+            for r in sim_ops.semantic_decontaminate(
+                df, bench, threshold=0.4
+            ).collect()
+        }
+        arrow = {
+            r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+            for r in sim_ops.semantic_decontaminate_arrow(
+                df, bench, threshold=0.4
+            ).collect()
+        }
+        assert native == arrow
+        assert native[900] == (None, False)
+        assert native[901][1] is True
+
+    def test_arrow_twin_null_vector_and_empty_bench(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+            for r in sim_ops.semantic_decontaminate_arrow(
+                df, [[2.0, 0.0]], threshold=0.9
+            ).collect()
+        }
+        assert out[1] == (1.0, True)
+        assert out[2] == (None, False)
+        # zero-direction benchmark set degrades like the expression twin
+        out2 = sim_ops.semantic_decontaminate_arrow(
+            df, [[0.0, 0.0]], threshold=0.9
+        ).collect()
+        assert all(
+            r["max_bench_sim"] is None and r["contaminated"] is False
+            for r in out2
+        )
+
 
 class TestIncrementalNeardup:
     def test_recrawl_dropped_fresh_kept(self, spark):

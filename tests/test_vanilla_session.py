@@ -73,6 +73,9 @@ REPRESENTATIVE = [
     "q_e1_dedup_by",
     "q_s10_corrupt_json",
     "q_e11_stream_neardup",
+    # round-6: the Arrow/BLAS decontamination bench path must run on the
+    # driver's conf-less session too (mapInPandas under default Arrow conf)
+    "q_prep_semantic_decontaminate_arrow",
 ]
 
 
