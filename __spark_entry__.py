@@ -96,6 +96,7 @@ EFFECTFUL_QUERIES = {
     "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
     "q_e11_stream_neardup",  # streaming run + lake writes
+    "q_e11_stream_neardup_arrow",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
 }
 
@@ -7193,6 +7194,34 @@ def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def q_e2_incremental_neardup_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rows-only: the stored-signature-index probe on the PRODUCTION
+    engine layer — vectorized Arrow/numpy signatures
+    (dedup.minhash_signatures_arrow: rolling-hash byte windows + one
+    broadcast affine min per doc) feeding the identical band-bucket
+    probe/anti-join plan that the oracled ``q_e2_incremental_neardup``
+    twin hash-verifies with the portable family.  ~29× the portable
+    family's wall at sf0.1 (38→1.3 s); this is the form that benches
+    and ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    seen_bands = dedup_ops.signature_table(
+        seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+        engine="arrow",
+    )
+    recrawl = docs.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    new = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
+    kept = dedup_ops.incremental_neardup(
+        new, seen_bands, "doc_id", "text", shingle_size=5, num_hashes=32,
+        bands=4, engine="arrow",
+    )
+    return kept.select("doc_id", "lang")
+
+
 def _index_probe_oracle(newb_sql: str) -> str:
     """Shared SQL builder for the stored-signature probe family
     (q_e2_incremental_neardup and its streaming twin): replays the
@@ -7296,6 +7325,36 @@ def q_e11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, idx, out_dir, shingle_size=5, num_hashes=32, bands=4,
         portable=True,
         checkpoint=tempfile.mkdtemp(prefix="spark_graft_snd_ck_"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "lang")
+
+
+def q_e11_stream_neardup_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rows-only: near-dup-filtered streaming ingest on the PRODUCTION
+    Arrow/numpy signature engine — identical foreachBatch
+    probe/lake-append pipeline to the oracled portable twin
+    ``q_e11_stream_neardup`` (which hash-verifies the plan); this is
+    the bench/deploy form."""
+    from dataengineer_spark.streaming import (
+        stream_documents,
+        stream_neardup_filter,
+    )
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    seen = docs_batch.where(F.col("doc_id") < 250)
+    idx = dedup_ops.signature_table(
+        seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+        engine="arrow",
+    ).localCheckpoint()  # fixed for the run; sized for broadcast
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_sndh_") + "/kept"
+    s = stream_documents(spark, sf_dir + "/documents.parquet")
+    q = stream_neardup_filter(
+        s, idx, out_dir, shingle_size=5, num_hashes=32, bands=4,
+        engine="arrow",
+        checkpoint=tempfile.mkdtemp(prefix="spark_graft_sndh_ck_"),
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id", "lang")
@@ -7595,8 +7654,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s9_schema_evolution": q_s9_schema_evolution,
         "q_prep_budget": q_prep_budget,
         "q_e2_incremental_neardup": q_e2_incremental_neardup,
+        "q_e2_incremental_neardup_arrow": q_e2_incremental_neardup_arrow,
         "q_k10_cdc_apply": q_k10_cdc_apply,
         "q_e11_stream_neardup": q_e11_stream_neardup,
+        "q_e11_stream_neardup_arrow": q_e11_stream_neardup_arrow,
         "q_e1_dedup_by": q_e1_dedup_by,
         "q_s10_corrupt_json": q_s10_corrupt_json,
         "q_a6_abtest": q_a6_abtest,

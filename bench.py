@@ -119,6 +119,17 @@ HEADLINE = [
     "q_prep_budget",
     "q_e1_dedup_by",
     "q_a6_abtest",
+    # round-6 additions: the lake-maintenance story — these are
+    # write-dominated (fresh temp-dir lake per invocation), tracked
+    # round-over-round because at deployment their cost IS the pipeline
+    # (ingest probes, CDC merge, dead-letter routing, schema evolution)
+    # Arrow-engine scale forms bench (the portable-hash twins are the
+    # oracled verification baselines, ~29x slower on the per-char fold)
+    "q_e2_incremental_neardup_arrow",
+    "q_k10_cdc_apply",
+    "q_k9_quarantine",
+    "q_s9_schema_evolution",
+    "q_e11_stream_neardup_arrow",
 ]
 
 

@@ -78,7 +78,19 @@ class Catalog:
     """
 
     #: tables that carry batch lineage and get hive-style batch_id partitions
-    BATCH_PARTITIONED = {"cleaned_data", "preped_data", "prediction_table"}
+    #: tables written one ingest batch at a time; ``write`` partitions them
+    #: by batch_id so per-batch overwrite/compaction prune to one directory.
+    #: ``neardup_signatures`` is the stored MinHash-LSH index
+    #: (dedup.signature_table rows + batch_id): every ingested batch
+    #: appends its band rows, every later batch probes the whole table,
+    #: and compact_batch periodically collapses the per-epoch small files
+    #: so probe-scan task counts track index SIZE, not append history.
+    BATCH_PARTITIONED = {
+        "cleaned_data",
+        "preped_data",
+        "prediction_table",
+        "neardup_signatures",
+    }
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark

@@ -754,6 +754,7 @@ def signature_table(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    engine: str = "expr",
 ) -> DataFrame:
     """(id, band, bucket) MinHash-LSH index rows — the REUSABLE near-dup
 
@@ -763,14 +764,25 @@ def signature_table(
     bands per doc; re-hashing the raw corpus per batch is the thing
     that doesn't scale).  Exactly the band exchange ``minhash_lsh_pairs``
     builds internally, exposed as a persistable table.
+
+    ``engine="arrow"`` computes signatures on the vectorized
+    Arrow/numpy path (``minhash_signatures_arrow`` — a byte-level hash
+    family, so an index is only probe-compatible with signatures from
+    the SAME engine; pick one per lake index and stick with it).
     """
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(
-            char_shingles(F.col(text_col), shingle_size), num_hashes,
-            portable=portable,
-        ).alias("_sig"),
-    )
+    if engine == "arrow":
+        sig = minhash_signatures_arrow(
+            df.select(id_col, text_col), id_col, text_col, shingle_size,
+            num_hashes,
+        )
+    else:
+        sig = df.select(
+            F.col(id_col),
+            minhash_signature(
+                char_shingles(F.col(text_col), shingle_size), num_hashes,
+                portable=portable,
+            ).alias("_sig"),
+        )
     return _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
 
 
@@ -784,6 +796,7 @@ def incremental_neardup(
     bands: int = 8,
     min_bands: int = 1,
     portable: bool = False,
+    engine: str = "expr",
 ) -> DataFrame:
     """E2+O6 — near-dup dedup of an incoming batch against ALL previously
 
@@ -802,7 +815,7 @@ def incremental_neardup(
     """
     new_bands = signature_table(
         new_batch, id_col, text_col, shingle_size, num_hashes, bands,
-        portable=portable,
+        portable=portable, engine=engine,
     )
     if min_bands <= 1:
         seen = seen_bands.select("band", "bucket").dropDuplicates()

@@ -443,6 +443,7 @@ def stream_neardup_filter(
     bands: int = 8,
     portable: bool = False,
     checkpoint: str | None = None,
+    engine: str = "expr",
 ):
     """Near-dup-filtered ingest — the streaming twin of
 
@@ -479,7 +480,7 @@ def stream_neardup_filter(
     def sink(df: DataFrame, epoch_id: int) -> None:
         kept = incremental_neardup(
             df, seen_bands, id_col, text_col, shingle_size, num_hashes,
-            bands, portable=portable,
+            bands, portable=portable, engine=engine,
         )
         kept.write.mode("append").parquet(out_path)
 

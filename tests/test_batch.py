@@ -131,6 +131,73 @@ class TestCompaction:
         assert catalog.read_batch("cleaned_data", 1).count() == n_rows
         assert catalog.read_batch("cleaned_data", 2).count() == docs.count()
 
+    def test_signature_index_probe_invariant_under_compaction(
+        self, spark, tmp_path
+    ):
+        # the documented signature-index maintenance story (SCALE.md):
+        # per-batch appends accumulate small files; compact_batch must be
+        # invisible to the near-dup probe — kept-set identical over the
+        # compacted index vs the raw appends
+        import glob
+
+        from dataengineer_spark.operators import dedup as dedup_ops
+        from dataengineer_spark.testdata import load_table
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        for b in (1, 2):
+            half = docs.where(F.col("doc_id") % 2 == b % 2)
+            idx = dedup_ops.signature_table(
+                half, "doc_id", "text", bands=4
+            ).withColumn("batch_id", F.lit(b))
+            # streaming-style accumulation: several tiny appends per batch
+            for _ in range(3):
+                catalog.write(idx.repartition(8), "neardup_signatures")
+        new = docs.limit(40).withColumn(
+            "doc_id", F.col("doc_id") + 900_000
+        )  # re-crawls of seen content under fresh ids
+
+        def kept_ids():
+            seen = catalog.read("neardup_signatures").select(
+                "doc_id", "band", "bucket"
+            ).dropDuplicates()
+            return {
+                r["doc_id"]
+                for r in dedup_ops.incremental_neardup(
+                    new, seen, bands=4
+                ).collect()
+            }
+
+        before_files = len(
+            glob.glob(
+                str(tmp_path / "lake" / "neardup_signatures" / "batch_id=1")
+                + "/*.parquet"
+            )
+        )
+        raw_kept = kept_ids()
+        assert raw_kept == set()  # every re-crawl collides with history
+        for b in (1, 2):
+            catalog.compact_batch("neardup_signatures", b)
+        after_files = len(
+            glob.glob(
+                str(tmp_path / "lake" / "neardup_signatures" / "batch_id=1")
+                + "/*.parquet"
+            )
+        )
+        assert after_files == 1 < before_files
+        assert kept_ids() == raw_kept
+        # a genuinely novel doc still survives the compacted index
+        novel = spark.createDataFrame(
+            [(999_999, "zq xv jk wq pp totally novel glyph soup 42")],
+            "doc_id long, text string",
+        )
+        seen = catalog.read("neardup_signatures").select(
+            "doc_id", "band", "bucket"
+        )
+        assert (
+            dedup_ops.incremental_neardup(novel, seen, bands=4).count() == 1
+        )
+
 
 class TestMergeUpsert:
     def test_merge_semantics_and_partition_scope(self, spark, tmp_path):

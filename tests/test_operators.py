@@ -1634,6 +1634,32 @@ class TestIncrementalNeardup:
         assert set(idx.columns) == {"doc_id", "band", "bucket"}
         assert idx.count() == 2 * 4
 
+    def test_arrow_engine_recrawl_dropped_fresh_kept(self, spark):
+        # the bench/deploy engine: vectorized Arrow signatures feeding the
+        # same band probe — identical contract on the canonical scenario
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog again and again",
+            2: "completely different content about spark physical planning",
+        }
+        seen = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        idx = dedup_ops.signature_table(seen, bands=4, engine="arrow")
+        new = spark.createDataFrame(
+            [
+                (10, texts[1]),  # exact re-crawl: identical signature
+                (12, "entirely novel text that shares nothing at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedup_ops.incremental_neardup(
+                new, idx, bands=4, engine="arrow"
+            ).collect()
+        }
+        assert 10 not in kept and 12 in kept
+
     def test_min_bands_requires_same_seen_doc(self, spark):
         # two seen docs each colliding in ONE band with the new doc must
         # not satisfy min_bands=2 (agreement is per-pair)
