@@ -76,6 +76,7 @@ EFFECTFUL_QUERIES = {
     "q_k7_incremental_agg",  # staged aggregate-state writes + read-back
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
     "q_graph_pagerank",  # power-iteration loop under localCheckpoint at build
+    "q_graph_pagerank3",  # same loop, 3 iterations
     "q_e2_neardup_dedup_portable",  # same CC loop on portable pairs
     "q_e2_neardup_dedup",
     "q_o6_batch_lifecycle",
@@ -1142,8 +1143,32 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pagerank(edges, "src", "dst", damping=0.85, iterations=5)
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled 5-stage power iteration; every float step mirrors
+def q_graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration variant of ``q_graph_pagerank`` — benched alongside
+    the 5-iteration form to separate the loop's FIXED cost (edge build,
+    degree/node materialization) from the per-round cost: wall(5) −
+    wall(3) ≈ 2 × per-iteration, wall(3) − 3 × per-iteration ≈ setup.
+    Same bit-reproducible arithmetic; oracle is the 3-stage unroll."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return graph_ops.pagerank(edges, "src", "dst", damping=0.85, iterations=3)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled ``iters``-stage power iteration; every float step mirrors
     operators/graph.py:pagerank (round/14 → decimal sum → ×0.85 +
     (1-0.85)/N → round/12)."""
     head = """
@@ -1159,7 +1184,7 @@ WITH e AS (
   SELECT src AS node, round(1.0 / nn.n, 12) AS rank FROM deg CROSS JOIN nn
 )"""
     steps = []
-    for i in range(1, 6):
+    for i in range(1, iters + 1):
         steps.append(f""", r{i} AS (
   SELECT e.dst AS node,
          round((1.0 - 0.85) / nn.n
@@ -1171,7 +1196,11 @@ WITH e AS (
   CROSS JOIN nn
   GROUP BY e.dst, nn.n
 )""")
-    return head + "".join(steps) + "\nSELECT node, round(rank, 8) AS rank FROM r5"
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 8) AS rank FROM r{iters}"
+    )
 
 
 def q_e9_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7641,6 +7670,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_attribution": q_e10_attribution,
         "q_a2_auc": q_a2_auc,
         "q_graph_pagerank": q_graph_pagerank,
+        "q_graph_pagerank3": q_graph_pagerank3,
         "q_e9_fuzzy_join": q_e9_fuzzy_join,
         "q_f10_pmi": q_f10_pmi,
         "q_f9_bpe_train": q_f9_bpe_train,
@@ -7965,6 +7995,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_attribution": _E10_ATTRIBUTION_ORACLE,
         "q_a2_auc": _A2_AUC_ORACLE,
         "q_graph_pagerank": _pagerank_oracle(),
+        "q_graph_pagerank3": _pagerank_oracle(3),
         "q_e9_fuzzy_join": _E9_FUZZY_ORACLE,
         "q_f10_pmi": _F10_PMI_ORACLE,
         "q_f9_bpe_train": _bpe_oracle(),

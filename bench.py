@@ -91,6 +91,9 @@ HEADLINE = [
     # round-4c additions: graph power iteration, collocation mining,
     # cohort/funnel analytics, blocked ER join
     "q_graph_pagerank",
+    # 3-iteration twin isolates fixed setup (edge build/degree/nodes)
+    # from per-round cost: wall(5)-wall(3) = 2 iterations
+    "q_graph_pagerank3",
     "q_f10_pmi",
     "q_e10_retention",
     "q_e10_attribution",
