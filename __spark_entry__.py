@@ -94,6 +94,7 @@ EFFECTFUL_QUERIES = {
     "q_k9_quarantine",  # dual lake write + audit read-back
     "q_s9_schema_evolution",  # temp-dir two-batch write
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
+    "q_e3_ivfpq_trained",  # five k-means fits collect centroid means at build
     "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
     "q_e11_stream_neardup",  # streaming run + lake writes
@@ -2846,6 +2847,162 @@ WITH e AS (
 SELECT vec_id, round(ad, 6) AS approx_dist
 FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10
 """
+
+
+def q_e3_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 ANN, IVF-PQ trained END TO END — the production path with NO
+    literal codebooks: the coarse inverted file is Lloyd's k-means over
+    the raw vectors (sim_ops.kmeans_codebook, 1 iteration, 8 cells) and
+    each of the m=4 PQ sub-codebooks is k-means over its 16-dim
+    subvector slice; the trained centroids then drive the ordinary
+    ivf_pq_top_k cell-prune + ADC scan.  Training collects only
+    control-plane rows (k × dim means per fit — the documented
+    kmeans_codebook contract), and the bit-reproducible decimal means
+    let DuckDB replay the WHOLE chain relationally: five k-means fits,
+    the re-indexed trained codebooks, cell assignment, the probe list,
+    encode argmax, and the LUT distances all hash-match."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    coarse = [
+        c
+        for _, c in sim_ops.kmeans_codebook(
+            emb, dim=64, n_centroids=8, iters=1, seed=7
+        )
+    ]
+    v = F.col("embedding").cast("array<double>")
+    cb = []
+    for j in range(4):
+        sub = emb.select(F.slice(v, j * 16 + 1, 16).alias("embedding"))
+        cb.append(
+            [
+                c
+                for _, c in sim_ops.kmeans_codebook(
+                    sub, dim=16, n_centroids=8, iters=1, seed=11 + j
+                )
+            ]
+        )
+    top = sim_ops.ivf_pq_top_k(
+        emb, _pq_query_vec(), coarse, cb, k=10, n_probe=2
+    )
+    return top.select(
+        "vec_id", F.round("approx_dist", 6).alias("approx_dist")
+    )
+
+
+def _ivfpq_trained_oracle() -> str:
+    """Relational replay of the trained IVF-PQ chain: each k-means fit is
+    the _kmeans_oracle pattern (seeded-literal assignment → exact-decimal
+    rounded means), trained codebooks are re-indexed by sorted cell id
+    (row_number − 1, mirroring the position-indexed python lists), and
+    the encode/LUT stages are _pq_relational_ctes with the VALUES table
+    replaced by the trained-centroid CTE."""
+    from dataengineer_spark.operators.similarity import _centroids
+
+    qv = _pq_query_vec()
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    mean = (
+        "round(CAST(sum(CAST(round(x, 6) AS DECIMAL(19,6))) AS DOUBLE)"
+        " / count(*), 6)"
+    )
+
+    def lit(cents):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in c) + "]" for c in cents
+            )
+            + "]"
+        )
+
+    def fit(prefix, src, dim, k, cents_lit):
+        scores = (
+            f"list_transform(generate_series(0, {k - 1}), "
+            "i -> {'score': list_reduce(list_transform(generate_series(1, "
+            f"{dim}), j -> v[j] * ({prefix}_cm)[i + 1][j]), (a, b) -> a + b), "
+            "'cell': i})"
+        )
+        return f""", {prefix}_lits AS (
+  SELECT CAST({cents_lit} AS DOUBLE[][]) AS {prefix}_cm
+), {prefix}_a AS (
+  SELECT vec_id, v, (list_max({scores})).cell AS cell
+  FROM {src} CROSS JOIN {prefix}_lits
+), {prefix}_x AS (
+  SELECT cell, unnest(generate_series(1, {dim})) - 1 AS pos, unnest(v) AS x
+  FROM {prefix}_a
+), {prefix}_m AS (
+  SELECT cell, pos, {mean} AS c FROM {prefix}_x GROUP BY cell, pos
+), {prefix}_cb AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS i, cvec FROM (
+    SELECT cell, list(c ORDER BY pos) AS cvec
+    FROM {prefix}_m GROUP BY cell
+  )
+)"""
+
+    parts = ["""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qlits AS (
+  SELECT CAST(""" + qlit + """ AS DOUBLE[]) AS qv
+)"""]
+    parts.append(fit("co", "e", 64, 8, lit(_centroids(64, 8, seed=7))))
+    for j in range(4):
+        parts.append(f""", sp{j} AS (
+  SELECT vec_id, list_slice(v, {j * 16 + 1}, {(j + 1) * 16}) AS v FROM e
+)""")
+        parts.append(
+            fit(f"p{j}", f"sp{j}", 16, 8, lit(_centroids(16, 8, seed=11 + j)))
+        )
+    sub_union = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, i, cvec FROM p{j}_cb" for j in range(4)
+    )
+    adist = " + ".join(
+        f"sum(CASE WHEN j = {j} THEN lut END)" for j in range(4)
+    )
+    parts.append(f""", cscore AS (
+  SELECT e.vec_id, c.i AS ci,
+    list_reduce(list_transform(generate_series(1, 64),
+      t -> e.v[t] * c.cvec[t]), (a, b) -> a + b) AS sc
+  FROM e CROSS JOIN co_cb c
+), cpick AS (
+  SELECT vec_id, ci FROM (
+    SELECT vec_id, ci,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, ci DESC) AS rn
+    FROM cscore) WHERE rn = 1
+), qscore AS (
+  SELECT c.i AS ci,
+    list_reduce(list_transform(generate_series(1, 64),
+      t -> qv[t] * c.cvec[t]), (a, b) -> a + b) AS sc
+  FROM co_cb c CROSS JOIN qlits
+), probe AS (
+  SELECT ci FROM qscore ORDER BY sc DESC, ci DESC LIMIT 2
+), cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN (SELECT vec_id FROM cpick WHERE ci IN (SELECT ci FROM probe))
+  USING (vec_id)
+), cbt AS (
+  SELECT u.j, u.i, u.cvec,
+    list_reduce(list_transform(generate_series(1, 16),
+      t -> u.cvec[t] * u.cvec[t]), (a, b) -> a + b) * 0.5 AS half,
+    list_reduce(list_transform(generate_series(1, 16),
+      t -> (qv[u.j * 16 + t] - u.cvec[t])
+           * (qv[u.j * 16 + t] - u.cvec[t])), (a, b) -> a + b) AS lut
+  FROM ({sub_union}) u CROSS JOIN qlits
+), encscore AS (
+  SELECT s.vec_id, cbt.j, cbt.i, cbt.lut,
+    list_reduce(list_transform(generate_series(1, 16),
+      t -> s.v[cbt.j * 16 + t] * cbt.cvec[t]), (a, b) -> a + b)
+      - cbt.half AS sc
+  FROM cand s CROSS JOIN cbt
+), enc AS (
+  SELECT vec_id, j, lut FROM (
+    SELECT vec_id, j, lut,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
+    FROM encscore) WHERE rn = 1
+), scored AS (
+  SELECT vec_id, {adist} AS ad FROM enc GROUP BY vec_id
+)
+SELECT vec_id, round(ad, 6) AS approx_dist
+FROM scored ORDER BY ad ASC, vec_id ASC LIMIT 10""")
+    return "".join(parts)
 
 
 def q_e3_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7648,6 +7805,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_anomaly": q_e10_anomaly,
         "q_graph_bfs": q_graph_bfs,
         "q_e3_ivfpq_topk": q_e3_ivfpq_topk,
+        "q_e3_ivfpq_trained": q_e3_ivfpq_trained,
         "q_k7_incremental_agg": q_k7_incremental_agg,
         "q_k8_shard_export": q_k8_shard_export,
         "q_f11_zipf": q_f11_zipf,
@@ -7973,6 +8131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_anomaly": _E10_ANOMALY_ORACLE,
         "q_graph_bfs": _bfs_oracle(),
         "q_e3_ivfpq_topk": _ivfpq_oracle(),
+        "q_e3_ivfpq_trained": _ivfpq_trained_oracle(),
         "q_k7_incremental_agg": _K7_INCRAGG_ORACLE,
         "q_k8_shard_export": _K8_SHARD_EXPORT_ORACLE,
         "q_f11_zipf": _zipf_oracle(),
