@@ -106,8 +106,11 @@ HEADLINE = [
     # FAISS-style composite index: coarse-cell pruning + ADC scan —
     # the ANN shape that actually ships at corpus scale
     "q_e3_ivfpq_topk",
-    # trained end-to-end composite: five k-means fits + cell-prune + ADC
+    # trained end-to-end composite: fused k-means fits + cell-prune + ADC
     "q_e3_ivfpq_trained",
+    # lake-resident index: cell-partitioned parquet, probe = partition
+    # pruning + LUT scan over codes only
+    "q_e3_ivfpq_stored",
     # pipeline-final sink: hash-sharded export + read-back manifest
     "q_k8_shard_export",
     # trained-BPE corpus tokenization (map-only expression chain)

@@ -504,6 +504,82 @@ def kmeans_codebook(
     return pairs
 
 
+def pq_codebooks_fit(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> list[list[list[float]]]:
+    """Train ALL ``m`` PQ sub-codebooks in ONE corpus pass per iteration.
+
+    Value-identical to ``m`` independent :func:`kmeans_codebook` fits over
+    the subvector slices with seeds ``seed + j`` (pinned in tests): the
+    per-``(j, cell, pos)`` exact-decimal means are independent across
+    subspaces, so fusing the scans changes the SCHEDULE, not the
+    arithmetic.  At corpus scale that is the difference between ``m``
+    full reads of the vector table per iteration and one — each row
+    explodes into its ``m`` (subspace, cell, subvector) rows map-side and
+    a single hash aggregate keyed ``(j, cell, pos)`` produces every
+    sub-codebook's component sums (``m × ksub × dsub`` rows on the
+    driver, control-plane-sized).
+
+    Returns the ``m`` trained sub-codebooks as centroid lists (re-indexed
+    by sorted surviving cell id — the position-indexed form
+    ``pq_encode``/``pq_top_k`` consume).
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m equal subvectors")
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    cbs = [
+        list(enumerate(_centroids(dsub, ksub, seed + j))) for j in range(m)
+    ]
+    for _ in range(iters):
+        per_sub = []
+        for j in range(m):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            per_sub.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    nearest_cell_of(sub, cbs[j]).alias("cell"),
+                    sub.alias("s"),
+                )
+            )
+        means = (
+            # generator-per-select (the kmeans_codebook ExtractGenerator
+            # rule): explode the subspace structs first, posexplode the
+            # subvector second
+            df.select(F.explode(F.array(*per_sub)).alias("r"))
+            .select("r.j", "r.cell", F.posexplode("r.s").alias("pos", "x"))
+            .groupBy("j", "cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("c")
+            )
+            .collect()  # m × ksub × dsub rows — control-plane-sized
+        )
+        acc: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            acc.setdefault(r["j"], {}).setdefault(r["cell"], {})[
+                r["pos"]
+            ] = r["c"]
+        cbs = [
+            [
+                (cid, [comp[p] for p in range(dsub)])
+                for cid, comp in sorted(acc.get(j, {}).items())
+            ]
+            for j in range(m)
+        ]
+    return [[cent for _, cent in pairs] for pairs in cbs]
+
+
 def kmeans_fit(
     df: DataFrame,
     dim: int,

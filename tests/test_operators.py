@@ -811,6 +811,92 @@ class TestArrowTopK:
         assert out[2]["cos_sim"] is None or math.isnan(out[2]["cos_sim"])
 
 
+class TestPqCodebooksFit:
+    def test_fused_fit_identical_to_per_subspace_fits(self, spark):
+        # the one-corpus-pass trainer must reproduce m independent sliced
+        # kmeans fits bit-for-bit (exact-decimal means are independent
+        # across subspaces — fusing changes the schedule, not the values)
+        import random
+
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rng = random.Random(5)
+        dim, m, dsub, ksub = 32, 4, 8, 4
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        fused = sim_ops.pq_codebooks_fit(
+            df, dim=dim, m=m, ksub=ksub, iters=2, seed=11
+        )
+        v = F.col("embedding").cast("array<double>")
+        for j in range(m):
+            sliced = df.select(
+                F.slice(v, j * dsub + 1, dsub).alias("embedding")
+            )
+            solo = [
+                c
+                for _, c in sim_ops.kmeans_codebook(
+                    sliced, dim=dsub, n_centroids=ksub, iters=2, seed=11 + j
+                )
+            ]
+            assert fused[j] == solo
+
+
+class TestStoredIvfPqIndex:
+    def test_probe_partition_prunes_and_matches_inline(self, spark, tmp_path):
+        # the lake-index contract: cell directories ARE the inverted
+        # file — a probe must read only its n_probe partitions, and the
+        # stored-code distances must equal the on-the-fly encode
+        import random
+
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rng = random.Random(9)
+        dim = 16
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        coarse = sim_ops._centroids(dim, 4, seed=7)
+        cb = sim_ops.pq_codebook(dim, m=4, ksub=4, seed=11)
+        enc = sim_ops.pq_encode(df, cb, out="pq_code")
+        idx = enc.select(
+            "vec_id",
+            sim_ops.nearest_cell(
+                F.col("embedding").cast("array<double>"), coarse
+            ).alias("cell"),
+            "pq_code",
+        )
+        root = str(tmp_path / "index")
+        idx.write.partitionBy("cell").parquet(root)
+        qv = [rng.uniform(-1, 1) for _ in range(dim)]
+        probe = sim_ops.probe_cells_py(qv, coarse, 2)
+        cand = spark.read.parquet(root).where(F.col("cell").isin(probe))
+        plan = (
+            cand._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan and "cell" in plan
+        stored = [
+            (r["vec_id"], round(r["approx_dist"], 9))
+            for r in sim_ops.pq_top_k(
+                cand, qv, cb, k=5, code_col="pq_code"
+            ).collect()
+        ]
+        inline_cand = idx.where(F.col("cell").isin(probe))
+        inline = [
+            (r["vec_id"], round(r["approx_dist"], 9))
+            for r in sim_ops.pq_top_k(
+                inline_cand, qv, cb, k=5, code_col="pq_code"
+            ).collect()
+        ]
+        assert stored == inline
+
+
 class TestAnnRecall:
     def test_lsh_and_ivf_recall_floor(self, spark):
         # quality harness: approximate paths must find most of the true

@@ -76,6 +76,10 @@ REPRESENTATIVE = [
     # round-6: the Arrow/BLAS decontamination bench path must run on the
     # driver's conf-less session too (mapInPandas under default Arrow conf)
     "q_prep_semantic_decontaminate_arrow",
+    # round-6: control-plane k-means collects + temp-dir partitioned
+    # index write are session-sensitive
+    "q_e3_ivfpq_trained",
+    "q_e3_ivfpq_stored",
 ]
 
 
