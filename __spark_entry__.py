@@ -1129,12 +1129,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, not the iteration, was 8.6 of the 11.8 s bench wall)."""
     from dataengineer_spark.operators import graph as graph_ops
 
+    return graph_ops.pagerank(
+        _supplier_edges(spark, sf_dir), "src", "dst", damping=0.85,
+        iterations=5,
+    )
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared edge list for the PageRank iteration-count twins — ONE
+    builder so the twins provably run the identical graph (the
+    oracle-sharing contract rests on identical inputs)."""
     li = fan_out(
         load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     )
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
         .select(
@@ -1142,7 +1152,6 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return graph_ops.pagerank(edges, "src", "dst", damping=0.85, iterations=5)
 
 
 def q_graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,20 +1162,10 @@ def q_graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same bit-reproducible arithmetic; oracle is the 3-stage unroll."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return graph_ops.pagerank(
+        _supplier_edges(spark, sf_dir), "src", "dst", damping=0.85,
+        iterations=3,
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .distinct()
-    )
-    return graph_ops.pagerank(edges, "src", "dst", damping=0.85, iterations=3)
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
@@ -7160,14 +7159,10 @@ FROM n WHERE n_rep >= 1
 """
 
 
-def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E18 semantic (embedding-space) benchmark decontamination
-    (similarity.semantic_decontaminate): benchmark = every 50th vector,
-    collected control-plane-side (eval suites are small by nature) and
-    inlined as a literal; the corpus is scanned ONCE, map-only — each
-    row folds a sequential-sum cosine over the literal benchmark list,
-    so DuckDB replays the exact float sequence.  The semantic complement
-    of the n-gram/Bloom decontaminators for paraphrased eval items."""
+def _semdecon_inputs(spark, sf_dir):
+    """Shared (corpus, bench) split for the semantic-decontamination
+    engine twins — ONE builder so the rows-only Arrow twin provably
+    scores the identical corpus/benchmark as its oracled sibling."""
     emb = load_table(spark, sf_dir, "embeddings")
     bench_rows = (
         emb.where(F.col("vec_id") % 50 == 0)
@@ -7176,7 +7171,18 @@ def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         .collect()
     )
     bench = [list(r["embedding"]) for r in bench_rows]
-    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return emb.where(F.col("vec_id") % 50 != 0), bench
+
+
+def q_prep_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 semantic (embedding-space) benchmark decontamination
+    (similarity.semantic_decontaminate): benchmark = every 50th vector,
+    collected control-plane-side (eval suites are small by nature) and
+    inlined as a literal; the corpus is scanned ONCE, map-only — each
+    row folds a sequential-sum cosine over the literal benchmark list,
+    so DuckDB replays the exact float sequence.  The semantic complement
+    of the n-gram/Bloom decontaminators for paraphrased eval items."""
+    corpus, bench = _semdecon_inputs(spark, sf_dir)
     return (
         sim_ops.semantic_decontaminate(corpus, bench, threshold=0.5)
         .select("vec_id", "max_bench_sim", "contaminated")
@@ -7226,15 +7232,7 @@ def q_prep_semantic_decontaminate_arrow(
     twin hash-verifies the identical benchmark set / threshold /
     arithmetic contract; tests pin the two engines result-identical
     (round-6) on this exact corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bench_rows = (
-        emb.where(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    bench = [list(r["embedding"]) for r in bench_rows]
-    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    corpus, bench = _semdecon_inputs(spark, sf_dir)
     return (
         sim_ops.semantic_decontaminate_arrow(corpus, bench, threshold=0.5)
         .select("vec_id", "max_bench_sim", "contaminated")
@@ -7396,11 +7394,22 @@ def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-shingled; the only shuffle ships 24-byte (band, bucket)
     rows.  Portable hash family → the oracle replays both sides'
     signatures, the band probe, and the anti join bit-for-bit."""
+    return _incneardup_probe(spark, sf_dir, portable=True)
+
+
+def _incneardup_probe(
+    spark: SparkSession, sf_dir: str, portable: bool = False,
+    engine: str = "expr",
+) -> DataFrame:
+    """Shared scenario for the stored-index probe engine twins (fresh
+    docs + 50 re-crawls vs the doc_id<250 history) — ONE builder so the
+    rows-only Arrow twin provably runs the identical split/index shape
+    as its oracled portable sibling."""
     docs = load_table(spark, sf_dir, "documents")
     seen = docs.where(F.col("doc_id") < 250)
     seen_bands = dedup_ops.signature_table(
         seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
-        portable=True,
+        portable=portable, engine=engine,
     )
     recrawl = docs.where(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 5000
@@ -7408,7 +7417,7 @@ def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
     kept = dedup_ops.incremental_neardup(
         new, seen_bands, "doc_id", "text", shingle_size=5, num_hashes=32,
-        bands=4, portable=True,
+        bands=4, portable=portable, engine=engine,
     )
     return kept.select("doc_id", "lang")
 
@@ -7424,21 +7433,7 @@ def q_e2_incremental_neardup_arrow(
     twin hash-verifies with the portable family.  ~29× the portable
     family's wall at sf0.1 (38→1.3 s); this is the form that benches
     and ships."""
-    docs = load_table(spark, sf_dir, "documents")
-    seen = docs.where(F.col("doc_id") < 250)
-    seen_bands = dedup_ops.signature_table(
-        seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
-        engine="arrow",
-    )
-    recrawl = docs.where(F.col("doc_id") < 50).withColumn(
-        "doc_id", F.col("doc_id") + 5000
-    )
-    new = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
-    kept = dedup_ops.incremental_neardup(
-        new, seen_bands, "doc_id", "text", shingle_size=5, num_hashes=32,
-        bands=4, engine="arrow",
-    )
-    return kept.select("doc_id", "lang")
+    return _incneardup_probe(spark, sf_dir, engine="arrow")
 
 
 def _index_probe_oracle(newb_sql: str) -> str:
@@ -7527,6 +7522,17 @@ def q_e11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch-split-invariant and the batch SQL oracle checks the
     streamed output row-for-row.  No state store: the index IS the
     state, in the lake where it belongs."""
+    return _stream_neardup_run(spark, sf_dir, portable=True)
+
+
+def _stream_neardup_run(
+    spark: SparkSession, sf_dir: str, portable: bool = False,
+    engine: str = "expr",
+) -> DataFrame:
+    """Shared runner for the streaming near-dup-ingest engine twins —
+    ONE builder (index split, checkpointed availableNow run, lake
+    read-back) so the rows-only Arrow twin provably streams the
+    identical pipeline as its oracled portable sibling."""
     from dataengineer_spark.streaming import (
         stream_documents,
         stream_neardup_filter,
@@ -7536,13 +7542,13 @@ def q_e11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs_batch.where(F.col("doc_id") < 250)
     idx = dedup_ops.signature_table(
         seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
-        portable=True,
+        portable=portable, engine=engine,
     ).localCheckpoint()  # fixed for the run; sized for broadcast
     out_dir = tempfile.mkdtemp(prefix="spark_graft_snd_") + "/kept"
     s = stream_documents(spark, sf_dir + "/documents.parquet")
     q = stream_neardup_filter(
         s, idx, out_dir, shingle_size=5, num_hashes=32, bands=4,
-        portable=True,
+        portable=portable, engine=engine,
         checkpoint=tempfile.mkdtemp(prefix="spark_graft_snd_ck_"),
     )
     q.awaitTermination()
@@ -7557,26 +7563,7 @@ def q_e11_stream_neardup_arrow(
     probe/lake-append pipeline to the oracled portable twin
     ``q_e11_stream_neardup`` (which hash-verifies the plan); this is
     the bench/deploy form."""
-    from dataengineer_spark.streaming import (
-        stream_documents,
-        stream_neardup_filter,
-    )
-
-    docs_batch = load_table(spark, sf_dir, "documents")
-    seen = docs_batch.where(F.col("doc_id") < 250)
-    idx = dedup_ops.signature_table(
-        seen, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
-        engine="arrow",
-    ).localCheckpoint()  # fixed for the run; sized for broadcast
-    out_dir = tempfile.mkdtemp(prefix="spark_graft_sndh_") + "/kept"
-    s = stream_documents(spark, sf_dir + "/documents.parquet")
-    q = stream_neardup_filter(
-        s, idx, out_dir, shingle_size=5, num_hashes=32, bands=4,
-        engine="arrow",
-        checkpoint=tempfile.mkdtemp(prefix="spark_graft_sndh_ck_"),
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).select("doc_id", "lang")
+    return _stream_neardup_run(spark, sf_dir, engine="arrow")
 
 
 def _stream_neardup_oracle() -> str:

@@ -783,7 +783,26 @@ def signature_table(
                 portable=portable,
             ).alias("_sig"),
         )
-    return _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
+    banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
+    # stamp the hash family into the bucket column's metadata (survives
+    # the parquet round trip via Spark's schema footer) so a probe with
+    # the WRONG family fails loudly instead of silently matching nothing
+    return banded.select(
+        id_col,
+        "band",
+        F.col("bucket").alias(
+            "bucket", metadata={"neardup_family": _sig_family(portable, engine)}
+        ),
+    )
+
+
+def _sig_family(portable: bool, engine: str) -> str:
+    """Canonical name of a signature/bucket hash family.  Buckets from
+    different families NEVER match meaningfully, so an index is only
+    probe-compatible with the family that built it."""
+    return "arrow" if engine == "arrow" else (
+        "portable" if portable else "xxhash64"
+    )
 
 
 def incremental_neardup(
@@ -813,6 +832,20 @@ def incremental_neardup(
     collision-rate-sized).  Returns surviving ``new_batch`` rows; append
     their ``signature_table`` rows to the index afterwards.
     """
+    fam = _sig_family(portable, engine)
+    stamped = (
+        seen_bands.schema["bucket"].metadata.get("neardup_family")
+        if "bucket" in seen_bands.columns
+        else None
+    )
+    if stamped is not None and stamped != fam:
+        raise ValueError(
+            "incremental_neardup: the stored index was built with the "
+            f"'{stamped}' signature family but this probe would use "
+            f"'{fam}' — cross-family buckets never match, so every "
+            "duplicate would silently pass; probe with the family that "
+            "built the index"
+        )
     new_bands = signature_table(
         new_batch, id_col, text_col, shingle_size, num_hashes, bands,
         portable=portable, engine=engine,

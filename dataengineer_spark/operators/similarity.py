@@ -1036,6 +1036,19 @@ def semantic_decontaminate(
     )
 
 
+def _spark_round6(x: float) -> float:
+    """``F.round(col, 6)`` parity for doubles: Spark rounds the SHORTEST
+    decimal representation (BigDecimal.valueOf == Double.toString) with
+    HALF_UP; Python's repr is the same shortest-roundtrip string."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def semantic_decontaminate_arrow(
     corpus: DataFrame,
     bench_vectors: list[list[float]],
@@ -1100,16 +1113,19 @@ def semantic_decontaminate_arrow(
                         nrm > 0, best_dot / nrm, np.nan
                     )
             out = pdf.copy()
-            # Spark's round() is HALF_UP away from zero; np.round is
-            # half-even — replicate HALF_UP so the twins pin identical
-            with np.errstate(invalid="ignore"):
-                out["max_bench_sim"] = np.where(
-                    np.isnan(best),
-                    np.nan,
-                    np.copysign(
-                        np.floor(np.abs(best) * 1e6 + 0.5) / 1e6, best
-                    ),
-                )
+            # Spark's round() on a double is BigDecimal(Double.toString)
+            # + HALF_UP — i.e. HALF_UP on the SHORTEST decimal repr.
+            # Python's repr is the same shortest-roundtrip string, so
+            # Decimal(repr(x)).quantize(1e-6, HALF_UP) reproduces it
+            # exactly, including values like 0.1234565 whose binary is
+            # below the half but whose repr IS the half (a *1e6+0.5
+            # floor emulation gets those wrong).  Scalar decimal work on
+            # the batch's output column is µs/row — noise next to the
+            # matmul.
+            out["max_bench_sim"] = [
+                None if np.isnan(x) else _spark_round6(float(x))
+                for x in best
+            ]
             # NaN >= threshold is False in numpy — same zero-norm /
             # missing-vector semantics as the expression twin's coalesce
             with np.errstate(invalid="ignore"):

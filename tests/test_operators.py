@@ -1665,6 +1665,23 @@ class TestSemanticDecontaminate:
         assert native[900] == (None, False)
         assert native[901][1] is True
 
+    def test_spark_round6_parity_on_half_boundaries(self, spark):
+        # Spark rounds the shortest decimal repr HALF_UP; the emulation
+        # must agree on exact-half reprs whose binary sits below the half
+        # (0.1234565 ≈ 0.12345649999...) and on negatives
+        from dataengineer_spark.operators.similarity import _spark_round6
+
+        vals = [
+            0.1234565, -0.1234565, 0.9999995, 1.0000005, -0.0000005,
+            0.5, -0.72, 0.123456499999, 2.5e-7, 1e-7, 0.0,
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        expected = [
+            r["r"]
+            for r in df.select(F.round("x", 6).alias("r")).collect()
+        ]
+        assert [_spark_round6(v) for v in vals] == expected
+
     def test_arrow_twin_null_vector_and_empty_bench(self, spark):
         from dataengineer_spark.operators import similarity as sim_ops
 
@@ -1745,6 +1762,33 @@ class TestIncrementalNeardup:
             ).collect()
         }
         assert 10 not in kept and 12 in kept
+
+    def test_cross_family_probe_raises(self, spark, tmp_path):
+        # an index built with one signature family must refuse a probe
+        # from another (cross-family buckets never match → silent dup
+        # passthrough); the family stamp survives the parquet round trip
+        import pytest
+
+        seen = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        idx = dedup_ops.signature_table(seen, bands=4, engine="arrow")
+        path = str(tmp_path / "idx")
+        idx.write.parquet(path)
+        stored = spark.read.parquet(path)
+        new = spark.createDataFrame(
+            [(2, "some new text")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="signature family"):
+            dedup_ops.incremental_neardup(new, stored, bands=4)  # expr probe
+        # matching family probes fine through the same stored index
+        assert (
+            dedup_ops.incremental_neardup(
+                new, stored, bands=4, engine="arrow"
+            ).count()
+            == 1
+        )
 
     def test_min_bands_requires_same_seen_doc(self, spark):
         # two seen docs each colliding in ONE band with the new doc must
