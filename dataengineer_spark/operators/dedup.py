@@ -799,10 +799,13 @@ def signature_table(
 def _sig_family(portable: bool, engine: str) -> str:
     """Canonical name of a signature/bucket hash family.  Buckets from
     different families NEVER match meaningfully, so an index is only
-    probe-compatible with the family that built it."""
-    return "arrow" if engine == "arrow" else (
-        "portable" if portable else "xxhash64"
-    )
+    probe-compatible with the family that built it.  ``portable`` is part
+    of the family even under the arrow engine (it selects raw-string vs
+    xxhash64 bucket keys in ``_band_buckets``, which never compare
+    equal), so all four combinations are distinct stamps."""
+    if engine == "arrow":
+        return "arrow-portable" if portable else "arrow"
+    return "portable" if portable else "xxhash64"
 
 
 def incremental_neardup(

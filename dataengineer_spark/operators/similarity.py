@@ -442,6 +442,21 @@ def nearest_cell_of(vec: Column, pairs: list[tuple[int, list[float]]]) -> Column
     return F.array_max(scores).getField("cell")
 
 
+def _exact_mean_col() -> Column:
+    """The PARITY-CRITICAL k-means mean over an ``x`` component column:
+    inputs rounded to 6 decimals, summed in exact DECIMAL(18,6), divided
+    by count, re-rounded to 6 — bit-reproducible on any partitioning and
+    replayable in the unrolled-CTE SQL oracles.  Shared by
+    ``kmeans_codebook`` and ``pq_codebooks_fit`` BECAUSE the fused
+    trainer's value-identity contract (and the relational oracle replay)
+    requires the two expressions to stay byte-identical."""
+    return F.round(
+        F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+        / F.count("*"),
+        6,
+    )
+
+
 def kmeans_codebook(
     df: DataFrame,
     dim: int,
@@ -484,14 +499,7 @@ def kmeans_codebook(
             df.select(cell.alias("cell"), v.alias("_v"))
             .select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
-                    .cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("c")
-            )
+            .agg(_exact_mean_col().alias("c"))
             .collect()  # n_centroids × dim rows — control-plane-sized
         )
         acc: dict[int, dict[int, float]] = {}
@@ -555,14 +563,7 @@ def pq_codebooks_fit(
             df.select(F.explode(F.array(*per_sub)).alias("r"))
             .select("r.j", "r.cell", F.posexplode("r.s").alias("pos", "x"))
             .groupBy("j", "cell", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
-                    .cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("c")
-            )
+            .agg(_exact_mean_col().alias("c"))
             .collect()  # m × ksub × dsub rows — control-plane-sized
         )
         acc: dict[int, dict[int, dict[int, float]]] = {}
@@ -1036,19 +1037,6 @@ def semantic_decontaminate(
     )
 
 
-def _spark_round6(x: float) -> float:
-    """``F.round(col, 6)`` parity for doubles: Spark rounds the SHORTEST
-    decimal representation (BigDecimal.valueOf == Double.toString) with
-    HALF_UP; Python's repr is the same shortest-roundtrip string."""
-    import decimal
-
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
-
-
 def semantic_decontaminate_arrow(
     corpus: DataFrame,
     bench_vectors: list[list[float]],
@@ -1113,23 +1101,19 @@ def semantic_decontaminate_arrow(
                         nrm > 0, best_dot / nrm, np.nan
                     )
             out = pdf.copy()
-            # Spark's round() on a double is BigDecimal(Double.toString)
-            # + HALF_UP — i.e. HALF_UP on the SHORTEST decimal repr.
-            # Python's repr is the same shortest-roundtrip string, so
-            # Decimal(repr(x)).quantize(1e-6, HALF_UP) reproduces it
-            # exactly, including values like 0.1234565 whose binary is
-            # below the half but whose repr IS the half (a *1e6+0.5
-            # floor emulation gets those wrong).  Scalar decimal work on
-            # the batch's output column is µs/row — noise next to the
-            # matmul.
-            out["max_bench_sim"] = [
-                None if np.isnan(x) else _spark_round6(float(x))
-                for x in best
-            ]
+            # UNROUNDED here: the round-6 contract is applied JVM-side
+            # AFTER the UDF (F.round below), so both engine twins round
+            # through the one BigDecimal(Double.toString) code path — no
+            # Python emulation of Java's HALF_UP-on-string semantics to
+            # drift (JDK<19 Double.toString is not always the shortest
+            # repr, so a repr-based emulation can disagree at halves)
+            out["max_bench_sim"] = np.where(np.isnan(best), np.nan, best)
             # NaN >= threshold is False in numpy — same zero-norm /
             # missing-vector semantics as the expression twin's coalesce
             with np.errstate(invalid="ignore"):
                 out["contaminated"] = best >= threshold
             yield out
 
-    return corpus.mapInPandas(score, out_schema)
+    return corpus.mapInPandas(score, out_schema).withColumn(
+        "max_bench_sim", F.round("max_bench_sim", 6)
+    )

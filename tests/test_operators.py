@@ -1665,22 +1665,20 @@ class TestSemanticDecontaminate:
         assert native[900] == (None, False)
         assert native[901][1] is True
 
-    def test_spark_round6_parity_on_half_boundaries(self, spark):
-        # Spark rounds the shortest decimal repr HALF_UP; the emulation
-        # must agree on exact-half reprs whose binary sits below the half
-        # (0.1234565 ≈ 0.12345649999...) and on negatives
-        from dataengineer_spark.operators.similarity import _spark_round6
+    def test_arrow_twin_rounds_jvm_side(self, spark):
+        # the round-6 contract must run through Spark's own round (one
+        # BigDecimal code path for both twins), not a Python emulation —
+        # pin that the plan contains the JVM round on max_bench_sim
+        from dataengineer_spark.operators import similarity as sim_ops
 
-        vals = [
-            0.1234565, -0.1234565, 0.9999995, 1.0000005, -0.0000005,
-            0.5, -0.72, 0.123456499999, 2.5e-7, 1e-7, 0.0,
-        ]
-        df = spark.createDataFrame([(v,) for v in vals], "x double")
-        expected = [
-            r["r"]
-            for r in df.select(F.round("x", 6).alias("r")).collect()
-        ]
-        assert [_spark_round6(v) for v in vals] == expected
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = sim_ops.semantic_decontaminate_arrow(
+            df, [[0.5, 0.5]], threshold=0.9
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "round(max_bench_sim" in plan
 
     def test_arrow_twin_null_vector_and_empty_bench(self, spark):
         from dataengineer_spark.operators import similarity as sim_ops
