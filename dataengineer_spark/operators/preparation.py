@@ -551,54 +551,58 @@ def bloom_contamination(
     """:func:`ngram_overlap` with the benchmark side compressed to a Bloom
 
     bitset: a doc gram counts as a (maybe-)hit iff ALL ``k`` of its bit
-    positions are present.  The broadcast state is the bitset (≤ m rows of
-    one long) instead of the full gram strings — the shape that still
-    broadcasts when the benchmark suite is itself large.  One-sided error:
-    every truly-contaminated gram is flagged (no false negatives — the
-    guarantee the oracle asserts); false positives are bounded by the
+    positions are present.  The probe state is the bitset packed into
+    m/64 BIGINT words (32 KB at m=2^18) riding in the plan as one
+    literal — fixed-size however large the benchmark suite.  One-sided
+    error: every truly-contaminated gram is flagged (no false negatives —
+    the guarantee the oracle asserts); false positives are bounded by the
     classic (1-e^{-kn/m})^k.  Returns (id, n_grams, n_bloom_hits,
     maybe_contaminated).
     """
-    bits = bloom_bitset(
+    from dataengineer_spark.tuning import array_lit
+
+    # the bitset is built distributed (bloom_bitset — mergeable across
+    # benchmark shards) but PROBED as a plan literal: m bits pack into
+    # m/64 longs (32 KB at m=2^18), so the corpus side is ONE map-only
+    # pass — per doc, an in-row filter over its distinct grams testing
+    # all k bit positions against the mask.  The previous shape exploded
+    # (id, gram) rows, shuffled them for a distinct, exploded k probe
+    # rows each, and re-aggregated twice; at 100 TB that shuffled the
+    # corpus's full gram text.  Nothing exchanges now.
+    bench_pos = bloom_bitset(
         benchmark.select(
             F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
         ).dropDuplicates(),
         "_g", k, m,
+    ).collect()  # ≤ m rows of one int — control-plane-sized by design
+    words = [0] * max(1, (m + 63) >> 6)  # ceil(m/64); tiny test bitsets
+    for r in bench_pos:
+        pos = r["pos"]
+        words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement into signed int64 for the BIGINT array literal
+    mask = array_lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
-    # one distinct on (id, gram); positions dedupe IN-ROW (array_distinct)
-    # so the only exchanges after it are the (id, gram) re-group — which
-    # AQE elides, same keys — and the final per-doc rollup
-    doc_grams = (
-        df.select(
-            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+
+    def gram_hits_all_bits(g: Column) -> Column:
+        return F.forall(
+            F.array_distinct(_bloom_positions(g, k, m)),
+            lambda p: F.getbit(
+                F.element_at(mask, F.shiftright(p, 6).cast("int") + 1),
+                p.bitwiseAND(F.lit(63)),
+            )
+            == 1,
         )
-        .dropDuplicates()
-        .select(
-            id_col,
-            "_g",
-            F.array_distinct(_bloom_positions(F.col("_g"), k, m)).alias("_ps"),
-        )
-        .select(id_col, "_g", F.size("_ps").alias("_need"), "_ps")
+
+    all_grams = word_ngrams(F.col(text_col), n)
+    hits = F.size(
+        F.filter(F.array_distinct(all_grams), gram_hits_all_bits)
     )
-    probes = doc_grams.select(
-        id_col, "_g", "_need", F.explode("_ps").alias("pos")
-    )
-    gram_hits = (
-        probes.join(F.broadcast(bits), "pos")
-        .groupBy(id_col, "_g")
-        .agg(F.count("*").alias("_have"), F.first("_need").alias("_need"))
-        .where(F.col("_have") == F.col("_need"))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_bloom_hits"))
-    )
-    totals = df.select(
-        F.col(id_col), F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
-    )
-    return totals.join(gram_hits, id_col, "left_outer").select(
-        id_col,
-        "n_grams",
-        F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("maybe_contaminated"),
+    return df.select(
+        F.col(id_col),
+        F.size(all_grams).alias("n_grams"),
+        F.coalesce(hits, F.lit(0)).alias("n_bloom_hits"),
+        (F.coalesce(hits, F.lit(0)) > 0).alias("maybe_contaminated"),
     )
 
 
