@@ -95,6 +95,7 @@ EFFECTFUL_QUERIES = {
     "q_s9_schema_evolution",  # temp-dir two-batch write
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
     "q_e3_ivfpq_trained",  # two k-means fit jobs collect centroid means at build
+    "q_prep_temperature_mixture",  # domain stats + total collected at build
     "q_e3_ivfpq_stored",  # temp-dir cell-partitioned index write at build
     "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
@@ -7387,6 +7388,75 @@ FROM t ORDER BY n_tokens DESC, domain ASC
 """
 
 
+def q_prep_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 temperature-flattened mixture under a token budget
+    (preparation.temperature_budget_mixture): each domain gets
+    min(S_j, floor(T * sqrt(S_j) / sum(sqrt(S)))) tokens of budget
+    (alpha=0.5 — sqrt is correctly rounded under IEEE 754, so DuckDB
+    derives the identical budgets), filled greedily in portable-hash
+    pseudorandom document order.  T = floor(0.3 * corpus tokens),
+    collected control-plane-side.  The alpha<1 up-weighting of tail
+    domains is the standard multilingual data-balancing sampler."""
+    from dataengineer_spark.operators.preparation import (
+        temperature_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    total_all = docs.where(F.col("source").isNotNull()).agg(
+        F.sum(toks).alias("t")
+    ).collect()[0]["t"]
+    budget = int(0.3 * int(total_all))
+    return temperature_budget_mixture(
+        docs, "source", budget, alpha=0.5, portable=True
+    ).orderBy("doc_id")
+
+
+_PREP_TEMPMIX_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source AS domain,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+              '\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tok
+  FROM documents WHERE source IS NOT NULL
+), s AS (
+  SELECT domain, CAST(sum(n_tok) AS BIGINT) AS S FROM d GROUP BY domain
+), tot AS (
+  SELECT CAST(floor(0.3 * sum(S)) AS BIGINT) AS T FROM s
+), wsum AS (
+  -- left fold from 0.0 in domain-asc order: the engine's driver-side
+  -- accumulation sequence, replayed exactly
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(sqrt(CAST(S AS DOUBLE)) ORDER BY domain ASC)),
+           (a, b) -> a + b) AS W
+  FROM s
+), b AS (
+  SELECT domain,
+         least(S, CAST(floor(T * sqrt(CAST(S AS DOUBLE)) / W) AS BIGINT))
+           AS n_j
+  FROM s CROSS JOIN tot CROSS JOIN wsum
+), h AS (
+  SELECT doc_id, domain, n_tok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''),
+        x -> x <> ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000003) AS hh
+  FROM d
+), r AS (
+  SELECT doc_id, domain, n_tok,
+    sum(n_tok) OVER (PARTITION BY domain ORDER BY hh ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM h
+)
+SELECT r.doc_id, r.domain, r.n_tok
+FROM r JOIN b USING (domain) WHERE r.run <= b.n_j ORDER BY r.doc_id
+"""
+
+
 def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2+O6 incremental NEAR-dup (dedup.incremental_neardup): the new
     batch (fresh docs + 50 re-crawls with new ids) probes the STORED
@@ -7752,6 +7822,7 @@ FROM per a JOIN per b ON a.variant < b.variant
 _ROUND6_FIRST = [
     # --- new in round 6 (first driver contact) ---
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
+    "q_prep_temperature_mixture",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -7848,6 +7919,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k9_quarantine": q_k9_quarantine,
         "q_s9_schema_evolution": q_s9_schema_evolution,
         "q_prep_budget": q_prep_budget,
+        "q_prep_temperature_mixture": q_prep_temperature_mixture,
         "q_e2_incremental_neardup": q_e2_incremental_neardup,
         "q_e2_incremental_neardup_arrow": q_e2_incremental_neardup_arrow,
         "q_k10_cdc_apply": q_k10_cdc_apply,
@@ -8174,6 +8246,7 @@ def oracle_sql() -> dict[str, str]:
         "q_k9_quarantine": _K9_QUARANTINE_ORACLE,
         "q_s9_schema_evolution": _S9_SCHEMA_EVOLUTION_ORACLE,
         "q_prep_budget": _PREP_BUDGET_ORACLE,
+        "q_prep_temperature_mixture": _PREP_TEMPMIX_ORACLE,
         "q_e2_incremental_neardup": _incremental_neardup_oracle(),
         "q_k10_cdc_apply": _K10_CDC_ORACLE,
         "q_e11_stream_neardup": _stream_neardup_oracle(),

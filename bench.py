@@ -125,6 +125,7 @@ HEADLINE = [
     "q_prep_semantic_decontaminate_arrow",
     "q_dq_dup_rate",
     "q_prep_budget",
+    "q_prep_temperature_mixture",
     "q_e1_dedup_by",
     "q_a6_abtest",
     # round-6 additions: the lake-maintenance story — these are

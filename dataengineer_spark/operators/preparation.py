@@ -343,6 +343,103 @@ def ngram_overlap(
     )
 
 
+def temperature_budget_mixture(
+    df: DataFrame,
+    domain_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature-flattened domain mixture under a global token budget —
+
+    the multilingual/domain-balancing sampler (public method: sampling
+    probabilities ∝ share^α, α<1 up-weights tail domains): each domain j
+    with S_j available tokens gets budget
+    ``n_j = min(S_j, floor(total_tokens · S_j^α / Σ S^α))``, then the
+    budget fills GREEDILY in deterministic pseudorandom document order
+    (hash of the id, ties by id) with whole documents while the running
+    token sum stays within n_j.
+
+    Engine-portability: domain stats are a control-plane collect (one
+    hash aggregate, domain-cardinality rows); α=0.5 uses ``sqrt`` —
+    correctly rounded under IEEE 754, so any engine derives the IDENTICAL
+    budgets (Σ S^α is a left fold over domains in ascending domain
+    order); the selection order uses ``portable_word_hash`` of the id's
+    decimal string under ``portable=True`` (oracle-replayable) or
+    ``xxhash64`` otherwise; running sums are exact integers.  NULL
+    domains receive no budget (dropped, like a zero-weight domain).
+
+    Scale shape: one aggregate shuffle for stats + one window shuffle on
+    the domain for selection.  A single giant domain serializes its own
+    window; at that point range-partition its prefix sum exactly as
+    ``pps_systematic_sample`` does — same contract, documented seam.
+
+    Output: selected rows as (id, domain, n_tok) — join back on the id
+    for full rows.
+    """
+    import math
+
+    from pyspark.sql import Window as W
+
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    stats = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.sum(toks).alias("_s"))
+        .collect()
+    )
+    pairs = sorted((r["_d"], int(r["_s"])) for r in stats)
+    if alpha == 0.5:
+        weights = [math.sqrt(s) for _, s in pairs]
+    else:
+        weights = [float(s) ** alpha for _, s in pairs]
+    wsum = 0.0
+    for x in weights:
+        wsum = wsum + x
+    budgets = {
+        d: min(s, int(total_tokens * w / wsum)) if wsum > 0 else 0
+        for (d, s), w in zip(pairs, weights)
+    }
+    if not budgets:
+        return df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            toks.alias("n_tok"),
+        ).where(F.lit(False))
+    budget_lit = F.create_map(
+        *[F.lit(x) for d, n in sorted(budgets.items()) for x in (d, n)]
+    )
+    h = (
+        portable_word_hash(F.col(id_col).cast("string"))
+        if portable
+        else F.xxhash64(F.col(id_col))
+    )
+    win = (
+        W.partitionBy("domain")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.where(F.col(domain_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            toks.alias("n_tok"),
+            h.alias("_h"),
+        )
+        .withColumn("_run", F.sum("n_tok").over(win))
+        .where(F.col("_run") <= F.element_at(budget_lit, F.col("domain")))
+        .select(id_col, "domain", "n_tok")
+    )
+
+
 # -- DSIR importance weighting ----------------------------------------------
 
 #: modulus for the portable polynomial char hash (shared with the oracle)

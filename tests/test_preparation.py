@@ -441,6 +441,64 @@ class TestCorpusBudgetReport:
         assert row["n_docs"] == 2 and row["n_tokens"] == 2
 
 
+class TestTemperatureBudgetMixture:
+    def _df(self, spark):
+        # head domain 'a' has 10x the tokens of tail 'b'
+        rows = [(i, "a", "w " * 10) for i in range(100)] + [
+            (1000 + i, "b", "w " * 10) for i in range(10)
+        ] + [(2000, None, "w w w")]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_budgets_respected_and_tail_upweighted(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            temperature_budget_mixture,
+        )
+
+        df = self._df(spark)
+        out = temperature_budget_mixture(
+            df, "source", total_tokens=400, alpha=0.5
+        ).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["domain"], 0)
+            by_dom[r["domain"]] += r["n_tok"]
+        # budgets: W = sqrt(1000)+sqrt(100); n_a = floor(400*sqrt(1000)/W)
+        # = 304, n_b = floor(400*sqrt(100)/W) = 96 -> whole docs of 10
+        assert by_dom["a"] == 300 and by_dom["b"] == 90
+        # temperature flattening: tail share rises from 1/11 to ~24%
+        assert by_dom["b"] / sum(by_dom.values()) > 0.15
+        # NULL domain never selected
+        assert all(r["domain"] is not None for r in out)
+
+    def test_budget_caps_at_available_and_determinism(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            temperature_budget_mixture,
+        )
+
+        df = self._df(spark)
+        # budget far above the corpus: every non-null-domain doc selected
+        out = temperature_budget_mixture(
+            df, "source", total_tokens=10_000_000, alpha=0.5
+        )
+        assert out.count() == 110
+        # deterministic: same selection twice (hash order, no randomness)
+        small1 = {
+            r["doc_id"]
+            for r in temperature_budget_mixture(
+                df, "source", 200, portable=True
+            ).collect()
+        }
+        small2 = {
+            r["doc_id"]
+            for r in temperature_budget_mixture(
+                df, "source", 200, portable=True
+            ).collect()
+        }
+        assert small1 == small2 and small1
+
+
 class TestHashBucketOverflow:
     def test_64bit_ids_survive_ansi_mode(self, spark):
         # ANSI mode makes key * SPLIT_MULT a hard ArithmeticException for

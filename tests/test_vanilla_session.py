@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     # index write are session-sensitive
     "q_e3_ivfpq_trained",
     "q_e3_ivfpq_stored",
+    "q_prep_temperature_mixture",
 ]
 
 
