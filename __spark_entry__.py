@@ -95,7 +95,8 @@ EFFECTFUL_QUERIES = {
     "q_s9_schema_evolution",  # temp-dir two-batch write
     "q_prep_semantic_decontaminate",  # control-plane benchmark collect at build
     "q_e3_ivfpq_trained",  # two k-means fit jobs collect centroid means at build
-    "q_prep_temperature_mixture",  # domain stats + total collected at build
+    "q_prep_temperature_mixture",  # domain stats collected at build
+    "q_prep_bloom_decontaminate",  # benchmark bitset collected at build
     "q_e3_ivfpq_stored",  # temp-dir cell-partitioned index write at build
     "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
@@ -7402,18 +7403,8 @@ def q_prep_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
-            lambda w: w != F.lit(""),
-        )
-    ).cast("long")
-    total_all = docs.where(F.col("source").isNotNull()).agg(
-        F.sum(toks).alias("t")
-    ).collect()[0]["t"]
-    budget = int(0.3 * int(total_all))
     return temperature_budget_mixture(
-        docs, "source", budget, alpha=0.5, portable=True
+        docs, "source", alpha=0.5, portable=True, budget_fraction=0.3
     ).orderBy("doc_id")
 
 

@@ -239,6 +239,18 @@ def mixture_upsample(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def _ws_token_count(text_col: str) -> Column:
+    """Whitespace token count of a text column — THE token definition the
+    budget/mixture oracles replay; every budgeting site must use this one
+    expression or engine and oracle silently disagree."""
+    return F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+
+
 def corpus_budget_report(
     df: DataFrame, domain_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -256,15 +268,10 @@ def corpus_budget_report(
     """
     from pyspark.sql import Window as W
 
-    toks = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda w: w != F.lit(""),
-        )
-    )
+    toks = _ws_token_count(text_col)
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").alias("n_docs"),
-        F.sum(toks.cast("long")).alias("n_tokens"),
+        F.sum(toks).alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").alias("_tot"))
     order = [F.col("n_tokens").desc(), F.col("domain").asc()]
@@ -346,11 +353,12 @@ def ngram_overlap(
 def temperature_budget_mixture(
     df: DataFrame,
     domain_col: str,
-    total_tokens: int,
+    total_tokens: int | None = None,
     alpha: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = False,
+    budget_fraction: float | None = None,
 ) -> DataFrame:
     """Temperature-flattened domain mixture under a global token budget —
 
@@ -383,12 +391,12 @@ def temperature_budget_mixture(
 
     from pyspark.sql import Window as W
 
-    toks = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda w: w != F.lit(""),
+    if (total_tokens is None) == (budget_fraction is None):
+        raise ValueError(
+            "temperature_budget_mixture: pass exactly one of total_tokens "
+            "or budget_fraction"
         )
-    ).cast("long")
+    toks = _ws_token_count(text_col)
     stats = (
         df.where(F.col(domain_col).isNotNull())
         .groupBy(F.col(domain_col).alias("_d"))
@@ -396,6 +404,10 @@ def temperature_budget_mixture(
         .collect()
     )
     pairs = sorted((r["_d"], int(r["_s"])) for r in stats)
+    if budget_fraction is not None:
+        # derive the target from the stats ALREADY collected — one corpus
+        # pass, not a separate total-scan job
+        total_tokens = int(budget_fraction * sum(s for _, s in pairs))
     if alpha == 0.5:
         weights = [math.sqrt(s) for _, s in pairs]
     else:
@@ -435,7 +447,12 @@ def temperature_budget_mixture(
             h.alias("_h"),
         )
         .withColumn("_run", F.sum("n_tok").over(win))
-        .where(F.col("_run") <= F.element_at(budget_lit, F.col("domain")))
+        # try_element_at: a domain first seen AFTER the stats collect (a
+        # live source gaining a domain mid-build) drops -- the documented
+        # no-budget behavior -- instead of an ANSI MAP_KEY_DOES_NOT_EXIST
+        .where(
+            F.col("_run") <= F.try_element_at(budget_lit, F.col("domain"))
+        )
         .select(id_col, "domain", "n_tok")
     )
 
@@ -677,9 +694,11 @@ def bloom_contamination(
         pos = r["pos"]
         words[pos >> 6] |= 1 << (pos & 63)
     # two's-complement into signed int64 for the BIGINT array literal
+    # explicit BIGINT: all-small words would otherwise type the literal
+    # array<int> and getbit would reject bit positions >= 32
     mask = array_lit(
         [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    )
+    ).cast("array<bigint>")
 
     def gram_hits_all_bits(g: Column) -> Column:
         return F.forall(

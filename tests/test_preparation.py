@@ -233,6 +233,24 @@ class TestChunking:
 
 
 class TestBloomContamination:
+    def test_empty_benchmark_no_hits_no_crash(self, spark):
+        # an all-zero mask types its literal small; the probe must still
+        # getbit positions >= 32 (explicit BIGINT cast) and return zeros
+        from dataengineer_spark.operators.preparation import (
+            bloom_contamination,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "too short")], "doc_id long, text string"
+        )  # no 8-grams -> empty bitset
+        row = bloom_contamination(
+            docs, bench, "text", "doc_id", n=8
+        ).first()
+        assert row["n_bloom_hits"] == 0 and not row["maybe_contaminated"]
+
     def test_no_false_negatives_and_fp_sanity(self, spark):
         from dataengineer_spark.operators.preparation import (
             bloom_contamination,
@@ -465,7 +483,7 @@ class TestTemperatureBudgetMixture:
             by_dom.setdefault(r["domain"], 0)
             by_dom[r["domain"]] += r["n_tok"]
         # budgets: W = sqrt(1000)+sqrt(100); n_a = floor(400*sqrt(1000)/W)
-        # = 304, n_b = floor(400*sqrt(100)/W) = 96 -> whole docs of 10
+        # = 303, n_b = floor(400*sqrt(100)/W) = 95 -> whole docs of 10
         assert by_dom["a"] == 300 and by_dom["b"] == 90
         # temperature flattening: tail share rises from 1/11 to ~24%
         assert by_dom["b"] / sum(by_dom.values()) > 0.15
