@@ -7448,6 +7448,70 @@ FROM r JOIN b USING (domain) WHERE r.run <= b.n_j ORDER BY r.doc_id
 """
 
 
+def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 corpus-frequency boilerplate removal
+    (scrubbing.remove_boilerplate_lines — the CCNet/RefinedWeb line-dedup
+    step): lines appearing in >= 20 distinct documents are template text
+    and are dropped from every document; rare lines survive in order.
+    Scenario: each document gains a per-source "cookie notice" line
+    (25 docs/source — boilerplate) and a global footer (all docs);
+    the document's own text line survives unless it is a natural
+    >=20-way duplicate.  One line-keyed count shuffle + one reassembly
+    shuffle; no per-doc rule could make this call."""
+    from dataengineer_spark.operators.scrubbing import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("cookie notice for "),
+                F.coalesce(F.col("source"), F.lit("?")),
+            ),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, min_docs=20).orderBy("doc_id")
+
+
+_SCRUB_BOILERPLATE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id,
+         'cookie notice for ' || coalesce(source, '?') || chr(10)
+         || coalesce(text, '') || chr(10) || 'all rights reserved' AS text
+  FROM documents
+), lx AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM corpus
+), l AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+         unnest(ls) AS line
+  FROM lx
+), freq AS (
+  SELECT line FROM (
+    SELECT line, count(*) AS nd
+    FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY line
+  ) WHERE nd >= 20
+), kept AS (
+  SELECT * FROM l WHERE line NOT IN (SELECT line FROM freq)
+), reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(reb.text_clean, '') AS text_clean,
+       CAST(len(list_filter(string_split(c.text, chr(10)), x -> x <> ''))
+            AS BIGINT) AS n_lines,
+       coalesce(reb.n_kept, 0) AS n_kept
+FROM corpus c LEFT JOIN reb USING (doc_id) ORDER BY c.doc_id
+"""
+
+
 def q_e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2+O6 incremental NEAR-dup (dedup.incremental_neardup): the new
     batch (fresh docs + 50 re-crawls with new ids) probes the STORED
@@ -7813,7 +7877,7 @@ FROM per a JOIN per b ON a.variant < b.variant
 _ROUND6_FIRST = [
     # --- new in round 6 (first driver contact) ---
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
-    "q_prep_temperature_mixture",
+    "q_prep_temperature_mixture", "q_scrub_boilerplate",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -7911,6 +7975,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s9_schema_evolution": q_s9_schema_evolution,
         "q_prep_budget": q_prep_budget,
         "q_prep_temperature_mixture": q_prep_temperature_mixture,
+        "q_scrub_boilerplate": q_scrub_boilerplate,
         "q_e2_incremental_neardup": q_e2_incremental_neardup,
         "q_e2_incremental_neardup_arrow": q_e2_incremental_neardup_arrow,
         "q_k10_cdc_apply": q_k10_cdc_apply,
@@ -8238,6 +8303,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s9_schema_evolution": _S9_SCHEMA_EVOLUTION_ORACLE,
         "q_prep_budget": _PREP_BUDGET_ORACLE,
         "q_prep_temperature_mixture": _PREP_TEMPMIX_ORACLE,
+        "q_scrub_boilerplate": _SCRUB_BOILERPLATE_ORACLE,
         "q_e2_incremental_neardup": _incremental_neardup_oracle(),
         "q_k10_cdc_apply": _K10_CDC_ORACLE,
         "q_e11_stream_neardup": _stream_neardup_oracle(),

@@ -162,3 +162,81 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
             "gopher_keep": ok_n_words & ok_word_len & ok_alpha & ok_stop,
         }
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency line deduplication — boilerplate removal (public
+    method: the CCNet/RefinedWeb line-dedup step): a line that appears in
+    at least ``min_docs`` DISTINCT documents is boilerplate (navigation,
+    footers, cookie banners, templating) and is dropped from EVERY
+    document; document-rare lines survive in their original order.  The
+    per-document complement is :func:`c4_line_filter` (local rules); this
+    operator needs the corpus — no per-doc rule can know a line is
+    corpus-wide template text.
+
+    Blank lines are normalized away up front (a corpus-frequency rule on
+    the empty string would delete every doc's blank separators or none,
+    adding nothing but threshold noise).
+
+    Scale shape: one posexplode (map-only), ONE shuffle keyed on the line
+    text for the distinct-doc count (at 100 TB swap the key for
+    ``xxhash64(line)`` — same plan, 8-byte keys; the string key is kept
+    here so the SQL oracle replays verbatim), a left-anti join of the
+    line rows against the boilerplate set (frequency-thresholded —
+    template lines are few, so the build side broadcasts), and one
+    shuffle on the id to reassemble.  Documents whose every line was
+    boilerplate come back with an empty string, not a dropped row —
+    silent row loss is how boilerplate removal corrupts joins downstream.
+
+    Output: ``(id, text_clean, n_lines, n_kept)``; ``n_lines`` counts the
+    non-blank lines in.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "line"),
+    )
+    boiler = (
+        lines.select(id_col, "line")
+        .dropDuplicates()
+        .groupBy("line")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("bigint").alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left_outer").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -248,3 +248,57 @@ def test_minhash_lsh_join_finds_benchmark_leak(spark):
     assert (3, 100) not in out  # unrelated doc not matched
     # near-copy should band-collide and verify above threshold
     assert out.get((2, 100), 0.0) > 0.5
+
+
+class TestRemoveBoilerplateLines:
+    def test_frequent_lines_drop_rare_survive_in_order(self, spark):
+        from dataengineer_spark.operators.scrubbing import (
+            remove_boilerplate_lines,
+        )
+
+        docs = [
+            (i, "COOKIE BANNER\nunique line %d\nfooter" % i) for i in range(5)
+        ] + [(99, "COOKIE BANNER\nfirst\nsecond")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(df, min_docs=3).collect()
+        }
+        # banner appears in 6 docs, footer in 5 -> both boilerplate
+        assert out[0]["text_clean"] == "unique line 0"
+        assert out[99]["text_clean"] == "first\nsecond"  # order kept
+        assert out[99]["n_lines"] == 3 and out[99]["n_kept"] == 2
+
+    def test_all_boilerplate_doc_stays_as_empty_row(self, spark):
+        from dataengineer_spark.operators.scrubbing import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "same\n\nsame"), (2, "same"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(df, min_docs=2).collect()
+        }
+        # blank lines normalized away; 'same' in 2 docs -> boilerplate;
+        # no silent row loss for emptied or NULL-text docs
+        assert set(out) == {1, 2, 3}
+        assert out[1]["text_clean"] == "" and out[1]["n_kept"] == 0
+        assert out[3]["text_clean"] == "" and out[3]["n_lines"] == 0
+
+    def test_within_doc_repeats_count_once(self, spark):
+        from dataengineer_spark.operators.scrubbing import (
+            remove_boilerplate_lines,
+        )
+
+        # a line repeated inside ONE doc is not corpus boilerplate
+        df = spark.createDataFrame(
+            [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["text_clean"]
+            for r in remove_boilerplate_lines(df, min_docs=2).collect()
+        }
+        assert out[1] == "x\nx\nx" and out[2] == "y"

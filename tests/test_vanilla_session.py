@@ -81,6 +81,7 @@ REPRESENTATIVE = [
     "q_e3_ivfpq_trained",
     "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture",
+    "q_scrub_boilerplate",
 ]
 
 
