@@ -4412,6 +4412,13 @@ def q_k6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-side companion of the as-of join.  Reference capability: the
     label/model dimensions dx_group.py overwrote in place, here with full
     version history so past batches re-join AS OF their run date."""
+    return _scd2_history(spark, sf_dir)
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 customer history for the write-side merge query and
+    the read-side as-of lookup — ONE builder so the lookup provably
+    resolves against the exact history the merge query verifies."""
     from dataengineer_spark.operators.dimensions import scd2_apply
 
     cust = load_table(spark, sf_dir, "customer")
@@ -4472,6 +4479,40 @@ SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
        TIMESTAMP '1995-06-01' AS valid_from,
        TIMESTAMP '2200-01-01' AS valid_to, TRUE AS is_current
 FROM chg
+"""
+
+
+def q_k6_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 read side — point-in-time (as-of) dimension resolution
+    (dimensions.scd2_lookup): every order joins the customer-dimension
+    VERSION valid at its order date, so 1995-H1 orders see the original
+    balance and later orders see the +100 version for changed keys.
+    Broadcast hash join on the key with the validity interval as a
+    post-join filter; the fact table never shuffles.  The read-side
+    companion of q_k6_scd2 (same history via one shared builder)."""
+    from dataengineer_spark.operators.dimensions import scd2_lookup
+
+    hist = _scd2_history(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+    )
+    return scd2_lookup(
+        orders, hist, ["c_custkey"], "o_orderdate"
+    ).orderBy("o_orderkey")
+
+
+_K6_SCD2_LOOKUP_ORACLE = """
+WITH hist AS (
+""" + _K6_SCD2_ORACLE + """
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate,
+       h.c_acctbal, h.c_mktsegment
+FROM orders o LEFT JOIN hist h
+  ON h.c_custkey = o.o_custkey
+ AND o.o_orderdate >= h.valid_from AND o.o_orderdate < h.valid_to
+ORDER BY o.o_orderkey
 """
 
 
@@ -7878,6 +7919,7 @@ _ROUND6_FIRST = [
     # --- new in round 6 (first driver contact) ---
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture", "q_scrub_boilerplate",
+    "q_k6_scd2_lookup",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -8042,6 +8084,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_profile": q_dq_profile,
         "q_k5_merge_upsert": q_k5_merge_upsert,
         "q_k6_scd2": q_k6_scd2,
+        "q_k6_scd2_lookup": q_k6_scd2_lookup,
         "q_e3_topk_arrow": q_e3_topk_arrow,
         "q_e11_stream_dedup": q_e11_stream_dedup,
         "q_e11_stream_hll": q_e11_stream_hll,
@@ -8355,6 +8398,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_chunk": _PREP_CHUNK_ORACLE,
         "q_k5_merge_upsert": _K5_MERGE_ORACLE,
         "q_k6_scd2": _K6_SCD2_ORACLE,
+        "q_k6_scd2_lookup": _K6_SCD2_LOOKUP_ORACLE,
         "q_e11_stream_dedup": _E11_STREAM_DEDUP_ORACLE,
         "q_e11_stream_hll": _E11_STREAM_HLL_ORACLE,
         "q_e2_cluster_dedup": _E2_CLUSTER_ORACLE,

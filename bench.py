@@ -127,6 +127,7 @@ HEADLINE = [
     "q_prep_budget",
     "q_prep_temperature_mixture",
     "q_scrub_boilerplate",
+    "q_k6_scd2_lookup",
     "q_e1_dedup_by",
     "q_a6_abtest",
     # round-6 additions: the lake-maintenance story — these are

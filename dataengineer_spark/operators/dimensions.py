@@ -123,3 +123,53 @@ def scd2_apply(
     return hist.unionByName(kept).unionByName(closed).unionByName(
         new_versions
     ).unionByName(brand_new)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension resolution — the READ-side companion of
+
+    :func:`scd2_apply`: each fact row joins the dimension VERSION that was
+    valid at the fact's timestamp (``valid_from <= ts`` and ``valid_to``
+    NULL or ``ts < valid_to``), so historical facts re-join the attributes
+    they were processed under, not today's.  Exactly one version matches
+    per key in a well-formed history (half-open, non-overlapping
+    intervals — what ``scd2_apply`` produces); facts before their key's
+    first version (or with no dimension row at all) keep NULL attributes
+    via the left join rather than vanishing.
+
+    Scale shape: the dimension history is dimension-sized next to the
+    fact table, so it BROADCASTS; the equi keys make this a broadcast
+    HASH join with the interval predicate as a post-join filter — never
+    a nested-loop range join, and the fact table never shuffles.
+
+    Output: all fact columns + the dimension's attribute columns
+    (everything except the key/validity bookkeeping).
+    """
+    from functools import reduce
+
+    f = facts.alias("_f")
+    d = dim.alias("_d")
+    ts = F.col(f"_f.{ts_col}")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_f.{k}") == F.col(f"_d.{k}") for k in key_cols],
+    )
+    valid = (ts >= F.col(f"_d.{valid_from}")) & (
+        F.col(f"_d.{valid_to}").isNull() | (ts < F.col(f"_d.{valid_to}"))
+    )
+    attrs = [
+        c
+        for c in dim.columns
+        if c not in set(key_cols) | {valid_from, valid_to, "is_current"}
+    ]
+    return f.join(F.broadcast(d), on & valid, "left").select(
+        *[F.col(f"_f.{c}") for c in facts.columns],
+        *[F.col(f"_d.{c}").alias(c) for c in attrs],
+    )

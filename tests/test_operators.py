@@ -2124,6 +2124,58 @@ class TestFifthReviewEdgeCases:
             ranking.rrf_fuse([], ["doc_id"])
 
 
+class TestScd2Lookup:
+    def test_point_in_time_resolution_and_boundaries(self, spark):
+        from dataengineer_spark.operators.dimensions import scd2_lookup
+
+        dim = spark.createDataFrame(
+            [
+                (1, 100.0, "2000-01-01 00:00:00", "2000-06-01 00:00:00", False),
+                (1, 200.0, "2000-06-01 00:00:00", None, True),
+                (2, 7.0, "2000-03-01 00:00:00", None, True),
+            ],
+            "k long, bal double, valid_from string, valid_to string, is_current boolean",
+        ).select(
+            "k", "bal",
+            F.to_timestamp("valid_from").alias("valid_from"),
+            F.to_timestamp("valid_to").alias("valid_to"),
+            "is_current",
+        )
+        facts = spark.createDataFrame(
+            [
+                (10, 1, "2000-02-15 00:00:00"),  # v1 window
+                (11, 1, "2000-06-01 00:00:00"),  # boundary: valid_to exclusive, new valid_from inclusive
+                (12, 1, "1999-01-01 00:00:00"),  # before history -> NULL
+                (13, 2, "2001-01-01 00:00:00"),  # open-ended current
+                (14, 3, "2000-01-01 00:00:00"),  # no dimension row -> NULL
+            ],
+            "fact_id long, k long, ts string",
+        ).select("fact_id", "k", F.to_timestamp("ts").alias("ts"))
+        out = {
+            r["fact_id"]: r["bal"]
+            for r in scd2_lookup(facts, dim, ["k"], "ts").collect()
+        }
+        assert out == {10: 100.0, 11: 200.0, 12: None, 13: 7.0, 14: None}
+        # no fact row lost or duplicated
+        assert scd2_lookup(facts, dim, ["k"], "ts").count() == 5
+
+    def test_broadcast_hash_join_plan(self, spark):
+        from dataengineer_spark.operators.dimensions import scd2_lookup
+
+        dim = spark.createDataFrame(
+            [(1, 1.0, None, None, True)],
+            "k long, bal double, valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+        facts = spark.createDataFrame(
+            [(1, 1, None)], "fact_id long, k long, ts timestamp"
+        )
+        plan = (
+            scd2_lookup(facts, dim, ["k"], "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
 class TestSixthReviewMultimodalScd:
     def test_sample_frames_null_duration_survives(self, spark):
         from dataengineer_spark.operators.multimodal import sample_frames

@@ -82,6 +82,7 @@ REPRESENTATIVE = [
     "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture",
     "q_scrub_boilerplate",
+    "q_k6_scd2_lookup",
 ]
 
 
