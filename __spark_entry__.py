@@ -2259,10 +2259,17 @@ def q_prep_decontaminate_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _decontaminate_portable_oracle() -> str:
+def _lsh_join_oracle(
+    c_sql: str, b_sql: str, threshold: float = 0.5
+) -> str:
+    """Bipartite portable-MinHash-LSH join as DuckDB SQL, parametrized by
+    the two side CTE bodies (columns ``corpus_id, text`` / ``bench_id,
+    text``) — shared by the decontamination audit and the train/eval
+    split-leakage audit so both replay the identical signature/band/
+    verify arithmetic."""
     from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
 
-    num_hashes, bands, threshold = 32, 8, 0.5
+    num_hashes, bands = 32, 8
     params = _affine_params(num_hashes, seed=42)
     mins = ",\n    ".join(
         f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
@@ -2292,9 +2299,9 @@ def _decontaminate_portable_oracle() -> str:
     )
     return f"""
 WITH c AS (
-  SELECT doc_id AS corpus_id, text FROM documents
+  {c_sql}
 ), bn AS (
-  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 7
+  {b_sql}
 ), shc AS (
   SELECT corpus_id, unnest({shingles}) AS s FROM c
 ), shb AS (
@@ -2330,6 +2337,60 @@ WITH c AS (
 SELECT corpus_id, bench_id, round(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= {threshold}
 """
+
+
+def _decontaminate_portable_oracle() -> str:
+    return _lsh_join_oracle(
+        "SELECT doc_id AS corpus_id, text FROM documents",
+        "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 7",
+        threshold=0.5,
+    )
+
+
+def q_prep_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16+E2 train/eval split-leakage audit: after a hash split of a
+    corpus CONTAINING NEAR-DUPLICATES (re-crawled copies under fresh ids
+    — every 10th doc), holdout documents that are near-dups of a TRAIN
+    document are leakage: the eval set silently measures memorization,
+    not generalization.  A per-document split can never see this — the
+    audit is the bipartite MinHash-LSH join between the two splits
+    (train side stays put, dimension-sized holdout side broadcasts),
+    exactly the decontamination plan pointed at the pipeline's own
+    output.  Portable family → fully oracled."""
+    from dataengineer_spark.operators.preparation import train_test_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    split = train_test_split(corpus, "doc_id")
+    train = split.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("corpus_id"), "text"
+    )
+    holdout = split.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup_ops.minhash_lsh_join(
+        train, holdout, corpus_id="corpus_id", bench_id="bench_id",
+        threshold=0.8, portable=True,
+    )
+
+
+def _split_leakage_oracle() -> str:
+    """Replays the split assignment (hash_bucket: pmod-2^31 fold, Knuth
+    multiply, mod 100) on the duplicated corpus, then the shared
+    bipartite LSH SQL."""
+    full = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 3"
+    )
+    bucket = "((doc_id % 2147483648) * 2654435761) % 100"
+    return _lsh_join_oracle(
+        f"SELECT doc_id AS corpus_id, text FROM ({full}) WHERE {bucket} < 80",
+        f"SELECT doc_id AS bench_id, text FROM ({full}) WHERE {bucket} >= 80",
+        threshold=0.8,
+    )
 
 
 def q_prep_decontaminate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7919,7 +7980,7 @@ _ROUND6_FIRST = [
     # --- new in round 6 (first driver contact) ---
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture", "q_scrub_boilerplate",
-    "q_k6_scd2_lookup",
+    "q_k6_scd2_lookup", "q_prep_split_leakage",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -8133,6 +8194,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_neardup_dedup_portable": q_e2_neardup_dedup_portable,
         "q_e2_simhash_portable": q_e2_simhash_portable,
         "q_prep_decontaminate_portable": q_prep_decontaminate_portable,
+        "q_prep_split_leakage": q_prep_split_leakage,
         "q_prep_decontaminate_arrow": q_prep_decontaminate_arrow,
         "q_json_variant": q_json_variant,
         "q_e2_dup_spans_hashed": q_e2_dup_spans_hashed,
@@ -8273,6 +8335,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_neardup_dedup_portable": _neardup_dedup_portable_oracle(),
         "q_e2_simhash_portable": _simhash_portable_oracle(),
         "q_prep_decontaminate_portable": _decontaminate_portable_oracle(),
+        "q_prep_split_leakage": _split_leakage_oracle(),
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
         "q_e3_lsh_topk": _lsh_topk_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
