@@ -132,6 +132,7 @@ def scd2_lookup(
     ts_col: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    is_current: str = "is_current",
 ) -> DataFrame:
     """Point-in-time dimension resolution — the READ-side companion of
 
@@ -152,8 +153,6 @@ def scd2_lookup(
     Output: all fact columns + the dimension's attribute columns
     (everything except the key/validity bookkeeping).
     """
-    from functools import reduce
-
     f = facts.alias("_f")
     d = dim.alias("_d")
     ts = F.col(f"_f.{ts_col}")
@@ -167,7 +166,7 @@ def scd2_lookup(
     attrs = [
         c
         for c in dim.columns
-        if c not in set(key_cols) | {valid_from, valid_to, "is_current"}
+        if c not in set(key_cols) | {valid_from, valid_to, is_current}
     ]
     return f.join(F.broadcast(d), on & valid, "left").select(
         *[F.col(f"_f.{c}") for c in facts.columns],

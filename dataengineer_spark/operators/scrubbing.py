@@ -184,33 +184,42 @@ def remove_boilerplate_lines(
     the empty string would delete every doc's blank separators or none,
     adding nothing but threshold noise).
 
-    Scale shape: one posexplode (map-only), ONE shuffle keyed on the line
-    text for the distinct-doc count (at 100 TB swap the key for
+    Scale shape: ONE posexplode pass (persisted — it feeds both the
+    count and the anti join; callers own cleanup in long-lived
+    sessions), one line-keyed exchange for the distinct-doc count
+    (count_distinct partials map-side; at 100 TB swap the key for
     ``xxhash64(line)`` — same plan, 8-byte keys; the string key is kept
     here so the SQL oracle replays verbatim), a left-anti join of the
     line rows against the boilerplate set (frequency-thresholded —
-    template lines are few, so the build side broadcasts), and one
-    shuffle on the id to reassemble.  Documents whose every line was
+    template lines are few, so the build side broadcasts), one shuffle
+    on the id to reassemble, plus a narrow map-only totals scan that
+    keeps zero-line documents as rows.  Documents whose every line was
     boilerplate come back with an empty string, not a dropped row —
     silent row loss is how boilerplate removal corrupts joins downstream.
 
     Output: ``(id, text_clean, n_lines, n_kept)``; ``n_lines`` counts the
     non-blank lines in.
     """
+    import re
+
+    # split must treat sep as the LITERAL the reassembly concat_ws uses —
+    # F.split takes a regex, so metachar separators ('|', '.') would
+    # shred the text into characters without the escape
+    sep_re = re.escape(sep)
     lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep_re),
                 lambda x: x != F.lit(""),
             )
         ).alias("pos", "line"),
-    )
+    ).persist()  # feeds the count AND the anti join: one explode pass
     boiler = (
-        lines.select(id_col, "line")
-        .dropDuplicates()
-        .groupBy("line")
-        .agg(F.count("*").alias("_nd"))
+        lines.groupBy("line")
+        # distinct-doc count in ONE line-keyed exchange (count_distinct
+        # partials map-side) instead of a (id, line) dedup shuffle first
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .select("line")
     )
@@ -229,7 +238,7 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.size(
             F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep_re),
                 lambda x: x != F.lit(""),
             )
         ).cast("bigint").alias("n_lines"),
