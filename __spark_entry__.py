@@ -2643,6 +2643,74 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def q_e3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 hard-negative mining (sim_ops.hard_negative_mining — the dense-
+    retrieval negatives recipe): per anchor (vec_id < 20), the top-3
+    most-cosine-similar items whose class label differs — similar
+    enough to be hard, labeled differently so they are negatives.
+    Same LSH-bucketed plan as q_e3_lsh_topk with the label inequality
+    filtering candidates before the rank window.  Fully oracled
+    (plan-literal hyperplanes replayed)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.hard_negative_mining(
+        queries, emb, dim=64, n_planes=8, k=3
+    ).select(
+        "query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"),
+        "neg_label",
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, k = 64, 8, 3
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+    def dot_sql(vec: str, lit: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', f'pl[{i + 1}]')} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    pl = "[" + ", ".join(plane_lits) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label AS lbl
+  FROM embeddings
+), lits AS (
+  SELECT CAST({pl} AS DOUBLE[][]) AS pl
+), bk AS (
+  SELECT vec_id, v, lbl,
+    {bucket} AS bucket,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e CROSS JOIN lits
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    CASE WHEN q.nrm * c.nrm > 0 THEN
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
+    END AS cos_sim,
+    c.lbl AS neg_label
+  FROM bk q JOIN bk c ON q.bucket = c.bucket
+  WHERE q.vec_id < 20 AND c.lbl <> q.lbl
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+  ) AS rn
+  FROM scored
+)
+SELECT query_id, corpus_id, round(cos_sim, 6) AS cos_sim, neg_label
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def q_e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: distributed Lloyd's k-means codebook training (2 iterations,
     8 cells, dim 64) — the trainer for the IVF / SemDeDup coarse
@@ -7980,7 +8048,7 @@ _ROUND6_FIRST = [
     # --- new in round 6 (first driver contact) ---
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture", "q_scrub_boilerplate",
-    "q_k6_scd2_lookup", "q_prep_split_leakage",
+    "q_k6_scd2_lookup", "q_prep_split_leakage", "q_e3_hard_negatives",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -8241,6 +8309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_topk_sim": q_e3_topk_sim,
         "q_e3_pairwise_topk": q_e3_pairwise_topk,
         "q_e3_lsh_topk": q_e3_lsh_topk,
+        "q_e3_hard_negatives": q_e3_hard_negatives,
         "q_e3_ivf_topk": q_e3_ivf_topk,
         "q_e3_pq_topk": q_e3_pq_topk,
         "q_e3_jl_topk": q_e3_jl_topk,
@@ -8338,6 +8407,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_split_leakage": _split_leakage_oracle(),
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
         "q_e3_lsh_topk": _lsh_topk_oracle(),
+        "q_e3_hard_negatives": _hard_negatives_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
         "q_e3_pq_topk": _pq_topk_oracle(),
         "q_e3_jl_topk": _jl_topk_oracle(),

@@ -228,6 +228,80 @@ def lsh_top_k(
     )
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training (public
+
+    method — the dense-retrieval negatives recipe, DPR/ANCE family): per
+    anchor, the top-``k`` most-similar corpus items with a DIFFERENT
+    label — similar enough to be hard, labeled differently so they are
+    negatives.  Random negatives are trivial for the model; the items
+    just across the decision boundary are where the training signal is.
+
+    Same bucketed shape as :func:`lsh_top_k` — shared hyperplane
+    signature turns the cross join into a bucket equi-join; per-row
+    norms fold BEFORE the join; the label inequality filters candidates
+    before the rank window, so a bucket full of same-label items simply
+    yields fewer negatives (never a wrong one).  NULL-labeled corpus
+    rows are never negatives and NULL-labeled anchors mine none (SQL
+    three-valued ``<>`` — conservative on purpose: an unknown label
+    cannot be known to be different).
+
+    Output: (query_id, corpus_id, cos_sim, neg_label) — ``k`` rows per
+    anchor at most, ties broken by corpus id.
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    ).select(
+        "*",
+        lsh_bucket(F.col("_qv"), planes).alias("_bk"),
+        l2_norm(F.col("_qv")).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(label_col).alias("neg_label"),
+    ).select(
+        "*",
+        lsh_bucket(F.col("_cv"), planes).alias("_bk"),
+        l2_norm(F.col("_cv")).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    scored = (
+        q.join(c, on="_bk")
+        .where(F.col("neg_label") != F.col("_ql"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias(
+                "cos_sim"
+            ),
+            "neg_label",
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")],
+        k,
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -845,6 +845,47 @@ class TestPqCodebooksFit:
             assert fused[j] == solo
 
 
+class TestHardNegativeMining:
+    def test_negatives_only_cross_label_and_hard_first(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rows = [
+            (1, [1.0, 0.0, 0.0], "a"),   # anchor
+            (2, [0.99, 0.1, 0.0], "a"),  # same label: never a negative
+            (3, [0.98, 0.2, 0.0], "b"),  # hard negative
+            (4, [0.0, 1.0, 0.0], "b"),   # easy negative
+            (5, [0.9, 0.1, 0.1], None),  # NULL label: never a negative
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        anchors = df.where(F.col("vec_id") == 1)
+        # n_planes=0 would be degenerate; use 1 plane so everything may
+        # share a bucket — mining quality, not recall, is under test
+        out = sim_ops.hard_negative_mining(
+            anchors, df, dim=3, n_planes=1, k=2
+        ).collect()
+        ids = [r["corpus_id"] for r in out]
+        assert 2 not in ids and 5 not in ids
+        assert ids[0] == 3  # hardest (most similar cross-label) first
+        assert all(r["neg_label"] == "b" for r in out)
+
+    def test_null_label_anchor_mines_nothing(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], None), (2, [1.0, 0.1], "b")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        anchors = df.where(F.col("vec_id") == 1)
+        assert (
+            sim_ops.hard_negative_mining(
+                anchors, df, dim=2, n_planes=1, k=5
+            ).count()
+            == 0
+        )
+
+
 class TestStoredIvfPqIndex:
     def test_probe_partition_prunes_and_matches_inline(self, spark, tmp_path):
         # the lake-index contract: cell directories ARE the inverted
