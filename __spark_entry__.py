@@ -2711,6 +2711,79 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def q_e3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E21 k-NN classification (sim_ops.knn_classify): each held-out
+    vector (vec_id < 50) takes the majority label of its k=5 nearest
+    labeled neighbors (self excluded — queries come from the corpus), the
+    classic embedding-space weak-labeling pass.  Deterministic end to
+    end: vote ties to the smaller label, neighbor ties to the smaller
+    corpus id.  Fully oracled (lsh bucket join + rank cut + vote
+    replayed)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 50)
+    return sim_ops.knn_classify(
+        queries, emb, dim=64, n_planes=8, k=5, exclude_self=True
+    ).orderBy("query_id")
+
+
+def _knn_classify_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, k = 64, 8, 5
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+    def dot_sql(vec: str, lit: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', f'pl[{i + 1}]')} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    pl = "[" + ", ".join(plane_lits) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label AS lbl
+  FROM embeddings
+), lits AS (
+  SELECT CAST({pl} AS DOUBLE[][]) AS pl
+), bk AS (
+  SELECT vec_id, v, lbl,
+    {bucket} AS bucket,
+    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e CROSS JOIN lits
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    CASE WHEN q.nrm * c.nrm > 0 THEN
+      list_reduce(list_transform(generate_series(1, 64),
+        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
+    END AS cos_sim,
+    c.lbl
+  FROM bk q JOIN bk c ON q.bucket = c.bucket
+  WHERE q.vec_id < 50 AND c.lbl IS NOT NULL AND c.vec_id <> q.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+    ) AS rn
+    FROM scored) WHERE rn <= {k}
+), votes AS (
+  SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, lbl
+)
+SELECT query_id, lbl AS predicted_label, n_votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, lbl ASC
+  ) AS pr
+  FROM votes) WHERE pr = 1
+ORDER BY query_id
+"""
+
+
 def q_e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: distributed Lloyd's k-means codebook training (2 iterations,
     8 cells, dim 64) — the trainer for the IVF / SemDeDup coarse
@@ -8049,6 +8122,7 @@ _ROUND6_FIRST = [
     "q_graph_pagerank3", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
     "q_prep_temperature_mixture", "q_scrub_boilerplate",
     "q_k6_scd2_lookup", "q_prep_split_leakage", "q_e3_hard_negatives",
+    "q_e3_knn_classify",
     # round-6 rows-only engine twins (oracled siblings named in
     # docstrings: semantic_decontaminate / incremental_neardup /
     # stream_neardup portable forms, all driver-green r5)
@@ -8310,6 +8384,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_pairwise_topk": q_e3_pairwise_topk,
         "q_e3_lsh_topk": q_e3_lsh_topk,
         "q_e3_hard_negatives": q_e3_hard_negatives,
+        "q_e3_knn_classify": q_e3_knn_classify,
         "q_e3_ivf_topk": q_e3_ivf_topk,
         "q_e3_pq_topk": q_e3_pq_topk,
         "q_e3_jl_topk": q_e3_jl_topk,
@@ -8408,6 +8483,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_embed_lsh_neardup": _embed_lsh_oracle(),
         "q_e3_lsh_topk": _lsh_topk_oracle(),
         "q_e3_hard_negatives": _hard_negatives_oracle(),
+        "q_e3_knn_classify": _knn_classify_oracle(),
         "q_e3_ivf_topk": _ivf_topk_oracle(),
         "q_e3_pq_topk": _pq_topk_oracle(),
         "q_e3_jl_topk": _jl_topk_oracle(),

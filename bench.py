@@ -43,6 +43,7 @@ HEADLINE = [
     # (BroadcastNestedLoop by design, wrong shape to showcase at scale)
     "q_e3_lsh_topk",
     "q_e3_hard_negatives",
+    "q_e3_knn_classify",
     "q_e2_embed_lsh_neardup",
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",

@@ -184,6 +184,38 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def _lsh_scored(
+    q_pre: DataFrame,
+    c_pre: DataFrame,
+    dim: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """Bucketed candidate scoring shared by every LSH top-k shape:
+    ``q_pre`` carries (query_id, _qv, extras), ``c_pre`` (corpus_id,
+    _cv, extras).  Adds the shared hyperplane bucket + per-ROW norms
+    (folded BEFORE the join — inside the scored select they'd re-fold
+    once per candidate pair), equi-joins on the bucket, and appends the
+    exact ``cos_sim``.  One definition so lsh_top_k / hard-negative
+    mining / k-NN classification provably score identically."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = q_pre.select(
+        "*",
+        lsh_bucket(F.col("_qv"), planes).alias("_bk"),
+        l2_norm(F.col("_qv")).alias("_qn"),
+    )
+    c = c_pre.select(
+        "*",
+        lsh_bucket(F.col("_cv"), planes).alias("_bk"),
+        l2_norm(F.col("_cv")).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    return q.join(c, on="_bk").withColumn(
+        "cos_sim",
+        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom),
+    )
+
+
 def lsh_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -203,25 +235,16 @@ def lsh_top_k(
     """
     from dataengineer_spark.operators.windows import top_k_per_group
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    # norms are per-ROW, computed once before the join — inside the scored
-    # select they'd be re-folded once per candidate PAIR (bucket-mates ×
-    # rows), the avoidable quadratic factor
-    q = queries.select(
+    q_pre = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).select("*", lsh_bucket(F.col("_qv"), planes).alias("_bk"),
-             l2_norm(F.col("_qv")).alias("_qn"))
-    c = corpus.select(
+    )
+    c_pre = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).select("*", lsh_bucket(F.col("_cv"), planes).alias("_bk"),
-             l2_norm(F.col("_cv")).alias("_cn"))
-    denom = F.col("_qn") * F.col("_cn")
-    scored = q.join(c, on="_bk").select(
-        "query_id",
-        "corpus_id",
-        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias("cos_sim"),
+    )
+    scored = _lsh_scored(q_pre, c_pre, dim, n_planes, seed).select(
+        "query_id", "corpus_id", "cos_sim"
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
@@ -262,43 +285,93 @@ def hard_negative_mining(
     """
     from dataengineer_spark.operators.windows import top_k_per_group
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(
+    q_pre = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
         F.col(label_col).alias("_ql"),
-    ).select(
-        "*",
-        lsh_bucket(F.col("_qv"), planes).alias("_bk"),
-        l2_norm(F.col("_qv")).alias("_qn"),
     )
-    c = corpus.select(
+    c_pre = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
         F.col(label_col).alias("neg_label"),
-    ).select(
-        "*",
-        lsh_bucket(F.col("_cv"), planes).alias("_bk"),
-        l2_norm(F.col("_cv")).alias("_cn"),
     )
-    denom = F.col("_qn") * F.col("_cn")
     scored = (
-        q.join(c, on="_bk")
+        _lsh_scored(q_pre, c_pre, dim, n_planes, seed)
         .where(F.col("neg_label") != F.col("_ql"))
-        .select(
-            "query_id",
-            "corpus_id",
-            F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias(
-                "cos_sim"
-            ),
-            "neg_label",
-        )
+        .select("query_id", "corpus_id", "cos_sim", "neg_label")
     )
     return top_k_per_group(
         scored,
         ["query_id"],
         [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")],
         k,
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """k-NN classification over the LSH-bucketed candidate set: each
+
+    query's label is the MAJORITY VOTE among its ``k`` nearest (exact
+    cosine) labeled neighbors — the classic embedding-space classifier /
+    weak-labeling pass (assign a class to new documents from labeled
+    neighbors without training anything).  Unlabeled (NULL) corpus rows
+    never vote; vote-count ties break to the smaller label, neighbor
+    ties to the smaller corpus id — fully deterministic.
+
+    ``exclude_self=True`` drops candidates whose corpus id equals the
+    query id — mandatory when queries are drawn from the corpus itself,
+    else every vector trivially votes for its own label.
+
+    Scale shape: the shared ``_lsh_scored`` bucket join (the only
+    corpus-width shuffle), a per-query top-k window, then a
+    (query, label)-bounded vote aggregate — both post-join stages are
+    candidate-set-sized, never corpus-sized.
+
+    Output: (query_id, predicted_label, n_votes).
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    q_pre = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c_pre = corpus.where(F.col(label_col).isNotNull()).select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(label_col).alias("_lbl"),
+    )
+    scored = _lsh_scored(q_pre, c_pre, dim, n_planes, seed)
+    if exclude_self:
+        scored = scored.where(F.col("corpus_id") != F.col("query_id"))
+    top = top_k_per_group(
+        scored.select("query_id", "corpus_id", "cos_sim", "_lbl"),
+        ["query_id"],
+        [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")],
+        k,
+    )
+    votes = top.groupBy("query_id", "_lbl").agg(
+        F.count("*").alias("n_votes")
+    )
+    pick = top_k_per_group(
+        votes,
+        ["query_id"],
+        [F.col("n_votes").desc(), F.col("_lbl").asc()],
+        1,
+    )
+    return pick.select(
+        "query_id", F.col("_lbl").alias("predicted_label"), "n_votes"
     )
 
 

@@ -886,6 +886,35 @@ class TestHardNegativeMining:
         )
 
 
+class TestKnnClassify:
+    def test_majority_vote_and_exclude_self(self, spark):
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.05], "b"),
+            (3, [0.98, 0.1], "b"),
+            (4, [0.97, 0.15], "a"),
+            (5, [0.5, 0.5], None),  # unlabeled: never votes
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        anchors = df.where(F.col("vec_id") == 1)
+        out = sim_ops.knn_classify(
+            anchors, df, dim=2, n_planes=1, k=3, exclude_self=True
+        ).collect()
+        assert len(out) == 1
+        # neighbors of 1 (self excluded): 2(b), 3(b), 4(a) -> 'b' by 2-1
+        assert out[0]["predicted_label"] == "b" and out[0]["n_votes"] == 2
+        # without exclude_self the anchor's own 'a' flips the vote to a tie
+        # -> smaller label 'a' wins deterministically
+        out2 = sim_ops.knn_classify(
+            anchors, df, dim=2, n_planes=1, k=4
+        ).collect()
+        assert out2[0]["predicted_label"] == "a" and out2[0]["n_votes"] == 2
+
+
 class TestStoredIvfPqIndex:
     def test_probe_partition_prunes_and_matches_inline(self, spark, tmp_path):
         # the lake-index contract: cell directories ARE the inverted
