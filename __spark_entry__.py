@@ -2592,16 +2592,19 @@ def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _lsh_topk_oracle() -> str:
+def _lsh_bk_prefix(dim: int, n_planes: int, label: bool) -> str:
+    """Shared WITH-prefix (e/lits/bk CTEs) for the three LSH oracles —
+    bucket sign rule, fold order, and the hyperplane literals live in
+    ONE place (the SQL mirror of the engine's shared ``_lsh_scored``),
+    and every generate_series width derives from ``dim``."""
     from dataengineer_spark.operators.similarity import _hyperplanes
 
-    dim, n_planes, k = 64, 8, 3
     planes = _hyperplanes(dim, n_planes, seed=42)
     plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
 
     def dot_sql(vec: str, lit: str) -> str:
         return (
-            "list_reduce(list_transform(generate_series(1, 64), "
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
             f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
         )
 
@@ -2613,23 +2616,36 @@ def _lsh_topk_oracle() -> str:
         for i in range(n_planes)
     )
     pl = "[" + ", ".join(plane_lits) + "]"
-    return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    lbl_sel = ", label AS lbl" if label else ""
+    lbl_bk = ", lbl" if label else ""
+    return f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{lbl_sel} FROM embeddings
 ), lits AS (
   SELECT CAST({pl} AS DOUBLE[][]) AS pl
 ), bk AS (
-  SELECT vec_id, v,
+  SELECT vec_id, v{lbl_bk},
     {bucket} AS bucket,
-    sqrt(list_reduce(list_transform(generate_series(1, 64),
+    sqrt(list_reduce(list_transform(generate_series(1, {dim}),
       j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
   FROM e CROSS JOIN lits
-), scored AS (
+)"""
+
+
+def _lsh_cos_sql(dim: int) -> str:
+    return (
+        "CASE WHEN q.nrm * c.nrm > 0 THEN\n"
+        f"      list_reduce(list_transform(generate_series(1, {dim}),\n"
+        "        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)\n"
+        "    END"
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    dim, n_planes, k = 64, 8, 3
+    return f"""
+WITH {_lsh_bk_prefix(dim, n_planes, label=False)}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-    CASE WHEN q.nrm * c.nrm > 0 THEN
-      list_reduce(list_transform(generate_series(1, 64),
-        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
-    END AS cos_sim
+    {_lsh_cos_sql(dim)} AS cos_sim
   FROM bk q JOIN bk c ON q.bucket = c.bucket
   WHERE q.vec_id < 20
 ), ranked AS (
@@ -2662,41 +2678,11 @@ def q_e3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hard_negatives_oracle() -> str:
-    from dataengineer_spark.operators.similarity import _hyperplanes
-
     dim, n_planes, k = 64, 8, 3
-    planes = _hyperplanes(dim, n_planes, seed=42)
-    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
-
-    def dot_sql(vec: str, lit: str) -> str:
-        return (
-            "list_reduce(list_transform(generate_series(1, 64), "
-            f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
-        )
-
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_sql('v', f'pl[{i + 1}]')} > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(n_planes)
-    )
-    pl = "[" + ", ".join(plane_lits) + "]"
     return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label AS lbl
-  FROM embeddings
-), lits AS (
-  SELECT CAST({pl} AS DOUBLE[][]) AS pl
-), bk AS (
-  SELECT vec_id, v, lbl,
-    {bucket} AS bucket,
-    sqrt(list_reduce(list_transform(generate_series(1, 64),
-      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e CROSS JOIN lits
-), scored AS (
+WITH {_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-    CASE WHEN q.nrm * c.nrm > 0 THEN
-      list_reduce(list_transform(generate_series(1, 64),
-        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
-    END AS cos_sim,
+    {_lsh_cos_sql(dim)} AS cos_sim,
     c.lbl AS neg_label
   FROM bk q JOIN bk c ON q.bucket = c.bucket
   WHERE q.vec_id < 20 AND c.lbl <> q.lbl
@@ -2704,7 +2690,7 @@ WITH e AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
   ) AS rn
-  FROM scored
+  FROM scored WHERE cos_sim IS NOT NULL
 )
 SELECT query_id, corpus_id, round(cos_sim, 6) AS cos_sim, neg_label
 FROM ranked WHERE rn <= {k}
@@ -2727,41 +2713,11 @@ def q_e3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_classify_oracle() -> str:
-    from dataengineer_spark.operators.similarity import _hyperplanes
-
     dim, n_planes, k = 64, 8, 5
-    planes = _hyperplanes(dim, n_planes, seed=42)
-    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
-
-    def dot_sql(vec: str, lit: str) -> str:
-        return (
-            "list_reduce(list_transform(generate_series(1, 64), "
-            f"j -> {vec}[j] * {lit}[j]), (a, b) -> a + b)"
-        )
-
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_sql('v', f'pl[{i + 1}]')} > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(n_planes)
-    )
-    pl = "[" + ", ".join(plane_lits) + "]"
     return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label AS lbl
-  FROM embeddings
-), lits AS (
-  SELECT CAST({pl} AS DOUBLE[][]) AS pl
-), bk AS (
-  SELECT vec_id, v, lbl,
-    {bucket} AS bucket,
-    sqrt(list_reduce(list_transform(generate_series(1, 64),
-      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e CROSS JOIN lits
-), scored AS (
+WITH {_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-    CASE WHEN q.nrm * c.nrm > 0 THEN
-      list_reduce(list_transform(generate_series(1, 64),
-        j -> q.v[j] * c.v[j]), (x, y) -> x + y) / (q.nrm * c.nrm)
-    END AS cos_sim,
+    {_lsh_cos_sql(dim)} AS cos_sim,
     c.lbl
   FROM bk q JOIN bk c ON q.bucket = c.bucket
   WHERE q.vec_id < 50 AND c.lbl IS NOT NULL AND c.vec_id <> q.vec_id
@@ -2770,7 +2726,7 @@ WITH e AS (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
     ) AS rn
-    FROM scored) WHERE rn <= {k}
+    FROM scored WHERE cos_sim IS NOT NULL) WHERE rn <= {k}
 ), votes AS (
   SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS n_votes
   FROM topk GROUP BY query_id, lbl

@@ -298,6 +298,9 @@ def hard_negative_mining(
     scored = (
         _lsh_scored(q_pre, c_pre, dim, n_planes, seed)
         .where(F.col("neg_label") != F.col("_ql"))
+        # undefined similarity (zero-norm side) can never be a "hard"
+        # negative — exclude rather than rank last
+        .where(F.col("cos_sim").isNotNull())
         .select("query_id", "corpus_id", "cos_sim", "neg_label")
     )
     return top_k_per_group(
@@ -352,7 +355,11 @@ def knn_classify(
         F.col(vec_col).cast("array<double>").alias("_cv"),
         F.col(label_col).alias("_lbl"),
     )
-    scored = _lsh_scored(q_pre, c_pre, dim, n_planes, seed)
+    scored = _lsh_scored(q_pre, c_pre, dim, n_planes, seed).where(
+        # a neighbor with undefined cosine (zero-norm side) is not a
+        # "nearest" anything — it must not vote
+        F.col("cos_sim").isNotNull()
+    )
     if exclude_self:
         scored = scored.where(F.col("corpus_id") != F.col("query_id"))
     top = top_k_per_group(
