@@ -8061,6 +8061,314 @@ FROM per a JOIN per b ON a.variant < b.variant
 
 
 # ---------------------------------------------------------------------------
+# round-6 continuation: curation / evaluation additions
+# ---------------------------------------------------------------------------
+
+
+def q_prep_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 group-aware k-fold (preparation.kfold_assign): every document
+    of one source lands in the same fold — near-duplicate families never
+    straddle a fold boundary (the cross-validation analogue of
+    q_prep_split_leakage's rule). Fold id is the engine-portable char
+    fold of the group key alone; the report certifies both balance
+    (n_docs) and group integrity (n_groups sums to the source count)."""
+    from dataengineer_spark.operators.preparation import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    folds = kfold_assign(docs, "source", k=5, salt="cv")
+    return folds.groupBy("fold").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_groups"),
+    )
+
+
+_PREP_KFOLD_ORACLE = """
+WITH t AS (
+  SELECT source, CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(source || 'cv', ''),
+                                 x -> x <> ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000003) % 5 AS INT) AS fold
+  FROM documents
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_groups
+FROM t GROUP BY fold
+"""
+
+
+def q_a7_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 operating-point sweep (aggregates.pr_curve): precision /
+    recall / F1 of the score 'first embedding component' against the
+    binary label 'class >= 5' over a 7-point threshold grid — one corpus
+    scan, map-side explode of the plan-literal grid, exact int64
+    confusion counts, single int/int IEEE divisions (no rounding step
+    needed for parity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 5).alias("y"),
+    )
+    return agg_ops.pr_curve(
+        scored, "score", F.col("y"),
+        [-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3],
+    )
+
+
+_A7_PR_CURVE_ORACLE = """
+WITH g AS (
+  SELECT CAST(unnest([-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3]) AS DOUBLE)
+    AS threshold
+), s AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score, label >= 5 AS y
+  FROM embeddings
+), c AS (
+  SELECT threshold,
+    CAST(count(CASE WHEN score >= threshold AND y THEN 1 END) AS BIGINT) AS tp,
+    CAST(count(CASE WHEN score >= threshold AND NOT y THEN 1 END) AS BIGINT) AS fp,
+    CAST(count(CASE WHEN NOT (score >= threshold) AND y THEN 1 END) AS BIGINT) AS fn
+  FROM s CROSS JOIN g GROUP BY threshold
+), pr AS (
+  SELECT threshold, tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS "precision",
+    CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall
+  FROM c
+)
+SELECT threshold, tp, fp, fn, "precision", recall,
+  CASE WHEN "precision" + recall > 0
+       THEN 2 * "precision" * recall / ("precision" + recall) END AS f1
+FROM pr ORDER BY threshold
+"""
+
+
+def q_e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 index-quality audit (similarity.ann_recall): recall@10 of the
+    IVF index (16 cells, 4 probed) against exact brute force over the
+    same 20-query probe set — the number n_probe is tuned by. The probe
+    set is a bounded literal filter, so the exact side is declared small
+    (allow_quadratic): the plan stays pure (no guard probe job). ORACLED
+    end to end: both rankings, the overlap join, and the exact int/int
+    recall are replayed from the plan-literal codebook."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    probes = emb.where(F.col("vec_id") < 20)
+    return sim_ops.ann_recall(
+        probes, emb, dim=64, k=10, n_centroids=16, n_probe=4,
+        allow_quadratic=True,
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, k, n_centroids, n_probe = 64, 10, 16, 4
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
+        "j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), 'cell': i})"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
+), bk AS (
+  SELECT vec_id, v,
+    {scores} AS scores,
+    sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e CROSS JOIN lits
+), c AS (
+  SELECT vec_id AS corpus_id, v AS cv, nrm AS cn,
+         (list_max(scores)).cell AS cell
+  FROM bk
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, scores
+  FROM bk WHERE vec_id < 20
+), ex_scored AS (
+  SELECT q.query_id, b.vec_id AS corpus_id,
+    CASE WHEN q.qn * b.nrm > 0 THEN
+      list_reduce(list_transform(generate_series(1, {dim}),
+        j -> q.qv[j] * b.v[j]), (x, y) -> x + y) / (q.qn * b.nrm)
+    END AS cos_sim
+  FROM q CROSS JOIN bk b
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+    ) AS rn FROM ex_scored
+  ) WHERE rn <= {k}
+), probes AS (
+  SELECT query_id, qv, qn,
+         unnest(list_slice(list_reverse(list_sort(scores)), 1, {n_probe})) AS p
+  FROM q
+), ap_scored AS (
+  SELECT probes.query_id, c.corpus_id,
+    CASE WHEN probes.qn * c.cn > 0 THEN
+      list_reduce(list_transform(generate_series(1, {dim}),
+        j -> probes.qv[j] * c.cv[j]), (x, y) -> x + y) / (probes.qn * c.cn)
+    END AS cos_sim
+  FROM probes JOIN c ON (probes.p).cell = c.cell
+), approx AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+    ) AS rn FROM ap_scored
+  ) WHERE rn <= {k}
+)
+SELECT x.query_id, CAST(count(a.corpus_id) AS BIGINT) AS n_hit,
+       CAST(count(a.corpus_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM exact x LEFT JOIN approx a USING (query_id, corpus_id)
+GROUP BY x.query_id ORDER BY query_id
+"""
+
+
+def q_e4_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 tokenizer-budget table (textops.token_fertility): characters
+    and utf-8 bytes per whitespace token, per language slice — exact
+    int64 numerator/denominator sums divided once per group (engine-
+    portable, no per-row float accumulation)."""
+    return textops.token_fertility(_docs(spark, sf_dir), group_col="lang")
+
+
+_E4_FERTILITY_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+    CAST(CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0 THEN 0
+         ELSE len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+'))
+         END AS BIGINT) AS toks,
+    CAST(length(text) AS BIGINT) AS ch,
+    CAST(strlen(text) AS BIGINT) AS byt
+  FROM documents
+)
+SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN sum(toks) > 0
+            THEN CAST(sum(ch) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+       END AS chars_per_token,
+       CASE WHEN sum(toks) > 0
+            THEN CAST(sum(byt) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+       END AS bytes_per_token
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def q_f14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 Zipf coverage prefix (preparation.vocab_coverage): the
+    smallest top-frequency vocabulary covering 90% of corpus token mass
+    — integer-exact prefix cut (100*cum_before < 90*total in int64), so
+    the kept rows are engine-portable with no float threshold."""
+    from dataengineer_spark.operators.preparation import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), coverage_pct=90)
+
+
+_F14_VOCAB_COVERAGE_ORACLE = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(
+    regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS n FROM w WHERE length(word) > 0 GROUP BY word
+), r AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word) AS rank,
+         sum(n) OVER (ORDER BY n DESC, word
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n) OVER () AS tot
+  FROM wc
+)
+SELECT CAST(rank AS INT) AS rank, word, CAST(n AS BIGINT) AS n,
+       CAST(cum_n AS BIGINT) AS cum_n
+FROM r WHERE (cum_n - n) * 100 < tot * 90 ORDER BY rank
+"""
+
+
+def q_e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 event-TIME trailing window (windows.trailing_range_agg): per
+    user, count/min/max of activity in the trailing 7 days anchored to
+    epoch seconds (RANGE frame — gap- and burst-correct where a ROWS
+    frame silently is not). Order-independent aggregates only, so the
+    doubles are bit-identical on both engines with no rounding step."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win_ops.trailing_range_agg(ev, "user_id", "ts", 7 * 86400, "value")
+    return out.select(
+        "event_id", "user_id", "trailing_n", "trailing_min", "trailing_max"
+    )
+
+
+_E6_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+       min(value) OVER w AS trailing_min,
+       max(value) OVER w AS trailing_max
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_e10_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 first-order transition matrix (events.transition_counts):
+    per-user successor pairs under the total (ts, event_id) order — one
+    lead() window partitioned by user, one hash aggregate over the
+    |types|^2-bounded key space."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.transition_counts(ev)
+
+
+_E10_TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+def q_prep_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 padding-efficiency report (preparation.length_bucket_report):
+    documents binned to the smallest multiple-of-16 sequence length
+    holding their token count (capped at 64 → over-cap counts as
+    truncated), with exact pad-token accounting per bucket — the basis
+    for choosing bucket granularity in a length-bucketed dataloader."""
+    from dataengineer_spark.operators.preparation import length_bucket_report
+
+    return length_bucket_report(_docs(spark, sf_dir), bucket=16, cap=64)
+
+
+_PREP_LENGTH_BUCKETS_ORACLE = r"""
+WITH t AS (
+  SELECT least(CAST(CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0 THEN 0
+           ELSE len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+'))
+           END AS BIGINT), 64) AS t
+  FROM documents
+), b AS (
+  SELECT t, greatest(CAST(floor((t + 15) / 16) AS BIGINT) * 16,
+                     CAST(16 AS BIGINT)) AS bucket_len
+  FROM t
+)
+SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(bucket_len * count(*) - sum(t) AS BIGINT) AS n_pad,
+       CAST(sum(t) AS DOUBLE) / CAST(bucket_len * count(*) AS DOUBLE)
+         AS efficiency
+FROM b GROUP BY bucket_len ORDER BY bucket_len
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -8084,6 +8392,10 @@ _ROUND6_FIRST = [
     # stream_neardup portable forms, all driver-green r5)
     "q_prep_semantic_decontaminate_arrow", "q_e2_incremental_neardup_arrow",
     "q_e11_stream_neardup_arrow",
+    # --- round-6 continuation: curation / evaluation additions ---
+    "q_prep_kfold", "q_a7_pr_curve", "q_e3_ann_recall", "q_e4_fertility",
+    "q_f14_vocab_coverage", "q_e6_range_frame", "q_e10_transitions",
+    "q_prep_length_buckets",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -8185,6 +8497,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e1_dedup_by": q_e1_dedup_by,
         "q_s10_corrupt_json": q_s10_corrupt_json,
         "q_a6_abtest": q_a6_abtest,
+        "q_prep_kfold": q_prep_kfold,
+        "q_a7_pr_curve": q_a7_pr_curve,
+        "q_e3_ann_recall": q_e3_ann_recall,
+        "q_e4_fertility": q_e4_fertility,
+        "q_f14_vocab_coverage": q_f14_vocab_coverage,
+        "q_e6_range_frame": q_e6_range_frame,
+        "q_e10_transitions": q_e10_transitions,
+        "q_prep_length_buckets": q_prep_length_buckets,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -8518,6 +8838,14 @@ def oracle_sql() -> dict[str, str]:
         "q_e1_dedup_by": _E1_DEDUP_BY_ORACLE,
         "q_s10_corrupt_json": _S10_CORRUPT_JSON_ORACLE,
         "q_a6_abtest": _A6_ABTEST_ORACLE,
+        "q_prep_kfold": _PREP_KFOLD_ORACLE,
+        "q_a7_pr_curve": _A7_PR_CURVE_ORACLE,
+        "q_e3_ann_recall": _ann_recall_oracle(),
+        "q_e4_fertility": _E4_FERTILITY_ORACLE,
+        "q_f14_vocab_coverage": _F14_VOCAB_COVERAGE_ORACLE,
+        "q_e6_range_frame": _E6_RANGE_FRAME_ORACLE,
+        "q_e10_transitions": _E10_TRANSITIONS_ORACLE,
+        "q_prep_length_buckets": _PREP_LENGTH_BUCKETS_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

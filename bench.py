@@ -143,6 +143,15 @@ HEADLINE = [
     "q_k9_quarantine",
     "q_s9_schema_evolution",
     "q_e11_stream_neardup_arrow",
+    # round-6 continuation: curation / evaluation additions
+    "q_prep_kfold",
+    "q_a7_pr_curve",
+    "q_e3_ann_recall",
+    "q_e4_fertility",
+    "q_f14_vocab_coverage",
+    "q_e6_range_frame",
+    "q_e10_transitions",
+    "q_prep_length_buckets",
 ]
 
 

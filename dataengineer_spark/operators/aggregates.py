@@ -640,3 +640,57 @@ def ab_test_report(
         F.round(p_b, 6).alias("rate_b"),
         F.round(F.when(se > 0, (p_a - p_b) / se), 6).alias("z"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision / recall / F1 threshold sweep — the table a quality-
+
+    classifier cut-off decision reads (E21; the operating-point companion
+    to :func:`roc_auc`). One pass: each row fans out to the |thresholds|
+    grid points it is scored against (map-side explode of a plan-literal
+    array, combine collapses to |thresholds| rows before the single
+    shuffle), so the corpus is scanned once regardless of grid size.
+    Confusion counts are exact int64; precision/recall are single int/int
+    IEEE divisions and F1 one fixed-shape expression, so every value is
+    engine-portable with no rounding step.
+
+    Output: (threshold, tp, fp, fn, precision, recall, f1) ordered by
+    threshold; a zero-denominator cell (no predicted / no actual
+    positives) yields NULL, never a division error.
+    """
+    from dataengineer_spark.tuning import array_lit
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    thr = F.explode(array_lit([float(t) for t in thresholds])).alias("threshold")
+    lab = label_col.cast("boolean")
+    pred = F.col(score_col).cast("double") >= F.col("threshold")
+    fanned = df.select(F.col(score_col), lab.alias("_y"), thr)
+    counts = fanned.groupBy("threshold").agg(
+        F.sum(F.when(pred & F.col("_y"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~F.col("_y"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & F.col("_y"), 1).otherwise(0)).alias("fn"),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    )
+    return counts.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy("threshold")

@@ -352,3 +352,35 @@ def period_over_period(
         *keys, "day", "total", "prev_total",
         F.round(pct, 6).alias("pct_change"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix of event types — per user, each
+
+    event's successor under a total, deterministic order (``ts`` with the
+    unique ``id_col`` as the tiebreak — without it, same-timestamp pairs
+    would flip between runs and engines). The sequence walk is ONE lead()
+    window partitioned by user (each user's history sorts within its own
+    task — no global sort), and the matrix is one hash aggregate over
+    ≤ |types|² keys. This is the Markov-chain table behind next-event
+    prediction features and funnel-drift monitoring.
+
+    Output: (event_type, next_type, n) ordered by n desc, then the pair.
+    """
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = df.select(
+        F.col(type_col).alias("event_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+    )
+    return (
+        pairs.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "event_type", "next_type")
+    )

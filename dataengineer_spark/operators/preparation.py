@@ -907,3 +907,110 @@ def shard_export(
         F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
         F.sum(F.octet_length(text_col).cast("bigint")).alias("n_bytes"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: every row of one group lands in the
+
+    same fold, so near-duplicate families (pre-grouped by source, domain,
+    or cluster id) never straddle a train/eval fold boundary — the
+    cross-validation analogue of the split-leakage rule. Fold id is a
+    deterministic function of the group KEY alone (engine-portable char
+    fold, same recipe as :func:`portable_word_hash`): stable across runs,
+    partitionings, and row order, and reproducible by any engine. Map-only
+    — no shuffle; at 100 TB this is a free column append.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.concat(F.col(group_col).cast("string"), F.lit(salt))
+    return df.withColumn(out_col, (portable_word_hash(key) % k).cast("int"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """Zipf coverage prefix: the smallest top-frequency vocabulary that
+
+    covers ``coverage_pct`` percent of the corpus token mass — the table
+    a tokenizer-budget decision starts from (how many types do we need
+    before <unk> mass drops below 10%?). One word-count aggregate
+    (map-side combined), then rank/cumsum windows over the VOCABULARY —
+    bounded by type count, not corpus size, and integer-exact so the
+    prefix cut is engine-portable (``100*cum_before < pct*total`` in
+    int64, no float thresholds).
+
+    Output: the covering prefix, one row per kept word —
+    (rank, word, n, cum_n) ordered by rank.
+
+    Scale note: the global rank window is a single-task sort over the
+    type histogram (10M types ≈ 100 MB — fine); the corpus itself is
+    never globally sorted.
+    """
+    from pyspark.sql import Window as W
+
+    wc = word_counts(df, text_col=text_col)  # (word, n)
+    order = [F.col("n").desc(), F.col("word").asc()]
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    total = wc.agg(F.sum("n").alias("_tot"))
+    ranked = wc.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(W.orderBy(*order)).alias("rank"),
+        "word",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.col("_tot"),
+    )
+    kept = ranked.where(
+        (F.col("cum_n") - F.col("n")) * 100 < F.col("_tot") * coverage_pct
+    )
+    return kept.select("rank", "word", "n", "cum_n").orderBy("rank")
+
+
+def length_bucket_report(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket: int = 64,
+    cap: int = 1024,
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batch packing: each
+
+    document is assigned the smallest multiple-of-``bucket`` sequence
+    length that holds its (whitespace-)token count, capped at ``cap``
+    (over-cap documents are counted as truncated to ``cap`` tokens).
+    The report says, per bucket, how many pad tokens a dataloader that
+    batches by bucket would burn — the quantitative basis for choosing
+    bucket granularity vs a single max-length bucket. One map-only
+    column append + one hash aggregate over ≤ cap/bucket keys; all
+    integer arithmetic, so the efficiency ratio is an exact int/int
+    division on both engines.
+
+    Output: (bucket_len, n_docs, n_tokens, n_pad, efficiency) ordered
+    by bucket_len.
+    """
+    if bucket <= 0 or cap % bucket != 0:
+        raise ValueError(f"cap ({cap}) must be a positive multiple of bucket ({bucket})")
+    toks = _ws_token_count(text_col)
+    eff_toks = F.least(toks, F.lit(cap).cast("long"))
+    blen = F.greatest(
+        F.floor((eff_toks + (bucket - 1)) / bucket) * bucket, F.lit(bucket).cast("long")
+    )
+    per = (
+        df.select(eff_toks.alias("_t"), blen.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    padded = F.col("bucket_len") * F.col("n_docs")
+    return per.select(
+        "bucket_len",
+        "n_docs",
+        "n_tokens",
+        (padded - F.col("n_tokens")).alias("n_pad"),
+        (F.col("n_tokens") / padded).alias("efficiency"),
+    ).orderBy("bucket_len")

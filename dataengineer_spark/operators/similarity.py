@@ -1271,3 +1271,54 @@ def semantic_decontaminate_arrow(
     return corpus.mapInPandas(score, out_schema).withColumn(
         "max_bench_sim", F.round("max_bench_sim", 6)
     )
+
+
+def ann_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    codebook: list[list[float]] | None = None,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute force — the
+
+    number an ANN deployment is tuned by (raise ``n_probe`` until recall
+    clears the product bar, then stop paying for more cells). Ground
+    truth comes from :func:`pairwise_top_k` (broadcast probe set, exact
+    cosine — the probe side is dimension-sized and guarded, so this
+    audits on a sample, never a corpus×corpus cartesian); the candidate
+    ranking under test is :func:`ivf_top_k` with the same tie rules.
+    The overlap join is per-(query, corpus) equi — tiny (|probe|·k rows)
+    — and recall is an exact int/int division.
+
+    Output: (query_id, n_hit, recall) per probe query, ordered by
+    query_id; mean over the column is the headline recall@k.
+    """
+    exact = pairwise_top_k(
+        queries, corpus, k=k, q_id=q_id, c_id=c_id, vec_col=vec_col,
+        allow_quadratic=allow_quadratic,
+    ).select("query_id", "corpus_id")
+    approx = ivf_top_k(
+        queries, corpus, dim, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        q_id=q_id, c_id=c_id, vec_col=vec_col, seed=seed, codebook=codebook,
+    ).select("query_id", "corpus_id", F.lit(1).alias("_hit"))
+    per_q = (
+        exact.join(approx, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hit",
+        (F.col("n_hit") / F.col("_n")).alias("recall"),
+    ).orderBy("query_id")

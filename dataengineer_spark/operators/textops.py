@@ -247,3 +247,39 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_share": top_bigram_share,
         }
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per corpus slice: characters and utf-8 bytes
+
+    per (whitespace-)token — the per-language table a tokenizer budget
+    review reads (a language whose bytes/token runs hot is the one the
+    vocab under-serves). Single hash aggregate; numerators and
+    denominators are exact int64 sums, divided ONCE per group, so the
+    ratios are engine-portable with no per-row float accumulation.
+
+    Output: (group, n_docs, n_tokens, chars_per_token, bytes_per_token)
+    ordered by group.
+    """
+    toks = token_count(F.col(text_col)).cast("long")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("_chars"),
+        F.sum(F.octet_length(text_col).cast("long")).alias("_bytes"),
+    )
+    return per.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.col("_chars") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+        F.when(F.col("n_tokens") > 0, F.col("_bytes") / F.col("n_tokens")).alias(
+            "bytes_per_token"
+        ),
+    ).orderBy("grp")

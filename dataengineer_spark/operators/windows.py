@@ -110,3 +110,38 @@ def running_agg(
     """Running/windowed aggregate over a row frame (cumulative by default)."""
     w = W.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(*frame)
     return df.withColumn(out_col, agg.over(w))
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    trailing_seconds: int,
+    value_col: str,
+) -> DataFrame:
+    """Event-TIME trailing window (RANGE frame, E6): per partition key,
+
+    aggregates over every row whose timestamp falls in the trailing
+    ``trailing_seconds``-second interval — the 7-day-rolling-activity
+    shape. ROWS frames count physical rows and silently change meaning
+    under irregular sampling; the RANGE frame here is anchored to epoch
+    seconds, so gaps and bursts are handled correctly, and timestamp
+    PEERS (equal seconds) all see the same frame on every engine. Order-
+    independent aggregates only (count / min / max) — a rolling SUM of
+    doubles would be fold-order-dependent and engine-divergent.
+
+    One window shuffle on the partition key; frame evaluation is a
+    per-task sliding cursor, never a per-row rescan.
+    """
+    ets = F.col(ts_col).cast("long")
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(ets)
+        .rangeBetween(-int(trailing_seconds), 0)
+    )
+    return df.select(
+        "*",
+        F.count("*").over(w).alias("trailing_n"),
+        F.min(value_col).over(w).alias("trailing_min"),
+        F.max(value_col).over(w).alias("trailing_max"),
+    )

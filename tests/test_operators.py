@@ -2329,3 +2329,129 @@ class TestSeventhReviewEdgeCases:
 
         with pytest.raises(ValueError):
             RunConfig(date_from="20220101", date_to="202212")
+
+
+class TestPrCurve:
+    def test_hand_counts_and_nulls(self, spark):
+        # scores: 0.9+, 0.8+, 0.7-, 0.2-  (y = label)
+        df = spark.createDataFrame(
+            [(0.9, True), (0.8, True), (0.7, False), (0.2, False)],
+            "score double, y boolean",
+        )
+        rows = {
+            r["threshold"]: r
+            for r in agg_ops.pr_curve(
+                df, "score", F.col("y"), [0.5, 0.75, 1.0]
+            ).collect()
+        }
+        r = rows[0.5]
+        assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 0)
+        assert r["precision"] == 2 / 3 and r["recall"] == 1.0
+        assert math.isclose(r["f1"], 2 * (2 / 3) / (2 / 3 + 1))
+        r = rows[0.75]
+        assert (r["tp"], r["fp"], r["fn"]) == (2, 0, 0)
+        assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+        # threshold above every score: no predicted positives -> NULL
+        # precision, defined recall 0, NULL f1 (never a division error)
+        r = rows[1.0]
+        assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 2)
+        assert r["precision"] is None and r["recall"] == 0.0 and r["f1"] is None
+
+    def test_empty_grid_raises(self, spark):
+        df = spark.createDataFrame([(0.5, True)], "score double, y boolean")
+        with pytest.raises(ValueError):
+            agg_ops.pr_curve(df, "score", F.col("y"), [])
+
+
+class TestAnnRecall:
+    def test_full_probe_is_exact(self, spark, sf_dir):
+        # probing every cell makes IVF brute force -> recall@k == 1.0
+        from dataengineer_spark.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 5)
+        out = sim_ops.ann_recall(
+            probes, emb, dim=64, k=5, n_centroids=8, n_probe=8,
+            allow_quadratic=True,
+        ).collect()
+        assert len(out) == 5
+        assert all(r["recall"] == 1.0 and r["n_hit"] == 5 for r in out)
+
+    def test_partial_probe_bounded(self, spark, sf_dir):
+        from dataengineer_spark.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 5)
+        out = sim_ops.ann_recall(
+            probes, emb, dim=64, k=5, n_centroids=16, n_probe=2,
+            allow_quadratic=True,
+        ).collect()
+        assert len(out) == 5
+        assert all(0.0 <= r["recall"] <= 1.0 for r in out)
+        assert all(r["recall"] == r["n_hit"] / 5 for r in out)
+
+
+class TestTransitionCounts:
+    def test_sequence_and_ts_tie_break(self, spark):
+        # user 1: a(t1) -> b(t2) -> b(t2, higher id) -> c(t3); the t2 tie
+        # orders by event_id, so pairs are (a,b),(b,b),(b,c)
+        df = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 00:00:01", "a"),
+                (2, 1, "2024-01-01 00:00:02", "b"),
+                (3, 1, "2024-01-01 00:00:02", "b"),
+                (4, 1, "2024-01-01 00:00:03", "c"),
+                (5, 2, "2024-01-01 00:00:01", "a"),
+            ],
+            "event_id long, user_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r["event_type"], r["next_type"]): r["n"]
+            for r in event_ops.transition_counts(df).collect()
+        }
+        # user 2 has a single event -> contributes no pair
+        assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+
+
+class TestTrailingRangeAgg:
+    def test_boundary_inclusive_and_partitioned(self, spark):
+        # trailing 10 s: the event exactly 10 s earlier IS in frame; the
+        # one 11 s earlier is not; other users never leak in
+        df = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 00:00:00", 5.0),
+                (2, 1, "2024-01-01 00:00:10", 3.0),
+                (3, 1, "2024-01-01 00:00:21", 7.0),
+                (4, 2, "2024-01-01 00:00:10", 100.0),
+            ],
+            "event_id long, user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r["event_id"]: (r["trailing_n"], r["trailing_min"], r["trailing_max"])
+            for r in win_ops.trailing_range_agg(
+                df, "user_id", "ts", 10, "value"
+            ).collect()
+        }
+        assert got[1] == (1, 5.0, 5.0)
+        assert got[2] == (2, 3.0, 5.0)   # 10 s boundary inclusive
+        assert got[3] == (1, 7.0, 7.0)   # 11 s gap: frame restarts
+        assert got[4] == (1, 100.0, 100.0)  # user isolation
+
+
+class TestTokenFertility:
+    def test_exact_ratios_and_empty_group(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("en", "ab cd"),       # 2 tokens, 5 chars
+                ("en", "efg"),         # 1 token, 3 chars
+                ("zz", "   "),         # 0 tokens
+                ("nn", None),          # NULL text -> 0 tokens, NULL chars
+            ],
+            "lang string, text string",
+        )
+        rows = {r["grp"]: r for r in textops.token_fertility(df).collect()}
+        en = rows["en"]
+        assert (en["n_docs"], en["n_tokens"]) == (2, 3)
+        assert en["chars_per_token"] == 8 / 3
+        assert en["bytes_per_token"] == 8 / 3
+        assert rows["zz"]["chars_per_token"] is None  # 0-token group: NULL

@@ -560,3 +560,98 @@ class TestExplodeWordsEmpty:
         )
         got = {r["word"]: r["n"] for r in word_counts(df, "text").collect()}
         assert got == {"a": 2, "b": 1}  # no '' token
+
+
+class TestKfoldAssign:
+    def test_group_integrity_and_range(self, spark, sf_dir):
+        from dataengineer_spark.operators.preparation import kfold_assign
+        from dataengineer_spark.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = kfold_assign(docs, "source", k=5, salt="cv")
+        # every group maps to exactly one fold, folds in [0, 5)
+        per = out.groupBy("source").agg(
+            F.countDistinct("fold").alias("nf"),
+            F.min("fold").alias("lo"),
+            F.max("fold").alias("hi"),
+        ).collect()
+        assert all(r["nf"] == 1 and 0 <= r["lo"] and r["hi"] < 5 for r in per)
+        # fold is a function of the KEY: reassignment is bit-identical
+        again = kfold_assign(docs, "source", k=5, salt="cv")
+        assert (
+            out.select("doc_id", "fold").exceptAll(
+                again.select("doc_id", "fold")
+            ).count() == 0
+        )
+
+    def test_salt_domain_separation_and_validation(self, spark):
+        import pytest
+        from dataengineer_spark.operators.preparation import kfold_assign
+
+        df = spark.createDataFrame(
+            [(f"src{i}",) for i in range(40)], "g string"
+        )
+        a = {r["g"]: r["fold"] for r in kfold_assign(df, "g", 5, "x").collect()}
+        b = {r["g"]: r["fold"] for r in kfold_assign(df, "g", 5, "y").collect()}
+        assert a != b  # different salts give a different assignment
+        with pytest.raises(ValueError):
+            kfold_assign(df, "g", 0)
+
+
+class TestVocabCoverage:
+    def test_exact_prefix_cut(self, spark):
+        from dataengineer_spark.operators.preparation import vocab_coverage
+
+        # counts: a=5, b=3, c=1, d=1 (total 10); 80% needs a+b; the
+        # cut keeps ranks with cum_before < 8 -> a (0<8), b (5<8), NOT c
+        df = spark.createDataFrame(
+            [("a a a a a b b b c d",)], "text string"
+        )
+        rows = vocab_coverage(df, coverage_pct=80).collect()
+        assert [(r["rank"], r["word"], r["n"], r["cum_n"]) for r in rows] == [
+            (1, "a", 5, 5), (2, "b", 3, 8),
+        ]
+
+    def test_full_coverage_keeps_all_ties_by_word(self, spark):
+        from dataengineer_spark.operators.preparation import vocab_coverage
+
+        df = spark.createDataFrame([("b a b a",)], "text string")
+        rows = vocab_coverage(df, coverage_pct=100).collect()
+        assert [(r["rank"], r["word"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+class TestLengthBucketReport:
+    def test_exact_bucket_math_and_cap(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            length_bucket_report,
+        )
+
+        texts = [
+            ("w",),                       # 1 token  -> bucket 4
+            (" ".join(["w"] * 4),),       # 4 tokens -> bucket 4 (exact fit)
+            (" ".join(["w"] * 5),),       # 5 tokens -> bucket 8
+            (" ".join(["w"] * 50),),      # 50 tokens -> capped at 16
+            ("",),                        # 0 tokens -> floor bucket 4
+        ]
+        df = spark.createDataFrame(texts, "text string")
+        rows = {
+            r["bucket_len"]: r
+            for r in length_bucket_report(df, bucket=4, cap=16).collect()
+        }
+        b4 = rows[4]
+        assert (b4["n_docs"], b4["n_tokens"], b4["n_pad"]) == (3, 5, 7)
+        assert b4["efficiency"] == 5 / 12
+        b8 = rows[8]
+        assert (b8["n_docs"], b8["n_tokens"], b8["n_pad"]) == (1, 5, 3)
+        b16 = rows[16]  # over-cap doc counted as truncated to 16
+        assert (b16["n_docs"], b16["n_tokens"], b16["n_pad"]) == (1, 16, 0)
+
+    def test_cap_must_be_bucket_multiple(self, spark):
+        import pytest
+        from dataengineer_spark.operators.preparation import (
+            length_bucket_report,
+        )
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError):
+            length_bucket_report(df, bucket=3, cap=10)
