@@ -112,6 +112,11 @@ EFFECTFUL_QUERIES = {
 #: with the declared justification instead of flagging them raw
 BOUNDED_BNL_QUERIES = {
     "q_a6_abtest": "variants² pair join over the per-variant aggregate",
+    "q_e3_ann_recall": (
+        "exact ground-truth side is a broadcast crossJoin of the "
+        "20-row literal-bounded probe set (vec_id < 20) — the audit "
+        "samples its probes by construction, never corpus×corpus"
+    ),
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -8086,7 +8091,7 @@ _PREP_KFOLD_ORACLE = """
 WITH t AS (
   SELECT source, CAST(list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform(list_filter(string_split(source || 'cv', ''),
+      list_transform(list_filter(string_split(coalesce(source, '') || 'cv', ''),
                                  x -> x <> ''),
                      ch -> CAST(ascii(ch) AS BIGINT))),
     (acc, x) -> (acc * 31 + x) % 1000003) % 5 AS INT) AS fold
@@ -8101,7 +8106,7 @@ FROM t GROUP BY fold
 def q_a7_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E21 operating-point sweep (aggregates.pr_curve): precision /
     recall / F1 of the score 'first embedding component' against the
-    binary label 'class >= 5' over a 7-point threshold grid — one corpus
+    binary label 'label >= 5' over a 7-point threshold grid — one corpus
     scan, map-side explode of the plan-literal grid, exact int64
     confusion counts, single int/int IEEE divisions (no rounding step
     needed for parity)."""
@@ -8127,7 +8132,8 @@ WITH g AS (
   SELECT threshold,
     CAST(count(CASE WHEN score >= threshold AND y THEN 1 END) AS BIGINT) AS tp,
     CAST(count(CASE WHEN score >= threshold AND NOT y THEN 1 END) AS BIGINT) AS fp,
-    CAST(count(CASE WHEN NOT (score >= threshold) AND y THEN 1 END) AS BIGINT) AS fn
+    CAST(count(CASE WHEN NOT coalesce(score >= threshold, false) AND y THEN 1 END)
+      AS BIGINT) AS fn
   FROM s CROSS JOIN g GROUP BY threshold
 ), pr AS (
   SELECT threshold, tp, fp, fn,
@@ -8170,7 +8176,8 @@ def _ann_recall_oracle() -> str:
     )
     scores = (
         f"list_transform(generate_series(0, {n_centroids - 1}), "
-        "i -> {'score': list_reduce(list_transform(generate_series(1, 64), "
+        "i -> {'score': list_reduce(list_transform("
+        f"generate_series(1, {dim}), "
         "j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), 'cell': i})"
     )
     return f"""

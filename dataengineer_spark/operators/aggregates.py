@@ -662,6 +662,12 @@ def pr_curve(
     Output: (threshold, tp, fp, fn, precision, recall, f1) ordered by
     threshold; a zero-denominator cell (no predicted / no actual
     positives) yields NULL, never a division error.
+
+    NULL policy: a NULL score means "not retrieved at any threshold" —
+    a positive-labeled row with a NULL score counts as fn (dropping it
+    would overstate recall, the metric this table exists to bound); a
+    NULL label carries no evaluable truth, so the row is excluded from
+    all three counts.
     """
     from dataengineer_spark.tuning import array_lit
 
@@ -669,7 +675,9 @@ def pr_curve(
         raise ValueError("thresholds must be non-empty")
     thr = F.explode(array_lit([float(t) for t in thresholds])).alias("threshold")
     lab = label_col.cast("boolean")
-    pred = F.col(score_col).cast("double") >= F.col("threshold")
+    pred = F.coalesce(
+        F.col(score_col).cast("double") >= F.col("threshold"), F.lit(False)
+    )
     fanned = df.select(F.col(score_col), lab.alias("_y"), thr)
     counts = fanned.groupBy("threshold").agg(
         F.sum(F.when(pred & F.col("_y"), 1).otherwise(0)).alias("tp"),

@@ -925,10 +925,17 @@ def kfold_assign(
     fold, same recipe as :func:`portable_word_hash`): stable across runs,
     partitionings, and row order, and reproducible by any engine. Map-only
     — no shuffle; at 100 TB this is a free column append.
+
+    A NULL group key folds as the empty string: NULL-group rows all land
+    together in one deterministic fold (sharing it with a ''-named group,
+    if one exists) — never a NULL fold that a ``fold == i`` split would
+    silently drop from both sides.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    key = F.concat(F.col(group_col).cast("string"), F.lit(salt))
+    key = F.concat(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")), F.lit(salt)
+    )
     return df.withColumn(out_col, (portable_word_hash(key) % k).cast("int"))
 
 
@@ -994,8 +1001,10 @@ def length_bucket_report(
     Output: (bucket_len, n_docs, n_tokens, n_pad, efficiency) ordered
     by bucket_len.
     """
-    if bucket <= 0 or cap % bucket != 0:
-        raise ValueError(f"cap ({cap}) must be a positive multiple of bucket ({bucket})")
+    if bucket <= 0 or cap < bucket or cap % bucket != 0:
+        raise ValueError(
+            f"cap ({cap}) must be a positive multiple of bucket ({bucket})"
+        )
     toks = _ws_token_count(text_col)
     eff_toks = F.least(toks, F.lit(cap).cast("long"))
     blen = F.greatest(

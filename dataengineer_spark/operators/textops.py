@@ -264,8 +264,13 @@ def token_fertility(
 
     Output: (group, n_docs, n_tokens, chars_per_token, bytes_per_token)
     ordered by group.
+
+    NULL text counts 0 tokens (the canonical budgeting convention —
+    see preparation._ws_token_count) so an all-NULL group reports
+    n_tokens 0 / NULL ratios on every engine, never engine-dependent
+    NULL sums.
     """
-    toks = token_count(F.col(text_col)).cast("long")
+    toks = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     per = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).alias("n_tokens"),

@@ -2362,6 +2362,18 @@ class TestPrCurve:
         with pytest.raises(ValueError):
             agg_ops.pr_curve(df, "score", F.col("y"), [])
 
+    def test_null_score_positive_counts_as_fn(self, spark):
+        # an unscored positive can never be retrieved: it must stay in
+        # the recall denominator (fn), not silently vanish; a NULL label
+        # carries no truth and is excluded from all three counts
+        df = spark.createDataFrame(
+            [(0.9, True), (None, True), (None, False), (0.9, None)],
+            "score double, y boolean",
+        )
+        r = agg_ops.pr_curve(df, "score", F.col("y"), [0.5]).collect()[0]
+        assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 1)
+        assert r["recall"] == 0.5
+
 
 class TestAnnRecall:
     def test_full_probe_is_exact(self, spark, sf_dir):
@@ -2455,3 +2467,7 @@ class TestTokenFertility:
         assert en["chars_per_token"] == 8 / 3
         assert en["bytes_per_token"] == 8 / 3
         assert rows["zz"]["chars_per_token"] is None  # 0-token group: NULL
+        # NULL text counts 0 tokens (never a NULL sum), ratios NULL
+        nn = rows["nn"]
+        assert (nn["n_docs"], nn["n_tokens"]) == (1, 0)
+        assert nn["chars_per_token"] is None

@@ -655,3 +655,29 @@ class TestLengthBucketReport:
         df = spark.createDataFrame([("x",)], "text string")
         with pytest.raises(ValueError):
             length_bucket_report(df, bucket=3, cap=10)
+
+
+class TestLengthBucketCapValidation:
+    def test_non_positive_cap_rejected(self, spark):
+        import pytest
+        from dataengineer_spark.operators.preparation import (
+            length_bucket_report,
+        )
+
+        df = spark.createDataFrame([("x",)], "text string")
+        for bad_cap in (0, -16):
+            with pytest.raises(ValueError):
+                length_bucket_report(df, bucket=16, cap=bad_cap)
+
+
+class TestKfoldNullGroup:
+    def test_null_group_gets_deterministic_fold(self, spark):
+        from dataengineer_spark.operators.preparation import kfold_assign
+
+        df = spark.createDataFrame(
+            [("a", 1), (None, 2), (None, 3)], "g string, i int"
+        )
+        rows = kfold_assign(df, "g", 5, "s").collect()
+        folds = {r["i"]: r["fold"] for r in rows}
+        assert folds[2] is not None and folds[2] == folds[3]
+        assert 0 <= folds[2] < 5
