@@ -8375,6 +8375,164 @@ FROM b GROUP BY bucket_len ORDER BY bucket_len
 """
 
 
+def q_e3_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 compression audit (sim_ops.pq_reconstruction_error): per-
+    subspace PQ reconstruction MSE over the corpus — the drift signal
+    that triggers a codebook retrain. ORACLED end to end: DuckDB replays
+    the encode (same argmax/tie rules as q_e3_pq_topk's oracle), the
+    literal-codebook reconstruction, the left-fold squared error, and
+    the DECIMAL-exact corpus mean."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    return sim_ops.pq_reconstruction_error(emb, cb)
+
+
+def _pq_error_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _half_sqnorm
+
+    cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+    dsub = len(cb[0][0])
+    rows = []
+    for j, sub_cb in enumerate(cb):
+        for i, c in enumerate(sub_cb):
+            cvec = "[" + ", ".join(repr(x) for x in c) + "]"
+            rows.append(
+                f"({j}, {i}, CAST({cvec} AS DOUBLE[]), "
+                f"CAST({_half_sqnorm(c)!r} AS DOUBLE))"
+            )
+    cbt = ",\n    ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cbt(j, i, cvec, half) AS (
+  VALUES {cbt}
+), encscore AS (
+  SELECT e.vec_id, e.v, cbt.j, cbt.i, cbt.cvec,
+    list_reduce(list_transform(generate_series(1, {dsub}),
+      t -> e.v[cbt.j * {dsub} + t] * cbt.cvec[t]), (a, b) -> a + b)
+      - cbt.half AS sc
+  FROM e CROSS JOIN cbt
+), best AS (
+  SELECT vec_id, v, j, cvec FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
+    FROM encscore) WHERE rn = 1
+), err AS (
+  SELECT j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, {dsub}),
+        t -> (v[j * {dsub} + t] - cvec[t]) * (v[j * {dsub} + t] - cvec[t]))),
+      (a, b) -> a + b) AS se
+  FROM best
+)
+SELECT CAST(j AS INT) AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(se AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS mse
+FROM err GROUP BY j ORDER BY j
+"""
+
+
+def q_a8_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 deterministic Poisson-bootstrap CI (aggregates.
+    bootstrap_metric_ci) for the accuracy of the sign-of-first-component
+    stand-in classifier against 'label >= 5' — 100 hash-seeded replicas,
+    exact int64 per-replica counts, rank-picked 90% CI, DECIMAL-exact
+    replica mean. The uncertainty number an eval table should carry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        (
+            (F.element_at("embedding", 1).cast("double") > 0)
+            == (F.col("label") >= 5)
+        ).cast("int").alias("correct"),
+    )
+    return agg_ops.bootstrap_metric_ci(
+        scored, "correct", "vec_id", n_replicas=100, lo_rank=6, hi_rank=95
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from dataengineer_spark.operators.aggregates import (
+        BOOTSTRAP_SALT,
+        POISSON1_CDF,
+    )
+    from dataengineer_spark.operators.preparation import SPLIT_MULT
+
+    cases = "\n    ".join(
+        f"WHEN u < {cdf!r} THEN {k}" for k, cdf in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+    CASE WHEN (CAST(embedding[1] AS DOUBLE) > 0) = (label >= 5)
+         THEN 1 ELSE 0 END AS c
+  FROM embeddings
+), f AS (
+  SELECT vec_id, c, unnest(generate_series(1, 100)) AS b FROM s
+), uu AS (
+  SELECT b, c,
+    (((vec_id % 2147483648) * {SPLIT_MULT} + b * {BOOTSTRAP_SALT})
+      % 2147483648) / 2147483648.0 AS u
+  FROM f
+), ww AS (
+  SELECT b, c, CASE
+    {cases}
+    ELSE {len(POISSON1_CDF)} END AS w
+  FROM uu
+), per AS (
+  SELECT b, sum(w) AS nw, sum(w * c) AS nc FROM ww GROUP BY b
+), acc AS (
+  SELECT b, CASE WHEN nw > 0
+                 THEN CAST(nc AS DOUBLE) / CAST(nw AS DOUBLE) END AS acc
+  FROM per
+), r AS (
+  SELECT acc, row_number() OVER (ORDER BY acc ASC NULLS LAST, b) AS rn
+  FROM acc
+)
+SELECT CAST(100 AS BIGINT) AS n_replicas,
+  round(CAST(sum(CAST(acc AS DECIMAL(28,12))) AS DOUBLE) / 100, 6) AS mean_acc,
+  round((SELECT acc FROM r WHERE rn = 6), 6) AS ci_lo,
+  round((SELECT acc FROM r WHERE rn = 95), 6) AS ci_hi
+FROM acc
+"""
+
+
+def q_e9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 interval×interval overlap self-join (joins.
+    interval_overlap_join): events become 10-60 min sessions
+    (deterministic from event_id), and the operator finds all
+    overlapping session pairs per user via temporal-bucket
+    decomposition — (user, hour-bucket) equi-join, each pair emitted
+    once in max(start) 's bucket, exact integer overlap seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    start = F.col("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        start.alias("start_s"),
+        (start + 600 * (F.pmod(F.col("event_id"), F.lit(6)) + 1)).alias(
+            "end_s"
+        ),
+    )
+    return join_ops.interval_overlap_join(
+        iv, "user_id", "start_s", "end_s", "event_id", 3600
+    )
+
+
+_E9_INTERVAL_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 * (event_id % 6 + 1) AS e
+  FROM events
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8402,7 +8560,8 @@ _ROUND6_FIRST = [
     # --- round-6 continuation: curation / evaluation additions ---
     "q_prep_kfold", "q_a7_pr_curve", "q_e3_ann_recall", "q_e4_fertility",
     "q_f14_vocab_coverage", "q_e6_range_frame", "q_e10_transitions",
-    "q_prep_length_buckets",
+    "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
+    "q_e9_interval_join",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -8512,6 +8671,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e6_range_frame": q_e6_range_frame,
         "q_e10_transitions": q_e10_transitions,
         "q_prep_length_buckets": q_prep_length_buckets,
+        "q_e3_pq_error": q_e3_pq_error,
+        "q_a8_bootstrap": q_a8_bootstrap,
+        "q_e9_interval_join": q_e9_interval_join,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -8853,6 +9015,9 @@ def oracle_sql() -> dict[str, str]:
         "q_e6_range_frame": _E6_RANGE_FRAME_ORACLE,
         "q_e10_transitions": _E10_TRANSITIONS_ORACLE,
         "q_prep_length_buckets": _PREP_LENGTH_BUCKETS_ORACLE,
+        "q_e3_pq_error": _pq_error_oracle(),
+        "q_a8_bootstrap": _bootstrap_oracle(),
+        "q_e9_interval_join": _E9_INTERVAL_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -152,6 +152,9 @@ HEADLINE = [
     "q_e6_range_frame",
     "q_e10_transitions",
     "q_prep_length_buckets",
+    "q_e3_pq_error",
+    "q_a8_bootstrap",
+    "q_e9_interval_join",
 ]
 
 

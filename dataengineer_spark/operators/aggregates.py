@@ -702,3 +702,98 @@ def pr_curve(
         recall.alias("recall"),
         f1.alias("f1"),
     ).orderBy("threshold")
+
+
+#: Poisson(1) CDF as double literals (repr-exact, shared with the SQL
+#: oracle): the inverse-CDF table behind the deterministic Poisson
+#: bootstrap — multiplicity k iff u lands in [cdf[k-1], cdf[k]).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+BOOTSTRAP_SALT = 7919
+
+
+def bootstrap_metric_ci(
+    df: DataFrame,
+    correct_col: str,
+    id_col: str,
+    n_replicas: int = 100,
+    lo_rank: int = 6,
+    hi_rank: int = 95,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for a 0/1 metric (accuracy,
+
+    filter pass-rate): each row's multiplicity in replica ``b`` is
+    Poisson(1) drawn by INVERSE CDF from a hash uniform — the standard
+    scale-out bootstrap (resampling-by-index needs a global index and a
+    per-replica shuffle; the Poisson form is one map-side explode, and
+    the hash makes it reproducible across runs, partitionings, and
+    engines). Per-replica numerator/denominator are exact int64 sums;
+    the CI bounds are rank picks over the replica-count-bounded result
+    (ties broken by replica id), and the replica mean uses an exact
+    DECIMAL sum. Corpus cost: n_replicas× row fan-out collapsed by
+    map-side combine before the single |replicas|-key shuffle — at
+    100 TB run it over the (already small) evaluation slice, not raw
+    corpus, like any metric.
+
+    Output: one row (n_replicas, mean_acc, ci_lo, ci_hi).
+    """
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators.preparation import (
+        SPLIT_MULT,
+        _reduced_key,
+    )
+
+    if not 1 <= lo_rank <= hi_rank <= n_replicas:
+        raise ValueError(
+            f"need 1 <= lo_rank <= hi_rank <= n_replicas, got "
+            f"({lo_rank}, {hi_rank}, {n_replicas})"
+        )
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("b")
+    fanned = df.select(
+        F.col(id_col).alias("_id"), F.col(correct_col).cast("long").alias("_c"), b
+    )
+    u = F.pmod(
+        _reduced_key(F.col("_id")) * SPLIT_MULT + F.col("b") * BOOTSTRAP_SALT,
+        F.lit(1 << 31),
+    ) / float(1 << 31)
+    w: Column = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    per_b = fanned.select("b", w.cast("long").alias("_w"), "_c").groupBy("b").agg(
+        F.sum("_w").alias("_nw"),
+        F.sum(F.col("_w") * F.col("_c")).alias("_nc"),
+    )
+    acc = per_b.select(
+        "b",
+        F.when(F.col("_nw") > 0, F.col("_nc") / F.col("_nw")).alias("acc"),
+    )
+    ranked = acc.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("acc").asc_nulls_last(), "b"))
+    )
+    mean = acc.agg(
+        F.round(
+            F.sum(F.col("acc").cast("decimal(28,12)")).cast("double")
+            / F.lit(n_replicas),
+            6,
+        ).alias("mean_acc")
+    )
+    lo = ranked.where(F.col("rn") == lo_rank).select(
+        F.round("acc", 6).alias("ci_lo")
+    )
+    hi = ranked.where(F.col("rn") == hi_rank).select(
+        F.round("acc", 6).alias("ci_hi")
+    )
+    return (
+        mean.select(F.lit(n_replicas).cast("long").alias("n_replicas"), "mean_acc")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

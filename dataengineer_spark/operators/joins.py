@@ -337,3 +337,78 @@ def linkage_score(
     return pairs.withColumn("link_score", F.round(score, 6)).withColumn(
         "is_match", F.round(score, 6) >= threshold
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """E9 interval×interval overlap self-join — the range-RANGE shape
+
+    Spark has no native join for (point-in-range is q_e9_range_join;
+    this finds PAIRS of overlapping intervals per key: double-booking,
+    concurrent-session, overlapping-span detection). Scale plan is the
+    standard temporal-bucket decomposition: each interval explodes to
+    the ``bucket_seconds``-wide buckets it covers, the join is a plain
+    (key, bucket) equi-join — shuffle keyed and bounded, never
+    key×key² — and each true pair is emitted EXACTLY ONCE, in the
+    bucket containing max(start_a, start_b) (no distinct pass; that
+    bucket is shared by construction whenever the intervals overlap).
+    Pick ``bucket_seconds`` ≈ the max interval span: explode factor
+    stays ≤ 2 and candidate pressure per bucket is minimal.
+
+    Intervals are epoch-second longs, end inclusive and required
+    >= start (build-side violations raise at plan time via a guarded
+    expression, not silently). Touching endpoints count as overlap_s=0.
+
+    Output: (key, id_a, id_b, overlap_s) with id_a < id_b.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    w = F.lit(int(bucket_seconds)).cast("long")
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    # raise_error keeps the contract loud under ANSI mode: a negative
+    # span would silently vanish from every bucket otherwise
+    checked_e = F.when(e >= s, e).otherwise(
+        F.raise_error(F.format_string("interval end < start for %s", F.col(id_col)))
+    )
+    iv = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        checked_e.alias("_e"),
+    )
+    exploded = iv.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("_s") / w), F.floor(F.col("_e") / w))
+        ).alias("_b"),
+    )
+    a = exploded.select(
+        F.col("_k"), F.col("_b"),
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), F.col("_e").alias("_ea"),
+    )
+    b = exploded.select(
+        F.col("_k"), F.col("_b"),
+        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), F.col("_e").alias("_eb"),
+    )
+    pairs = a.join(b, ["_k", "_b"]).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("_sa") <= F.col("_eb"))
+        & (F.col("_sb") <= F.col("_ea"))
+        # emit-once rule: only the bucket holding max(start_a, start_b)
+        & (F.col("_b") == F.floor(F.greatest(F.col("_sa"), F.col("_sb")) / w))
+    )
+    return pairs.select(
+        F.col("_k").alias(key_col),
+        "id_a",
+        "id_b",
+        (
+            F.least(F.col("_ea"), F.col("_eb"))
+            - F.greatest(F.col("_sa"), F.col("_sb"))
+        ).alias("overlap_s"),
+    )

