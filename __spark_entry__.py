@@ -2905,7 +2905,12 @@ def _pq_relational_ctes(cb, qv, source_cte: str) -> str:
     LUT rows re-added in fixed subquantizer order (one CASE per j) so
     float addition order matches the Spark side exactly.  Arithmetic is
     unchanged from the lambda form — left-fold dot, score = dot - half,
-    ties to the LOWER centroid index — so hashes still match."""
+    ties to the LOWER centroid index — so hashes still match.
+
+    ``qv=None`` is the query-less ENCODE-ONLY form (q_e3_pq_error's
+    reconstruction audit): no lut column, and instead of enc/scored the
+    prefix ends in a ``best`` CTE carrying (vec_id, v, j, cvec) — one
+    argmax arithmetic definition serves every PQ oracle."""
     from dataengineer_spark.operators.similarity import _half_sqnorm
 
     m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
@@ -2914,25 +2919,38 @@ def _pq_relational_ctes(cb, qv, source_cte: str) -> str:
         for i in range(ksub):
             c = cb[j][i]
             cvec = "[" + ", ".join(repr(x) for x in c) + "]"
-            lut = sum(
-                (qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t])
-                for t in range(dsub)
-            )
-            rows.append(
+            val = (
                 f"({j}, {i}, CAST({cvec} AS DOUBLE[]), "
-                f"CAST({_half_sqnorm(c)!r} AS DOUBLE), CAST({lut!r} AS DOUBLE))"
+                f"CAST({_half_sqnorm(c)!r} AS DOUBLE)"
             )
+            if qv is not None:
+                lut = sum(
+                    (qv[j * dsub + t] - c[t]) * (qv[j * dsub + t] - c[t])
+                    for t in range(dsub)
+                )
+                val += f", CAST({lut!r} AS DOUBLE)"
+            rows.append(val + ")")
     cbt = ",\n    ".join(rows)
-    adist = " + ".join(f"sum(CASE WHEN j = {j} THEN lut END)" for j in range(m))
-    return f"""cbt(j, i, cvec, half, lut) AS (
+    lut_col = ", lut" if qv is not None else ""
+    keep = "cbt.lut" if qv is not None else "s.v, cbt.cvec"
+    prefix = f"""cbt(j, i, cvec, half{lut_col}) AS (
   VALUES {cbt}
 ), encscore AS (
-  SELECT s.vec_id, cbt.j, cbt.i, cbt.lut,
+  SELECT s.vec_id, cbt.j, cbt.i, {keep},
     list_reduce(list_transform(generate_series(1, {dsub}),
       t -> s.v[cbt.j * {dsub} + t] * cbt.cvec[t]), (a, b) -> a + b)
       - cbt.half AS sc
   FROM {source_cte} s CROSS JOIN cbt
-), enc AS (
+)"""
+    if qv is None:
+        return f"""{prefix}, best AS (
+  SELECT vec_id, v, j, cvec FROM (
+    SELECT vec_id, v, j, cvec, i,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
+    FROM encscore) WHERE rn = 1
+)"""
+    adist = " + ".join(f"sum(CASE WHEN j = {j} THEN lut END)" for j in range(m))
+    return f"""{prefix}, enc AS (
   SELECT vec_id, j, lut FROM (
     SELECT vec_id, j, lut,
       row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
@@ -8388,36 +8406,13 @@ def q_e3_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_error_oracle() -> str:
-    from dataengineer_spark.operators.similarity import _half_sqnorm
-
     cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
     dsub = len(cb[0][0])
-    rows = []
-    for j, sub_cb in enumerate(cb):
-        for i, c in enumerate(sub_cb):
-            cvec = "[" + ", ".join(repr(x) for x in c) + "]"
-            rows.append(
-                f"({j}, {i}, CAST({cvec} AS DOUBLE[]), "
-                f"CAST({_half_sqnorm(c)!r} AS DOUBLE))"
-            )
-    cbt = ",\n    ".join(rows)
+    pq = _pq_relational_ctes(cb, None, "e")  # encode-only shared prefix
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), cbt(j, i, cvec, half) AS (
-  VALUES {cbt}
-), encscore AS (
-  SELECT e.vec_id, e.v, cbt.j, cbt.i, cbt.cvec,
-    list_reduce(list_transform(generate_series(1, {dsub}),
-      t -> e.v[cbt.j * {dsub} + t] * cbt.cvec[t]), (a, b) -> a + b)
-      - cbt.half AS sc
-  FROM e CROSS JOIN cbt
-), best AS (
-  SELECT vec_id, v, j, cvec FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id, j ORDER BY sc DESC, i ASC) AS rn
-    FROM encscore) WHERE rn = 1
-), err AS (
+), {pq}, err AS (
   SELECT j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       list_transform(generate_series(1, {dsub}),
         t -> (v[j * {dsub} + t] - cvec[t]) * (v[j * {dsub} + t] - cvec[t]))),

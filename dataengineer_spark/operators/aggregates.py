@@ -779,21 +779,26 @@ def bootstrap_metric_ci(
     ranked = acc.withColumn(
         "rn", F.row_number().over(W.orderBy(F.col("acc").asc_nulls_last(), "b"))
     )
-    mean = acc.agg(
+    # ONE aggregate over the replica-bounded frame: mean + rank picks as
+    # conditional maxes — no re-execution of the fan-out pipeline per
+    # output column, no join of one-row frames. Empty input still yields
+    # the contractual single row (global agg), with NULL stats.
+    stats = ranked.agg(
         F.round(
             F.sum(F.col("acc").cast("decimal(28,12)")).cast("double")
             / F.lit(n_replicas),
             6,
-        ).alias("mean_acc")
+        ).alias("mean_acc"),
+        F.round(F.max(F.when(F.col("rn") == lo_rank, F.col("acc"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("rn") == hi_rank, F.col("acc"))), 6).alias(
+            "ci_hi"
+        ),
     )
-    lo = ranked.where(F.col("rn") == lo_rank).select(
-        F.round("acc", 6).alias("ci_lo")
-    )
-    hi = ranked.where(F.col("rn") == hi_rank).select(
-        F.round("acc", 6).alias("ci_hi")
-    )
-    return (
-        mean.select(F.lit(n_replicas).cast("long").alias("n_replicas"), "mean_acc")
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+    return stats.select(
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+        "mean_acc",
+        "ci_lo",
+        "ci_hi",
     )

@@ -362,8 +362,9 @@ def interval_overlap_join(
     stays ≤ 2 and candidate pressure per bucket is minimal.
 
     Intervals are epoch-second longs, end inclusive and required
-    >= start (build-side violations raise at plan time via a guarded
-    expression, not silently). Touching endpoints count as overlap_s=0.
+    non-NULL with end >= start — the first violating row aborts the run
+    with a named id (a negative or NULL span would otherwise silently
+    vanish from every bucket). Touching endpoints count as overlap_s=0.
 
     Output: (key, id_a, id_b, overlap_s) with id_a < id_b.
     """
@@ -371,10 +372,13 @@ def interval_overlap_join(
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     w = F.lit(int(bucket_seconds)).cast("long")
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
-    # raise_error keeps the contract loud under ANSI mode: a negative
-    # span would silently vanish from every bucket otherwise
-    checked_e = F.when(e >= s, e).otherwise(
-        F.raise_error(F.format_string("interval end < start for %s", F.col(id_col)))
+    checked_e = F.when(s.isNotNull() & e.isNotNull() & (e >= s), e).otherwise(
+        F.raise_error(
+            F.format_string(
+                "invalid interval (NULL bound or end < start) for %s",
+                F.col(id_col),
+            )
+        )
     )
     iv = df.select(
         F.col(key_col).alias("_k"),

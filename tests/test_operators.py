@@ -2495,14 +2495,34 @@ class TestPqReconstructionError:
 
     def test_matches_encode_assignment(self, spark, sf_dir):
         # the audited error must use the SAME assignment as pq_encode:
-        # reconstruct manually from the codes and compare totals
+        # reconstruct manually from the codes and compare per-subspace
+        # means (any off-by-one in the centroid lookup diverges here)
         from dataengineer_spark.testdata import load_table
+        from dataengineer_spark.tuning import array_lit
 
         emb = load_table(spark, sf_dir, "embeddings").limit(50)
         cb = sim_ops.pq_codebook(64, m=8, ksub=16, seed=11)
-        out = sim_ops.pq_reconstruction_error(emb, cb).collect()
-        assert [r["subspace"] for r in out] == list(range(8))
-        assert all(r["n_vecs"] == 50 and r["mse"] >= 0 for r in out)
+        out = {
+            r["subspace"]: r
+            for r in sim_ops.pq_reconstruction_error(emb, cb).collect()
+        }
+        assert sorted(out) == list(range(8))
+        enc = sim_ops.pq_encode(emb, cb, out="codes")
+        dsub = len(cb[0][0])
+        v = F.col("embedding").cast("array<double>")
+        for j in (0, 3, 7):
+            cent = F.element_at(
+                array_lit(cb[j]), F.element_at(F.col("codes"), j + 1) + 1
+            )
+            se = sim_ops.sqdist(F.slice(v, j * dsub + 1, dsub), cent)
+            manual = enc.agg(
+                F.round(
+                    F.sum(se.cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mse")
+            ).collect()[0]["mse"]
+            assert manual == out[j]["mse"] and out[j]["n_vecs"] == 50
 
 
 class TestBootstrapMetricCi:
@@ -2532,6 +2552,16 @@ class TestBootstrapMetricCi:
             agg_ops.bootstrap_metric_ci(df, "correct", "id", 10, 0, 9)
         with pytest.raises(ValueError):
             agg_ops.bootstrap_metric_ci(df, "correct", "id", 10, 5, 11)
+
+    def test_empty_input_single_null_row(self, spark):
+        # contract: always ONE row; an empty eval slice gives NULL stats,
+        # never an empty frame a downstream reader would miss
+        df = spark.createDataFrame([], "id long, correct int")
+        out = agg_ops.bootstrap_metric_ci(df, "correct", "id").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_replicas"] == 100
+        assert r["mean_acc"] is None and r["ci_lo"] is None and r["ci_hi"] is None
 
 
 class TestIntervalOverlapJoin:
