@@ -117,6 +117,12 @@ BOUNDED_BNL_QUERIES = {
         "20-row literal-bounded probe set (vec_id < 20) — the audit "
         "samples its probes by construction, never corpus×corpus"
     ),
+    "q_e2_neardup_recall": (
+        "exact ground-truth side is a crossJoin of the 440-doc "
+        "literal-bounded audit sample (doc_id < 400 + seeded recrawls, "
+        "quadratic-guarded in the operator) — recall is audited on a "
+        "sample by construction, never corpus×corpus"
+    ),
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -2187,15 +2193,29 @@ def q_e2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _minhash_portable_oracle() -> str:
+#: DuckDB replay of dedup.char_shingles(text, 5) — distinct char 5-grams
+_SQL_SHINGLES5 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 4, 1)), "
+    "i -> substr(text, CAST(i AS INT), 5)))"
+)
+
+
+def _minhash_cte_prefix(d_body: str, num_hashes: int = 32, bands: int = 4) -> str:
+    """Shared WITH-prefix for the portable-MinHash self-join oracles —
+
+    corpus CTE → shingle explode → polynomial char hash → 32-min
+    signature → band keys → distinct candidate pairs. ONE definition of
+    the signature/band arithmetic serves the near-dup pair oracle and
+    the recall audit (the bipartite twin lives in _lsh_join_oracle)."""
     from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
 
-    params = _affine_params(32, seed=42)
+    params = _affine_params(num_hashes, seed=42)
     mins = ",\n    ".join(
         f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
         for j, (a, b) in enumerate(params)
     )
-    rows = 32 // 4
+    rows = num_hashes // bands
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs".format(
             b=b,
@@ -2203,18 +2223,12 @@ def _minhash_portable_oracle() -> str:
                 f"CAST(s{b * rows + r + 1} AS VARCHAR)" for r in range(rows)
             ),
         )
-        for b in range(4)
+        for b in range(bands)
     )
-    shingles = (
-        "list_distinct(list_transform("
-        "generate_series(1, greatest(length(text) - 4, 1)), "
-        "i -> substr(text, CAST(i AS INT), 5)))"
-    )
-    return f"""
-WITH d AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+    return f"""d AS (
+  {d_body}
 ), sh AS (
-  SELECT doc_id, unnest({shingles}) AS s FROM d
+  SELECT doc_id, unnest({_SQL_SHINGLES5}) AS s FROM d
 ), hashed AS (
   SELECT doc_id,
     list_reduce(
@@ -2233,7 +2247,16 @@ WITH d AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), shset AS (
+)"""
+
+
+def _minhash_portable_oracle() -> str:
+    prefix = _minhash_cte_prefix(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 1000"
+    )
+    shingles = _SQL_SHINGLES5
+    return f"""
+WITH {prefix}, shset AS (
   SELECT doc_id, {shingles} AS ss FROM d
 ), verified AS (
   SELECT c.id_a, c.id_b,
@@ -8528,6 +8551,128 @@ FROM iv a JOIN iv b
 """
 
 
+#: synthetic recrawl for the recall audit / provenance matrix — mutated
+#: near-dup copies (shared by query and oracle; the testdata has no
+#: natural near-dups at threshold 0.5)
+_RECALL_TAIL = " extra tail words"
+
+
+def q_e2_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index-quality audit (dedup.neardup_recall): recall of the
+    4-band/32-hash MinHash-LSH near-dup index against exact shingle-
+    Jaccard ground truth, on a 400-doc bounded sample seeded with
+    mutated recrawl copies — the number the (bands, rows) s-curve is
+    tuned by, the dedup analogue of q_e3_ann_recall. Portable hash
+    family; ORACLED end to end (ground truth, band candidates, and the
+    recall division all replayed)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    mutated = docs.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_RECALL_TAIL)).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return dedup_ops.neardup_recall(
+        corpus, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+        threshold=0.5, portable=True, allow_quadratic=True,
+    )
+
+
+def _neardup_recall_oracle() -> str:
+    d_body = f"""SELECT doc_id, text FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || '{_RECALL_TAIL}' AS text
+  FROM documents WHERE doc_id < 400 AND doc_id % 10 = 3"""
+    prefix = _minhash_cte_prefix(d_body)
+    return f"""
+WITH {prefix}, shset AS (
+  SELECT doc_id, {_SQL_SHINGLES5} AS ss FROM d
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shset a JOIN shset b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ss, b.ss)) * 1.0
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+), hit AS (
+  SELECT t.id_a, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS f
+  FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(coalesce(sum(f), 0) AS BIGINT) AS n_found,
+       CASE WHEN count(*) > 0
+            THEN CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       END AS recall
+FROM hit
+"""
+
+
+def q_e4_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 memorization/boilerplate signal (textops.ngram_novelty): per
+    document, the share of its distinct word 3-grams appearing in no
+    other document — two shuffles (gram document-frequency aggregate +
+    gram join), exact int64 counts, one int/int division."""
+    return textops.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+_E4_NOVELTY_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_T} = '' OR len({_SQL_WORDS}) < 3 THEN []
+         ELSE list_distinct(list_transform(range(1, len({_SQL_WORDS}) - 1),
+              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')))
+    END AS grams
+  FROM documents
+), x AS (
+  SELECT doc_id, unnest(grams) AS gr FROM g
+), dfreq AS (
+  SELECT gr, count(*) AS df FROM x GROUP BY gr
+), per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM x JOIN dfreq USING (gr) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM per
+"""
+
+
+def q_dq_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 provenance-overlap matrix (quality.cross_source_dup_matrix):
+    distinct contents shared per source pair, over the corpus plus a
+    synthetic 'resold' feed (every 4th document re-ingested under a new
+    source name) — the table that catches mirrored crawls and double-
+    ingested feeds. Raw-text join keys here (oracle-replayable); the
+    scale default ships 8-byte xxhash64 keys (hashed=True, pinned
+    result-identical in tests)."""
+    from dataengineer_spark.operators.quality import cross_source_dup_matrix
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    resold = docs.where(F.col("doc_id") % 7 == 1).withColumn(
+        "source", F.lit("resold")
+    )
+    corpus = docs.unionByName(resold).select("source", "text")
+    return cross_source_dup_matrix(corpus, hashed=False)
+
+
+_DQ_CROSS_SOURCE_ORACLE = """
+WITH c AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'resold' AS source, text FROM documents WHERE doc_id % 7 = 1
+), per AS (
+  SELECT DISTINCT source, text FROM c
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM per a JOIN per b ON a.text = b.text AND a.source < b.source
+GROUP BY source_a, source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8556,7 +8701,8 @@ _ROUND6_FIRST = [
     "q_prep_kfold", "q_a7_pr_curve", "q_e3_ann_recall", "q_e4_fertility",
     "q_f14_vocab_coverage", "q_e6_range_frame", "q_e10_transitions",
     "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
-    "q_e9_interval_join",
+    "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
+    "q_dq_cross_source",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -8669,6 +8815,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_pq_error": q_e3_pq_error,
         "q_a8_bootstrap": q_a8_bootstrap,
         "q_e9_interval_join": q_e9_interval_join,
+        "q_e2_neardup_recall": q_e2_neardup_recall,
+        "q_e4_novelty": q_e4_novelty,
+        "q_dq_cross_source": q_dq_cross_source,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9013,6 +9162,9 @@ def oracle_sql() -> dict[str, str]:
         "q_e3_pq_error": _pq_error_oracle(),
         "q_a8_bootstrap": _bootstrap_oracle(),
         "q_e9_interval_join": _E9_INTERVAL_ORACLE,
+        "q_e2_neardup_recall": _neardup_recall_oracle(),
+        "q_e4_novelty": _E4_NOVELTY_ORACLE,
+        "q_dq_cross_source": _DQ_CROSS_SOURCE_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

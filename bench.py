@@ -155,6 +155,9 @@ HEADLINE = [
     "q_e3_pq_error",
     "q_a8_bootstrap",
     "q_e9_interval_join",
+    "q_e2_neardup_recall",
+    "q_e4_novelty",
+    "q_dq_cross_source",
 ]
 
 

@@ -1116,3 +1116,68 @@ def setsim_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def neardup_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Recall audit of the MinHash-LSH banding against exact ground
+
+    truth — the near-dup analogue of similarity.ann_recall, and the
+    number the (bands, rows) s-curve is tuned by: ground truth is every
+    pair with exact shingle-Jaccard >= threshold (a guarded quadratic —
+    this audit runs on a bounded sample, the same way ann_recall samples
+    its probe set, never on the full corpus), and the index under test
+    is :func:`minhash_lsh_pairs` with identical shingling and verify
+    rules, so found ⊆ truth by construction and recall is an exact
+    int/int division.
+
+    Output: one row (n_true, n_found, recall); recall NULL when the
+    sample contains no true pairs.
+    """
+    from dataengineer_spark.operators.similarity import _guard_quadratic
+
+    _guard_quadratic(df, "corpus sample", "minhash_lsh_pairs", allow_quadratic)
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_size).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
+        F.array_union("_sa", "_sb")
+    )
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("_j"))
+        .where(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+    found = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_size=shingle_size,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        portable=portable,
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    stats = truth.join(found, ["id_a", "id_b"], "left").agg(
+        F.count("*").alias("n_true"),
+        # coalesce the SUM too: zero true pairs must report n_found 0,
+        # not a NULL a dashboard would render as missing data
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_f"), F.lit(0))), F.lit(0).cast("long")
+        ).alias("n_found"),
+    )
+    return stats.select(
+        "n_true",
+        "n_found",
+        F.when(
+            F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
+        ).alias("recall"),
+    )

@@ -335,3 +335,38 @@ def duplication_profile(df: DataFrame, text_col: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """Provenance-overlap matrix: for every pair of sources, how many
+
+    distinct document contents they share — the table that catches a
+    mirrored crawl, a vendor reselling another vendor's dump, or a
+    pipeline double-ingesting one feed under two names. Shape: one
+    (source, content-key) distinct (map-side combined), one self-equi-
+    join ON THE CONTENT KEY (bounded by per-content source fan-out,
+    never source²·docs), one count aggregate over <= |sources|² keys.
+    ``hashed=True`` (default) joins on xxhash64 of the text so the
+    shuffle ships 8-byte keys — the scale path; ``hashed=False`` joins
+    the raw text, which a SQL oracle can replay exactly.
+
+    Output: (source_a, source_b, n_shared) with source_a < source_b,
+    only pairs that share at least one content.
+    """
+    key = F.xxhash64(text_col) if hashed else F.col(text_col)
+    per = df.select(
+        F.col(group_col).alias("_src"), key.alias("_k")
+    ).dropDuplicates()
+    a = per.select(F.col("_src").alias("source_a"), "_k")
+    b = per.select(F.col("_src").alias("source_b"), "_k")
+    return (
+        a.join(b, "_k")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -288,3 +288,43 @@ def token_fertility(
             "bytes_per_token"
         ),
     ).orderBy("grp")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+
+    word n-grams that occur in no other document — the memorization /
+    boilerplate-risk signal a curation pass ranks by (novelty ~0 means
+    the document is assembled from corpus-common spans). Two shuffles at
+    any scale: one n-gram document-frequency aggregate (map-side
+    combined; each document contributes each gram once, so df is a plain
+    count), one join back on the gram. Counts are exact int64 and the
+    ratio one int/int division. Documents with zero n-grams (empty or
+    shorter than ``n`` words) produce no output row.
+
+    Output: (id, n_grams, n_novel, novelty).
+    """
+    from dataengineer_spark.operators.preparation import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "_g"
+        ),
+    )
+    dfreq = grams.groupBy("_g").agg(F.count("*").alias("_df"))
+    per = grams.join(dfreq, "_g").groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    )

@@ -302,3 +302,91 @@ class TestRemoveBoilerplateLines:
             for r in remove_boilerplate_lines(df, min_docs=2).collect()
         }
         assert out[1] == "x\nx\nx" and out[2] == "y"
+
+
+class TestNeardupRecall:
+    def test_planted_dup_found_and_bounds(self, spark):
+        import pyspark.sql.functions as F
+        from dataengineer_spark.operators import dedup as dedup_ops
+
+        base = [(i, f"unique document number {i} " + " ".join(
+            f"w{(i * 7 + j) % 50}" for j in range(30))) for i in range(40)]
+        # plant one near-dup pair: doc 100 is doc 0 plus a short tail
+        rows = base + [(100, base[0][1] + " tiny tail")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_ops.neardup_recall(
+            df, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
+            threshold=0.5, portable=True, allow_quadratic=True,
+        ).collect()[0]
+        assert out["n_true"] >= 1
+        assert 0 <= out["n_found"] <= out["n_true"]
+        assert out["recall"] == out["n_found"] / out["n_true"]
+
+    def test_no_dups_null_recall(self, spark):
+        from dataengineer_spark.operators import dedup as dedup_ops
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        out = dedup_ops.neardup_recall(
+            df, "doc_id", "text", threshold=0.9, portable=True,
+            allow_quadratic=True,
+        ).collect()[0]
+        assert (out["n_true"], out["n_found"]) == (0, 0)
+        assert out["recall"] is None
+
+
+class TestNgramNovelty:
+    def test_exact_shares(self, spark):
+        from dataengineer_spark.operators.textops import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),        # grams: 'a b c', 'b c d'
+                (2, "a b c x"),        # grams: 'a b c', 'b c x'
+                (3, "z z"),            # too short for 3-grams: no row
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+        assert set(got) == {1, 2}  # doc 3 has no 3-grams
+        # 'a b c' is shared (df=2); the others are unique
+        assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 1)
+        assert got[1]["novelty"] == 0.5
+        assert got[2]["novelty"] == 0.5
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        from dataengineer_spark.operators.textops import ngram_novelty
+
+        # the same gram repeated inside ONE doc stays novel (df counts
+        # documents, not occurrences)
+        df = spark.createDataFrame(
+            [(1, "a b c a b c")], "doc_id long, text string"
+        )
+        got = ngram_novelty(df, n=3).collect()[0]
+        assert got["n_novel"] == got["n_grams"]
+        assert got["novelty"] == 1.0
+
+
+class TestCrossSourceDupMatrix:
+    def test_shared_contents_counted_once(self, spark):
+        from dataengineer_spark.operators.quality import (
+            cross_source_dup_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "doc one"), ("a", "doc one"),  # in-source dup: once
+                ("b", "doc one"),
+                ("b", "doc two"), ("c", "doc two"),
+                ("a", "only in a"),
+            ],
+            "source string, text string",
+        )
+        for hashed in (False, True):
+            got = {
+                (r["source_a"], r["source_b"]): r["n_shared"]
+                for r in cross_source_dup_matrix(df, hashed=hashed).collect()
+            }
+            assert got == {("a", "b"): 1, ("b", "c"): 1}
