@@ -119,9 +119,11 @@ BOUNDED_BNL_QUERIES = {
     ),
     "q_e2_neardup_recall": (
         "exact ground-truth side is a crossJoin of the 440-doc "
-        "literal-bounded audit sample (doc_id < 400 + seeded recrawls, "
-        "quadratic-guarded in the operator) — recall is audited on a "
-        "sample by construction, never corpus×corpus"
+        "literal-bounded audit sample (doc_id < 400 + seeded recrawls; "
+        "the operator's quadratic guard is explicitly waived here with "
+        "allow_quadratic=True to keep the plan pure — the bound comes "
+        "from the literal filter, not a runtime probe) — recall is "
+        "audited on a sample by construction, never corpus×corpus"
     ),
 }
 

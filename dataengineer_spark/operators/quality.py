@@ -356,12 +356,17 @@ def cross_source_dup_matrix(
     the raw text, which a SQL oracle can replay exactly.
 
     Output: (source_a, source_b, n_shared) with source_a < source_b,
-    only pairs that share at least one content.
+    only pairs that share at least one content. NULL contents are
+    excluded in BOTH modes (xxhash64(NULL) is the seed constant — a
+    valid join key — so without the filter the hashed path would count
+    every NULL-bearing source pair as sharing a phantom document).
     """
     key = F.xxhash64(text_col) if hashed else F.col(text_col)
-    per = df.select(
-        F.col(group_col).alias("_src"), key.alias("_k")
-    ).dropDuplicates()
+    per = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("_src"), key.alias("_k"))
+        .dropDuplicates()
+    )
     a = per.select(F.col("_src").alias("source_a"), "_k")
     b = per.select(F.col("_src").alias("source_b"), "_k")
     return (

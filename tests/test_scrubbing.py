@@ -306,21 +306,27 @@ class TestRemoveBoilerplateLines:
 
 class TestNeardupRecall:
     def test_planted_dup_found_and_bounds(self, spark):
-        import pyspark.sql.functions as F
+        import hashlib
+
         from dataengineer_spark.operators import dedup as dedup_ops
 
-        base = [(i, f"unique document number {i} " + " ".join(
-            f"w{(i * 7 + j) % 50}" for j in range(30))) for i in range(40)]
-        # plant one near-dup pair: doc 100 is doc 0 plus a short tail
+        # md5-derived vocab: cross-doc shingle overlap is negligible, so
+        # ground truth is EXACTLY the planted pair — and the seeded hash
+        # family must find it (deterministic: seed=42, sim ~0.95)
+        def words(i: int) -> str:
+            return " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8]
+                for j in range(30)
+            )
+
+        base = [(i, words(i)) for i in range(40)]
         rows = base + [(100, base[0][1] + " tiny tail")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = dedup_ops.neardup_recall(
             df, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
             threshold=0.5, portable=True, allow_quadratic=True,
         ).collect()[0]
-        assert out["n_true"] >= 1
-        assert 0 <= out["n_found"] <= out["n_true"]
-        assert out["recall"] == out["n_found"] / out["n_true"]
+        assert (out["n_true"], out["n_found"], out["recall"]) == (1, 1, 1.0)
 
     def test_no_dups_null_recall(self, spark):
         from dataengineer_spark.operators import dedup as dedup_ops
@@ -390,3 +396,22 @@ class TestCrossSourceDupMatrix:
                 for r in cross_source_dup_matrix(df, hashed=hashed).collect()
             }
             assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+class TestCrossSourceNullText:
+    def test_null_contents_excluded_in_both_modes(self, spark):
+        from dataengineer_spark.operators.quality import (
+            cross_source_dup_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("b", None), ("a", "real"), ("b", "real")],
+            "source string, text string",
+        )
+        for hashed in (False, True):
+            got = {
+                (r["source_a"], r["source_b"]): r["n_shared"]
+                for r in cross_source_dup_matrix(df, hashed=hashed).collect()
+            }
+            # only the real shared doc counts; NULLs are never a match
+            assert got == {("a", "b"): 1}
