@@ -8675,6 +8675,72 @@ GROUP BY source_a, source_b
 """
 
 
+def q_e10_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 trajectory assembly (events.session_transcripts): gap-
+    sessionized, totally-ordered per-session step transcripts — the
+    conversation/replay construction step between event logs and
+    SFT-style training rows. ORACLED: session boundaries (integer-µs lag
+    arithmetic), the (ts, event_id) total order, and the joined
+    transcript string are all replayed."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.session_transcripts(ev, gap_seconds=1800)
+
+
+_E10_CONVERSATION_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_turns,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS started_s,
+       string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS transcript
+FROM y GROUP BY user_id, session_id
+"""
+
+
+def q_e10_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 recency weighting (events.decayed_activity): per-user
+    activity score decayed by a 1-day half-life — EXACT dyadic weights
+    (integer 2^(30-age_days) lookup, int64 sum, one final power-of-two
+    division) so the score is engine- and order-independent where a
+    per-row exp()/pow() would be neither."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_ops.decayed_activity(ev, "user_id", "ts", half_life_days=1)
+
+
+def _decay_oracle() -> str:
+    from dataengineer_spark.operators.events import _DECAY_WEIGHTS
+
+    weights = "[" + ", ".join(str(w) for w in _DECAY_WEIGHTS) + "]"
+    return f"""
+WITH mx AS (
+  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS m FROM events
+), k AS (
+  SELECT user_id,
+    CAST(floor((m - CAST(floor(epoch(ts)) AS BIGINT)) / 86400) AS BIGINT)
+      AS st
+  FROM events CROSS JOIN mx
+), w AS (
+  SELECT user_id,
+    CASE WHEN st <= 30 THEN ({weights})[CAST(st AS INT) + 1]
+         ELSE 0 END AS wi
+  FROM k
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(wi) AS DOUBLE) / 1073741824.0 AS decayed_score
+FROM w GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8704,7 +8770,7 @@ _ROUND6_FIRST = [
     "q_f14_vocab_coverage", "q_e6_range_frame", "q_e10_transitions",
     "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
-    "q_dq_cross_source",
+    "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -8820,6 +8886,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_neardup_recall": q_e2_neardup_recall,
         "q_e4_novelty": q_e4_novelty,
         "q_dq_cross_source": q_dq_cross_source,
+        "q_e10_conversation": q_e10_conversation,
+        "q_e10_decay": q_e10_decay,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9167,6 +9235,8 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_neardup_recall": _neardup_recall_oracle(),
         "q_e4_novelty": _E4_NOVELTY_ORACLE,
         "q_dq_cross_source": _DQ_CROSS_SOURCE_ORACLE,
+        "q_e10_conversation": _E10_CONVERSATION_ORACLE,
+        "q_e10_decay": _decay_oracle(),
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -158,6 +158,8 @@ HEADLINE = [
     "q_e2_neardup_recall",
     "q_e4_novelty",
     "q_dq_cross_source",
+    "q_e10_conversation",
+    "q_e10_decay",
 ]
 
 

@@ -384,3 +384,94 @@ def transition_counts(
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "event_type", "next_type")
     )
+
+
+def session_transcripts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Ordered per-session transcripts — the conversation/trajectory
+
+    assembly step between raw event logs and SFT/replay training rows:
+    gap-sessionize (:func:`sessionize_lag`, integer-µs arithmetic), then
+    per session collect the step sequence under the TOTAL (ts, id) order
+    (``array_sort`` over structs — without the unique id tiebreak,
+    same-timestamp steps would flip between runs) and join it into one
+    string. One window shuffle + one hash aggregate; each session's
+    steps serialize through its own group only — no global sort.
+
+    Output: (user, session_id, n_turns, started_s, transcript) where
+    transcript is ' -> '-joined step types and started_s epoch seconds.
+    """
+    s = sessionize_lag(
+        df, ts_col, gap_seconds, [user_col], tiebreakers=[id_col]
+    )
+    steps = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(type_col).alias("t"),
+            )
+        )
+    )
+    return s.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min(F.col(ts_col).cast("long")).alias("started_s"),
+        F.concat_ws(
+            " -> ", F.transform(steps, lambda x: x["t"])
+        ).alias("transcript"),
+    )
+
+
+#: powers of two 2^30 .. 2^0 as a literal lookup — the exact dyadic
+#: half-life weights the decayed-activity score uses (index = decay steps;
+#: >30 steps decays to exactly 0). Integer weights keep the sum exact at
+#: any row count/order; the single final division by 2^30 is exact too.
+_DECAY_WEIGHTS = [1 << (30 - k) for k in range(31)]
+
+
+def decayed_activity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_days: int = 1,
+) -> DataFrame:
+    """Per-key exponentially time-decayed activity score with EXACT
+
+    arithmetic: each event weighs 2^-(age/half_life) anchored at the
+    table's max timestamp — but computed as integer 2^(30-steps) weights
+    from a literal lookup, summed in int64 and divided once by 2^30, so
+    the score is bit-identical on every engine and under every summation
+    order (a float exp()/pow() per row would be neither — libm results
+    differ across engines). Events older than 30 half-lives weigh
+    exactly 0. One aggregate for the anchor (one-row broadcast), one
+    hash aggregate for the scores.
+
+    Output: (key, n_events, decayed_score) — the recency-weighted
+    engagement table behind retention scoring and sample re-weighting.
+    """
+    from dataengineer_spark.tuning import array_lit
+
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be positive, got {half_life_days}")
+    ets = F.col(ts_col).cast("long")
+    anchor = df.agg(F.max(ets).alias("_mx"))
+    steps = F.floor((F.col("_mx") - ets) / F.lit(86400 * half_life_days))
+    wi = F.when(
+        steps <= 30,
+        F.element_at(array_lit(_DECAY_WEIGHTS), steps.cast("int") + 1),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .select(F.col(key_col), wi.alias("_w"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("_w") / F.lit(float(1 << 30))).alias("decayed_score"),
+        )
+    )

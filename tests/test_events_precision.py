@@ -76,3 +76,62 @@ def test_load_table_normalizes_every_ts_precision(spark, tmp_path, unit, tz):
     assert got[2] == _TS[1]
     assert got[3] == _TS[2]
     shutil.rmtree(sf)
+
+
+class TestSessionTranscripts:
+    def test_order_boundary_and_tie(self, spark):
+        import pyspark.sql.functions as F
+        from dataengineer_spark.operators.events import session_transcripts
+
+        df = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 00:00:00", "a"),
+                (2, 1, "2024-01-01 00:00:05", "b"),
+                (3, 1, "2024-01-01 00:00:05", "c"),   # tie: id orders b->c... id 2 < 3
+                (4, 1, "2024-01-01 00:30:05", "d"),   # exactly gap: SAME session (strict >)
+                (5, 1, "2024-01-01 01:00:06", "e"),   # > gap: new session
+                (6, 2, "2024-01-01 00:00:00", "z"),
+            ],
+            "event_id long, user_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r["user_id"], r["session_id"]): r
+            for r in session_transcripts(df, gap_seconds=1800).collect()
+        }
+        s1 = got[(1, 1)]
+        assert s1["transcript"] == "a -> b -> c -> d"
+        assert s1["n_turns"] == 4
+        assert got[(1, 2)]["transcript"] == "e"
+        assert got[(2, 1)]["transcript"] == "z"
+
+
+class TestDecayedActivity:
+    def test_exact_dyadic_weights(self, spark):
+        import pyspark.sql.functions as F
+        from dataengineer_spark.operators.events import decayed_activity
+
+        # anchor = day 40; ages 0, 1, 2 days and one beyond the horizon
+        df = spark.createDataFrame(
+            [
+                (1, "2024-02-10 00:00:00"),
+                (1, "2024-02-09 00:00:00"),
+                (1, "2024-02-08 00:00:00"),
+                (1, "2024-01-01 00:00:00"),  # age 40d: weight exactly 0
+                (2, "2024-02-10 00:00:00"),
+            ],
+            "user_id long, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r["user_id"]: r for r in decayed_activity(df).collect()
+        }
+        assert got[1]["n_events"] == 4
+        assert got[1]["decayed_score"] == 1.0 + 0.5 + 0.25  # exact dyadics
+        assert got[2]["decayed_score"] == 1.0
+
+    def test_half_life_validation(self, spark):
+        import pytest
+        from dataengineer_spark.operators.events import decayed_activity
+
+        df = spark.createDataFrame([(1,)], "user_id long")
+        with pytest.raises(ValueError):
+            decayed_activity(df, half_life_days=0)
