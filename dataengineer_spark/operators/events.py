@@ -419,12 +419,23 @@ def session_transcripts(
             )
         )
     )
-    return s.groupBy(user_col, "session_id").agg(
+    per = s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_turns"),
         F.min(F.col(ts_col).cast("long")).alias("started_s"),
-        F.concat_ws(
-            " -> ", F.transform(steps, lambda x: x["t"])
-        ).alias("transcript"),
+        F.concat_ws(" -> ", F.transform(steps, lambda x: x["t"])).alias("_tr"),
+        F.sum(
+            F.when(F.col(type_col).isNotNull(), 1).otherwise(0)
+        ).alias("_nt"),
+    )
+    # SQL string_agg semantics: NULL steps are skipped, and a session
+    # with NO non-NULL step yields a NULL transcript — concat_ws alone
+    # would return '' there, silently conflating "unknown" with "empty"
+    return per.select(
+        user_col,
+        "session_id",
+        "n_turns",
+        "started_s",
+        F.when(F.col("_nt") > 0, F.col("_tr")).alias("transcript"),
     )
 
 

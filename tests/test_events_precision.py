@@ -135,3 +135,25 @@ class TestDecayedActivity:
         df = spark.createDataFrame([(1,)], "user_id long")
         with pytest.raises(ValueError):
             decayed_activity(df, half_life_days=0)
+
+
+class TestSessionTranscriptNulls:
+    def test_all_null_types_give_null_transcript(self, spark):
+        import pyspark.sql.functions as F
+        from dataengineer_spark.operators.events import session_transcripts
+
+        df = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 00:00:00", None),
+                (2, 1, "2024-01-01 00:00:05", None),
+                (3, 2, "2024-01-01 00:00:00", "a"),
+                (4, 2, "2024-01-01 00:00:01", None),  # partial NULL: skipped
+            ],
+            "event_id long, user_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r["user_id"]: r
+            for r in session_transcripts(df, gap_seconds=1800).collect()
+        }
+        assert got[1]["transcript"] is None and got[1]["n_turns"] == 2
+        assert got[2]["transcript"] == "a"
