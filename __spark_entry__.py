@@ -125,6 +125,13 @@ BOUNDED_BNL_QUERIES = {
         "from the literal filter, not a runtime probe) — recall is "
         "audited on a sample by construction, never corpus×corpus"
     ),
+    "q_e9_blocking_quality": (
+        "exact ground-truth side is a crossJoin of the 330-doc "
+        "literal-bounded audit sample (doc_id < 300 + seeded recrawls; "
+        "guard waived with allow_quadratic=True, bound is the literal "
+        "filter) plus two one-row stat-frame broadcast joins — the "
+        "audit samples by construction, never corpus×corpus"
+    ),
 }
 
 #: sectionizer patterns over the synthetic documents vocabulary (stand-in for
@@ -8717,6 +8724,109 @@ def q_e10_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.decayed_activity(ev, "user_id", "ts", half_life_days=1)
 
 
+def q_a9_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 sliced eval with honest uncertainty (aggregates.
+    wilson_accuracy): per-label accuracy of the sign-of-first-component
+    stand-in classifier with 95% Wilson score intervals — exact int64
+    slice counts, fixed-shape closed form over IEEE-exact ops (z²
+    folded in driver-side), rounded once at the edge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "label",
+        (
+            (F.element_at("embedding", 1).cast("double") > 0)
+            == (F.col("label") >= 5)
+        ).cast("int").alias("correct"),
+    )
+    return agg_ops.wilson_accuracy(scored, ["label"], "correct")
+
+
+def _wilson_oracle() -> str:
+    z = 1.96
+    z2 = z * z
+    return f"""
+WITH s AS (
+  SELECT label,
+    CASE WHEN (CAST(embedding[1] AS DOUBLE) > 0) = (label >= 5)
+         THEN 1 ELSE 0 END AS c
+  FROM embeddings
+), per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM s GROUP BY label
+)
+SELECT label, n, round(s / n, 6) AS rate,
+  round((s / n + {z2!r} / (2 * n)) / (1 + {z2!r} / n)
+        - {z!r} * sqrt((s / n * (1 - s / n) + {z2!r} / (4 * n)) / n)
+          / (1 + {z2!r} / n), 6) AS wilson_lo,
+  round((s / n + {z2!r} / (2 * n)) / (1 + {z2!r} / n)
+        + {z!r} * sqrt((s / n * (1 - s / n) + {z2!r} / (4 * n)) / n)
+          / (1 + {z2!r} / n), 6) AS wilson_hi
+FROM per
+"""
+
+
+def q_e9_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/E22 blocking-design audit (joins.blocking_quality): reduction
+    ratio and pair completeness of length-bucket blocking for the fuzzy
+    join, on a 330-doc bounded sample seeded with tail-mutated recrawls
+    (a mutation that sometimes crosses the length-bucket boundary, so
+    completeness < 1 is the honest number). The guard is waived with
+    allow_quadratic=True — the bound is the literal doc_id filter.
+    ORACLED end to end."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    mutated = docs.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_RECALL_TAIL)).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return join_ops.blocking_quality(
+        corpus, "doc_id", "text", F.floor(F.length("text") / 50),
+        max_distance=5, prefix_len=40, allow_quadratic=True,
+    )
+
+
+_E9_BLOCKING_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || '{_RECALL_TAIL}' AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 10 = 3
+), t AS (
+  SELECT doc_id, substr(text, 1, 40) AS p,
+         CAST(floor(length(text) / 50) AS BIGINT) AS bk
+  FROM d
+), truth AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.bk = b.bk AS blocked
+  FROM t a JOIN t b
+    ON a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 5
+), ts_ AS (
+  SELECT count(*) AS n_true,
+         coalesce(sum(CASE WHEN blocked THEN 1 ELSE 0 END), 0) AS n_found
+  FROM truth
+), cs AS (
+  SELECT count(*) AS n_cand
+  FROM t a JOIN t b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), bs AS (
+  SELECT count(*) AS n_rows FROM d
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS n_pairs_total,
+  CAST(n_cand AS BIGINT) AS n_cand,
+  CAST(n_true AS BIGINT) AS n_true,
+  CAST(n_found AS BIGINT) AS n_found,
+  round(CASE WHEN n_rows * (n_rows - 1) / 2 > 0
+        THEN 1 - CAST(n_cand AS DOUBLE)
+                 / CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) END, 6)
+    AS reduction_ratio,
+  CASE WHEN n_true > 0
+       THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+  END AS completeness
+FROM bs CROSS JOIN cs CROSS JOIN ts_
+"""
+
+
 def _decay_oracle() -> str:
     from dataengineer_spark.operators.events import _DECAY_WEIGHTS
 
@@ -8771,6 +8881,7 @@ _ROUND6_FIRST = [
     "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
+    "q_a9_wilson", "q_e9_blocking_quality",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -8888,6 +8999,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_cross_source": q_dq_cross_source,
         "q_e10_conversation": q_e10_conversation,
         "q_e10_decay": q_e10_decay,
+        "q_a9_wilson": q_a9_wilson,
+        "q_e9_blocking_quality": q_e9_blocking_quality,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9237,6 +9350,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_cross_source": _DQ_CROSS_SOURCE_ORACLE,
         "q_e10_conversation": _E10_CONVERSATION_ORACLE,
         "q_e10_decay": _decay_oracle(),
+        "q_a9_wilson": _wilson_oracle(),
+        "q_e9_blocking_quality": _E9_BLOCKING_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

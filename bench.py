@@ -160,6 +160,8 @@ HEADLINE = [
     "q_dq_cross_source",
     "q_e10_conversation",
     "q_e10_decay",
+    "q_a9_wilson",
+    "q_e9_blocking_quality",
 ]
 
 

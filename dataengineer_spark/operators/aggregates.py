@@ -802,3 +802,41 @@ def bootstrap_metric_ci(
         "ci_lo",
         "ci_hi",
     )
+
+
+def wilson_accuracy(
+    df: DataFrame,
+    group_cols: list[str],
+    correct_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-slice 0/1-metric rate with a Wilson score interval — the
+
+    sliced-eval table with honest uncertainty (a 5-row slice reading
+    "100%" gets the wide interval it deserves; plain ±1.96·SE collapses
+    to a zero-width lie at p=0 or 1). One hash aggregate for the exact
+    int64 (n, successes); the interval is a fixed-shape closed form
+    over p = s/n using only IEEE-exact ops (+ - * / sqrt) with z²
+    folded in driver-side as a literal — engine-portable bit-for-bit,
+    rounded once at the edge.
+
+    Output: (group..., n, rate, wilson_lo, wilson_hi) — NULL interval
+    for empty slices never occurs (a group implies >= 1 row).
+    """
+    z2 = z * z  # driver-side: no cross-engine multiply of z
+    per = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(correct_col).cast("long")).alias("_s"),
+    )
+    n, s = F.col("n"), F.col("_s")
+    p = s / n
+    denom = 1 + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2 * n)) / denom
+    half = F.lit(z) * F.sqrt((p * (1 - p) + F.lit(z2) / (4 * n)) / n) / denom
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

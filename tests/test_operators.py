@@ -2603,3 +2603,81 @@ class TestIntervalOverlapJoin:
             join_ops.interval_overlap_join(df, "k", "s", "e", "id", 0)
         with pytest.raises(Exception):  # end < start raises at execution
             join_ops.interval_overlap_join(df, "k", "s", "e", "id", 10).collect()
+
+
+class TestWilsonAccuracy:
+    def test_exact_interval_math(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [("g", 1)] * 8 + [("g", 0)] * 2 + [("h", 1)] * 5,
+            "grp string, correct int",
+        )
+        got = {
+            r["grp"]: r
+            for r in agg_ops.wilson_accuracy(df, ["grp"], "correct").collect()
+        }
+        z, z2 = 1.96, 1.96 * 1.96
+
+        def wilson(s, n):
+            p = s / n
+            denom = 1 + z2 / n
+            center = (p + z2 / (2 * n)) / denom
+            half = z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n) / denom
+            return round(center - half, 6), round(center + half, 6)
+
+        g = got["g"]
+        assert (g["n"], g["rate"]) == (10, 0.8)
+        assert (g["wilson_lo"], g["wilson_hi"]) == wilson(8, 10)
+        # a perfect 5/5 slice must NOT collapse to [1, 1]
+        h = got["h"]
+        assert h["rate"] == 1.0
+        lo, hi = wilson(5, 5)
+        assert h["wilson_lo"] == lo and lo < 1.0 and h["wilson_hi"] == hi
+
+    def test_interval_brackets_rate(self, spark):
+        df = spark.createDataFrame(
+            [(i % 3, 1 if i % 5 else 0) for i in range(90)],
+            "grp int, correct int",
+        )
+        for r in agg_ops.wilson_accuracy(df, ["grp"], "correct").collect():
+            assert r["wilson_lo"] <= r["rate"] <= r["wilson_hi"]
+            assert 0.0 <= r["wilson_lo"] and r["wilson_hi"] <= 1.0
+
+
+class TestBlockingQuality:
+    def test_counts_and_ratios_by_hand(self, spark):
+        # 4 rows, ids 1..4; texts: 1&2 identical (true match), 3&4 far.
+        # block key: first char — 1&2 share 'a' (blocked true match),
+        # 3 is 'a' too (adds candidate pairs), 4 is 'b' (alone).
+        df = spark.createDataFrame(
+            [
+                (1, "aaaa"),
+                (2, "aaaa"),
+                (3, "azzzzzzzz"),
+                (4, "bzzzzzzzz"),
+            ],
+            "id long, text string",
+        )
+        out = join_ops.blocking_quality(
+            df, "id", "text", F.substring("text", 1, 1),
+            max_distance=1, prefix_len=10, allow_quadratic=True,
+        ).collect()[0]
+        # truth: (1,2) lev 0; (3,4) lev 1 — cross-block, so missed
+        assert out["n_rows"] == 4 and out["n_pairs_total"] == 6
+        assert out["n_true"] == 2 and out["n_found"] == 1
+        assert out["n_cand"] == 3  # pairs within block 'a': (1,2),(1,3),(2,3)
+        assert out["completeness"] == 0.5
+        assert out["reduction_ratio"] == 0.5
+
+    def test_no_true_matches_null_completeness(self, spark):
+        df = spark.createDataFrame(
+            [(1, "completely distinct alpha"), (2, "other beta text zz")],
+            "id long, text string",
+        )
+        out = join_ops.blocking_quality(
+            df, "id", "text", F.lit(1), max_distance=1, prefix_len=20,
+            allow_quadratic=True,
+        ).collect()[0]
+        assert out["n_true"] == 0 and out["n_found"] == 0
+        assert out["completeness"] is None
