@@ -821,12 +821,17 @@ def wilson_accuracy(
     rounded once at the edge.
 
     Output: (group..., n, rate, wilson_lo, wilson_hi) — NULL interval
-    for empty slices never occurs (a group implies >= 1 row).
+    for empty slices never occurs (a group implies >= 1 row). A NULL
+    ``correct`` value counts as a FAILURE (in n, not in successes) —
+    the CASE-ELSE-0 convention the oracles use — so an all-NULL slice
+    reports rate 0 with a defined interval, never NULL stats.
     """
     z2 = z * z  # driver-side: no cross-engine multiply of z
     per = df.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
-        F.sum(F.col(correct_col).cast("long")).alias("_s"),
+        F.sum(
+            F.coalesce(F.col(correct_col).cast("long"), F.lit(0))
+        ).alias("_s"),
     )
     n, s = F.col("n"), F.col("_s")
     p = s / n

@@ -423,9 +423,7 @@ def session_transcripts(
         F.count("*").alias("n_turns"),
         F.min(F.col(ts_col).cast("long")).alias("started_s"),
         F.concat_ws(" -> ", F.transform(steps, lambda x: x["t"])).alias("_tr"),
-        F.sum(
-            F.when(F.col(type_col).isNotNull(), 1).otherwise(0)
-        ).alias("_nt"),
+        F.count(F.col(type_col)).alias("_nt"),  # COUNT skips NULLs
     )
     # SQL string_agg semantics: NULL steps are skipped, and a session
     # with NO non-NULL step yields a NULL transcript — concat_ws alone

@@ -445,7 +445,10 @@ def blocking_quality(
     """
     from dataengineer_spark.operators.similarity import _guard_quadratic
 
-    _guard_quadratic(df, "audit sample", "fuzzy_join", allow_quadratic)
+    _guard_quadratic(
+        df, "audit sample", "a bounded (e.g. literal-filtered) audit sample",
+        allow_quadratic,
+    )
     t = df.select(
         F.col(id_col).alias("_id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_p"),

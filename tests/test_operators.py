@@ -2681,3 +2681,20 @@ class TestBlockingQuality:
         ).collect()[0]
         assert out["n_true"] == 0 and out["n_found"] == 0
         assert out["completeness"] is None
+
+
+class TestWilsonNullCorrect:
+    def test_null_correct_counts_as_failure(self, spark):
+        # an all-NULL slice reports rate 0 with a defined interval —
+        # the CASE-ELSE-0 oracle convention, never NULL stats
+        df = spark.createDataFrame(
+            [("g", None), ("g", None), ("h", 1)],
+            "grp string, correct int",
+        )
+        got = {
+            r["grp"]: r
+            for r in agg_ops.wilson_accuracy(df, ["grp"], "correct").collect()
+        }
+        assert got["g"]["rate"] == 0.0 and got["g"]["n"] == 2
+        assert got["g"]["wilson_lo"] is not None
+        assert got["g"]["wilson_lo"] == 0.0 and got["g"]["wilson_hi"] > 0.0
