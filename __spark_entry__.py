@@ -8827,6 +8827,41 @@ FROM bs CROSS JOIN cs CROSS JOIN ts_
 """
 
 
+def q_rank_fair_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 source-fair quality trim (ranking.fair_trim_report): keep the
+    top 1/5 of EVERY source by (n_chars desc, doc_id) — the fairness-
+    preserving alternative to one global score cut; integer-exact keep
+    rule (rank*5 <= n), exact token accounting of kept vs dropped."""
+    from dataengineer_spark.operators.ranking import fair_trim_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fair_trim_report(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        keep_num=1, keep_den=5,
+    )
+
+
+_RANK_FAIR_TRIM_ORACLE = r"""
+WITH r AS (
+  SELECT source,
+    CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+             w -> length(w) > 0)) AS BIGINT) AS t,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN rn * 5 <= n * 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(sum(CASE WHEN rn * 5 <= n * 1 THEN t ELSE 0 END) AS BIGINT)
+    AS kept_tokens,
+  CAST(sum(CASE WHEN NOT (rn * 5 <= n * 1) THEN t ELSE 0 END) AS BIGINT)
+    AS dropped_tokens
+FROM r GROUP BY source ORDER BY grp
+"""
+
+
 def _decay_oracle() -> str:
     from dataengineer_spark.operators.events import _DECAY_WEIGHTS
 
@@ -8881,7 +8916,7 @@ _ROUND6_FIRST = [
     "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
-    "q_a9_wilson", "q_e9_blocking_quality",
+    "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -9001,6 +9036,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_decay": q_e10_decay,
         "q_a9_wilson": q_a9_wilson,
         "q_e9_blocking_quality": q_e9_blocking_quality,
+        "q_rank_fair_trim": q_rank_fair_trim,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9352,6 +9388,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_decay": _decay_oracle(),
         "q_a9_wilson": _wilson_oracle(),
         "q_e9_blocking_quality": _E9_BLOCKING_ORACLE,
+        "q_rank_fair_trim": _RANK_FAIR_TRIM_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

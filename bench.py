@@ -162,6 +162,7 @@ HEADLINE = [
     "q_e10_decay",
     "q_a9_wilson",
     "q_e9_blocking_quality",
+    "q_rank_fair_trim",
 ]
 
 

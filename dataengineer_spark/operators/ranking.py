@@ -173,3 +173,57 @@ def rrf_fuse(
         (F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols), F.lit(0.0)
     )
     return out.select(*id_cols, F.round(fused, 6).alias("rrf_score"))
+
+
+def fair_trim_report(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    keep_num: int = 1,
+    keep_den: int = 5,
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Source-fair quality trim accounting (E17): keep the top
+
+    ``keep_num/keep_den`` of EVERY source by the given quality order —
+    the fairness-preserving alternative to one global score cut, which
+    silently starves sources whose score scale runs low (the classic
+    mixing bug: a global threshold trained on webtext drops 95% of a
+    code source). The keep rule is pure integer arithmetic
+    (``rank * keep_den <= n * keep_num``) so the cut is exact and
+    engine-portable — no float fraction, no off-by-one drift between
+    engines. One window shuffle on the source key + one aggregate;
+    per-source report with exact token accounting of what the trim
+    keeps vs drops.
+
+    Output: (group, n_docs, n_kept, kept_tokens, dropped_tokens)
+    ordered by group.
+    """
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators.preparation import _ws_token_count
+
+    if not (0 < keep_num <= keep_den):
+        raise ValueError(
+            f"need 0 < keep_num <= keep_den, got {keep_num}/{keep_den}"
+        )
+    w = W.partitionBy(group_col).orderBy(*order_cols)
+    ranked = df.select(
+        F.col(group_col).alias("_g"),
+        (_ws_token_count(text_col) if text_col else F.lit(0)).alias("_t"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy(group_col)).alias("_n"),
+    )
+    kept = F.col("_rn") * keep_den <= F.col("_n") * keep_num
+    return (
+        ranked.groupBy(F.col("_g").alias("grp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("_t")).otherwise(0)).alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("_t")).otherwise(0)).alias(
+                "dropped_tokens"
+            ),
+        )
+        .orderBy("grp")
+    )

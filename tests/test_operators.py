@@ -2698,3 +2698,38 @@ class TestWilsonNullCorrect:
         assert got["g"]["rate"] == 0.0 and got["g"]["n"] == 2
         assert got["g"]["wilson_lo"] is not None
         assert got["g"]["wilson_lo"] == 0.0 and got["g"]["wilson_hi"] > 0.0
+
+
+class TestFairTrimReport:
+    def test_integer_cut_and_token_accounting(self, spark):
+        from dataengineer_spark.operators.ranking import fair_trim_report
+
+        # source a: 5 docs -> keep top 1 (rank*5 <= 5); source b: 4 docs
+        # -> keep none (rank*5 <= 4 never holds): the exact-int rule,
+        # not a rounded fraction
+        rows = [("a", i, "w " * (10 - i)) for i in range(5)] + [
+            ("b", i, "x " * (i + 1)) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {
+            r["grp"]: r
+            for r in fair_trim_report(
+                df, "source",
+                [F.length("text").desc(), F.col("doc_id").asc()],
+            ).collect()
+        }
+        a = got["a"]
+        assert (a["n_docs"], a["n_kept"]) == (5, 1)
+        assert a["kept_tokens"] == 10  # the longest doc ("w " * 10)
+        assert a["kept_tokens"] + a["dropped_tokens"] == 10 + 9 + 8 + 7 + 6
+        b = got["b"]
+        assert (b["n_docs"], b["n_kept"], b["kept_tokens"]) == (4, 0, 0)
+
+    def test_fraction_validation(self, spark):
+        from dataengineer_spark.operators.ranking import fair_trim_report
+
+        df = spark.createDataFrame([("a", "x")], "source string, text string")
+        with pytest.raises(ValueError):
+            fair_trim_report(df, "source", [F.col("text")], 2, 1)
+        with pytest.raises(ValueError):
+            fair_trim_report(df, "source", [F.col("text")], 0, 5)
