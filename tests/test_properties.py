@@ -514,3 +514,118 @@ class TestDuplicationProfileInvariants:
         )
         sizes = Counter(Counter(texts).values())
         assert {r["cluster_size"]: r["n_clusters"] for r in out} == dict(sizes)
+
+
+class TestIntervalOverlapProperty:
+    @prop
+    @given(
+        ivs=st.lists(
+            st.tuples(
+                st.integers(0, 2),          # key
+                st.integers(0, 500),        # start
+                st.integers(0, 120),        # span
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        bucket=st.sampled_from([7, 50, 128]),
+    )
+    def test_matches_brute_force(self, spark, ivs, bucket):
+        # bucket decomposition must be exactly the theta join: complete
+        # (no pair missed across bucket boundaries) and emit-once
+        from dataengineer_spark.operators.joins import interval_overlap_join
+
+        rows = [
+            (k, i, s, s + span) for i, (k, s, span) in enumerate(ivs)
+        ]
+        df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+        got = sorted(
+            (r["id_a"], r["id_b"], r["overlap_s"])
+            for r in interval_overlap_join(
+                df, "k", "s", "e", "id", bucket
+            ).collect()
+        )
+        want = sorted(
+            (ia, ib, min(ea, eb) - max(sa, sb))
+            for (ka, ia, sa, ea) in rows
+            for (kb, ib, sb, eb) in rows
+            if ka == kb and ia < ib and sa <= eb and sb <= ea
+        )
+        assert got == want
+
+
+class TestPrCurveProperty:
+    @prop
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_recall_monotone_and_positives_conserved(self, spark, pts):
+        from dataengineer_spark.operators.aggregates import pr_curve
+
+        df = spark.createDataFrame(
+            [(float(s), y) for s, y in pts], "score double, y boolean"
+        )
+        grid = [-0.5, 0.0, 0.5]
+        rows = sorted(
+            pr_curve(df, "score", F.col("y"), grid).collect(),
+            key=lambda r: r["threshold"],
+        )
+        n_pos = sum(1 for _, y in pts if y)
+        recalls = []
+        for r in rows:
+            assert r["tp"] + r["fn"] == n_pos  # positives conserved
+            recalls.append(r["recall"] if r["recall"] is not None else 0.0)
+        # raising the threshold can only lose retrieved positives
+        assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+class TestKfoldProperty:
+    @prop
+    @given(groups=st.lists(st.text(
+        alphabet=st.sampled_from("abcdefgh"), min_size=1, max_size=6
+    ), min_size=1, max_size=20), k=st.sampled_from([2, 5, 7]))
+    def test_partitioning_invariant(self, spark, groups, k):
+        # fold is a pure function of the key: any repartitioning/row
+        # order yields the identical assignment
+        from dataengineer_spark.operators.preparation import kfold_assign
+
+        df = spark.createDataFrame([(g,) for g in groups], "g string")
+        a = sorted(
+            (r["g"], r["fold"])
+            for r in kfold_assign(df, "g", k, "s").collect()
+        )
+        b = sorted(
+            (r["g"], r["fold"])
+            for r in kfold_assign(df.repartition(7), "g", k, "s").collect()
+        )
+        assert a == b
+        assert all(0 <= f < k for _, f in a)
+
+
+class TestVocabCoverageProperty:
+    @prop
+    @given(words=st.lists(st.sampled_from("abcde"), min_size=1, max_size=60),
+           pct=st.sampled_from([50, 80, 100]))
+    def test_minimal_covering_prefix(self, spark, words, pct):
+        from dataengineer_spark.operators.preparation import vocab_coverage
+
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        rows = sorted(
+            vocab_coverage(df, coverage_pct=pct).collect(),
+            key=lambda r: r["rank"],
+        )
+        total = len(words)
+        assert rows, "at least one word always covers something"
+        # the kept prefix reaches the target...
+        assert rows[-1]["cum_n"] * 100 >= total * pct
+        # ...and is minimal: dropping its last word falls short
+        assert (rows[-1]["cum_n"] - rows[-1]["n"]) * 100 < total * pct
+        # ranks are the contiguous prefix 1..len
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
