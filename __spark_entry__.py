@@ -8862,6 +8862,83 @@ FROM r GROUP BY source ORDER BY grp
 """
 
 
+def q_pipeline_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-shape composition of the round-6 curation operators, end to
+    end: per-doc 3-gram novelty → keep the most-novel HALF of every
+    source (integer-exact fair-trim rule, ties by (n_grams, doc_id)) →
+    group-aware 5-fold assignment of the survivors → per-(fold, lang)
+    doc and token accounting. Every stage is the registered operator,
+    and the whole chain is ORACLED as one SQL composition — the
+    demonstration that the curation pieces compose without driver-side
+    glue."""
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators.preparation import kfold_assign
+    from dataengineer_spark.operators.textops import ngram_novelty
+
+    docs = _docs(spark, sf_dir)
+    nov = ngram_novelty(docs, n=3).select("doc_id", "n_grams", "n_novel")
+    scored = docs.join(nov, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.col("n_novel").desc(), F.col("n_grams").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id", "lang", "source", "text",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("source")).alias("_n"),
+    )
+    kept = ranked.where(F.col("_rn") * 2 <= F.col("_n"))
+    folded = kfold_assign(kept, "source", k=5, salt="cv")
+    toks = textops.token_count(F.coalesce(F.col("text"), F.lit(""))).cast(
+        "long"
+    )
+    return folded.groupBy("fold", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+
+
+_PIPELINE_CURATION2_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_T} = '' OR len({_SQL_WORDS}) < 3 THEN []
+         ELSE list_distinct(list_transform(range(1, len({_SQL_WORDS}) - 1),
+              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')))
+    END AS grams
+  FROM documents
+), x AS (
+  SELECT doc_id, unnest(grams) AS gr FROM g
+), dfreq AS (
+  SELECT gr, count(*) AS df FROM x GROUP BY gr
+), nov AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM x JOIN dfreq USING (gr) GROUP BY doc_id
+), ranked AS (
+  SELECT d.doc_id, d.lang, d.source, d.text,
+    row_number() OVER (PARTITION BY d.source
+        ORDER BY nov.n_novel DESC, nov.n_grams ASC, d.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d JOIN nov ON d.doc_id = nov.doc_id
+), kept AS (
+  SELECT * FROM ranked WHERE rn * 2 <= n
+), folded AS (
+  SELECT lang, text, CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(coalesce(source, '') || 'cv', ''),
+                                 c -> c <> ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000003) % 5 AS INT) AS fold
+  FROM kept
+)
+SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CAST(CASE WHEN length(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+       ELSE len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+'))
+       END AS BIGINT)) AS BIGINT) AS n_tokens
+FROM folded GROUP BY fold, lang
+"""
+
+
 def _decay_oracle() -> str:
     from dataengineer_spark.operators.events import _DECAY_WEIGHTS
 
@@ -8917,6 +8994,7 @@ _ROUND6_FIRST = [
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
+    "q_pipeline_curation2",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -9037,6 +9115,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a9_wilson": q_a9_wilson,
         "q_e9_blocking_quality": q_e9_blocking_quality,
         "q_rank_fair_trim": q_rank_fair_trim,
+        "q_pipeline_curation2": q_pipeline_curation2,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9389,6 +9468,7 @@ def oracle_sql() -> dict[str, str]:
         "q_a9_wilson": _wilson_oracle(),
         "q_e9_blocking_quality": _E9_BLOCKING_ORACLE,
         "q_rank_fair_trim": _RANK_FAIR_TRIM_ORACLE,
+        "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -163,6 +163,7 @@ HEADLINE = [
     "q_a9_wilson",
     "q_e9_blocking_quality",
     "q_rank_fair_trim",
+    "q_pipeline_curation2",
 ]
 
 

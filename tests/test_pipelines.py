@@ -131,3 +131,29 @@ class TestCuration:
         )
         kept = sorted(r["doc_id"] for r in remove_near_dups(df, threshold=0.9).collect())
         assert kept == [1, 3]
+
+
+class TestCuration2Composition:
+    def test_fold_conservation_and_trim_rule(self, spark, sf_dir):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry", "/root/repo/__spark_entry__.py"
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        rows = m.q_pipeline_curation2(spark, sf_dir).collect()
+        # survivors = per-source floor(n/2); every fold in [0, 5)
+        assert all(0 <= r["fold"] < 5 for r in rows)
+        total_kept = sum(r["n_docs"] for r in rows)
+        from dataengineer_spark.testdata import load_table
+        from pyspark.sql import functions as F
+
+        per_source = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source").count().collect()
+        )
+        # every doc has >= 3 words in the fixtures, so no doc is dropped
+        # by the novelty join and the trim keeps exactly floor(n/2)
+        assert total_kept == sum(r["count"] // 2 for r in per_source)
+        assert all(r["n_tokens"] > 0 for r in rows)
