@@ -8871,23 +8871,24 @@ def q_pipeline_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the whole chain is ORACLED as one SQL composition — the
     demonstration that the curation pieces compose without driver-side
     glue."""
-    from pyspark.sql import Window as W
-
     from dataengineer_spark.operators.preparation import kfold_assign
+    from dataengineer_spark.operators.ranking import fair_trim
     from dataengineer_spark.operators.textops import ngram_novelty
 
     docs = _docs(spark, sf_dir)
     nov = ngram_novelty(docs, n=3).select("doc_id", "n_grams", "n_novel")
     scored = docs.join(nov, "doc_id")
-    w = W.partitionBy("source").orderBy(
-        F.col("n_novel").desc(), F.col("n_grams").asc(), F.col("doc_id").asc()
-    )
-    ranked = scored.select(
-        "doc_id", "lang", "source", "text",
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(W.partitionBy("source")).alias("_n"),
-    )
-    kept = ranked.where(F.col("_rn") * 2 <= F.col("_n"))
+    kept = fair_trim(
+        scored,
+        "source",
+        [
+            F.col("n_novel").desc(),
+            F.col("n_grams").asc(),
+            F.col("doc_id").asc(),
+        ],
+        keep_num=1,
+        keep_den=2,
+    ).select("doc_id", "lang", "source", "text")
     folded = kfold_assign(kept, "source", k=5, salt="cv")
     toks = textops.token_count(F.coalesce(F.col("text"), F.lit(""))).cast(
         "long"

@@ -175,6 +175,59 @@ def rrf_fuse(
     return out.select(*id_cols, F.round(fused, 6).alias("rrf_score"))
 
 
+def _fair_ranked(df: DataFrame, group_col: str, order_cols: list) -> DataFrame:
+    """Shared fair-trim core: per-group row_number + group size columns
+
+    (``_ft_rn``, ``_ft_n``) — THE one definition of the ranking both the
+    row filter and the report apply the integer keep rule to.
+
+    ``order_cols`` MUST be a TOTAL order within each group (append a
+    unique id as the final tiebreak): row_number over a non-unique
+    ordering is partition-order dependent, and the rows that straddle
+    the keep cut would flip between runs.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(*order_cols)
+    return df.withColumn("_ft_rn", F.row_number().over(w)).withColumn(
+        "_ft_n", F.count("*").over(W.partitionBy(group_col))
+    )
+
+
+def _check_keep_fraction(keep_num: int, keep_den: int) -> None:
+    if not (0 < keep_num <= keep_den):
+        raise ValueError(
+            f"need 0 < keep_num <= keep_den, got {keep_num}/{keep_den}"
+        )
+
+
+def fair_trim(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    keep_num: int = 1,
+    keep_den: int = 5,
+) -> DataFrame:
+    """Source-fair quality trim (E17), row-filter form: keep the top
+
+    ``keep_num/keep_den`` of EVERY group by the given quality order —
+    the fairness-preserving alternative to one global score cut, which
+    silently starves sources whose score scale runs low (the classic
+    mixing bug: a global threshold trained on webtext drops 95% of a
+    code source). The keep rule is pure integer arithmetic
+    (``rank * keep_den <= n * keep_num``): exact, engine-portable, no
+    float fraction. One window shuffle on the group key.
+
+    ``order_cols`` must be a total order per group — see
+    :func:`_fair_ranked`. Returns the surviving rows, original columns.
+    """
+    _check_keep_fraction(keep_num, keep_den)
+    ranked = _fair_ranked(df, group_col, order_cols)
+    return ranked.where(
+        F.col("_ft_rn") * keep_den <= F.col("_ft_n") * keep_num
+    ).drop("_ft_rn", "_ft_n")
+
+
 def fair_trim_report(
     df: DataFrame,
     group_col: str,
@@ -183,38 +236,26 @@ def fair_trim_report(
     keep_den: int = 5,
     text_col: str | None = "text",
 ) -> DataFrame:
-    """Source-fair quality trim accounting (E17): keep the top
+    """Accounting form of :func:`fair_trim` (same core, same keep rule):
 
-    ``keep_num/keep_den`` of EVERY source by the given quality order —
-    the fairness-preserving alternative to one global score cut, which
-    silently starves sources whose score scale runs low (the classic
-    mixing bug: a global threshold trained on webtext drops 95% of a
-    code source). The keep rule is pure integer arithmetic
-    (``rank * keep_den <= n * keep_num``) so the cut is exact and
-    engine-portable — no float fraction, no off-by-one drift between
-    engines. One window shuffle on the source key + one aggregate;
-    per-source report with exact token accounting of what the trim
-    keeps vs drops.
+    per-group report with exact token accounting of what the trim keeps
+    vs drops — the table a trim decision is reviewed on before the row
+    filter ships. One window shuffle + one aggregate. ``order_cols``
+    must be a total order per group — see :func:`_fair_ranked`.
 
     Output: (group, n_docs, n_kept, kept_tokens, dropped_tokens)
     ordered by group.
     """
-    from pyspark.sql import Window as W
-
     from dataengineer_spark.operators.preparation import _ws_token_count
 
-    if not (0 < keep_num <= keep_den):
-        raise ValueError(
-            f"need 0 < keep_num <= keep_den, got {keep_num}/{keep_den}"
-        )
-    w = W.partitionBy(group_col).orderBy(*order_cols)
-    ranked = df.select(
+    _check_keep_fraction(keep_num, keep_den)
+    ranked = _fair_ranked(df, group_col, order_cols).select(
         F.col(group_col).alias("_g"),
         (_ws_token_count(text_col) if text_col else F.lit(0)).alias("_t"),
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(W.partitionBy(group_col)).alias("_n"),
+        "_ft_rn",
+        "_ft_n",
     )
-    kept = F.col("_rn") * keep_den <= F.col("_n") * keep_num
+    kept = F.col("_ft_rn") * keep_den <= F.col("_ft_n") * keep_num
     return (
         ranked.groupBy(F.col("_g").alias("grp"))
         .agg(

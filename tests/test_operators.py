@@ -2733,3 +2733,26 @@ class TestFairTrimReport:
             fair_trim_report(df, "source", [F.col("text")], 2, 1)
         with pytest.raises(ValueError):
             fair_trim_report(df, "source", [F.col("text")], 0, 5)
+
+    def test_trim_filter_matches_report(self, spark):
+        # the row-filter and the report share one core: survivors per
+        # group must equal the report's n_kept exactly
+        from dataengineer_spark.operators.ranking import (
+            fair_trim,
+            fair_trim_report,
+        )
+
+        rows = [("s%d" % (i % 3), i, "w " * (i % 7 + 1)) for i in range(33)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        order = [F.length("text").desc(), F.col("doc_id").asc()]
+        kept = (
+            fair_trim(df, "source", order, 2, 5)
+            .groupBy("source").count().collect()
+        )
+        rep = {
+            r["grp"]: r["n_kept"]
+            for r in fair_trim_report(df, "source", order, 2, 5).collect()
+        }
+        assert {r["source"]: r["count"] for r in kept} == {
+            g: n for g, n in rep.items() if n > 0
+        }

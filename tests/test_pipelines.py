@@ -135,13 +135,12 @@ class TestCuration:
 
 class TestCuration2Composition:
     def test_fold_conservation_and_trim_rule(self, spark, sf_dir):
-        import importlib.util
+        import os
+        import sys
 
-        spec = importlib.util.spec_from_file_location(
-            "entry", "/root/repo/__spark_entry__.py"
-        )
-        m = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(m)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __spark_entry__ as m
+
         rows = m.q_pipeline_curation2(spark, sf_dir).collect()
         # survivors = per-source floor(n/2); every fold in [0, 5)
         assert all(0 <= r["fold"] < 5 for r in rows)
