@@ -8940,6 +8940,46 @@ FROM folded GROUP BY fold, lang
 """
 
 
+def q_dq_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 corpus data card (quality.corpus_datacard): the release-notes
+    numbers — volume, provenance breadth, exact-dup rate — from ONE
+    corpus scan (distincts are two-phase expands of the same scan),
+    unpivoted to (metric, value) rows; exact counts and single int/int
+    divisions throughout."""
+    from dataengineer_spark.operators.quality import corpus_datacard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datacard(docs)
+
+
+_DQ_DATACARD_ORACLE = r"""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                  w -> length(w) > 0))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+  FROM documents
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+  UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct_texts AS DOUBLE) FROM a
+  UNION ALL SELECT 'dup_rate',
+    CASE WHEN n_docs > 0
+         THEN 1 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    END FROM a
+  UNION ALL SELECT 'tokens_per_doc',
+    CASE WHEN n_docs > 0
+         THEN CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    END FROM a
+)
+"""
+
+
 def _decay_oracle() -> str:
     from dataengineer_spark.operators.events import _DECAY_WEIGHTS
 
@@ -8995,7 +9035,7 @@ _ROUND6_FIRST = [
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
-    "q_pipeline_curation2",
+    "q_pipeline_curation2", "q_dq_datacard",
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -9117,6 +9157,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e9_blocking_quality": q_e9_blocking_quality,
         "q_rank_fair_trim": q_rank_fair_trim,
         "q_pipeline_curation2": q_pipeline_curation2,
+        "q_dq_datacard": q_dq_datacard,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9470,6 +9511,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_blocking_quality": _E9_BLOCKING_ORACLE,
         "q_rank_fair_trim": _RANK_FAIR_TRIM_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
+        "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

@@ -164,6 +164,7 @@ HEADLINE = [
     "q_e9_blocking_quality",
     "q_rank_fair_trim",
     "q_pipeline_curation2",
+    "q_dq_datacard",
 ]
 
 

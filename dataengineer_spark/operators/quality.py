@@ -375,3 +375,52 @@ def cross_source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-scan corpus data card (E15): the headline numbers a dataset
+
+    release documents — volume (docs, whitespace tokens), provenance
+    breadth (distinct languages/sources), and exact-duplication rate
+    (1 - distinct contents / docs). ONE hash aggregate over the corpus
+    (distincts are Catalyst two-phase expands of the same scan), then a
+    constant-width unpivot to (metric, value) rows; every value is an
+    exact int64 count or a single int/int division, so the card is
+    engine-portable with no rounding step.
+
+    Output: (metric, value) — metrics: n_docs, n_tokens, n_langs,
+    n_sources, n_distinct_texts, dup_rate, tokens_per_doc.
+    """
+    from dataengineer_spark.operators.preparation import _ws_token_count
+
+    agg = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_ws_token_count(text_col)).alias("n_tokens"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.countDistinct(text_col).alias("n_distinct_texts"),
+    )
+    wide = agg.select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("n_langs").cast("double").alias("n_langs"),
+        F.col("n_sources").cast("double").alias("n_sources"),
+        F.col("n_distinct_texts").cast("double").alias("n_distinct_texts"),
+        F.when(
+            F.col("n_docs") > 0,
+            1 - F.col("n_distinct_texts") / F.col("n_docs"),
+        ).alias("dup_rate"),
+        F.when(
+            F.col("n_docs") > 0, F.col("n_tokens") / F.col("n_docs")
+        ).alias("tokens_per_doc"),
+    )
+    cols = wide.columns
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as (metric, value)"
+    )

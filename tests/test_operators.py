@@ -2756,3 +2756,25 @@ class TestFairTrimReport:
         assert {r["source"]: r["count"] for r in kept} == {
             g: n for g, n in rep.items() if n > 0
         }
+
+
+class TestCorpusDatacard:
+    def test_exact_card_values(self, spark):
+        from dataengineer_spark.operators.quality import corpus_datacard
+
+        df = spark.createDataFrame(
+            [
+                ("en", "s1", "a b c"),
+                ("en", "s1", "a b c"),     # exact dup
+                ("fr", "s2", "d e"),
+                ("fr", "s2", None),        # NULL text: 0 tokens, no distinct
+            ],
+            "lang string, source string, text string",
+        )
+        got = {r["metric"]: r["value"] for r in corpus_datacard(df).collect()}
+        assert got["n_docs"] == 4.0
+        assert got["n_tokens"] == 8.0
+        assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0
+        assert got["n_distinct_texts"] == 2.0
+        assert got["dup_rate"] == 1 - 2 / 4
+        assert got["tokens_per_doc"] == 2.0
