@@ -8955,6 +8955,7 @@ def q_dq_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_DATACARD_ORACLE = r"""
 WITH a AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(text) AS BIGINT) AS n_text_docs,
          CAST(sum(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
                   w -> length(w) > 0))) AS BIGINT) AS n_tokens,
          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -8964,13 +8965,14 @@ WITH a AS (
 )
 SELECT metric, value FROM (
   SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+  UNION ALL SELECT 'n_text_docs', CAST(n_text_docs AS DOUBLE) FROM a
   UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
   UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
   UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
   UNION ALL SELECT 'n_distinct_texts', CAST(n_distinct_texts AS DOUBLE) FROM a
   UNION ALL SELECT 'dup_rate',
-    CASE WHEN n_docs > 0
-         THEN 1 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    CASE WHEN n_text_docs > 0
+         THEN 1 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_text_docs AS DOUBLE)
     END FROM a
   UNION ALL SELECT 'tokens_per_doc',
     CASE WHEN n_docs > 0
@@ -9036,6 +9038,11 @@ _ROUND6_FIRST = [
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
     "q_pipeline_curation2", "q_dq_datacard",
+    # NOTE: 33 round-6 entries above consume most of the driver's
+    # ~50-query budget — stale-cohort members past slot 50 (from
+    # q_o6_batch_lifecycle on) roll forward to the round-7 front by
+    # design: first driver contact for new queries outranks refreshing
+    # already-green rows.
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of

@@ -393,13 +393,18 @@ def corpus_datacard(
     exact int64 count or a single int/int division, so the card is
     engine-portable with no rounding step.
 
-    Output: (metric, value) — metrics: n_docs, n_tokens, n_langs,
-    n_sources, n_distinct_texts, dup_rate, tokens_per_doc.
+    Output: (metric, value) — metrics: n_docs, n_text_docs, n_tokens,
+    n_langs, n_sources, n_distinct_texts, dup_rate, tokens_per_doc.
+    dup_rate is defined over the docs that HAVE text (countDistinct
+    skips NULLs, so dividing by all rows would count every NULL-text
+    doc as a duplicate — the inflated number a release-notes card must
+    not print); NULL-text volume is visible as n_docs - n_text_docs.
     """
     from dataengineer_spark.operators.preparation import _ws_token_count
 
     agg = df.agg(
         F.count("*").alias("n_docs"),
+        F.count(F.col(text_col)).alias("n_text_docs"),
         F.sum(_ws_token_count(text_col)).alias("n_tokens"),
         F.countDistinct(lang_col).alias("n_langs"),
         F.countDistinct(source_col).alias("n_sources"),
@@ -407,13 +412,14 @@ def corpus_datacard(
     )
     wide = agg.select(
         F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_text_docs").cast("double").alias("n_text_docs"),
         F.col("n_tokens").cast("double").alias("n_tokens"),
         F.col("n_langs").cast("double").alias("n_langs"),
         F.col("n_sources").cast("double").alias("n_sources"),
         F.col("n_distinct_texts").cast("double").alias("n_distinct_texts"),
         F.when(
-            F.col("n_docs") > 0,
-            1 - F.col("n_distinct_texts") / F.col("n_docs"),
+            F.col("n_text_docs") > 0,
+            1 - F.col("n_distinct_texts") / F.col("n_text_docs"),
         ).alias("dup_rate"),
         F.when(
             F.col("n_docs") > 0, F.col("n_tokens") / F.col("n_docs")

@@ -188,6 +188,13 @@ def _fair_ranked(df: DataFrame, group_col: str, order_cols: list) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    clash = {"_ft_rn", "_ft_n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"fair-trim reserves columns {sorted(clash)} — rename them "
+            "on the input (withColumn would silently replace and drop "
+            "the caller's data)"
+        )
     w = W.partitionBy(group_col).orderBy(*order_cols)
     return df.withColumn("_ft_rn", F.row_number().over(w)).withColumn(
         "_ft_n", F.count("*").over(W.partitionBy(group_col))

@@ -2773,8 +2773,11 @@ class TestCorpusDatacard:
         )
         got = {r["metric"]: r["value"] for r in corpus_datacard(df).collect()}
         assert got["n_docs"] == 4.0
+        assert got["n_text_docs"] == 3.0
         assert got["n_tokens"] == 8.0
         assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0
         assert got["n_distinct_texts"] == 2.0
-        assert got["dup_rate"] == 1 - 2 / 4
+        # dup_rate over docs WITH text: one true dup among 3 -> 1/3,
+        # never inflated by the NULL-text row
+        assert got["dup_rate"] == 1 - 2 / 3
         assert got["tokens_per_doc"] == 2.0

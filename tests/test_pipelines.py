@@ -135,10 +135,12 @@ class TestCuration:
 
 class TestCuration2Composition:
     def test_fold_conservation_and_trim_rule(self, spark, sf_dir):
-        import os
+        # same import convention as tests/test_entry.py (module is
+        # cached after the first test-session import — no re-exec)
         import sys
 
-        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        if "/root/repo" not in sys.path:
+            sys.path.insert(0, "/root/repo")
         import __spark_entry__ as m
 
         rows = m.q_pipeline_curation2(spark, sf_dir).collect()
