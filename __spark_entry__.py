@@ -8982,6 +8982,96 @@ SELECT metric, value FROM (
 """
 
 
+def q_e2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 asymmetric near-dup (dedup.containment_pairs): overlap
+    coefficient |A∩B|/min(|A|,|B|) over word 3-gram sets, same-language
+    buckets, over the corpus plus seeded QUOTE docs (the first 12 words
+    of every 25th document re-ingested as their own row) — the subset
+    duplication symmetric Jaccard misses: a whole-quote pair scores
+    containment 1.0 but Jaccard ~0.2. ORACLED end to end."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000).select(
+        "doc_id", "lang", "text"
+    )
+    words = F.split(textops.trim_ws(F.col("text")), r"\s+")
+    quoted = docs.where(F.col("doc_id") % 25 == 9).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        "lang",
+        F.concat_ws(" ", F.slice(words, 1, 12)).alias("text"),
+    )
+    corpus = docs.unionByName(quoted)
+    out = dedup_ops.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9,
+        bucket_col=F.col("lang"),
+    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+_E2_CONTAINMENT_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id < 1000
+), d AS (
+  SELECT doc_id, lang, text FROM base
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, lang,
+         array_to_string(list_slice(regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), 1, 12), ' ')
+    AS text
+  FROM base WHERE doc_id % 25 = 9
+), g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(regexp_split_to_array(
+        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) - 2, 1)),
+      i -> array_to_string(list_slice(regexp_split_to_array(
+        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), i, i + 2), ' ')))
+      AS g
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.g, b.g)) * 1.0
+      / least(len(a.g), len(b.g)) AS containment
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE least(len(a.g), len(b.g)) > 0
+)
+SELECT id_a, id_b, round(containment, 6) AS containment
+FROM pairs WHERE containment >= 0.9
+"""
+
+
+def q_dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 robust outlier census (quality.mad_outlier_report): per-
+    language |n_chars - median| > 1.5·MAD flags — the outlier rule the
+    outliers can't drag (50% breakdown vs mean/stddev z-scores). The
+    flag compares UNROUNDED interpolated percentiles; with integer
+    inputs every median/MAD is dyadic-exact, so the census is engine-
+    portable bit-for-bit."""
+    from dataengineer_spark.operators.quality import mad_outlier_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mad_outlier_report(docs, ["lang"], "n_chars", k=1.5)
+
+
+_DQ_MAD_ORACLE = """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+), d AS (
+  SELECT doc.lang, m.med, abs(doc.n_chars - m.med) AS dev
+  FROM documents doc JOIN med m USING (lang)
+), mad AS (
+  SELECT lang, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY lang
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+       round(max(d.med), 4) AS median_val,
+       round(max(m2.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.dev > 1.5 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad m2 USING (lang) GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def _decay_oracle() -> str:
     from dataengineer_spark.operators.events import _DECAY_WEIGHTS
 
@@ -9037,8 +9127,9 @@ _ROUND6_FIRST = [
     "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
-    "q_pipeline_curation2", "q_dq_datacard",
-    # NOTE: 33 round-6 entries above consume most of the driver's
+    "q_pipeline_curation2", "q_dq_datacard", "q_e2_containment",
+    "q_dq_mad_outliers",
+    # NOTE: 35 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_o6_batch_lifecycle on) roll forward to the round-7 front by
     # design: first driver contact for new queries outranks refreshing
@@ -9165,6 +9256,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_fair_trim": q_rank_fair_trim,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
+        "q_e2_containment": q_e2_containment,
+        "q_dq_mad_outliers": q_dq_mad_outliers,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9519,6 +9612,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rank_fair_trim": _RANK_FAIR_TRIM_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
+        "q_e2_containment": _E2_CONTAINMENT_ORACLE,
+        "q_dq_mad_outliers": _DQ_MAD_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

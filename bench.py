@@ -165,6 +165,8 @@ HEADLINE = [
     "q_rank_fair_trim",
     "q_pipeline_curation2",
     "q_dq_datacard",
+    "q_e2_containment",
+    "q_dq_mad_outliers",
 ]
 
 

@@ -1181,3 +1181,46 @@ def neardup_recall(
             F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
         ).alias("recall"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Overlap-coefficient near-dup pairs: |A∩B| / min(|A|, |B|) over
+
+    word n-gram sets — the ASYMMETRY-catching companion to
+    :func:`ngram_jaccard_pairs`: a short document quoted whole inside a
+    long one has low Jaccard (the union is huge) but containment ~1,
+    which is exactly the subset-duplication a quote/inclusion scrub
+    needs to find. Same bucketed self-join shape as the Jaccard form
+    (equi-join on the caller's blocking column, never a cross product);
+    set sizes and intersections are exact ints, the coefficient one
+    int/int division.
+
+    Output: (id_a, id_b, containment) with id_a < id_b, coefficient >=
+    threshold; empty-gram documents never pair (min size 0 gives NULL,
+    filtered).
+    """
+    bucket = bucket_col if bucket_col is not None else F.lit(1)
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, n)).alias("_g"),
+        bucket.alias("_bk"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"), "_bk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"), "_bk")
+    smaller = F.least(F.size("_ga"), F.size("_gb"))
+    cont = F.when(
+        smaller > 0, F.size(F.array_intersect("_ga", "_gb")) / smaller
+    ).alias("containment")
+    return (
+        a.join(b, on="_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cont)
+        .where(F.col("containment") >= threshold)
+    )

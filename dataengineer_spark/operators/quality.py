@@ -430,3 +430,52 @@ def corpus_datacard(
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) as (metric, value)"
     )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier census via median/MAD — the outlier rule
+
+    that survives the outliers themselves (mean/stddev z-scores are
+    dragged by the very rows they should flag; median and MAD have 50%
+    breakdown). Two exact interpolated-percentile passes (the
+    :func:`~dataengineer_spark.operators.aggregates.percentiles`
+    machinery: per-group rank-pick sums, one window shuffle each) and a
+    final conditional count; the flag compares |x - median| > k·MAD on
+    the UNROUNDED doubles, so the census is engine-portable. A group
+    where >= 50% of values tie has MAD 0 — every non-median value is
+    then flagged (the standard MAD caveat; the report carries mad so a
+    consumer sees the degenerate scale).
+
+    Output: (keys..., n, median_val, mad, n_outliers) — median/mad
+    rounded for display, the flag computed pre-rounding.
+    """
+    from dataengineer_spark.operators.aggregates import percentiles
+
+    med = percentiles(df.select(*keys, col), keys, col, [0.5]).select(
+        *keys, F.col("p50").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), keys).select(
+        *keys, F.col(col).alias("_x"), F.col("_med"),
+        F.abs(F.col(col) - F.col("_med")).alias("_dev"),
+    )
+    mad = percentiles(dev.select(*keys, "_dev"), keys, "_dev", [0.5]).select(
+        *keys, F.col("p50").alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), keys)
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("_med"), 4).alias("median_val"),
+            F.round(F.max("_mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy(*keys)
+    )

@@ -415,3 +415,64 @@ class TestCrossSourceNullText:
             }
             # only the real shared doc counts; NULLs are never a match
             assert got == {("a", "b"): 1}
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_found_jaccard_blind(self, spark):
+        from dataengineer_spark.operators import dedup as dedup_ops
+
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        quote = " ".join(f"w{i}" for i in range(12))  # strict prefix
+        other = " ".join(f"z{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, quote), (3, other)],
+            "doc_id long, text string",
+        )
+        cont = dedup_ops.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9,
+            bucket_col=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(1),
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [
+            (1, 2, 1.0)
+        ]
+        # the same pair is INVISIBLE to Jaccard at any useful threshold
+        jac = dedup_ops.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        assert jac == []
+
+    def test_empty_gram_docs_never_pair(self, spark):
+        from dataengineer_spark.operators import dedup as dedup_ops
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "x y z q r")],
+            "doc_id long, text string",
+        )
+        # docs 1/2 are shorter than n=3 words; word_shingles still emits
+        # one (short) shingle so they CAN pair — but never with NULL math
+        out = dedup_ops.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.99
+        ).collect()
+        assert all(r["containment"] is not None for r in out)
+
+
+class TestMadOutlierReport:
+    def test_hand_census(self, spark):
+        from dataengineer_spark.operators.quality import mad_outlier_report
+
+        # g: values 1..9 plus 100 -> median 5.5, MAD 2.5; |100-5.5|=94.5
+        # > 3*2.5 flags exactly the planted outlier
+        rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+        df = spark.createDataFrame(rows, "grp string, x double")
+        r = mad_outlier_report(df, ["grp"], "x", k=3.0).collect()[0]
+        assert (r["n"], r["median_val"], r["mad"]) == (10, 5.5, 2.5)
+        assert r["n_outliers"] == 1
+
+    def test_degenerate_mad_zero(self, spark):
+        from dataengineer_spark.operators.quality import mad_outlier_report
+
+        # >50% ties: MAD 0 -> every non-median value flags (documented)
+        rows = [("g", 5.0)] * 6 + [("g", 7.0), ("g", 3.0)]
+        df = spark.createDataFrame(rows, "grp string, x double")
+        r = mad_outlier_report(df, ["grp"], "x", k=3.0).collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 2
