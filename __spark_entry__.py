@@ -9028,6 +9028,7 @@ WITH base AS (
         regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), i, i + 2), ' ')))
       AS g
   FROM d
+  WHERE length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) > 0
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     len(list_intersect(a.g, b.g)) * 1.0

@@ -331,21 +331,47 @@ def ngram_jaccard_pairs(
     an equi-join, not a cross product. For guaranteed-complete pairing on
     small inputs pass ``bucket_col=F.lit(1)`` explicitly.
     """
-    bucket = bucket_col if bucket_col is not None else F.lit(1)
-    base = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("_g"), bucket.alias("_bk")
-    )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"), "_bk")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"), "_bk")
+    pairs = _bucketed_gram_pairs(df, id_col, text_col, n, bucket_col)
     jac = (
         F.size(F.array_intersect("_ga", "_gb")) / F.size(F.array_union("_ga", "_gb"))
     ).alias("jaccard")
     return (
-        a.join(b, on="_bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac)
+        pairs.select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _bucketed_gram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    bucket_col: Column | None,
+    skip_blank: bool = False,
+) -> DataFrame:
+    """Shared candidate-pair scaffold for the set-similarity metrics:
+
+    shingle once, self-equi-join on the caller's blocking column,
+    ``id_a < id_b`` — ONE definition of the join shape so the Jaccard
+    and containment generators cannot drift apart. ``skip_blank=True``
+    drops blank/NULL-text rows up front (their shingle set is the
+    degenerate ``['']``, which would pair every blank doc with every
+    other at similarity 1.0).
+    """
+    from dataengineer_spark.operators.textops import trim_ws
+
+    bucket = bucket_col if bucket_col is not None else F.lit(1)
+    src = df
+    if skip_blank:
+        src = df.where(
+            F.length(trim_ws(F.coalesce(F.col(text_col), F.lit("")))) > 0
+        )
+    base = src.select(
+        F.col(id_col), word_shingles(text_col, n).alias("_g"), bucket.alias("_bk")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"), "_bk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"), "_bk")
+    return a.join(b, on="_bk").where(F.col("id_a") < F.col("id_b"))
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -1203,24 +1229,19 @@ def containment_pairs(
     int/int division.
 
     Output: (id_a, id_b, containment) with id_a < id_b, coefficient >=
-    threshold; empty-gram documents never pair (min size 0 gives NULL,
-    filtered).
+    threshold. Blank/NULL-text documents are excluded up front — their
+    degenerate ``['']`` shingle set would otherwise pair every blank doc
+    with every other at containment 1.0 (shared scaffold,
+    :func:`_bucketed_gram_pairs`).
     """
-    bucket = bucket_col if bucket_col is not None else F.lit(1)
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, n)).alias("_g"),
-        bucket.alias("_bk"),
+    pairs = _bucketed_gram_pairs(
+        df, id_col, text_col, n, bucket_col, skip_blank=True
     )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"), "_bk")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"), "_bk")
     smaller = F.least(F.size("_ga"), F.size("_gb"))
     cont = F.when(
         smaller > 0, F.size(F.array_intersect("_ga", "_gb")) / smaller
     ).alias("containment")
     return (
-        a.join(b, on="_bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cont)
+        pairs.select("id_a", "id_b", cont)
         .where(F.col("containment") >= threshold)
     )

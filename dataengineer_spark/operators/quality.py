@@ -459,14 +459,17 @@ def mad_outlier_report(
     med = percentiles(df.select(*keys, col), keys, col, [0.5]).select(
         *keys, F.col("p50").alias("_med")
     )
-    dev = df.join(F.broadcast(med), keys).select(
-        *keys, F.col(col).alias("_x"), F.col("_med"),
+    # LEFT joins: a group whose values are all NULL has no percentile
+    # row, but the census must still report it (n counted, NULL
+    # median/mad, 0 outliers) — an inner join would silently lose it
+    dev = df.join(F.broadcast(med), keys, "left").select(
+        *keys, F.col("_med"),
         F.abs(F.col(col) - F.col("_med")).alias("_dev"),
     )
     mad = percentiles(dev.select(*keys, "_dev"), keys, "_dev", [0.5]).select(
         *keys, F.col("p50").alias("_mad")
     )
-    flagged = dev.join(F.broadcast(mad), keys)
+    flagged = dev.join(F.broadcast(mad), keys, "left")
     return (
         flagged.groupBy(*keys)
         .agg(

@@ -429,8 +429,7 @@ class TestContainmentPairs:
             "doc_id long, text string",
         )
         cont = dedup_ops.containment_pairs(
-            df, "doc_id", "text", n=3, threshold=0.9,
-            bucket_col=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(1),
+            df, "doc_id", "text", n=3, threshold=0.9, bucket_col=F.lit(1)
         ).collect()
         assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [
             (1, 2, 1.0)
@@ -441,19 +440,22 @@ class TestContainmentPairs:
         ).collect()
         assert jac == []
 
-    def test_empty_gram_docs_never_pair(self, spark):
+    def test_blank_and_null_docs_never_pair(self, spark):
         from dataengineer_spark.operators import dedup as dedup_ops
 
+        # blank/NULL texts shingle to the degenerate [''] — without the
+        # up-front filter every blank doc pairs with every other at 1.0
         df = spark.createDataFrame(
-            [(1, "a b"), (2, "a b"), (3, "x y z q r")],
+            [(1, ""), (2, "   "), (3, None), (4, "a b"), (5, "a b")],
             "doc_id long, text string",
         )
-        # docs 1/2 are shorter than n=3 words; word_shingles still emits
-        # one (short) shingle so they CAN pair — but never with NULL math
         out = dedup_ops.containment_pairs(
-            df, "doc_id", "text", n=3, threshold=0.99
+            df, "doc_id", "text", n=3, threshold=0.5
         ).collect()
-        assert all(r["containment"] is not None for r in out)
+        # only the real short-doc pair survives; ids 1-3 appear nowhere
+        assert [(r["id_a"], r["id_b"], r["containment"]) for r in out] == [
+            (4, 5, 1.0)
+        ]
 
 
 class TestMadOutlierReport:
@@ -476,3 +478,20 @@ class TestMadOutlierReport:
         df = spark.createDataFrame(rows, "grp string, x double")
         r = mad_outlier_report(df, ["grp"], "x", k=3.0).collect()[0]
         assert r["mad"] == 0.0 and r["n_outliers"] == 2
+
+    def test_all_null_group_stays_in_census(self, spark):
+        from dataengineer_spark.operators.quality import mad_outlier_report
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("h", None), ("h", None)],
+            "grp string, x double",
+        )
+        got = {
+            r["grp"]: r
+            for r in mad_outlier_report(df, ["grp"], "x").collect()
+        }
+        # the all-NULL slice is REPORTED (n counted, NULL stats), never
+        # silently dropped from the census
+        h = got["h"]
+        assert h["n"] == 2 and h["median_val"] is None
+        assert h["mad"] is None and h["n_outliers"] == 0
