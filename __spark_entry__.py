@@ -8940,6 +8940,56 @@ FROM folded GROUP BY fold, lang
 """
 
 
+def q_e9_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 merged-interval coverage (joins.interval_coverage): total
+    UNION seconds of the 10-60 min sessions per user (overlaps counted
+    once — summing raw durations double-counts every overlap the
+    interval join finds). One window carries the running max end;
+    islands are contiguous by construction, so union length is
+    max(end)-min(start) per island. All integer arithmetic, ORACLED."""
+    ev = load_table(spark, sf_dir, "events")
+    start = F.col("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        start.alias("start_s"),
+        (start + 600 * (F.pmod(F.col("event_id"), F.lit(6)) + 1)).alias(
+            "end_s"
+        ),
+    )
+    return join_ops.interval_coverage(
+        iv, "user_id", "start_s", "end_s", "event_id"
+    )
+
+
+_E9_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 * (event_id % 6 + 1) AS e
+  FROM events
+), r AS (
+  SELECT user_id, event_id, s, e,
+    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e, event_id
+            ROWS UNBOUNDED PRECEDING) AS island
+  FROM r
+), per AS (
+  SELECT user_id, island, count(*) AS n, max(e) - min(s) AS len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(len) AS BIGINT) AS covered_s
+FROM per GROUP BY user_id
+"""
+
+
 def q_dq_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15 corpus data card (quality.corpus_datacard): the release-notes
     numbers — volume, provenance breadth, exact-dup rate — from ONE
@@ -9129,7 +9179,7 @@ _ROUND6_FIRST = [
     "q_dq_cross_source", "q_e10_conversation", "q_e10_decay",
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
     "q_pipeline_curation2", "q_dq_datacard", "q_e2_containment",
-    "q_dq_mad_outliers",
+    "q_dq_mad_outliers", "q_e9_interval_coverage",
     # NOTE: 35 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_o6_batch_lifecycle on) roll forward to the round-7 front by
@@ -9259,6 +9309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
         "q_dq_mad_outliers": q_dq_mad_outliers,
+        "q_e9_interval_coverage": q_e9_interval_coverage,
         "q_e4_fingerprint": q_e4_fingerprint,
         "q_pipeline_dx_group": q_pipeline_dx_group,
         "q_pipeline_prostate": q_pipeline_prostate,
@@ -9615,6 +9666,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,
         "q_dq_mad_outliers": _DQ_MAD_ORACLE,
+        "q_e9_interval_coverage": _E9_COVERAGE_ORACLE,
         "q_e11_stream_tumbling": _E11_ORACLE,
         "q_e12_udf": _E12_ORACLE,
         "q_e12_grouped_map": _E12_GROUPED_ORACLE,

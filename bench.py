@@ -167,6 +167,7 @@ HEADLINE = [
     "q_dq_datacard",
     "q_e2_containment",
     "q_dq_mad_outliers",
+    "q_e9_interval_coverage",
 ]
 
 

@@ -503,3 +503,57 @@ def blocking_quality(
             F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
         ).alias("completeness"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Merged-interval coverage per key (the UNION-length question:
+
+    total busy seconds, device uptime, session-covered time — where
+    summing raw durations double-counts every overlap). Classic sweep
+    without a sweep: one window per key ordered by (start, end, id)
+    carries the running max end; an interval starting STRICTLY after
+    that max opens a new island (half-open [s, e) semantics — touching
+    intervals merge), the island id is a running sum, and each island's
+    union length is exactly max(end) - min(start) because islands are
+    contiguous by construction. One window shuffle + one hash
+    aggregate; all integer arithmetic (epoch seconds), engine-portable.
+
+    Output: (key, n_intervals, n_islands, covered_s) per key.
+    """
+    from pyspark.sql import Window as W
+
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    order = [s.asc(), e.asc(), F.col(id_col).asc()]
+    w_prev = (
+        W.partitionBy(key_col).orderBy(*order).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    prev_max_e = F.max(e).over(w_prev)
+    is_new = F.when(
+        prev_max_e.isNull() | (s > prev_max_e), 1
+    ).otherwise(0)
+    w_run = W.partitionBy(key_col).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    islands = df.select(
+        F.col(key_col).alias("_k"),
+        s.alias("_s"),
+        e.alias("_e"),
+        F.sum(is_new).over(w_run).alias("_island"),
+    )
+    per_island = islands.groupBy("_k", "_island").agg(
+        F.count("*").alias("_n"),
+        (F.max("_e") - F.min("_s")).alias("_len"),
+    )
+    return per_island.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum("_len").alias("covered_s"),
+    )

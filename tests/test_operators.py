@@ -2781,3 +2781,36 @@ class TestCorpusDatacard:
         # never inflated by the NULL-text row
         assert got["dup_rate"] == 1 - 2 / 3
         assert got["tokens_per_doc"] == 2.0
+
+
+class TestIntervalCoverage:
+    def test_overlaps_counted_once_and_touching_merge(self, spark):
+        # user 1: [0,10) + [5,15) overlap -> one island of 15; [15,20)
+        # touches -> merges (half-open); [30,40) is its own island
+        df = spark.createDataFrame(
+            [
+                (1, 1, 0, 10),
+                (2, 1, 5, 15),
+                (3, 1, 15, 20),
+                (4, 1, 30, 40),
+                (5, 2, 0, 100),
+            ],
+            "id long, k long, s long, e long",
+        )
+        got = {
+            r["k"]: r
+            for r in join_ops.interval_coverage(df, "k", "s", "e", "id").collect()
+        }
+        assert (got[1]["n_intervals"], got[1]["n_islands"]) == (4, 2)
+        assert got[1]["covered_s"] == 20 + 10  # union, not 10+10+5+10=35
+        assert got[2]["covered_s"] == 100
+
+    def test_contained_interval_extends_nothing(self, spark):
+        # [0,100) fully contains [10,20): coverage stays 100 and the
+        # running-max rule must not split the island
+        df = spark.createDataFrame(
+            [(1, 1, 0, 100), (2, 1, 10, 20), (3, 1, 50, 120)],
+            "id long, k long, s long, e long",
+        )
+        r = join_ops.interval_coverage(df, "k", "s", "e", "id").collect()[0]
+        assert (r["n_islands"], r["covered_s"]) == (1, 120)
