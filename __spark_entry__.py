@@ -9180,11 +9180,12 @@ _ROUND6_FIRST = [
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
     "q_pipeline_curation2", "q_dq_datacard", "q_e2_containment",
     "q_dq_mad_outliers", "q_e9_interval_coverage",
-    # NOTE: 35 round-6 entries above consume most of the driver's
+    # NOTE: 36 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
-    # q_o6_batch_lifecycle on) roll forward to the round-7 front by
+    # q_k3_csv_roundtrip on) roll forward to the round-7 front by
     # design: first driver contact for new queries outranks refreshing
-    # already-green rows.
+    # already-green rows. Round-7 planning: verify against
+    # CORRECTNESS_r06 which slots the driver actually covered.
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of

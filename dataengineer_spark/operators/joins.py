@@ -524,11 +524,27 @@ def interval_coverage(
     contiguous by construction. One window shuffle + one hash
     aggregate; all integer arithmetic (epoch seconds), engine-portable.
 
+    Intervals are required non-NULL with end >= start — the first
+    violating row aborts the run with a named id (a NULL endpoint would
+    otherwise sort NULLS-FIRST into its own broken island, vanish from
+    the coverage sum, and still inflate n_intervals — silent garbage).
+
     Output: (key, n_intervals, n_islands, covered_s) per key.
     """
     from pyspark.sql import Window as W
 
-    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    s = F.col(start_col).cast("long")
+    raw_e = F.col(end_col).cast("long")
+    e = F.when(
+        s.isNotNull() & raw_e.isNotNull() & (raw_e >= s), raw_e
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "invalid interval (NULL bound or end < start) for %s",
+                F.col(id_col),
+            )
+        )
+    )
     order = [s.asc(), e.asc(), F.col(id_col).asc()]
     w_prev = (
         W.partitionBy(key_col).orderBy(*order).rowsBetween(

@@ -2814,3 +2814,11 @@ class TestIntervalCoverage:
         )
         r = join_ops.interval_coverage(df, "k", "s", "e", "id").collect()[0]
         assert (r["n_islands"], r["covered_s"]) == (1, 120)
+
+    def test_null_or_negative_interval_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, None, 50), (2, 1, 100, 110)],
+            "id long, k long, s long, e long",
+        )
+        with pytest.raises(Exception):
+            join_ops.interval_coverage(df, "k", "s", "e", "id").collect()
