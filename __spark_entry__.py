@@ -2629,14 +2629,18 @@ def q_e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _lsh_bk_prefix(dim: int, n_planes: int, label: bool) -> str:
-    """Shared WITH-prefix (e/lits/bk CTEs) for the three LSH oracles —
+def _lsh_bk_prefix(
+    dim: int, n_planes: int, label: bool, tag: str = "", seed: int = 42
+) -> str:
+    """Shared WITH-prefix (e/lits/bk CTEs) for the LSH oracles —
     bucket sign rule, fold order, and the hyperplane literals live in
     ONE place (the SQL mirror of the engine's shared ``_lsh_scored``),
-    and every generate_series width derives from ``dim``."""
+    and every generate_series width derives from ``dim``.  ``tag``
+    suffixes the CTE names so two differently-parameterized prefixes
+    (e.g. the RBO config-comparison oracle) can share one WITH clause."""
     from dataengineer_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed=42)
+    planes = _hyperplanes(dim, n_planes, seed=seed)
     plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
 
     def dot_sql(vec: str, lit: str) -> str:
@@ -2655,16 +2659,16 @@ def _lsh_bk_prefix(dim: int, n_planes: int, label: bool) -> str:
     pl = "[" + ", ".join(plane_lits) + "]"
     lbl_sel = ", label AS lbl" if label else ""
     lbl_bk = ", lbl" if label else ""
-    return f"""e AS (
+    return f"""e{tag} AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{lbl_sel} FROM embeddings
-), lits AS (
+), lits{tag} AS (
   SELECT CAST({pl} AS DOUBLE[][]) AS pl
-), bk AS (
+), bk{tag} AS (
   SELECT vec_id, v{lbl_bk},
     {bucket} AS bucket,
     sqrt(list_reduce(list_transform(generate_series(1, {dim}),
       j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
-  FROM e CROSS JOIN lits
+  FROM e{tag} CROSS JOIN lits{tag}
 )"""
 
 
@@ -9148,6 +9152,405 @@ FROM w GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# round-6 continuation: retrieval eval, preference pairs, changepoint,
+# Benford audit, Bradley–Terry arena rating
+# ---------------------------------------------------------------------------
+
+
+def _graded_lsh_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage for the retrieval-eval queries: the LSH top-10
+    ranking (same config as q_e3_lsh_topk) with its 1-based rank
+    re-attached and a graded relevance from the class labels (2 = same
+    label, 1 = adjacent label, 0 = anything else incl. NULL labels)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.where(F.col("vec_id") < 20)
+    top = sim_ops.lsh_top_k(qs, emb, dim=64, n_planes=8, k=10)
+    rk = win_ops.ranked(
+        top,
+        ["query_id"],
+        [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")],
+        "rnk",
+    )
+    q_lbl = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    c_lbl = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("_cl")
+    )
+    both = F.col("_ql").isNotNull() & F.col("_cl").isNotNull()
+    rel = (
+        F.when(both & (F.col("_ql") == F.col("_cl")), 2)
+        .when(both & (F.abs(F.col("_ql") - F.col("_cl")) == 1), 1)
+        .otherwise(0)
+    )
+    return rk.join(q_lbl, "query_id").join(c_lbl, "corpus_id").select(
+        "query_id", "rnk", rel.alias("rel")
+    )
+
+
+def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21/E17 retrieval-quality eval (ranking.ranking_eval): per-query
+    nDCG@10 / reciprocal rank / hit count of the LSH top-10 ranking
+    (q_e3_lsh_topk's config) against a label-graded relevance.  The
+    position discounts are driver-computed plan literals (no log parity
+    bets); gains 2^rel-1 are exact small ints; one shuffle on the query
+    key.  Fully oracled — bucket join, rank cut, grading, and both DCG
+    sums replayed from the same literals."""
+    from dataengineer_spark.operators import ranking
+
+    graded = _graded_lsh_ranking(spark, sf_dir)
+    return ranking.ranking_eval(graded, "query_id", "rnk", "rel", k=10).orderBy(
+        "query"
+    )
+
+
+def _rank_ndcg_oracle() -> str:
+    from dataengineer_spark.operators.ranking import ndcg_discounts
+
+    dim, n_planes, k = 64, 8, 10
+    disc = "[" + ", ".join(repr(x) for x in ndcg_discounts(k)) + "]"
+    return f"""
+WITH {_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    {_lsh_cos_sql(dim)} AS cos_sim, q.lbl AS ql, c.lbl AS cl
+  FROM bk q JOIN bk c ON q.bucket = c.bucket
+  WHERE q.vec_id < 20
+), rk AS (
+  SELECT query_id, ql, cl, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, corpus_id
+  ) AS rnk
+  FROM scored
+), g AS (
+  SELECT query_id AS query, CAST(rnk AS INT) AS rk,
+    CASE WHEN ql IS NOT NULL AND cl IS NOT NULL AND ql = cl THEN 2
+         WHEN ql IS NOT NULL AND cl IS NOT NULL AND abs(ql - cl) = 1 THEN 1
+         ELSE 0 END AS rel
+  FROM rk WHERE rnk <= {k}
+), lit AS (
+  SELECT CAST({disc} AS DOUBLE[]) AS disc
+), t AS (
+  SELECT query, rk, rel,
+    CASE rel WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END AS gain,
+    row_number() OVER (PARTITION BY query ORDER BY rel DESC, rk ASC) AS irk
+  FROM g
+)
+SELECT query,
+  CAST(count(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS hits,
+  round(sum(gain * disc[rk]), 6) AS dcg,
+  round(sum(gain * disc[irk]), 6) AS idcg,
+  round(CASE WHEN sum(gain * disc[irk]) > 0
+        THEN sum(gain * disc[rk]) / sum(gain * disc[irk]) END, 6) AS ndcg,
+  round(1.0 / min(CASE WHEN rel > 0 THEN rk END), 6) AS rr
+FROM t CROSS JOIN lit
+GROUP BY query ORDER BY query
+"""
+
+
+def q_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21/E17 index-config comparison (ranking.rbo_overlap): truncated
+    rank-biased overlap (p=0.9, k=10) between the 8-plane and 6-plane
+    LSH rankings of the same 20 probes — the top-weighted agreement
+    measure for an ANN parameter change.  Per-item RBO weights are
+    driver-computed plan literals; the joins are rank-capped
+    candidate-set-sized.  Fully oracled (both plane sets replayed)."""
+    from dataengineer_spark.operators import ranking
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.where(F.col("vec_id") < 20)
+    order = [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")]
+    ra = win_ops.ranked(
+        sim_ops.lsh_top_k(qs, emb, dim=64, n_planes=8, k=10),
+        ["query_id"], order, "rnk",
+    )
+    rb = win_ops.ranked(
+        sim_ops.lsh_top_k(qs, emb, dim=64, n_planes=6, k=10),
+        ["query_id"], order, "rnk",
+    )
+    return ranking.rbo_overlap(
+        ra, rb, "query_id", "corpus_id", "rnk", k=10, p=0.9
+    ).orderBy("query")
+
+
+def _rank_rbo_oracle() -> str:
+    from dataengineer_spark.operators.ranking import rbo_weights
+
+    dim, k, p = 64, 10, 0.9
+    wts = "[" + ", ".join(repr(x) for x in rbo_weights(k, p)) + "]"
+    one_minus_p = repr(1.0 - p)
+
+    def ranked_cte(bk: str) -> str:
+        return f"""(
+  SELECT query_id, corpus_id, rn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_lsh_cos_sql(dim)} DESC NULLS LAST, c.vec_id
+      ) AS rn
+    FROM {bk} q JOIN {bk} c ON q.bucket = c.bucket
+    WHERE q.vec_id < 20
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH {_lsh_bk_prefix(dim, 8, label=False)},
+{_lsh_bk_prefix(dim, 6, label=False, tag='b')},
+lit AS (
+  SELECT CAST({wts} AS DOUBLE[]) AS wts
+), ra AS {ranked_cte('bk')}, rb AS {ranked_cte('bkb')},
+shared AS (
+  SELECT ra.query_id AS query, wts[greatest(ra.rn, rb.rn)] AS w
+  FROM ra JOIN rb
+    ON ra.query_id = rb.query_id AND ra.corpus_id = rb.corpus_id
+  CROSS JOIN lit
+), per_q AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_overlap, sum(w) AS ws
+  FROM shared GROUP BY query
+), base AS (
+  SELECT DISTINCT query_id AS query FROM ra
+)
+SELECT base.query,
+  CAST(coalesce(per_q.n_overlap, 0) AS BIGINT) AS n_overlap,
+  round(coalesce(per_q.ws, 0.0) * {one_minus_p}, 6) AS rbo
+FROM base LEFT JOIN per_q ON base.query = per_q.query
+ORDER BY base.query
+"""
+
+
+def q_prep_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16/E21 preference-pair construction for reward-model / DPO
+    training (preparation.preference_pairs): per user, rank events by
+    value and mirror-pair the i-th best with the i-th worst, dropping
+    gaps under 0.5 — pointwise scores become (chosen, rejected) rows.
+    One window shuffle + one (group, rank) self-equi-join.  Fully
+    oracled (ranking, mirror rule, and margin cut replayed)."""
+    from dataengineer_spark.operators import preparation
+
+    ev = load_table(spark, sf_dir, "events")
+    return preparation.preference_pairs(
+        ev, "user_id", "event_id", "value", margin=0.5
+    ).orderBy("grp", "pair_rank")
+
+
+_PREP_PREFERENCE_PAIRS_ORACLE = """
+WITH base AS (
+  SELECT user_id AS grp, event_id AS _id, CAST(value AS DOUBLE) AS s
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), r AS (
+  SELECT grp, _id, s,
+    row_number() OVER (PARTITION BY grp ORDER BY s DESC, _id ASC) AS rn,
+    count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+)
+SELECT c.grp, CAST(c.rn AS INT) AS pair_rank,
+  c._id AS chosen_id, j._id AS rejected_id,
+  c.s AS chosen_score, j.s AS rejected_score,
+  round(c.s - j.s, 6) AS gap
+FROM r c JOIN r j ON j.grp = c.grp AND j.rn = c.n + 1 - c.rn
+WHERE c.rn * 2 <= c.n AND c.s - j.s >= 0.5
+ORDER BY c.grp, pair_rank
+"""
+
+
+def q_e10_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 change-point location (events.cusum_changepoint): per event
+    type, the timestamp where the CUSUM of value deviations from the
+    type's mean peaks in magnitude — Page's level-shift locator.
+    Integer-exact: micro-unit BIGINT values, the mean never divided out
+    (scaled form n*cum - i*S in DECIMAL(38,0)), so the argmax is exact
+    and the single double division happens per OUTPUT row.  One shuffle
+    on the key.  Fully oracled."""
+    from dataengineer_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev_ops.cusum_changepoint(
+        ev, "event_type", "ts", "value", "event_id"
+    ).orderBy("key")
+
+
+_E10_CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type AS key, ts, event_id,
+    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT key, ts, event_id,
+    count(*) OVER (PARTITION BY key) AS n,
+    sum(v) OVER (PARTITION BY key) AS tot,
+    sum(v) OVER (PARTITION BY key ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS i
+  FROM base
+), sc AS (
+  SELECT key, ts, event_id, n,
+    CAST(n AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+      - CAST(i AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0)) AS scaled
+  FROM s
+), top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY abs(scaled) DESC, ts ASC, event_id ASC
+  ) AS rn
+  FROM sc
+)
+SELECT key, ts AS change_ts, event_id AS change_id,
+  CAST(n AS BIGINT) AS n,
+  round(CAST(scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+    AS cusum
+FROM top WHERE rn = 1 ORDER BY key
+"""
+
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 first-digit distribution audit (quality.benford_audit):
+    observed vs Benford-expected first-significant-digit shares of
+    order totals, with per-digit chi-square terms — the standard screen
+    for fabricated/truncated monetary data.  Digit extraction is a
+    plan-literal power-of-ten CASE ladder (no log10, no double→string
+    parity bets); one source scan.  Fully oracled."""
+    from dataengineer_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.benford_audit(orders, "o_totalprice")
+
+
+def _dq_benford_oracle() -> str:
+    import math
+
+    from dataengineer_spark.operators.quality import _BENFORD_POWS
+
+    ladder = "CASE " + " ".join(
+        f"WHEN x >= {p!r} THEN {p!r}" for p in _BENFORD_POWS
+    ) + " END"
+    exp = "[" + ", ".join(
+        repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)
+    ) + "]"
+    return f"""
+WITH src AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+), tagged AS (
+  SELECT
+    CASE WHEN x IS NOT NULL AND x >= 1e-06 AND x < 1e+15
+         THEN CAST(floor(x / ({ladder})) AS INT) END AS digit,
+    CASE WHEN x IS NOT NULL AND x >= 1e-06 AND x < 1e+15
+         THEN 0 ELSE 1 END AS skip
+  FROM src
+), counts AS (
+  SELECT digit, CAST(sum(1 - skip) AS BIGINT) AS n,
+         CAST(sum(skip) AS BIGINT) AS ns
+  FROM tagged GROUP BY digit
+), digits AS (
+  SELECT CAST(unnest(range(1, 10)) AS INT) AS digit
+), filled AS (
+  SELECT d.digit, coalesce(c.n, 0) AS n
+  FROM digits d LEFT JOIN counts c ON d.digit = c.digit
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS td FROM filled
+), sk AS (
+  SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_skipped
+  FROM counts WHERE digit IS NULL
+), lit AS (
+  SELECT CAST({exp} AS DOUBLE[]) AS ex
+)
+SELECT f.digit, CAST(f.n AS BIGINT) AS n, sk.n_skipped,
+  round(CASE WHEN td > 0 THEN f.n / td END, 6) AS observed_p,
+  round(ex[f.digit], 6) AS expected_p,
+  round(CASE WHEN ex[f.digit] * td > 0
+        THEN (f.n - ex[f.digit] * td) * (f.n - ex[f.digit] * td)
+             / (ex[f.digit] * td) END, 6) AS chi2_term
+FROM filled f CROSS JOIN tot CROSS JOIN sk CROSS JOIN lit
+ORDER BY f.digit
+"""
+
+
+def q_a10_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 arena-style leaderboard (aggregates.bradley_terry): each
+    user's consecutive event pairs become battles between event types
+    (higher value wins, ties carry no signal), then two fixed MM
+    iterations of the Bradley–Terry model rate the types.  The battle
+    log reduces to a K²-row pair matrix in one aggregate; every
+    iteration runs broadcast-sized.  Fully oracled (battle derivation
+    + both unrolled MM iterations replayed)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.col("value").cast("double").alias("va"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead(F.col("value").cast("double")).over(w).alias("vb"),
+    ).where(F.col("b").isNotNull())
+    battles = seq.select(
+        "a",
+        "b",
+        F.when(F.col("va") > F.col("vb"), F.col("a"))
+        .when(F.col("vb") > F.col("va"), F.col("b"))
+        .alias("winner"),
+    )
+    return agg_ops.bradley_terry(battles, "a", "b", "winner", iters=2)
+
+
+def _bt_iteration_sql(prev: str, cur: str) -> str:
+    """One unrolled Bradley–Terry MM iteration (the SQL mirror of the
+    DataFrame loop body in aggregates.bradley_terry)."""
+    return f"""s{cur} AS (
+  SELECT s.model, s.wins,
+    CASE WHEN l.pi + r.pi > 0 THEN s.n / (l.pi + r.pi) END AS d
+  FROM sides s
+  JOIN it{prev} l ON s.model = l.model
+  JOIN it{prev} r ON s.opp = r.model
+), it{cur} AS (
+  SELECT model,
+    coalesce(CASE WHEN sum(d) > 0 THEN sum(wins) / sum(d) END, 0.0) AS pi
+  FROM s{cur} GROUP BY model
+)"""
+
+
+def _a10_bradley_terry_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, CAST(value AS DOUBLE) AS v
+  FROM events
+), seq AS (
+  SELECT event_type AS a, v AS va,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+    lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vb
+  FROM ev
+), battles AS (
+  SELECT a, b,
+    CASE WHEN va > vb THEN a WHEN vb > va THEN b END AS winner
+  FROM seq WHERE b IS NOT NULL
+), valid AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+    CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END AS lw
+  FROM battles
+  WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+    AND (winner = a OR winner = b)
+), pairs AS (
+  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lw) AS BIGINT) AS lo_wins
+  FROM valid GROUP BY lo, hi
+), sides AS (
+  SELECT lo AS model, hi AS opp, n, lo_wins AS wins FROM pairs
+  UNION ALL
+  SELECT hi AS model, lo AS opp, n, n - lo_wins AS wins FROM pairs
+), it0 AS (
+  SELECT DISTINCT model, 1.0 AS pi FROM sides
+), {_bt_iteration_sql('0', '1')}, {_bt_iteration_sql('1', '2')},
+stats AS (
+  SELECT model, CAST(sum(n) AS BIGINT) AS n_battles,
+         CAST(sum(wins) AS BIGINT) AS wins
+  FROM sides GROUP BY model
+), norm AS (
+  SELECT sum(pi) AS tot FROM it2
+)
+SELECT st.model, st.n_battles, st.wins,
+  round(it2.pi * 100.0 / norm.tot, 6) AS rating
+FROM stats st JOIN it2 ON st.model = it2.model CROSS JOIN norm
+ORDER BY rating DESC, st.model ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -9180,6 +9583,8 @@ _ROUND6_FIRST = [
     "q_a9_wilson", "q_e9_blocking_quality", "q_rank_fair_trim",
     "q_pipeline_curation2", "q_dq_datacard", "q_e2_containment",
     "q_dq_mad_outliers", "q_e9_interval_coverage",
+    "q_rank_ndcg", "q_rank_rbo", "q_prep_preference_pairs",
+    "q_e10_cusum", "q_dq_benford", "q_a10_bradley_terry",
     # NOTE: 36 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_k3_csv_roundtrip on) roll forward to the round-7 front by
@@ -9306,6 +9711,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a9_wilson": q_a9_wilson,
         "q_e9_blocking_quality": q_e9_blocking_quality,
         "q_rank_fair_trim": q_rank_fair_trim,
+        "q_rank_ndcg": q_rank_ndcg,
+        "q_rank_rbo": q_rank_rbo,
+        "q_prep_preference_pairs": q_prep_preference_pairs,
+        "q_e10_cusum": q_e10_cusum,
+        "q_dq_benford": q_dq_benford,
+        "q_a10_bradley_terry": q_a10_bradley_terry,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -9663,6 +10074,12 @@ def oracle_sql() -> dict[str, str]:
         "q_a9_wilson": _wilson_oracle(),
         "q_e9_blocking_quality": _E9_BLOCKING_ORACLE,
         "q_rank_fair_trim": _RANK_FAIR_TRIM_ORACLE,
+        "q_rank_ndcg": _rank_ndcg_oracle(),
+        "q_rank_rbo": _rank_rbo_oracle(),
+        "q_prep_preference_pairs": _PREP_PREFERENCE_PAIRS_ORACLE,
+        "q_e10_cusum": _E10_CUSUM_ORACLE,
+        "q_dq_benford": _dq_benford_oracle(),
+        "q_a10_bradley_terry": _a10_bradley_terry_oracle(),
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

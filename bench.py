@@ -168,6 +168,12 @@ HEADLINE = [
     "q_e2_containment",
     "q_dq_mad_outliers",
     "q_e9_interval_coverage",
+    "q_rank_ndcg",
+    "q_rank_rbo",
+    "q_prep_preference_pairs",
+    "q_e10_cusum",
+    "q_dq_benford",
+    "q_a10_bradley_terry",
 ]
 
 

@@ -845,3 +845,121 @@ def wilson_accuracy(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+def bradley_terry(
+    battles: DataFrame,
+    a_col: str,
+    b_col: str,
+    winner_col: str,
+    iters: int = 2,
+    total_rating: float = 100.0,
+) -> DataFrame:
+    """Bradley–Terry strength ratings from pairwise battles (public
+    model; the minorization-maximization iteration of Hunter 2004) —
+    the arena-style model leaderboard: given (contestant A, contestant
+    B, winner) rows, estimate a strength π per contestant such that
+    P(i beats j) = π_i / (π_i + π_j).
+
+    Battles where the winner is neither side (ties, NULLs) or where a
+    contestant plays itself carry no pairwise signal and are excluded.
+    The MM update is ``π_i ← W_i / Σ_j n_ij / (π_i + π_j)`` from a flat
+    start (π = 1), run a FIXED ``iters`` times — deterministic, no
+    convergence test, oracle-replayable as unrolled CTEs.  A contestant
+    with zero wins gets rating 0 (the MLE boundary); ratings are
+    normalized to sum to ``total_rating`` at the end.
+
+    Scale shape: battles reduce to the unordered pair-count matrix in
+    ONE corpus-sized aggregate; every MM iteration then runs on that
+    matrix — at most K² rows for K contestants (a leaderboard, not a
+    corpus) — as two tiny self-joins per iteration, all
+    broadcast-sized.  Nothing corpus-sized is ever collected.
+
+    Output: (model, n_battles, wins, rating) ordered by rating desc,
+    model asc; rating rounded to 6.
+    """
+    lo = F.least(F.col(a_col), F.col(b_col))
+    hi = F.greatest(F.col(a_col), F.col(b_col))
+    valid = (
+        F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+        & (F.col(a_col) != F.col(b_col))
+        & (
+            (F.col(winner_col) == F.col(a_col))
+            | (F.col(winner_col) == F.col(b_col))
+        )
+    )
+    pairs = (
+        battles.where(valid)
+        .select(
+            lo.alias("_lo"),
+            hi.alias("_hi"),
+            F.when(F.col(winner_col) == lo, 1).otherwise(0).alias("_lw"),
+        )
+        .groupBy("_lo", "_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_lw").cast("bigint").alias("_lo_wins"),
+        )
+    )
+    # per-contestant side expansion: each pair contributes a win count
+    # and an opponent row to BOTH sides — the frame every iteration
+    # (and the final W_i / n_i accounting) aggregates from
+    sides = pairs.select(
+        F.col("_lo").alias("model"),
+        F.col("_hi").alias("_opp"),
+        F.col("_n"),
+        F.col("_lo_wins").alias("_wins"),
+    ).unionByName(
+        pairs.select(
+            F.col("_hi").alias("model"),
+            F.col("_lo").alias("_opp"),
+            F.col("_n"),
+            (F.col("_n") - F.col("_lo_wins")).alias("_wins"),
+        )
+    )
+    ratings = sides.select("model").distinct().select(
+        "model", F.lit(1.0).alias("_pi")
+    )
+    for _ in range(iters):
+        opp_pi = ratings.select(
+            F.col("model").alias("_opp"), F.col("_pi").alias("_opp_pi")
+        )
+        denom = F.col("_pi") + F.col("_opp_pi")
+        joined = (
+            sides.join(F.broadcast(ratings), "model")
+            .join(F.broadcast(opp_pi), "_opp")
+            .select(
+                "model",
+                "_wins",
+                # two zero-π contestants give an undefined pair term —
+                # guard it out rather than bet on engine ÷0 semantics
+                # (Spark doubles give Inf, DuckDB configurably NULL)
+                F.when(denom > 0, F.col("_n") / denom).alias("_d"),
+            )
+        )
+        ratings = joined.groupBy("model").agg(
+            F.coalesce(
+                F.when(
+                    F.sum("_d") > 0, F.sum("_wins") / F.sum("_d")
+                ),
+                F.lit(0.0),
+            ).alias("_pi")
+        )
+    stats = sides.groupBy("model").agg(
+        F.sum("_n").cast("bigint").alias("n_battles"),
+        F.sum("_wins").cast("bigint").alias("wins"),
+    )
+    norm = ratings.agg(F.sum("_pi").alias("_tot"))
+    return (
+        stats.join(F.broadcast(ratings), "model")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "model",
+            "n_battles",
+            "wins",
+            F.round(
+                F.col("_pi") * total_rating / F.col("_tot"), 6
+            ).alias("rating"),
+        )
+        .orderBy(F.col("rating").desc(), F.col("model").asc())
+    )

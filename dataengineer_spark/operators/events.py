@@ -484,3 +484,93 @@ def decayed_activity(
             (F.sum("_w") / F.lit(float(1 << 30))).alias("decayed_score"),
         )
     )
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key CUSUM change-point locator (Page's cumulative-sum method,
+    public): the event time at which the running sum of deviations from
+    the key's mean attains its largest magnitude — the classic single
+    change-point estimate for a level shift in a metric stream.
+
+    Exactness: values are fixed-pointed to ``1/scale`` units (BIGINT
+    micro-units — the deterministic cast both engines share), so the
+    running sum is integer-exact.  The mean is never divided out:
+    ``|cusum_i| = |cum_i - i*mean|`` is maximized exactly where
+    ``|n*cum_i - i*S|`` is (n > 0 a positive constant per key), and the
+    scaled form ``n*cum_i - i*S`` is exact integer arithmetic — argmax
+    ties cannot come from float fuzz, only from true equality, broken
+    by (ts, id).  Products run as DECIMAL(38,0) so a 100 TB key cannot
+    silently wrap the way a BIGINT multiply would (Spark wraps,
+    DuckDB errors — divergence either way).  The reported ``cusum`` is
+    one double division per OUTPUT row, after the argmax.
+
+    NULL values carry no deviation signal and are excluded up front
+    (their position would still shift i otherwise); NULL keys have no
+    series and are excluded.
+
+    Scale shape: one shuffle on the key (the ordered cumulative window
+    and the per-key totals share the hash partitioning); the argmax is
+    a top-1-per-key window over the same partitioning.  A single key's
+    series must fit one task's sort — the same bound every ordered
+    window in the engine carries.
+
+    Output: (key, change_ts, change_id, n, cusum) — cusum in original
+    value units, rounded to 6.
+    """
+    from dataengineer_spark.operators.windows import top_k_per_group
+
+    v_int = F.round(F.col(value_col).cast("double") * scale).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_eid"),
+        v_int.alias("_v"),
+    )
+    w_key = W.partitionBy("key")
+    w_ord = (
+        W.partitionBy("key")
+        .orderBy(F.col("_ts").asc(), F.col("_eid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # 19+19 digits multiply into DECIMAL(38,0) on BOTH engines without
+    # tripping DuckDB's hard 38-digit cap (38*2 would error there) or
+    # Spark's precision-loss reduction
+    dec = "decimal(19,0)"
+    cum = F.sum("_v").over(w_ord).cast(dec)
+    i = F.row_number().over(
+        W.partitionBy("key").orderBy(F.col("_ts").asc(), F.col("_eid").asc())
+    ).cast(dec)
+    n = F.count("*").over(w_key).cast(dec)
+    total = F.sum("_v").over(w_key).cast(dec)
+    scored = base.select(
+        "key",
+        "_ts",
+        "_eid",
+        F.count("*").over(w_key).alias("n"),
+        (n * cum - i * total).alias("_scaled"),
+    )
+    top = top_k_per_group(
+        scored,
+        ["key"],
+        [F.abs(F.col("_scaled")).desc(), F.col("_ts").asc(), F.col("_eid").asc()],
+        1,
+    )
+    return top.select(
+        "key",
+        F.col("_ts").alias("change_ts"),
+        F.col("_eid").alias("change_id"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("_scaled").cast("double")
+            / (F.col("n").cast("double") * float(scale)),
+            6,
+        ).alias("cusum"),
+    )

@@ -1023,3 +1023,76 @@ def length_bucket_report(
         (padded - F.col("n_tokens")).alias("n_pad"),
         (F.col("n_tokens") / padded).alias("efficiency"),
     ).orderBy("bucket_len")
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training
+    (public recipe): within each group (a prompt, a user, a task), rank
+    the candidate responses by score and pair the i-th best with the
+    i-th worst — top-vs-bottom "mirror" pairing, the standard way to
+    turn pointwise scores into (chosen, rejected) training rows with
+    the largest usable score gaps.  Pairs whose gap falls below
+    ``margin`` are dropped (near-ties teach nothing and label noise
+    dominates them).
+
+    Deterministic: rank order is (score DESC, id ASC) — a total order.
+    NULL scores are excluded up front (no preference signal), as are
+    NULL groups (no pairing context).  A group of n candidates yields
+    floor(n/2) candidate pairs (rank i pairs with rank n+1-i for
+    i <= n/2; the middle element of an odd group sits out), minus any
+    cut by the margin.
+
+    Scale shape: one window shuffle on the group key ranks candidates;
+    the mirror pairing is a (group, rank) equi-join of the ranked frame
+    with itself — same key, candidate-set-sized, no cross join.  At
+    100 TB the heavy column (response text) can be joined back by id
+    afterwards; this operator ships only (group, id, score) rows.
+
+    Output: (group, pair_rank, chosen_id, rejected_id, chosen_score,
+    rejected_score, gap) — gap rounded to 6.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_score"),
+    )
+    w = W.partitionBy("grp").orderBy(F.col("_score").desc(), F.col("_id").asc())
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(W.partitionBy("grp"))
+    )
+    chosen = ranked.where(F.col("_rn") * 2 <= F.col("_n")).select(
+        "grp",
+        F.col("_rn").alias("pair_rank"),
+        F.col("_id").alias("chosen_id"),
+        F.col("_score").alias("chosen_score"),
+        (F.col("_n") + 1 - F.col("_rn")).alias("_prn"),
+    )
+    rejected = ranked.select(
+        "grp",
+        F.col("_rn").alias("_prn"),
+        F.col("_id").alias("rejected_id"),
+        F.col("_score").alias("rejected_score"),
+    )
+    pairs = chosen.join(rejected, ["grp", "_prn"]).where(
+        F.col("chosen_score") - F.col("rejected_score") >= margin
+    )
+    return pairs.select(
+        "grp",
+        "pair_rank",
+        "chosen_id",
+        "rejected_id",
+        "chosen_score",
+        "rejected_score",
+        F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias(
+            "gap"
+        ),
+    )

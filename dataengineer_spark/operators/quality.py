@@ -482,3 +482,100 @@ def mad_outlier_report(
         )
         .orderBy(*keys)
     )
+
+#: power-of-ten ladder bounds for :func:`benford_audit` — positive
+#: doubles from 1e-6 up to 1e15 get a first significant digit without
+#: any transcendental (log10 parity across libm builds is not pinned;
+#: comparisons and divisions against shared literals are IEEE-exact)
+_BENFORD_POWS = [10.0 ** k for k in range(14, -7, -1)]
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law (public
+    method — the standard screen for fabricated or truncated monetary /
+    count data; a synthetic generator that draws uniforms fails it
+    loudly, which is itself worth knowing about a corpus).
+
+    The first digit comes from a CASE ladder over plan-literal powers
+    of ten (largest power <= x, digit = floor(x / power)) — every
+    comparison and division is IEEE-defined on shared literals, so both
+    engines agree bit-for-bit; no log10, no double→string parity bets.
+    Non-positive, NULL, and out-of-ladder (< 1e-6 or >= 1e15) values
+    are excluded and tallied in the ``n_skipped`` column (never
+    silently dropped).
+
+    Scale shape: one conditional-aggregate scan to 9 digit rows; the
+    total for shares and the expected-count chi-square terms are a
+    second aggregate over those 9 rows joined back as a broadcast
+    one-row frame — the source is scanned once.
+
+    Output: one row per digit 1-9 (digits absent from the data keep a
+    row with n = 0): (digit, n, n_skipped, observed_p, expected_p,
+    chi2_term), shares rounded to 6.
+    """
+    import math
+
+    x = F.col(col).cast("double")
+    in_range = x.isNotNull() & (x >= 1e-6) & (x < 1e15)
+    scale = None
+    for p in _BENFORD_POWS:
+        cond = x >= p
+        scale = F.when(cond, p) if scale is None else scale.when(cond, p)
+    digit = F.floor(x / scale).cast("int")
+    tagged = df.select(
+        F.when(in_range, digit).alias("digit"),
+        F.when(in_range, 0).otherwise(1).alias("_skip"),
+    )
+    counts = tagged.groupBy("digit").agg(
+        F.sum(F.lit(1) - F.col("_skip")).cast("bigint").alias("n"),
+        F.sum("_skip").cast("bigint").alias("n_skipped"),
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    skipped = counts.where(F.col("digit").isNull()).select(
+        F.col("n_skipped").alias("_n_skipped")
+    )
+    totals = full.agg(F.sum("n").alias("_total"))
+    expected = F.array(
+        *[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    )
+    out = (
+        full.crossJoin(F.broadcast(totals))
+        .crossJoin(
+            F.broadcast(
+                skipped.agg(
+                    F.coalesce(F.sum("_n_skipped"), F.lit(0)).alias(
+                        "n_skipped"
+                    )
+                )
+            )
+        )
+        .select(
+            "digit",
+            "n",
+            F.col("n_skipped").cast("bigint").alias("n_skipped"),
+            F.element_at(expected, F.col("digit")).alias("_e"),
+            F.col("_total").cast("double").alias("_td"),
+        )
+    )
+    exp_n = F.col("_e") * F.col("_td")
+    diff = F.col("n") - exp_n
+    return out.select(
+        "digit",
+        "n",
+        "n_skipped",
+        F.round(
+            F.when(F.col("_td") > 0, F.col("n") / F.col("_td")), 6
+        ).alias("observed_p"),
+        F.round(F.col("_e"), 6).alias("expected_p"),
+        # diff*diff, not pow(diff, 2): pow is only 1-ulp-accurate and
+        # differs across libm builds; the explicit product is IEEE-exact
+        F.round(F.when(exp_n > 0, diff * diff / exp_n), 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("digit")

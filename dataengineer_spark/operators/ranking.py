@@ -275,3 +275,156 @@ def fair_trim_report(
         )
         .orderBy("grp")
     )
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The nDCG position discounts ``1/log2(rank+1)`` for ranks 1..k,
+    computed driver-side and embedded as a PLAN LITERAL — the engine and
+    any SQL oracle then share bit-identical constants instead of both
+    evaluating a transcendental (log parity across libm implementations
+    is not IEEE-pinned; literal doubles are).
+    """
+    import math
+
+    if k <= 0:
+        raise ValueError(f"ndcg_discounts: need k > 0, got {k}")
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def ranking_eval(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics over a system ranking —
+    nDCG@k / reciprocal rank / hit count (public formulas; the standard
+    offline eval for a retrieval or reranking stage before it ships).
+
+    Input: one row per (query, candidate) with a 1-based integer
+    ``rank_col`` (the system's ordering) and an integer graded relevance
+    ``rel_col`` >= 0.  Rows past rank ``k`` are ignored.
+
+    Exactness: gains ``2^rel - 1`` are exact small integers; discounts
+    come from :func:`ndcg_discounts` as plan literals, so every product
+    is an IEEE-defined double on any engine and only the (rounded)
+    per-query sums are float-order sensitive.  IDCG re-ranks the SAME
+    candidate set by relevance (window over the query key — the same
+    hash partitioning the final aggregate uses, so the two wide stages
+    share one shuffle); a permutation tie in that window cannot change
+    the IDCG sum (equal gains swap positions).
+
+    Scale shape: one shuffle on the query key (window + aggregate),
+    candidate-set-sized, never corpus-sized.  Output per query:
+    (query, hits, dcg, idcg, ndcg, rr), rounded to 6.
+    """
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
+    capped = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(rank_col).cast("int").alias("_rk"),
+        F.col(rel_col).cast("int").alias("_rel"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - 1.0
+    w = Window.partitionBy("query").orderBy(
+        F.col("_rel").desc(), F.col("_rk").asc()
+    )
+    scored = capped.withColumn("_irk", F.row_number().over(w)).select(
+        "query",
+        (gain * F.element_at(disc, F.col("_rk"))).alias("_dg"),
+        (gain * F.element_at(disc, F.col("_irk"))).alias("_ig"),
+        F.when(F.col("_rel") > 0, F.col("_rk")).alias("_hit_rk"),
+    )
+    agg = scored.groupBy("query").agg(
+        F.count("_hit_rk").alias("hits"),
+        F.sum("_dg").alias("_dcg"),
+        F.sum("_ig").alias("_idcg"),
+        F.min("_hit_rk").alias("_first_hit"),
+    )
+    return agg.select(
+        "query",
+        "hits",
+        F.round("_dcg", 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")), 6
+        ).alias("ndcg"),
+        F.round(1.0 / F.col("_first_hit"), 6).alias("rr"),
+    )
+
+
+def rbo_weights(k: int, p: float) -> list[float]:
+    """Per-item truncated-RBO weights, driver-side plan literals.
+
+    Rank-biased overlap (Webber/Moffat/Zobel, public method) truncated
+    at depth ``k`` is ``(1-p) * sum_{d=1..k} p^(d-1) * X_d / d`` with
+    ``X_d`` the overlap size at depth ``d``.  Swapping the sums, each
+    overlapping item contributes ``W(e) = sum_{d=e..k} p^(d-1)/d`` where
+    ``e = max(rank_a, rank_b)`` is the depth it enters the overlap — so
+    the whole metric becomes element_at(literal, depth) + one sum, no
+    per-depth fan-out.  Returned WITHOUT the (1-p) factor (applied once
+    at the end).
+    """
+    if k <= 0:
+        raise ValueError(f"rbo_weights: need k > 0, got {k}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"rbo_weights: need 0 < p < 1, got {p}")
+    tail = 0.0
+    out = [0.0] * k
+    for d in range(k, 0, -1):
+        tail += p ** (d - 1) / d
+        out[d - 1] = tail
+    return out
+
+
+def rbo_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_col: str,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap between two rankings of the same
+    query set — the standard top-weighted comparison of two retrieval
+    configurations (old index vs new index, two ANN parameter choices)
+    that, unlike plain overlap@k, cares WHERE in the lists items agree.
+
+    Inputs carry (query, item id, 1-based rank); rows past ``k`` are
+    ignored.  Per query: inner-join the two top-k lists on the item id,
+    weight each shared item by its entry depth ``max(rank_a, rank_b)``
+    via the :func:`rbo_weights` literal, sum, scale by (1-p).  Queries
+    with disjoint lists keep a row (rbo = 0) through the left join from
+    ranking A's query set.
+
+    Scale shape: two rank-capped inputs equi-join on (query, id) — one
+    shuffle each, candidate-set-sized; the weight lookup is map-side;
+    one aggregate on the query key.  Output: (query, n_overlap, rbo).
+    """
+    wts = F.array(*[F.lit(x) for x in rbo_weights(k, p)])
+    a = ranked_a.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("int").alias("_ra"),
+    )
+    b = ranked_b.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("int").alias("_rb"),
+    )
+    shared = a.join(b, ["query", "_id"]).select(
+        "query",
+        F.element_at(wts, F.greatest("_ra", "_rb")).alias("_w"),
+    )
+    per_q = shared.groupBy("query").agg(
+        F.count("*").alias("n_overlap"),
+        F.sum("_w").alias("_ws"),
+    )
+    base = a.select("query").distinct()
+    return base.join(per_q, "query", "left").select(
+        "query",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("_ws"), F.lit(0.0)) * (1.0 - p), 6
+        ).alias("rbo"),
+    )

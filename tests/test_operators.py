@@ -2822,3 +2822,231 @@ class TestIntervalCoverage:
         )
         with pytest.raises(Exception):
             join_ops.interval_coverage(df, "k", "s", "e", "id").collect()
+
+
+class TestRankingEval:
+    def test_ndcg_perfect_and_inverted(self, spark):
+        from dataengineer_spark.operators.ranking import ranking_eval
+
+        # q1: relevance already in rank order -> ndcg = 1
+        # q2: inverted (best item ranked last) -> ndcg < 1
+        rows = [
+            ("q1", 1, 2), ("q1", 2, 1), ("q1", 3, 0),
+            ("q2", 1, 0), ("q2", 2, 1), ("q2", 3, 2),
+        ]
+        df = spark.createDataFrame(rows, ["q", "rk", "rel"])
+        out = {
+            r["query"]: r
+            for r in ranking_eval(df, "q", "rk", "rel", k=10).collect()
+        }
+        assert out["q1"]["ndcg"] == 1.0
+        assert out["q2"]["ndcg"] < 1.0
+        assert out["q1"]["rr"] == 1.0
+        assert abs(out["q2"]["rr"] - 0.5) < 1e-9
+        assert out["q1"]["hits"] == 2 and out["q2"]["hits"] == 2
+
+    def test_no_relevant_yields_null_ndcg_and_rr(self, spark):
+        from dataengineer_spark.operators.ranking import ranking_eval
+
+        df = spark.createDataFrame(
+            [("q", 1, 0), ("q", 2, 0)], ["q", "rk", "rel"]
+        )
+        row = ranking_eval(df, "q", "rk", "rel", k=10).collect()[0]
+        assert row["hits"] == 0
+        assert row["dcg"] == 0.0 and row["idcg"] == 0.0
+        assert row["ndcg"] is None and row["rr"] is None
+
+    def test_rows_past_k_ignored(self, spark):
+        from dataengineer_spark.operators.ranking import ranking_eval
+
+        df = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 0), ("q", 3, 2)], ["q", "rk", "rel"]
+        )
+        row = ranking_eval(df, "q", "rk", "rel", k=2).collect()[0]
+        # the rel=2 item at rank 3 is outside the cut entirely
+        assert row["hits"] == 1 and row["rr"] == 1.0 and row["ndcg"] == 1.0
+
+
+class TestRboOverlap:
+    def test_identical_rankings_score_one(self, spark):
+        from dataengineer_spark.operators.ranking import rbo_overlap
+
+        rows = [("q", i, i) for i in range(1, 11)]
+        a = spark.createDataFrame(rows, ["q", "item", "rk"])
+        out = rbo_overlap(a, a, "q", "item", "rk", k=10, p=0.9).collect()[0]
+        # truncated RBO of identical depth-10 lists: (1-p)*sum(p^(d-1)*1)
+        # with X_d = d  ->  sum over d of p^(d-1)
+        expected = round(sum(0.9 ** (d - 1) * d / d for d in range(1, 11)) * 0.1, 6)
+        assert abs(out["rbo"] - expected) < 1e-9
+        assert out["n_overlap"] == 10
+
+    def test_disjoint_rankings_keep_query_row(self, spark):
+        from dataengineer_spark.operators.ranking import rbo_overlap
+
+        a = spark.createDataFrame([("q", 1, 1), ("q", 2, 2)], ["q", "item", "rk"])
+        b = spark.createDataFrame([("q", 9, 1), ("q", 8, 2)], ["q", "item", "rk"])
+        out = rbo_overlap(a, b, "q", "item", "rk", k=10, p=0.9).collect()
+        assert len(out) == 1
+        assert out[0]["rbo"] == 0.0 and out[0]["n_overlap"] == 0
+
+    def test_weights_decompose_depth_sum(self):
+        from dataengineer_spark.operators.ranking import rbo_weights
+
+        # sum of the per-item weights over all entry depths equals the
+        # direct double sum  sum_d p^(d-1) / d * d  when every depth has
+        # exactly one entering item (the identical-lists case)
+        k, p = 7, 0.8
+        w = rbo_weights(k, p)
+        direct = sum(p ** (d - 1) for d in range(1, k + 1))
+        assert abs(sum(w) - direct) < 1e-12
+
+
+class TestPreferencePairs:
+    def test_mirror_pairing_and_margin(self, spark):
+        from dataengineer_spark.operators.preparation import preference_pairs
+
+        rows = [
+            ("u1", 1, 10.0), ("u1", 2, 7.0), ("u1", 3, 3.0), ("u1", 4, 1.0),
+            ("u2", 5, 5.0), ("u2", 6, 4.9),  # gap 0.1 < margin -> dropped
+            ("u3", 7, 2.0),  # singleton: no pair
+        ]
+        df = spark.createDataFrame(rows, ["u", "i", "s"])
+        out = preference_pairs(df, "u", "i", "s", margin=0.5).collect()
+        got = {(r["grp"], r["chosen_id"], r["rejected_id"]) for r in out}
+        assert got == {("u1", 1, 4), ("u1", 2, 3)}
+        by_rank = {r["pair_rank"]: r for r in out}
+        assert by_rank[1]["gap"] == 9.0 and by_rank[2]["gap"] == 4.0
+
+    def test_null_scores_and_groups_excluded(self, spark):
+        from dataengineer_spark.operators.preparation import preference_pairs
+
+        rows = [
+            ("u", 1, 9.0), ("u", 2, None), ("u", 3, 1.0), (None, 4, 5.0),
+        ]
+        df = spark.createDataFrame(rows, ["u", "i", "s"])
+        out = preference_pairs(df, "u", "i", "s").collect()
+        # NULL score row 2 and NULL group row 4 never pair; remaining
+        # two rows of u form one pair
+        assert len(out) == 1
+        assert out[0]["chosen_id"] == 1 and out[0]["rejected_id"] == 3
+
+    def test_odd_group_middle_sits_out(self, spark):
+        from dataengineer_spark.operators.preparation import preference_pairs
+
+        rows = [("u", i, float(10 - i)) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, ["u", "i", "s"])
+        out = preference_pairs(df, "u", "i", "s").collect()
+        ids = {(r["chosen_id"], r["rejected_id"]) for r in out}
+        assert ids == {(1, 5), (2, 4)}  # middle element 3 unpaired
+
+
+class TestCusumChangepoint:
+    def test_level_shift_located(self, spark):
+        from dataengineer_spark.operators.events import cusum_changepoint
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(minutes=i), i, 1.0 if i < 5 else 9.0)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = cusum_changepoint(df, "k", "ts", "v", "eid").collect()[0]
+        # mean = 5.0; cusum dips to its extreme right before the shift
+        assert out["change_id"] == 4
+        assert out["n"] == 10
+        assert abs(out["cusum"] - (5 * 1.0 - 5 * 5.0)) < 1e-6
+
+    def test_null_values_and_keys_excluded(self, spark):
+        from dataengineer_spark.operators.events import cusum_changepoint
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0, 1, 2.0), ("k", t0 + dt.timedelta(1), 2, None),
+            (None, t0, 3, 5.0), ("k", t0 + dt.timedelta(2), 4, 4.0),
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = cusum_changepoint(df, "k", "ts", "v", "eid").collect()
+        assert len(out) == 1 and out[0]["n"] == 2
+
+    def test_constant_series_zero_cusum(self, spark):
+        from dataengineer_spark.operators.events import cusum_changepoint
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(minutes=i), i, 3.5) for i in range(4)]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = cusum_changepoint(df, "k", "ts", "v", "eid").collect()[0]
+        assert out["cusum"] == 0.0
+        assert out["change_id"] == 0  # all-zero ties break to earliest
+
+
+class TestBenfordAudit:
+    def test_digits_counted_and_zero_digit_rows_kept(self, spark):
+        from dataengineer_spark.operators.quality import benford_audit
+
+        df = spark.createDataFrame(
+            [(1.0,), (12.5,), (19.0,), (250.0,), (0.0033,), (None,), (-4.0,), (0.0,)],
+            ["x"],
+        )
+        rows = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+        assert set(rows) == set(range(1, 10))
+        assert rows[1]["n"] == 3 and rows[2]["n"] == 1 and rows[3]["n"] == 1
+        assert rows[9]["n"] == 0
+        # -4.0, 0.0 and NULL are skipped, reported on every row
+        assert rows[1]["n_skipped"] == 3
+        assert abs(rows[1]["expected_p"] - 0.30103) < 1e-5
+        total = sum(r["n"] for r in rows.values())
+        assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-5
+        assert total == 5
+
+    def test_all_skipped_gives_null_shares(self, spark):
+        from dataengineer_spark.operators.quality import benford_audit
+
+        df = spark.createDataFrame([(-1.0,), (None,)], ["x"])
+        rows = benford_audit(df, "x").collect()
+        assert len(rows) == 9
+        assert all(r["n"] == 0 and r["observed_p"] is None for r in rows)
+        assert all(r["n_skipped"] == 2 for r in rows)
+
+
+class TestBradleyTerry:
+    def test_dominant_player_rates_highest(self, spark):
+        from dataengineer_spark.operators.aggregates import bradley_terry
+
+        battles = []
+        # a beats b 9/10, b beats c 9/10, a beats c 9/10
+        for lo, hi in [("a", "b"), ("b", "c"), ("a", "c")]:
+            battles += [(lo, hi, lo)] * 9 + [(lo, hi, hi)]
+        df = spark.createDataFrame(battles, ["p1", "p2", "w"])
+        out = bradley_terry(df, "p1", "p2", "w", iters=3).collect()
+        order = [r["model"] for r in out]
+        assert order == ["a", "b", "c"]
+        assert out[0]["n_battles"] == 20 and out[0]["wins"] == 18
+        total = sum(r["rating"] for r in out)
+        assert abs(total - 100.0) < 1e-3
+
+    def test_ties_self_play_and_unknown_winner_excluded(self, spark):
+        from dataengineer_spark.operators.aggregates import bradley_terry
+
+        battles = [
+            ("a", "b", "a"), ("a", "b", "b"),
+            ("a", "a", "a"),      # self-play: no signal
+            ("a", "b", None),     # tie: no signal
+            ("a", "b", "zzz"),    # winner neither side: no signal
+        ]
+        df = spark.createDataFrame(battles, ["p1", "p2", "w"])
+        out = {r["model"]: r for r in bradley_terry(df, "p1", "p2", "w").collect()}
+        assert out["a"]["n_battles"] == 2 and out["a"]["wins"] == 1
+        assert abs(out["a"]["rating"] - out["b"]["rating"]) < 1e-9
+
+    def test_zero_win_model_rates_zero(self, spark):
+        from dataengineer_spark.operators.aggregates import bradley_terry
+
+        df = spark.createDataFrame(
+            [("a", "b", "a"), ("a", "b", "a")], ["p1", "p2", "w"]
+        )
+        out = {r["model"]: r for r in bradley_terry(df, "p1", "p2", "w").collect()}
+        assert out["b"]["rating"] == 0.0
+        assert out["a"]["rating"] == 100.0
