@@ -2753,15 +2753,17 @@ def q_e3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-def _knn_classify_oracle() -> str:
-    dim, n_planes, k = 64, 8, 5
-    return f"""
-WITH {_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
+def _knn_pick_prefix(dim: int, n_planes: int, k: int, probe_filter: str) -> str:
+    """Shared WITH-prefix through the majority-vote ``pick`` CTE — the
+    SQL mirror of ``sim_ops.knn_classify`` (exclude_self form), used by
+    both the q_e3_knn_classify oracle and the label-noise audit so the
+    bucket join, rank cut, and vote tiebreaks live in ONE place."""
+    return f"""{_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
     {_lsh_cos_sql(dim)} AS cos_sim,
     c.lbl
   FROM bk q JOIN bk c ON q.bucket = c.bucket
-  WHERE q.vec_id < 50 AND c.lbl IS NOT NULL AND c.vec_id <> q.vec_id
+  WHERE {probe_filter} AND c.lbl IS NOT NULL AND c.vec_id <> q.vec_id
 ), topk AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (
@@ -2771,12 +2773,20 @@ WITH {_lsh_bk_prefix(dim, n_planes, label=True)}, scored AS (
 ), votes AS (
   SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS n_votes
   FROM topk GROUP BY query_id, lbl
-)
-SELECT query_id, lbl AS predicted_label, n_votes FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY n_votes DESC, lbl ASC
-  ) AS pr
-  FROM votes) WHERE pr = 1
+), pick AS (
+  SELECT query_id, lbl AS predicted_label, n_votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY n_votes DESC, lbl ASC
+    ) AS pr
+    FROM votes) WHERE pr = 1
+)"""
+
+
+def _knn_classify_oracle() -> str:
+    dim, n_planes, k = 64, 8, 5
+    return f"""
+WITH {_knn_pick_prefix(dim, n_planes, k, 'q.vec_id < 50')}
+SELECT query_id, predicted_label, n_votes FROM pick
 ORDER BY query_id
 """
 
@@ -9550,6 +9560,170 @@ ORDER BY rating DESC, st.model ASC
 """
 
 
+def q_e6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 trailing EWMA (windows.trailing_ewma): per event type, the
+    exponentially-weighted average of the last 8 values (α=0.8) under
+    the total (ts, id) order — the smoothing pass behind anomaly
+    baselines.  The α powers and their prefix sums (for ragged frames
+    at each series head) are plan literals; the fold is order-pinned
+    oldest→newest.  One window shuffle.  Fully oracled (DuckDB
+    list-over-frame + list_filter mirrors collect_list's NULL drop)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win_ops.trailing_ewma(
+        ev,
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "value",
+        window_rows=8,
+        alpha=0.8,
+    )
+    return out.select("event_id", "event_type", "ewma").orderBy("event_id")
+
+
+def _e6_ewma_oracle() -> str:
+    window_rows, alpha = 8, 0.8
+    pows = [alpha ** a for a in range(window_rows)]
+    prefix, acc = [], 0.0
+    for p in pows:
+        acc += p
+        prefix.append(acc)
+    w = "[" + ", ".join(repr(x) for x in pows) + "]"
+    d = "[" + ", ".join(repr(x) for x in prefix) + "]"
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS v FROM events
+), fr AS (
+  SELECT event_id, event_type,
+    list_filter(list(v) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW
+    ), x -> x IS NOT NULL) AS l
+  FROM base
+), lit AS (
+  SELECT CAST({w} AS DOUBLE[]) AS w, CAST({d} AS DOUBLE[]) AS d
+)
+SELECT event_id, event_type,
+  CASE WHEN len(l) > 0 THEN round(
+    list_reduce(list_transform(generate_series(1, len(l)),
+      i -> l[i] * w[len(l) - i + 1]), (a, b) -> a + b) / d[len(l)], 6)
+  END AS ewma
+FROM fr CROSS JOIN lit ORDER BY event_id
+"""
+
+
+def q_prep_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 curriculum phase report (preparation.curriculum_report):
+    per source, documents split easy→hard into 4 NTILE phases by length
+    (difficulty proxy), with each phase's size and difficulty span —
+    the schedule-review table before a phased sampler ships.  One
+    per-group window shuffle (never a global sort).  Fully oracled
+    (SQL-standard NTILE on the same total order)."""
+    from dataengineer_spark.operators import preparation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return preparation.curriculum_report(
+        docs, "source", "doc_id", "n_chars", phases=4
+    )
+
+
+_PREP_CURRICULUM_ORACLE = """
+WITH base AS (
+  SELECT source AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS d
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+), t AS (
+  SELECT grp, d,
+    ntile(4) OVER (PARTITION BY grp ORDER BY d ASC, id ASC) AS phase
+  FROM base
+)
+SELECT grp, CAST(phase AS INT) AS phase,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(d) AS d_min, max(d) AS d_max
+FROM t GROUP BY grp, phase ORDER BY grp, phase
+"""
+
+
+def q_dq_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+E21 label-noise audit (confident-learning-style, public
+    method): every labeled vector is re-predicted by its k=5 nearest
+    labeled neighbors (self excluded) and the (given, predicted) joint
+    counts are reported — off-diagonal mass marks suspected mislabels
+    per class pair.  Same shared LSH-bucketed k-NN plan as
+    q_e3_knn_classify, probe set = the whole corpus.  Fully oracled
+    via the shared _knn_pick_prefix."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    pred = sim_ops.knn_classify(
+        emb, emb, dim=64, n_planes=8, k=5, exclude_self=True
+    )
+    given = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("given_label")
+    )
+    return (
+        pred.join(given, "query_id")
+        .where(F.col("given_label").isNotNull())
+        .groupBy("given_label", "predicted_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("given_label", "predicted_label")
+    )
+
+
+def _dq_label_noise_oracle() -> str:
+    dim, n_planes, k = 64, 8, 5
+    return f"""
+WITH {_knn_pick_prefix(dim, n_planes, k, 'TRUE')}
+SELECT g.lbl AS given_label, p.predicted_label,
+  CAST(count(*) AS BIGINT) AS n
+FROM pick p JOIN e g ON p.query_id = g.vec_id
+WHERE g.lbl IS NOT NULL
+GROUP BY g.lbl, p.predicted_label
+ORDER BY given_label, predicted_label
+"""
+
+
+def q_a11_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 paired model/variant comparison (aggregates.paired_t_test):
+    per user, mean click value vs mean view value; users with both
+    become pairs and the paired t-statistic says whether the two event
+    kinds differ in value — the fold-paired test pattern for comparing
+    two models on the same eval units.  One pivot aggregate + one
+    single-row aggregate.  Fully oracled (same one-pass moment
+    formulas; p-value out of scope by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.avg(F.col("value").cast("double")))
+    )
+    return agg_ops.paired_t_test(per_user, "user_id", "click", "view")
+
+
+_A11_PAIRED_T_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    avg(CASE WHEN event_type = 'click' THEN v END) AS a,
+    avg(CASE WHEN event_type = 'view' THEN v END) AS b
+  FROM (
+    SELECT user_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+    WHERE event_type IN ('click', 'view')
+  ) GROUP BY user_id
+), d AS (
+  SELECT a - b AS d FROM per_user WHERE a IS NOT NULL AND b IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS s, sum(d * d) AS s2
+  FROM d
+)
+SELECT n,
+  round(CASE WHEN n > 0 THEN s / n END, 4) AS mean_diff,
+  round(CASE WHEN n >= 2
+        THEN sqrt((s2 - s * s / n) / (n - 1.0)) END, 4) AS sd_diff,
+  round(CASE WHEN n >= 2 AND sqrt((s2 - s * s / n) / (n - 1.0)) > 0
+        THEN (s / n) / (sqrt((s2 - s * s / n) / (n - 1.0)) / sqrt(CAST(n AS DOUBLE)))
+        END, 4) AS t_stat,
+  CASE WHEN n >= 2 THEN CAST(n - 1 AS BIGINT) END AS dof
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9585,6 +9759,8 @@ _ROUND6_FIRST = [
     "q_dq_mad_outliers", "q_e9_interval_coverage",
     "q_rank_ndcg", "q_rank_rbo", "q_prep_preference_pairs",
     "q_e10_cusum", "q_dq_benford", "q_a10_bradley_terry",
+    "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
+    "q_a11_paired_t",
     # NOTE: 36 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_k3_csv_roundtrip on) roll forward to the round-7 front by
@@ -9717,6 +9893,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_cusum": q_e10_cusum,
         "q_dq_benford": q_dq_benford,
         "q_a10_bradley_terry": q_a10_bradley_terry,
+        "q_e6_ewma": q_e6_ewma,
+        "q_prep_curriculum": q_prep_curriculum,
+        "q_dq_label_noise": q_dq_label_noise,
+        "q_a11_paired_t": q_a11_paired_t,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10080,6 +10260,10 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_cusum": _E10_CUSUM_ORACLE,
         "q_dq_benford": _dq_benford_oracle(),
         "q_a10_bradley_terry": _a10_bradley_terry_oracle(),
+        "q_e6_ewma": _e6_ewma_oracle(),
+        "q_prep_curriculum": _PREP_CURRICULUM_ORACLE,
+        "q_dq_label_noise": _dq_label_noise_oracle(),
+        "q_a11_paired_t": _A11_PAIRED_T_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

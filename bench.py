@@ -174,6 +174,10 @@ HEADLINE = [
     "q_e10_cusum",
     "q_dq_benford",
     "q_a10_bradley_terry",
+    "q_e6_ewma",
+    "q_prep_curriculum",
+    "q_dq_label_noise",
+    "q_a11_paired_t",
 ]
 
 

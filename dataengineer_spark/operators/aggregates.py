@@ -963,3 +963,53 @@ def bradley_terry(
         )
         .orderBy(F.col("rating").desc(), F.col("model").asc())
     )
+
+def paired_t_test(
+    df: DataFrame,
+    unit_col: str,
+    metric_a: str,
+    metric_b: str,
+) -> DataFrame:
+    """Paired t-statistic for two metrics measured on the SAME units
+    (public formula) — the right test when comparing two models /
+    variants evaluated per fold, per user, or per query: pairing
+    removes the between-unit variance an unpaired test drowns in.
+
+    Units missing either metric are excluded (no pair, no signal) and
+    the surviving count is reported.  The statistic uses the one-pass
+    sums (Σd, Σd²): mean = Σd/n, var = (Σd² − (Σd)²/n)/(n−1),
+    t = mean/(sd/√n) — sqrt is IEEE-correctly-rounded, so only the two
+    float SUMS are order-sensitive, absorbed by the output rounding.
+    Degenerate cases are NULL, never garbage: n < 2 (no variance
+    estimate) and sd = 0 (t undefined).  The p-value is deliberately
+    out of scope (Student-t CDF is an incomplete beta — not an
+    engine-portable primitive); consumers compare |t| to a literal
+    critical value.
+
+    Scale shape: one full-scan aggregate to a single row.
+
+    Output: (n, mean_diff, sd_diff, t_stat, dof), stats rounded to 4.
+    """
+    d = F.col(metric_a).cast("double") - F.col(metric_b).cast("double")
+    pairs = df.where(
+        F.col(metric_a).isNotNull() & F.col(metric_b).isNotNull()
+    ).select(d.alias("_d"))
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("_d").alias("_s"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - 1.0)
+    sd = F.sqrt(var)
+    t = F.when(sd > 0, mean / (sd / F.sqrt(n)))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(F.col("n") > 0, mean), 4).alias("mean_diff"),
+        F.round(F.when(F.col("n") >= 2, sd), 4).alias("sd_diff"),
+        F.round(F.when(F.col("n") >= 2, t), 4).alias("t_stat"),
+        F.when(
+            F.col("n") >= 2, (F.col("n") - 1).cast("bigint")
+        ).alias("dof"),
+    )

@@ -1096,3 +1096,53 @@ def preference_pairs(
             "gap"
         ),
     )
+
+def curriculum_report(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    difficulty_col: str,
+    phases: int = 4,
+) -> DataFrame:
+    """Curriculum phase assignment report (public recipe — order
+    training data easy→hard and feed it in phases): within each group
+    (source/language, so no single global sort), rank rows by the
+    difficulty score and split them into ``phases`` equal NTILE buckets;
+    report each phase's size and difficulty span — the table a
+    curriculum schedule is reviewed on before the per-row phase column
+    ships to the sampler.
+
+    Deterministic: the NTILE order is the total order (difficulty ASC,
+    id ASC); NTILE itself is the SQL-standard split (larger buckets
+    first), identical across engines.  NULL difficulties carry no
+    ordering signal and are excluded up front (counted nowhere — a
+    curriculum cannot place them).
+
+    Scale shape: one window shuffle on the group key (per-group sort,
+    never global), then a (group, phase)-bounded aggregate on the same
+    partitioning.
+
+    Output: (grp, phase, n_docs, d_min, d_max) ordered by (grp, phase).
+    """
+    from pyspark.sql import Window as W
+
+    if phases <= 0:
+        raise ValueError(f"curriculum_report: phases > 0, got {phases}")
+    base = df.where(
+        F.col(difficulty_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.col(difficulty_col).cast("double").alias("_d"),
+    )
+    w = W.partitionBy("grp").orderBy(F.col("_d").asc(), F.col("_id").asc())
+    tiled = base.withColumn("phase", F.ntile(phases).over(w))
+    return (
+        tiled.groupBy("grp", "phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_d").alias("d_min"),
+            F.max("_d").alias("d_max"),
+        )
+        .orderBy("grp", "phase")
+    )

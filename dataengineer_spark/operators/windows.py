@@ -145,3 +145,70 @@ def trailing_range_agg(
         F.min(value_col).over(w).alias("trailing_min"),
         F.max(value_col).over(w).alias("trailing_max"),
     )
+
+
+def trailing_ewma(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    value_col: str,
+    window_rows: int = 8,
+    alpha: float = 0.8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average over the last
+    ``window_rows`` rows (current included) — the smoothing pass behind
+    rate dashboards and anomaly baselines, in its finite-window form.
+
+    The textbook recursive EMA is a sequential scan (hostile to both
+    distribution and SQL replay); the finite-window form
+    ``Σ α^age·v / Σ α^age`` over the trailing frame is an ordered
+    window aggregate.  The α powers (and their prefix sums, for the
+    ragged frames at each partition's head) are DRIVER-COMPUTED PLAN
+    LITERALS, so both engines index the same doubles instead of
+    re-deriving powers — and the fold over the collected frame runs in
+    a fixed oldest→newest order, making every float addition
+    order-pinned and engine-portable.
+
+    NULL values never enter the frame (collect_list drops them — the
+    one list-aggregate semantic Spark pins), so ages count NON-NULL
+    observations: a gap does not stretch the decay.  An oracle must
+    filter its list() the same way (DuckDB keeps NULLs by default).  A
+    row whose own value is NULL still gets the EMA of its trailing
+    frame.
+
+    Scale shape: one shuffle on the partition key; the frame collect is
+    bounded by ``window_rows`` (a literal), so per-row state is O(W)
+    regardless of data volume.  Output: input columns + ``out_col``
+    rounded to 6.
+    """
+    if window_rows <= 0:
+        raise ValueError(f"trailing_ewma: window_rows > 0, got {window_rows}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"trailing_ewma: need 0 < alpha <= 1, got {alpha}")
+    pows = [alpha ** a for a in range(window_rows)]
+    prefix = []
+    acc = 0.0
+    for p in pows:
+        acc += p
+        prefix.append(acc)
+    w_lit = F.array(*[F.lit(p) for p in pows])
+    d_lit = F.array(*[F.lit(p) for p in prefix])
+    w = (
+        W.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(window_rows - 1), W.currentRow)
+    )
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(F.col("_fr"))
+    # oldest→newest fold; age of element i (1-based) is n - i
+    num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc_, i: acc_
+        + F.element_at(F.col("_fr"), i) * F.element_at(w_lit, n - i + 1),
+    )
+    # n = 0 (every frame row NULL) must short-circuit: sequence(1, 0)
+    # DECREASES in Spark and element_at(_, 0) is an ANSI error
+    ema = F.when(n > 0, F.round(num / F.element_at(d_lit, n), 6))
+    return df.withColumn("_fr", frame).withColumn(out_col, ema).drop("_fr")

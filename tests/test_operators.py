@@ -3050,3 +3050,128 @@ class TestBradleyTerry:
         out = {r["model"]: r for r in bradley_terry(df, "p1", "p2", "w").collect()}
         assert out["b"]["rating"] == 0.0
         assert out["a"]["rating"] == 100.0
+
+
+class TestTrailingEwma:
+    def test_constant_series_is_flat(self, spark):
+        from dataengineer_spark.operators.windows import trailing_ewma
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("k", i, 5.0) for i in range(10)], ["k", "i", "v"]
+        )
+        out = trailing_ewma(df, ["k"], [F.col("i").asc()], "v", 4, 0.5)
+        assert all(r["ewma"] == 5.0 for r in out.collect())
+
+    def test_recent_values_dominate(self, spark):
+        from dataengineer_spark.operators.windows import trailing_ewma
+        from pyspark.sql import functions as F
+
+        rows = [("k", 1, 0.0), ("k", 2, 0.0), ("k", 3, 10.0)]
+        df = spark.createDataFrame(rows, ["k", "i", "v"])
+        out = {r["i"]: r["ewma"] for r in trailing_ewma(
+            df, ["k"], [F.col("i").asc()], "v", 4, 0.5).collect()}
+        # at i=3: weights newest->oldest 1, .5, .25 -> 10/(1.75)
+        assert abs(out[3] - round(10.0 / 1.75, 6)) < 1e-9
+        assert out[1] == 0.0
+
+    def test_nulls_dropped_from_frame(self, spark):
+        from dataengineer_spark.operators.windows import trailing_ewma
+        from pyspark.sql import functions as F
+
+        rows = [("k", 1, 2.0), ("k", 2, None), ("k", 3, 4.0)]
+        df = spark.createDataFrame(rows, ["k", "i", "v"])
+        out = {r["i"]: r["ewma"] for r in trailing_ewma(
+            df, ["k"], [F.col("i").asc()], "v", 4, 0.5).collect()}
+        # frame at i=3 is [2.0, 4.0]: ages 1,0 -> (2*.5 + 4*1)/1.5
+        assert abs(out[3] - round(5.0 / 1.5, 6)) < 1e-9
+        # the NULL row itself still gets the EMA of its trailing frame
+        assert out[2] == 2.0
+
+    def test_all_null_frame_is_null(self, spark):
+        from dataengineer_spark.operators.windows import trailing_ewma
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("k", 1, None)], "k string, i int, v double")
+        out = trailing_ewma(df, ["k"], [F.col("i").asc()], "v", 4, 0.5)
+        assert out.collect()[0]["ewma"] is None
+
+    def test_validation(self, spark):
+        import pytest
+        from dataengineer_spark.operators.windows import trailing_ewma
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("k", 1, 1.0)], ["k", "i", "v"])
+        with pytest.raises(ValueError):
+            trailing_ewma(df, ["k"], [F.col("i")], "v", 0, 0.5)
+        with pytest.raises(ValueError):
+            trailing_ewma(df, ["k"], [F.col("i")], "v", 4, 1.5)
+
+
+class TestCurriculumReport:
+    def test_phases_partition_in_order(self, spark):
+        from dataengineer_spark.operators.preparation import curriculum_report
+
+        rows = [("s", i, float(i)) for i in range(1, 9)]
+        df = spark.createDataFrame(rows, ["src", "id", "d"])
+        out = curriculum_report(df, "src", "id", "d", phases=4).collect()
+        assert [r["phase"] for r in out] == [1, 2, 3, 4]
+        assert all(r["n_docs"] == 2 for r in out)
+        # phase spans are contiguous and increasing
+        assert [(r["d_min"], r["d_max"]) for r in out] == [
+            (1.0, 2.0), (3.0, 4.0), (5.0, 6.0), (7.0, 8.0)
+        ]
+
+    def test_uneven_split_larger_buckets_first(self, spark):
+        from dataengineer_spark.operators.preparation import curriculum_report
+
+        rows = [("s", i, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, ["src", "id", "d"])
+        out = curriculum_report(df, "src", "id", "d", phases=3).collect()
+        assert [r["n_docs"] for r in out] == [2, 2, 1]
+
+    def test_null_difficulty_excluded(self, spark):
+        from dataengineer_spark.operators.preparation import curriculum_report
+
+        rows = [("s", 1, 1.0), ("s", 2, None), ("s", 3, 3.0)]
+        df = spark.createDataFrame(rows, ["src", "id", "d"])
+        out = curriculum_report(df, "src", "id", "d", phases=2).collect()
+        assert sum(r["n_docs"] for r in out) == 2
+
+
+class TestPairedTTest:
+    def test_known_statistic(self, spark):
+        from dataengineer_spark.operators.aggregates import paired_t_test
+
+        # diffs: 1, 2, 3 -> mean 2, sd 1, t = 2/(1/sqrt(3))
+        rows = [(1, 2.0, 1.0), (2, 4.0, 2.0), (3, 6.0, 3.0)]
+        df = spark.createDataFrame(rows, ["u", "a", "b"])
+        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        assert r["n"] == 3 and r["dof"] == 2
+        assert r["mean_diff"] == 2.0 and r["sd_diff"] == 1.0
+        assert abs(r["t_stat"] - round(2.0 * 3 ** 0.5, 4)) < 1e-9
+
+    def test_missing_side_excluded_and_zero_variance_null_t(self, spark):
+        from dataengineer_spark.operators.aggregates import paired_t_test
+
+        rows = [(1, 3.0, 1.0), (2, 3.0, 1.0), (3, None, 9.0), (4, 9.0, None)]
+        df = spark.createDataFrame(rows, ["u", "a", "b"])
+        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        assert r["n"] == 2
+        assert r["mean_diff"] == 2.0 and r["sd_diff"] == 0.0
+        assert r["t_stat"] is None  # sd = 0: undefined, not garbage
+
+    def test_single_pair_no_variance(self, spark):
+        from dataengineer_spark.operators.aggregates import paired_t_test
+
+        df = spark.createDataFrame([(1, 2.0, 1.0)], ["u", "a", "b"])
+        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        assert r["n"] == 1 and r["mean_diff"] == 1.0
+        assert r["sd_diff"] is None and r["t_stat"] is None and r["dof"] is None
+
+    def test_empty_input(self, spark):
+        from dataengineer_spark.operators.aggregates import paired_t_test
+
+        df = spark.createDataFrame([], "u int, a double, b double")
+        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        assert r["n"] == 0 and r["mean_diff"] is None
