@@ -103,6 +103,7 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_neardup",  # streaming run + lake writes
     "q_e11_stream_neardup_arrow",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
+    "q_e3_pca_power",  # 1-row localCheckpoint lineage cuts per iteration
 }
 
 #: theta joins that plan as BroadcastNestedLoop but whose BOTH sides are
@@ -9724,6 +9725,123 @@ FROM m
 """
 
 
+def q_e3_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 distributed PCA, top component (sim_ops.pca_power_top): two
+    power iterations of v ← normalize((X−μ)ᵀ(X−μ)v) without ever
+    materializing the 64×64 covariance — per iteration one corpus
+    aggregate (projection + weighted column sums) and one 1-row
+    broadcast; the whitening/spectral-dedup front end.  Every cross-row
+    sum is decimal-exact (the kmeans recipe) and every per-row fold is
+    dimension-order-pinned, so the oracle replays both iterations
+    bit-for-bit."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.pca_power_top(emb, "embedding", dim=64, iters=2)
+
+
+def _pca_power_oracle() -> str:
+    import math
+
+    dim, iters = 64, 2
+    v0 = repr(1.0 / math.sqrt(dim))
+    parts = [f"""x AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+), g AS (
+  SELECT CAST(unnest(generate_series(1, {dim})) AS INT) AS j
+), mu AS (
+  SELECT g.j,
+    CAST(sum(CAST(round(x.v[g.j], 12) AS DECIMAL(28,12))) AS DOUBLE) AS sj,
+    count(*) AS n
+  FROM x CROSS JOIN g GROUP BY g.j
+), m AS (
+  SELECT list(sj / n ORDER BY j) AS m, max(n) AS n FROM mu
+), w0 AS (
+  SELECT list_transform(generate_series(1, {dim}), j -> {v0}) AS w
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+  SELECT x.v AS v,
+    list_reduce(list_transform(generate_series(1, {dim}),
+      j -> (x.v[j] - m.m[j]) * w{t - 1}.w[j]), (a, b) -> a + b) AS s
+  FROM x CROSS JOIN m CROSS JOIN w{t - 1}
+), c{t} AS (
+  SELECT g.j,
+    CAST(sum(CAST(round(s{t}.s * (s{t}.v[g.j] - m.m[g.j]), 9)
+      AS DECIMAL(28,9))) AS DOUBLE) AS c
+  FROM s{t} CROSS JOIN g CROSS JOIN m GROUP BY g.j
+), ca{t} AS (
+  SELECT list(c ORDER BY j) AS c FROM c{t}
+), n{t} AS (
+  SELECT sqrt(list_reduce(list_transform(c, e -> e * e),
+    (a, b) -> a + b)) AS nrm, c
+  FROM ca{t}
+), w{t} AS (
+  SELECT CASE WHEN nrm > 0 THEN list_transform(c, e -> e / nrm)
+         ELSE list_transform(c, e -> CAST(NULL AS DOUBLE)) END AS w,
+         nrm
+  FROM n{t}
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT g.j AS dim, round(w{iters}.w[g.j], 6) AS loading,
+  round(w{iters}.nrm / (m.n - 1), 6) AS eigenvalue
+FROM w{iters} CROSS JOIN m CROSS JOIN g ORDER BY dim
+"""
+
+
+def q_e9_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/E10 calendar-month proration (joins.interval_proration): each
+    order's total is split across the months of its service span
+    (orderdate + orderkey%45 days — the deterministic derived-interval
+    pattern of q_e9_interval_coverage) weighted by exact overlap days —
+    the revenue-recognition allocation.  Map-only month explode, ONE
+    month-keyed aggregate; day weights are integer-exact and the
+    roll-up is decimal-summed.  Fully oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            F.pmod(F.col("o_orderkey"), F.lit(45)).cast("int"),
+        ).alias("end_d"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return join_ops.interval_proration(
+        iv, "start_d", "end_d", "price", "o_orderkey"
+    )
+
+
+_E9_PRORATION_ORACLE = """
+WITH iv AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INT) AS e,
+    CAST(round(CAST(o_totalprice AS DOUBLE) * 10000) AS BIGINT) AS vi
+  FROM orders
+), base AS (
+  SELECT o_orderkey, s, e, vi, date_diff('day', s, e) + 1 AS total_days
+  FROM iv WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
+    AND vi IS NOT NULL
+), m AS (
+  SELECT base.*, CAST(unnest(generate_series(
+    CAST(date_trunc('month', s) AS TIMESTAMP),
+    CAST(date_trunc('month', e) AS TIMESTAMP),
+    INTERVAL 1 MONTH)) AS DATE) AS mo
+  FROM base
+), a AS (
+  SELECT strftime(mo, '%Y-%m') AS month,
+    CAST(floor(CAST(vi * (date_diff('day', greatest(s, mo),
+      least(e, last_day(mo))) + 1) AS DOUBLE)
+      / CAST(total_days AS DOUBLE) + 0.5) AS BIGINT) AS alloc_i
+  FROM m
+)
+SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(alloc_i) AS DOUBLE) / 10000.0 AS allocated
+FROM a GROUP BY month ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9760,7 +9878,7 @@ _ROUND6_FIRST = [
     "q_rank_ndcg", "q_rank_rbo", "q_prep_preference_pairs",
     "q_e10_cusum", "q_dq_benford", "q_a10_bradley_terry",
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
-    "q_a11_paired_t",
+    "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     # NOTE: 36 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_k3_csv_roundtrip on) roll forward to the round-7 front by
@@ -9897,6 +10015,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_curriculum": q_prep_curriculum,
         "q_dq_label_noise": q_dq_label_noise,
         "q_a11_paired_t": q_a11_paired_t,
+        "q_e3_pca_power": q_e3_pca_power,
+        "q_e9_proration": q_e9_proration,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10264,6 +10384,8 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_curriculum": _PREP_CURRICULUM_ORACLE,
         "q_dq_label_noise": _dq_label_noise_oracle(),
         "q_a11_paired_t": _A11_PAIRED_T_ORACLE,
+        "q_e3_pca_power": _pca_power_oracle(),
+        "q_e9_proration": _E9_PRORATION_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -178,6 +178,8 @@ HEADLINE = [
     "q_prep_curriculum",
     "q_dq_label_noise",
     "q_a11_paired_t",
+    "q_e3_pca_power",
+    "q_e9_proration",
 ]
 
 

@@ -3175,3 +3175,105 @@ class TestPairedTTest:
         df = spark.createDataFrame([], "u int, a double, b double")
         r = paired_t_test(df, "u", "a", "b").collect()[0]
         assert r["n"] == 0 and r["mean_diff"] is None
+
+
+class TestPcaPowerTop:
+    def test_line_data_recovers_axis_and_eigenvalue(self, spark):
+        from dataengineer_spark.operators.similarity import pca_power_top
+
+        # points on the first axis: t in -2..2 -> component = e1 (up to
+        # sign), eigenvalue = var(t) = 10/4
+        rows = [([float(t), 0.0, 0.0, 0.0],) for t in (-2, -1, 0, 1, 2)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r["dim"]: r for r in pca_power_top(df, dim=4, iters=2).collect()}
+        assert abs(abs(out[1]["loading"]) - 1.0) < 1e-6
+        for d in (2, 3, 4):
+            assert abs(out[d]["loading"]) < 1e-6
+        assert abs(out[1]["eigenvalue"] - 2.5) < 1e-6
+
+    def test_centering_removes_offset(self, spark):
+        from dataengineer_spark.operators.similarity import pca_power_top
+
+        # same line, shifted far off origin: centering must make the
+        # result identical to the unshifted case
+        rows = [([float(t) + 100.0, 50.0, 0.0, 0.0],) for t in (-2, -1, 0, 1, 2)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r["dim"]: r for r in pca_power_top(df, dim=4, iters=2).collect()}
+        assert abs(abs(out[1]["loading"]) - 1.0) < 1e-6
+        assert abs(out[2]["loading"]) < 1e-6
+        assert abs(out[1]["eigenvalue"] - 2.5) < 1e-6
+
+    def test_dominant_direction_wins(self, spark):
+        from dataengineer_spark.operators.similarity import pca_power_top
+
+        # variance 8 on axis 2, variance 0.5 on axis 1
+        rows = [([0.5, 2.0, 0.0, 0.0],), ([-0.5, -2.0, 0.0, 0.0],),
+                ([0.5, -2.0, 0.0, 0.0],), ([-0.5, 2.0, 0.0, 0.0],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r["dim"]: r for r in pca_power_top(df, dim=4, iters=2).collect()}
+        assert abs(out[2]["loading"]) > 0.99
+        assert abs(out[1]["loading"]) < 0.1
+
+    def test_null_vectors_excluded(self, spark):
+        from dataengineer_spark.operators.similarity import pca_power_top
+
+        rows = [([1.0, 0.0],), (None,), ([-1.0, 0.0],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r["dim"]: r for r in pca_power_top(df, dim=2, iters=2).collect()}
+        # n = 2 after the NULL drop -> eigenvalue = (1^2 + 1^2)/(2-1) = 2
+        assert abs(out[1]["eigenvalue"] - 2.0) < 1e-6
+
+
+class TestIntervalProration:
+    def test_split_across_two_months_conserves_value(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.joins import interval_proration
+
+        # Jan 30 .. Feb 3: 5 days total, 2 in Jan, 3 in Feb
+        rows = [(1, dt.date(2024, 1, 30), dt.date(2024, 2, 3), 100.0)]
+        df = spark.createDataFrame(rows, ["id", "s", "e", "v"])
+        out = {r["month"]: r for r in interval_proration(
+            df, "s", "e", "v", "id").collect()}
+        assert abs(out["2024-01"]["allocated"] - 40.0) < 1e-9
+        assert abs(out["2024-02"]["allocated"] - 60.0) < 1e-9
+        assert out["2024-01"]["n_lines"] == 1
+
+    def test_single_day_interval_whole_value(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.joins import interval_proration
+
+        rows = [(1, dt.date(2024, 3, 15), dt.date(2024, 3, 15), 12.34)]
+        df = spark.createDataFrame(rows, ["id", "s", "e", "v"])
+        out = interval_proration(df, "s", "e", "v", "id").collect()
+        assert len(out) == 1
+        assert abs(out[0]["allocated"] - 12.34) < 1e-9
+
+    def test_invalid_rows_excluded(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.joins import interval_proration
+
+        rows = [
+            (1, dt.date(2024, 1, 10), dt.date(2024, 1, 5), 10.0),   # e < s
+            (2, None, dt.date(2024, 1, 5), 10.0),
+            (3, dt.date(2024, 1, 5), dt.date(2024, 1, 6), None),
+            (4, dt.date(2024, 1, 5), dt.date(2024, 1, 6), 8.0),
+        ]
+        df = spark.createDataFrame(rows, ["id", "s", "e", "v"])
+        out = interval_proration(df, "s", "e", "v", "id").collect()
+        assert len(out) == 1 and out[0]["n_lines"] == 1
+        assert abs(out[0]["allocated"] - 8.0) < 1e-9
+
+    def test_multi_row_monthly_rollup(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.joins import interval_proration
+
+        rows = [
+            (1, dt.date(2024, 1, 1), dt.date(2024, 1, 31), 31.0),
+            (2, dt.date(2024, 1, 31), dt.date(2024, 2, 1), 2.0),
+        ]
+        df = spark.createDataFrame(rows, ["id", "s", "e", "v"])
+        out = {r["month"]: r for r in interval_proration(
+            df, "s", "e", "v", "id").collect()}
+        assert out["2024-01"]["n_lines"] == 2
+        assert abs(out["2024-01"]["allocated"] - 32.0) < 1e-9
+        assert abs(out["2024-02"]["allocated"] - 1.0) < 1e-9
