@@ -9842,6 +9842,70 @@ FROM a GROUP BY month ORDER BY month
 """
 
 
+def q_rank_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 cross-source score calibration (ranking.score_calibration):
+    each document's length score mapped to its cume_dist percentile
+    WITHIN its source — the normalization that makes one global quality
+    cut fair across sources with different score scales (the companion
+    to q_rank_fair_trim).  Ties share a value by construction (equal
+    scores must calibrate equally).  One window shuffle.  Fully
+    oracled (SQL-standard cume_dist)."""
+    from dataengineer_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ranking.score_calibration(
+        docs, "source", "doc_id", "n_chars"
+    ).orderBy("grp", "id")
+
+
+_RANK_CALIBRATE_ORACLE = """
+WITH base AS (
+  SELECT source AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS score
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+)
+SELECT grp, id, score,
+  round(cume_dist() OVER (PARTITION BY grp ORDER BY score ASC), 6)
+    AS calibrated
+FROM base ORDER BY grp, id
+"""
+
+
+def q_dq_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 metadata-trust audit: declared ``lang`` column vs the
+    heuristic language-ID prediction (textops.language_id), as
+    (declared, detected) joint counts with a mismatch flag — the check
+    that catches a mislabeled crawl before the lang column drives
+    mixture decisions.  One langid scan + one label²-bounded aggregate.
+    Fully oracled (wraps the q_e4_langid oracle)."""
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        "lang", textops.language_id(F.col("text")).alias("detected")
+    )
+    return (
+        pred.groupBy("lang", "detected")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "detected",
+            "n",
+            (~F.col("lang").eqNullSafe(F.col("detected"))).alias(
+                "is_mismatch"
+            ),
+        )
+        .orderBy("lang", "detected")
+    )
+
+
+def _dq_lang_mismatch_oracle() -> str:
+    return f"""
+WITH pred AS ({_langid_oracle()})
+SELECT lang, detected, CAST(count(*) AS BIGINT) AS n,
+  (lang IS DISTINCT FROM detected) AS is_mismatch
+FROM pred GROUP BY lang, detected
+ORDER BY lang, detected
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9879,6 +9943,7 @@ _ROUND6_FIRST = [
     "q_e10_cusum", "q_dq_benford", "q_a10_bradley_terry",
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
+    "q_rank_calibrate", "q_dq_lang_mismatch",
     # NOTE: 36 round-6 entries above consume most of the driver's
     # ~50-query budget — stale-cohort members past slot 50 (from
     # q_k3_csv_roundtrip on) roll forward to the round-7 front by
@@ -10017,6 +10082,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a11_paired_t": q_a11_paired_t,
         "q_e3_pca_power": q_e3_pca_power,
         "q_e9_proration": q_e9_proration,
+        "q_rank_calibrate": q_rank_calibrate,
+        "q_dq_lang_mismatch": q_dq_lang_mismatch,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10386,6 +10453,8 @@ def oracle_sql() -> dict[str, str]:
         "q_a11_paired_t": _A11_PAIRED_T_ORACLE,
         "q_e3_pca_power": _pca_power_oracle(),
         "q_e9_proration": _E9_PRORATION_ORACLE,
+        "q_rank_calibrate": _RANK_CALIBRATE_ORACLE,
+        "q_dq_lang_mismatch": _dq_lang_mismatch_oracle(),
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -180,6 +180,8 @@ HEADLINE = [
     "q_a11_paired_t",
     "q_e3_pca_power",
     "q_e9_proration",
+    "q_rank_calibrate",
+    "q_dq_lang_mismatch",
 ]
 
 

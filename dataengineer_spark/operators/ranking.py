@@ -428,3 +428,42 @@ def rbo_overlap(
             F.coalesce(F.col("_ws"), F.lit(0.0)) * (1.0 - p), 6
         ).alias("rbo"),
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Within-group percentile calibration of a quality score (public
+    recipe — the other fairness fix besides :func:`fair_trim`): map each
+    row's raw score to its cumulative rank share INSIDE its source, so
+    scores from sources with different scales become comparable and one
+    global percentile cut stops starving low-scale sources.
+
+    ``cume_dist`` (SQL-standard: ties share the value, result =
+    rows ≤ current / rows in group) is used instead of percent_rank
+    over an id-tiebroken order — equal raw scores MUST calibrate
+    equally or the calibration itself injects noise.  NULL scores have
+    no rank and are excluded.
+
+    Scale shape: one window shuffle on the group key; output is
+    row-per-input (the calibrated column rides with the id for the
+    downstream cut).  Output: (grp, id, score, calibrated) with
+    calibrated rounded to 6.
+    """
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("score").asc())
+    return base.select(
+        "grp",
+        "id",
+        "score",
+        F.round(F.cume_dist().over(w), 6).alias("calibrated"),
+    )

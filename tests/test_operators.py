@@ -3277,3 +3277,35 @@ class TestIntervalProration:
         assert out["2024-01"]["n_lines"] == 2
         assert abs(out["2024-01"]["allocated"] - 32.0) < 1e-9
         assert abs(out["2024-02"]["allocated"] - 1.0) < 1e-9
+
+
+class TestScoreCalibration:
+    def test_ties_share_value_and_range(self, spark):
+        from dataengineer_spark.operators.ranking import score_calibration
+
+        rows = [("s", 1, 10.0), ("s", 2, 10.0), ("s", 3, 20.0), ("s", 4, 30.0)]
+        df = spark.createDataFrame(rows, ["src", "id", "v"])
+        out = {r["id"]: r["calibrated"] for r in score_calibration(
+            df, "src", "id", "v").collect()}
+        assert out[1] == out[2] == 0.5   # ties share cume_dist
+        assert out[3] == 0.75 and out[4] == 1.0
+
+    def test_groups_calibrate_independently(self, spark):
+        from dataengineer_spark.operators.ranking import score_calibration
+
+        rows = [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 1000.0), ("b", 4, 2000.0)]
+        df = spark.createDataFrame(rows, ["src", "id", "v"])
+        out = {r["id"]: r["calibrated"] for r in score_calibration(
+            df, "src", "id", "v").collect()}
+        # same within-group position -> same calibrated value despite
+        # wildly different raw scales (the whole point)
+        assert out[1] == out[3] == 0.5
+        assert out[2] == out[4] == 1.0
+
+    def test_null_scores_excluded(self, spark):
+        from dataengineer_spark.operators.ranking import score_calibration
+
+        rows = [("s", 1, 5.0), ("s", 2, None)]
+        df = spark.createDataFrame(rows, ["src", "id", "v"])
+        out = score_calibration(df, "src", "id", "v").collect()
+        assert len(out) == 1 and out[0]["calibrated"] == 1.0
