@@ -629,3 +629,119 @@ class TestVocabCoverageProperty:
         assert (rows[-1]["cum_n"] - rows[-1]["n"]) * 100 < total * pct
         # ranks are the contiguous prefix 1..len
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+class TestCusumShiftInvariance:
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            min_size=2, max_size=12,
+        ),
+        shift=st.floats(min_value=-50, max_value=50, allow_nan=False),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_location_invariant_under_constant_shift(self, spark, vals, shift):
+        """CUSUM subtracts the mean, so adding a constant to every value
+        must leave the change-point location AND the cusum value
+        unchanged (up to the fixed-point micro-unit rounding)."""
+        import datetime as dt
+        from dataengineer_spark.operators.events import cusum_changepoint
+
+        t0 = dt.datetime(2024, 1, 1)
+        mk = lambda off: [
+            ("k", t0 + dt.timedelta(minutes=i), i, v + off)
+            for i, v in enumerate(vals)
+        ]
+        df_a = spark.createDataFrame(mk(0.0), ["k", "ts", "eid", "v"])
+        df_b = spark.createDataFrame(mk(shift), ["k", "ts", "eid", "v"])
+        ra = cusum_changepoint(df_a, "k", "ts", "v", "eid").collect()[0]
+        rb = cusum_changepoint(df_b, "k", "ts", "v", "eid").collect()[0]
+        assert ra["change_id"] == rb["change_id"]
+        # micro-unit quantization of the shift can move the cusum by at
+        # most n * half-units / n = one half micro-unit
+        assert abs(ra["cusum"] - rb["cusum"]) <= 1e-4
+
+
+class TestPreferencePairInvariants:
+    @given(
+        scores=st.lists(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+            min_size=1, max_size=15, unique=True,
+        ),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_zero_margin_yields_floor_half_pairs(self, spark, scores):
+        """With margin 0 and unique scores, every mirror pair survives:
+        exactly floor(n/2) pairs, each chosen strictly above its
+        rejected, and no id on both sides of any pair."""
+        from dataengineer_spark.operators.preparation import preference_pairs
+
+        rows = [("g", i, s) for i, s in enumerate(scores)]
+        df = spark.createDataFrame(rows, ["g", "i", "s"])
+        out = preference_pairs(df, "g", "i", "s", margin=0.0).collect()
+        assert len(out) == len(scores) // 2
+        for r in out:
+            assert r["chosen_score"] > r["rejected_score"]
+            assert r["chosen_id"] != r["rejected_id"]
+        ids = [r["chosen_id"] for r in out] + [r["rejected_id"] for r in out]
+        assert len(ids) == len(set(ids))  # each candidate in ≤1 pair
+
+
+class TestProrationConservation:
+    @given(
+        spans=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=365),   # start offset
+                st.integers(min_value=0, max_value=90),    # length days
+                st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+            ),
+            min_size=1, max_size=10,
+        ),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_monthly_allocations_conserve_totals(self, spark, spans):
+        """Summed over all months, prorated allocations equal the input
+        total to within the documented integral-rounding bound (one
+        half micro-unit per row-month)."""
+        import datetime as dt
+        from dataengineer_spark.operators.joins import interval_proration
+
+        base = dt.date(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(days=o), base + dt.timedelta(days=o + l), v)
+            for i, (o, l, v) in enumerate(spans)
+        ]
+        df = spark.createDataFrame(rows, ["id", "s", "e", "v"])
+        out = interval_proration(df, "s", "e", "v", "id").collect()
+        got = sum(r["allocated"] for r in out)
+        want = sum(round(v * 10000) / 10000 for _, _, v in spans)
+        n_row_months = sum(r["n_lines"] for r in out)
+        assert abs(got - want) <= n_row_months * 0.00005 + 1e-9
+
+
+class TestRankingEvalBounds:
+    @given(
+        rels=st.lists(st.integers(min_value=0, max_value=3),
+                      min_size=1, max_size=10),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_ndcg_in_unit_interval_and_ideal_is_one(self, spark, rels):
+        """nDCG is bounded by construction (DCG ≤ IDCG over the same
+        candidate set); re-ranking the list ideally gives exactly 1."""
+        from dataengineer_spark.operators.ranking import ranking_eval
+
+        rows = [("q", i + 1, r) for i, r in enumerate(rels)]
+        df = spark.createDataFrame(rows, ["q", "rk", "rel"])
+        out = ranking_eval(df, "q", "rk", "rel", k=10).collect()[0]
+        if out["ndcg"] is not None:
+            assert 0.0 <= out["ndcg"] <= 1.0
+        ideal = [("q", i + 1, r) for i, r in enumerate(
+            sorted(rels, reverse=True))]
+        df_i = spark.createDataFrame(ideal, ["q", "rk", "rel"])
+        out_i = ranking_eval(df_i, "q", "rk", "rel", k=10).collect()[0]
+        if out_i["ndcg"] is not None:
+            assert out_i["ndcg"] == 1.0
