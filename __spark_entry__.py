@@ -9906,6 +9906,43 @@ ORDER BY lang, detected
 """
 
 
+def q_prep_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 churn-label construction (preparation.future_event_labels):
+    per event, did the user return within 7 days? — as a three-value
+    label with honest right-censoring: events whose horizon extends
+    past the observed data end get 'censored' instead of a silently-
+    wrong 'churned', the leakage bug this operator exists to prevent
+    (string, not nullable boolean — pandas NULL-bool rendering is not
+    engine-comparable).  One
+    lead() window on the user key + a broadcast 1-row corpus max.
+    Fully oracled (integer epoch-second comparisons)."""
+    from dataengineer_spark.operators import preparation
+
+    ev = load_table(spark, sf_dir, "events")
+    return preparation.future_event_labels(
+        ev, "user_id", "ts", "event_id", horizon_seconds=7 * 86400
+    ).orderBy("id")
+
+
+_PREP_CHURN_LABELS_ORACLE = """
+WITH base AS (
+  SELECT user_id AS key, event_id AS id, ts,
+    CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), nxt AS (
+  SELECT *, lead(es) OVER (PARTITION BY key ORDER BY es, id) AS next_es
+  FROM base
+), e AS (
+  SELECT max(es) AS end_es FROM base
+)
+SELECT key, id, ts,
+  CASE WHEN es + 604800 > end_es THEN 'censored'
+       WHEN coalesce(next_es - es <= 604800, FALSE) THEN 'returned'
+       ELSE 'churned' END AS label
+FROM nxt CROSS JOIN e ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9943,13 +9980,15 @@ _ROUND6_FIRST = [
     "q_e10_cusum", "q_dq_benford", "q_a10_bradley_terry",
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
-    "q_rank_calibrate", "q_dq_lang_mismatch",
-    # NOTE: 36 round-6 entries above consume most of the driver's
-    # ~50-query budget — stale-cohort members past slot 50 (from
-    # q_k3_csv_roundtrip on) roll forward to the round-7 front by
-    # design: first driver contact for new queries outranks refreshing
-    # already-green rows. Round-7 planning: verify against
-    # CORRECTNESS_r06 which slots the driver actually covered.
+    "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
+    # NOTE: the round-6 batches above (36 + 19 late-session additions,
+    # all first-contact) overrun the driver's ~50-query budget by a few
+    # slots — anything past slot 50 (the last new entries and the whole
+    # stale cohort from q_dq_constraints on) rolls forward to the
+    # round-7 front by design: first driver contact for new queries
+    # outranks refreshing already-green rows. Round-7 planning: verify
+    # against CORRECTNESS_r06 which slots the driver actually covered,
+    # put any uncovered round-6 queries first, then the r2/r3 cohort.
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of
@@ -10084,6 +10123,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e9_proration": q_e9_proration,
         "q_rank_calibrate": q_rank_calibrate,
         "q_dq_lang_mismatch": q_dq_lang_mismatch,
+        "q_prep_churn_labels": q_prep_churn_labels,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10455,6 +10495,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e9_proration": _E9_PRORATION_ORACLE,
         "q_rank_calibrate": _RANK_CALIBRATE_ORACLE,
         "q_dq_lang_mismatch": _dq_lang_mismatch_oracle(),
+        "q_prep_churn_labels": _PREP_CHURN_LABELS_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -182,6 +182,7 @@ HEADLINE = [
     "q_e9_proration",
     "q_rank_calibrate",
     "q_dq_lang_mismatch",
+    "q_prep_churn_labels",
 ]
 
 

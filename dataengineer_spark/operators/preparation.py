@@ -1146,3 +1146,61 @@ def curriculum_report(
         )
         .orderBy("grp", "phase")
     )
+
+def future_event_labels(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon_seconds: int,
+) -> DataFrame:
+    """Churn/retention label construction (public recipe — the label-
+    building step of a churn model's training pipeline): for every
+    event, did the same key produce ANOTHER event within the horizon?
+    ``label`` = 'returned' / 'churned', with honest RIGHT-CENSORING: an
+    event whose horizon extends past the end of observed data cannot
+    know its label, so it gets 'censored' instead of a silently-wrong
+    'churned' — the classic leakage/bias bug this operator exists to
+    prevent.  (A three-value STRING, not a nullable boolean: pandas
+    renders a NULL boolean as None on one engine and NaN on the other,
+    so nullable booleans are not an oracle-comparable output type.)
+
+    Timestamps compare as integer epoch seconds (exact); the
+    observation end is the corpus max timestamp, attached as a
+    broadcast one-row aggregate.
+
+    Scale shape: one window shuffle on the key (lead), one full-scan
+    max to a single row, one broadcast join.  NULL keys/timestamps
+    cannot be labeled and are excluded.
+
+    Output: (key, id, ts, label) — row per input event.
+    """
+    if horizon_seconds <= 0:
+        raise ValueError(
+            f"future_event_labels: horizon_seconds > 0, got {horizon_seconds}"
+        )
+    from pyspark.sql import Window as W
+
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        F.col(ts_col).cast("long").alias("_es"),
+    )
+    w = W.partitionBy("key").orderBy(F.col("_es").asc(), F.col("id").asc())
+    nxt = base.withColumn("_next_es", F.lead("_es").over(w))
+    end = base.agg(F.max("_es").alias("_end"))
+    labeled = nxt.crossJoin(F.broadcast(end))
+    censored = F.col("_es") + horizon_seconds > F.col("_end")
+    returned = F.coalesce(
+        F.col("_next_es") - F.col("_es") <= horizon_seconds,
+        F.lit(False),
+    )
+    label = (
+        F.when(censored, F.lit("censored"))
+        .when(returned, F.lit("returned"))
+        .otherwise(F.lit("churned"))
+    )
+    return labeled.select("key", "id", "ts", label.alias("label"))

@@ -3309,3 +3309,59 @@ class TestScoreCalibration:
         df = spark.createDataFrame(rows, ["src", "id", "v"])
         out = score_calibration(df, "src", "id", "v").collect()
         assert len(out) == 1 and out[0]["calibrated"] == 1.0
+
+
+class TestFutureEventLabels:
+    def _mk(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [
+            (k, i, t0 + dt.timedelta(days=d)) for k, i, d in rows
+        ]
+        return spark.createDataFrame(data, ["u", "i", "ts"])
+
+    def test_three_way_labels(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            future_event_labels,
+        )
+
+        # u1: events at day 0 and day 3 (within 7d -> returned), then
+        # day 3's horizon extends past data end (day 20) only if
+        # 3+7 > 20? no -> next is none -> churned.  u2 at day 19:
+        # 19+7 > 20 -> censored.
+        df = self._mk(spark, [("u1", 1, 0), ("u1", 2, 3), ("u2", 3, 19),
+                              ("u1", 4, 20)])
+        out = {r["id"]: r["label"] for r in future_event_labels(
+            df, "u", "ts", "i", 7 * 86400).collect()}
+        assert out[1] == "returned"      # next u1 event 3 days later
+        assert out[2] == "churned"       # next at day 20: 17 days gap
+        assert out[3] == "censored"      # horizon passes observation end
+        assert out[4] == "censored"      # last observed instant
+
+    def test_boundary_exactly_at_horizon_counts(self, spark):
+        from dataengineer_spark.operators.preparation import (
+            future_event_labels,
+        )
+
+        df = self._mk(spark, [("u", 1, 0), ("u", 2, 7), ("u", 3, 30)])
+        out = {r["id"]: r["label"] for r in future_event_labels(
+            df, "u", "ts", "i", 7 * 86400).collect()}
+        assert out[1] == "returned"  # gap == horizon: inclusive
+        assert out[2] == "churned"   # next gap 23 days
+
+    def test_null_keys_excluded_and_validation(self, spark):
+        import datetime as dt
+        import pytest
+        from dataengineer_spark.operators.preparation import (
+            future_event_labels,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(None, 1, t0), ("u", 2, t0)], ["u", "i", "ts"]
+        )
+        out = future_event_labels(df, "u", "ts", "i", 86400).collect()
+        assert len(out) == 1
+        with pytest.raises(ValueError):
+            future_event_labels(df, "u", "ts", "i", 0)
