@@ -9386,15 +9386,16 @@ WITH base AS (
 ), s AS (
   SELECT key, ts, event_id,
     count(*) OVER (PARTITION BY key) AS n,
-    sum(v) OVER (PARTITION BY key) AS tot,
-    sum(v) OVER (PARTITION BY key ORDER BY ts, event_id
+    sum(CAST(v AS DECIMAL(18,0))) OVER (PARTITION BY key) AS tot,
+    sum(CAST(v AS DECIMAL(18,0))) OVER (PARTITION BY key
+      ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
     row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS i
   FROM base
 ), sc AS (
   SELECT key, ts, event_id, n,
-    CAST(n AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
-      - CAST(i AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0)) AS scaled
+    CAST(n AS DECIMAL(10,0)) * CAST(cum AS DECIMAL(28,0))
+      - CAST(i AS DECIMAL(10,0)) * CAST(tot AS DECIMAL(28,0)) AS scaled
   FROM s
 ), top AS (
   SELECT *, row_number() OVER (
@@ -9437,13 +9438,15 @@ def _dq_benford_oracle() -> str:
     return f"""
 WITH src AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-), tagged AS (
-  SELECT
+), raw AS (
+  SELECT x,
     CASE WHEN x IS NOT NULL AND x >= 1e-06 AND x < 1e+15
-         THEN CAST(floor(x / ({ladder})) AS INT) END AS digit,
-    CASE WHEN x IS NOT NULL AND x >= 1e-06 AND x < 1e+15
-         THEN 0 ELSE 1 END AS skip
+         THEN CAST(floor(x / ({ladder})) AS INT) END AS rd
   FROM src
+), tagged AS (
+  SELECT CASE WHEN rd BETWEEN 1 AND 9 THEN rd END AS digit,
+    CASE WHEN rd BETWEEN 1 AND 9 THEN 0 ELSE 1 END AS skip
+  FROM raw
 ), counts AS (
   SELECT digit, CAST(sum(1 - skip) AS BIGINT) AS n,
          CAST(sum(skip) AS BIGINT) AS ns
@@ -9695,7 +9698,7 @@ def q_a11_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "view"])
         .agg(F.avg(F.col("value").cast("double")))
     )
-    return agg_ops.paired_t_test(per_user, "user_id", "click", "view")
+    return agg_ops.paired_t_test(per_user, "click", "view")
 
 
 _A11_PAIRED_T_ORACLE = """
@@ -9716,9 +9719,12 @@ WITH per_user AS (
 SELECT n,
   round(CASE WHEN n > 0 THEN s / n END, 4) AS mean_diff,
   round(CASE WHEN n >= 2
-        THEN sqrt((s2 - s * s / n) / (n - 1.0)) END, 4) AS sd_diff,
-  round(CASE WHEN n >= 2 AND sqrt((s2 - s * s / n) / (n - 1.0)) > 0
-        THEN (s / n) / (sqrt((s2 - s * s / n) / (n - 1.0)) / sqrt(CAST(n AS DOUBLE)))
+        THEN sqrt(greatest((s2 - s * s / n) / (n - 1.0), 0.0)) END, 4)
+    AS sd_diff,
+  round(CASE WHEN n >= 2
+          AND sqrt(greatest((s2 - s * s / n) / (n - 1.0), 0.0)) > 0
+        THEN (s / n) / (sqrt(greatest((s2 - s * s / n) / (n - 1.0), 0.0))
+          / sqrt(CAST(n AS DOUBLE)))
         END, 4) AS t_stat,
   CASE WHEN n >= 2 THEN CAST(n - 1 AS BIGINT) END AS dof
 FROM m
@@ -9743,9 +9749,13 @@ def _pca_power_oracle() -> str:
 
     dim, iters = 64, 2
     v0 = repr(1.0 / math.sqrt(dim))
-    parts = [f"""x AS (
+    parts = [f"""x0 AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE embedding IS NOT NULL
+), x AS (
+  SELECT v FROM x0
+  WHERE len(v) >= {dim}
+    AND len(list_filter(v[1:{dim}], e -> e IS NULL)) = 0
 ), g AS (
   SELECT CAST(unnest(generate_series(1, {dim})) AS INT) AS j
 ), mu AS (
@@ -9909,11 +9919,13 @@ ORDER BY lang, detected
 def q_prep_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E16 churn-label construction (preparation.future_event_labels):
     per event, did the user return within 7 days? — as a three-value
-    label with honest right-censoring: events whose horizon extends
-    past the observed data end get 'censored' instead of a silently-
-    wrong 'churned', the leakage bug this operator exists to prevent
-    (string, not nullable boolean — pandas NULL-bool rendering is not
-    engine-comparable).  One
+    label with honest right-censoring: an OBSERVED return within the
+    horizon is 'returned' even at the data boundary (censoring a
+    knowable label would discard boundary positives); only no-return
+    events whose horizon passes the observed end get 'censored'
+    instead of a silently-wrong 'churned' (string, not nullable
+    boolean — pandas NULL-bool rendering is not engine-comparable).
+    One
     lead() window on the user key + a broadcast 1-row corpus max.
     Fully oracled (integer epoch-second comparisons)."""
     from dataengineer_spark.operators import preparation
@@ -9936,8 +9948,8 @@ WITH base AS (
   SELECT max(es) AS end_es FROM base
 )
 SELECT key, id, ts,
-  CASE WHEN es + 604800 > end_es THEN 'censored'
-       WHEN coalesce(next_es - es <= 604800, FALSE) THEN 'returned'
+  CASE WHEN coalesce(next_es - es <= 604800, FALSE) THEN 'returned'
+       WHEN es + 604800 > end_es THEN 'censored'
        ELSE 'churned' END AS label
 FROM nxt CROSS JOIN e ORDER BY id
 """

@@ -966,7 +966,6 @@ def bradley_terry(
 
 def paired_t_test(
     df: DataFrame,
-    unit_col: str,
     metric_a: str,
     metric_b: str,
 ) -> DataFrame:
@@ -975,16 +974,20 @@ def paired_t_test(
     variants evaluated per fold, per user, or per query: pairing
     removes the between-unit variance an unpaired test drowns in.
 
-    Units missing either metric are excluded (no pair, no signal) and
-    the surviving count is reported.  The statistic uses the one-pass
-    sums (Σd, Σd²): mean = Σd/n, var = (Σd² − (Σd)²/n)/(n−1),
-    t = mean/(sd/√n) — sqrt is IEEE-correctly-rounded, so only the two
-    float SUMS are order-sensitive, absorbed by the output rounding.
-    Degenerate cases are NULL, never garbage: n < 2 (no variance
-    estimate) and sd = 0 (t undefined).  The p-value is deliberately
-    out of scope (Student-t CDF is an incomplete beta — not an
-    engine-portable primitive); consumers compare |t| to a literal
-    critical value.
+    The input is one row per unit carrying both metric columns (the
+    caller pivots); rows missing either metric are excluded (no pair,
+    no signal) and the surviving count is reported.  The statistic uses
+    the one-pass sums (Σd, Σd²): mean = Σd/n, var = (Σd² − (Σd)²/n)/
+    (n−1), t = mean/(sd/√n) — sqrt is IEEE-correctly-rounded, so only
+    the two float SUMS are order-sensitive, absorbed by the output
+    rounding.  The one-pass variance is CLAMPED at zero before the
+    sqrt: float cancellation on constant-but-inexact diffs can leave it
+    a few ulps negative, and sqrt(-4e-16) is NaN on Spark but an error
+    on other engines (review-caught).  Degenerate cases are NULL, never
+    garbage: n < 2 (no variance estimate) and sd = 0 (t undefined).
+    The p-value is deliberately out of scope (Student-t CDF is an
+    incomplete beta — not an engine-portable primitive); consumers
+    compare |t| to a literal critical value.
 
     Scale shape: one full-scan aggregate to a single row.
 
@@ -1001,7 +1004,10 @@ def paired_t_test(
     )
     n = F.col("n").cast("double")
     mean = F.col("_s") / n
-    var = (F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - 1.0)
+    var = F.greatest(
+        (F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - 1.0),
+        F.lit(0.0),
+    )
     sd = F.sqrt(var)
     t = F.when(sd > 0, mean / (sd / F.sqrt(n)))
     return agg.select(

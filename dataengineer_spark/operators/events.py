@@ -505,8 +505,9 @@ def cusum_changepoint(
     ``|n*cum_i - i*S|`` is (n > 0 a positive constant per key), and the
     scaled form ``n*cum_i - i*S`` is exact integer arithmetic — argmax
     ties cannot come from float fuzz, only from true equality, broken
-    by (ts, id).  Products run as DECIMAL(38,0) so a 100 TB key cannot
-    silently wrap the way a BIGINT multiply would (Spark wraps,
+    by (ts, id).  Both the running/total SUMS and the products run in
+    DECIMAL (28- and 38-digit budgets) so a 100 TB key cannot silently
+    wrap a BIGINT accumulator anywhere in the chain (Spark wraps,
     DuckDB errors — divergence either way).  The reported ``cusum`` is
     one double division per OUTPUT row, after the argmax.
 
@@ -540,16 +541,22 @@ def cusum_changepoint(
         .orderBy(F.col("_ts").asc(), F.col("_eid").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # 19+19 digits multiply into DECIMAL(38,0) on BOTH engines without
-    # tripping DuckDB's hard 38-digit cap (38*2 would error there) or
-    # Spark's precision-loss reduction
-    dec = "decimal(19,0)"
-    cum = F.sum("_v").over(w_ord).cast(dec)
+    # the window sums themselves run in DECIMAL so a huge key cannot
+    # silently wrap a BIGINT accumulator (Spark wraps, DuckDB promotes
+    # to HUGEINT then errors on the cast — divergence either way;
+    # review-caught).  Width budget: value sums get 28 digits, row
+    # counts 10, so the products land at 10+28 → DECIMAL(38,0) on BOTH
+    # engines without tripping DuckDB's hard 38-digit cap or Spark's
+    # precision-loss reduction.
+    dec_sum = "decimal(28,0)"
+    dec_cnt = "decimal(10,0)"
+    v_dec = F.col("_v").cast("decimal(18,0)")
+    cum = F.sum(v_dec).over(w_ord).cast(dec_sum)
     i = F.row_number().over(
         W.partitionBy("key").orderBy(F.col("_ts").asc(), F.col("_eid").asc())
-    ).cast(dec)
-    n = F.count("*").over(w_key).cast(dec)
-    total = F.sum("_v").over(w_key).cast(dec)
+    ).cast(dec_cnt)
+    n = F.count("*").over(w_key).cast(dec_cnt)
+    total = F.sum(v_dec).over(w_key).cast(dec_sum)
     scored = base.select(
         "key",
         "_ts",

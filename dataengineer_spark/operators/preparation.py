@@ -1157,13 +1157,17 @@ def future_event_labels(
     """Churn/retention label construction (public recipe — the label-
     building step of a churn model's training pipeline): for every
     event, did the same key produce ANOTHER event within the horizon?
-    ``label`` = 'returned' / 'churned', with honest RIGHT-CENSORING: an
-    event whose horizon extends past the end of observed data cannot
-    know its label, so it gets 'censored' instead of a silently-wrong
-    'churned' — the classic leakage/bias bug this operator exists to
-    prevent.  (A three-value STRING, not a nullable boolean: pandas
-    renders a NULL boolean as None on one engine and NaN on the other,
-    so nullable booleans are not an oracle-comparable output type.)
+    ``label`` = 'returned' / 'churned', with honest RIGHT-CENSORING: a
+    return OBSERVED within the horizon is 'returned' no matter where
+    the horizon ends (the label is knowable — censoring it would
+    systematically discard boundary positives and bias the retained
+    distribution); only an event with NO observed return whose horizon
+    extends past the end of observed data is 'censored' — it cannot
+    distinguish churn from not-yet-seen.  'churned' is reserved for a
+    horizon that closed inside the data with no return.  (A three-value
+    STRING, not a nullable boolean: pandas renders a NULL boolean as
+    None on one engine and NaN on the other, so nullable booleans are
+    not an oracle-comparable output type.)
 
     Timestamps compare as integer epoch seconds (exact); the
     observation end is the corpus max timestamp, attached as a
@@ -1199,8 +1203,8 @@ def future_event_labels(
         F.lit(False),
     )
     label = (
-        F.when(censored, F.lit("censored"))
-        .when(returned, F.lit("returned"))
+        F.when(returned, F.lit("returned"))
+        .when(censored, F.lit("censored"))
         .otherwise(F.lit("churned"))
     )
     return labeled.select("key", "id", "ts", label.alias("label"))

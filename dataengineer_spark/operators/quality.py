@@ -521,10 +521,15 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     for p in _BENFORD_POWS:
         cond = x >= p
         scale = F.when(cond, p) if scale is None else scale.when(cond, p)
-    digit = F.floor(x / scale).cast("int")
+    raw_digit = F.floor(x / scale).cast("int")
+    # a double a hair below a power of ten can DIVIDE past it
+    # (9.999999999999999e-06 / 1e-06 rounds to exactly 10.0), yielding
+    # digit 10 — such rows must land in n_skipped, not vanish from both
+    # tallies (review-caught contract break)
+    valid = in_range & raw_digit.between(1, 9)
     tagged = df.select(
-        F.when(in_range, digit).alias("digit"),
-        F.when(in_range, 0).otherwise(1).alias("_skip"),
+        F.when(valid, raw_digit).alias("digit"),
+        F.when(valid, 0).otherwise(1).alias("_skip"),
     )
     counts = tagged.groupBy("digit").agg(
         F.sum(F.lit(1) - F.col("_skip")).cast("bigint").alias("n"),

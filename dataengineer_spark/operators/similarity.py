@@ -1401,8 +1401,11 @@ def pca_power_top(
     TWO ARRAY columns (means, weights) rather than 2·d scalar columns —
     with scalar columns every downstream reference re-nests the whole
     prior-iteration subplan and the driver OOMs building the tree.
-    NULL / short vectors contribute NULL terms, which every sum skips
-    (documented SQL semantics on both engines).
+    Only COMPLETE vectors participate: NULL, short, and NULL-element
+    rows are excluded up front — letting sums merely skip NULL terms
+    would divide each dimension's mean by the GLOBAL row count while
+    its numerator covered fewer rows (review-caught centering bias on
+    ragged inputs).
 
     Output: one row per dimension (dim 1-based, loading, eigenvalue) —
     eigenvalue is the covariance-scaled Rayleigh estimate ‖Cv‖/(n−1),
@@ -1414,8 +1417,16 @@ def pca_power_top(
 
     dec_mu = "decimal(28,12)"
     dec_c = "decimal(28,9)"
-    x = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col).cast("array<double>").alias("_v")
+    v = F.col(vec_col).cast("array<double>")
+    x = (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.size(v) >= dim)
+        .where(
+            ~F.exists(
+                F.slice(v, 1, dim), lambda e: e.isNull()
+            )
+        )
+        .select(v.alias("_v"))
     )
     mu_aggs = [
         F.sum(F.round(F.get("_v", j), 12).cast(dec_mu)).alias(f"_s{j}")

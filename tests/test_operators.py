@@ -3146,7 +3146,7 @@ class TestPairedTTest:
         # diffs: 1, 2, 3 -> mean 2, sd 1, t = 2/(1/sqrt(3))
         rows = [(1, 2.0, 1.0), (2, 4.0, 2.0), (3, 6.0, 3.0)]
         df = spark.createDataFrame(rows, ["u", "a", "b"])
-        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        r = paired_t_test(df, "a", "b").collect()[0]
         assert r["n"] == 3 and r["dof"] == 2
         assert r["mean_diff"] == 2.0 and r["sd_diff"] == 1.0
         assert abs(r["t_stat"] - round(2.0 * 3 ** 0.5, 4)) < 1e-9
@@ -3156,7 +3156,7 @@ class TestPairedTTest:
 
         rows = [(1, 3.0, 1.0), (2, 3.0, 1.0), (3, None, 9.0), (4, 9.0, None)]
         df = spark.createDataFrame(rows, ["u", "a", "b"])
-        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        r = paired_t_test(df, "a", "b").collect()[0]
         assert r["n"] == 2
         assert r["mean_diff"] == 2.0 and r["sd_diff"] == 0.0
         assert r["t_stat"] is None  # sd = 0: undefined, not garbage
@@ -3165,7 +3165,7 @@ class TestPairedTTest:
         from dataengineer_spark.operators.aggregates import paired_t_test
 
         df = spark.createDataFrame([(1, 2.0, 1.0)], ["u", "a", "b"])
-        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        r = paired_t_test(df, "a", "b").collect()[0]
         assert r["n"] == 1 and r["mean_diff"] == 1.0
         assert r["sd_diff"] is None and r["t_stat"] is None and r["dof"] is None
 
@@ -3173,7 +3173,7 @@ class TestPairedTTest:
         from dataengineer_spark.operators.aggregates import paired_t_test
 
         df = spark.createDataFrame([], "u int, a double, b double")
-        r = paired_t_test(df, "u", "a", "b").collect()[0]
+        r = paired_t_test(df, "a", "b").collect()[0]
         assert r["n"] == 0 and r["mean_diff"] is None
 
 
@@ -3365,3 +3365,83 @@ class TestFutureEventLabels:
         assert len(out) == 1
         with pytest.raises(ValueError):
             future_event_labels(df, "u", "ts", "i", 0)
+
+
+class TestReviewFixesRound6Late:
+    def test_benford_boundary_double_lands_in_skipped(self, spark):
+        """A double a hair below a power of ten divides past it
+        (floor gives 10); it must be tallied as skipped, not vanish."""
+        from dataengineer_spark.operators.quality import benford_audit
+
+        df = spark.createDataFrame(
+            [(9.999999999999999e-06,), (25.0,)], ["x"]
+        )
+        rows = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+        assert sum(r["n"] for r in rows.values()) == 1
+        assert rows[2]["n"] == 1
+        assert rows[1]["n_skipped"] == 1  # boundary value counted here
+
+    def test_paired_t_constant_inexact_diffs_no_nan(self, spark):
+        """Float cancellation can drive the one-pass variance a few
+        ulps negative; sd must clamp to 0 (t NULL), never NaN."""
+        import math
+        from dataengineer_spark.operators.aggregates import paired_t_test
+
+        d = 1.3840774964442453
+        df = spark.createDataFrame(
+            [(i, d, 0.0) for i in range(3)], ["u", "a", "b"]
+        )
+        r = paired_t_test(df, "a", "b").collect()[0]
+        assert r["sd_diff"] == 0.0 and not math.isnan(r["sd_diff"])
+        assert r["t_stat"] is None
+
+    def test_churn_observed_return_at_boundary_not_censored(self, spark):
+        """A return OBSERVED within the horizon is 'returned' even when
+        the horizon extends past the data end — censoring a knowable
+        label would bias the retained distribution."""
+        import datetime as dt
+        from dataengineer_spark.operators.preparation import (
+            future_event_labels,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("u", 1, t0 + dt.timedelta(days=19)),
+                ("u", 2, t0 + dt.timedelta(days=20))]
+        df = spark.createDataFrame(rows, ["u", "i", "ts"])
+        out = {r["id"]: r["label"] for r in future_event_labels(
+            df, "u", "ts", "i", 7 * 86400).collect()}
+        assert out[1] == "returned"   # return observed 1 day later
+        assert out[2] == "censored"   # genuinely unknowable
+
+    def test_pca_ragged_vectors_excluded_from_centering(self, spark):
+        """Short / NULL-element vectors must not deflate per-dimension
+        means (mean denominator = global n, numerator = fewer rows)."""
+        from dataengineer_spark.operators.similarity import pca_power_top
+
+        rows = [([2.0, 1.0],), ([4.0, 1.0],), ([3.0],), ([5.0, None],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r["dim"]: r for r in pca_power_top(df, dim=2, iters=2).collect()}
+        # only the two complete vectors participate: dim-2 values are
+        # constant 1.0 -> zero variance on that axis, component = e1,
+        # eigenvalue = var([2,4]) = 2
+        assert abs(abs(out[1]["loading"]) - 1.0) < 1e-6
+        assert abs(out[1]["eigenvalue"] - 2.0) < 1e-6
+
+    def test_cusum_huge_values_no_bigint_wrap(self, spark):
+        """Micro-unit sums past 2^63 must stay exact (decimal window
+        sums), not wrap a BIGINT accumulator."""
+        import datetime as dt
+        from dataengineer_spark.operators.events import cusum_changepoint
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(minutes=i), i,
+             9e11 if i < 10 else 9.1e11)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = cusum_changepoint(df, "k", "ts", "v", "eid").collect()[0]
+        # level shift at i=10: extreme cusum right before it
+        assert out["change_id"] == 9
+        # cusum at i=9: 10*(9e11 - 9.05e11) = -5e10
+        assert abs(out["cusum"] - (-5e10)) < 1.0
