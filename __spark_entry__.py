@@ -9955,6 +9955,53 @@ FROM nxt CROSS JOIN e ORDER BY id
 """
 
 
+def q_dq_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 corpus concentration audit (quality.concentration_report):
+    Gini coefficient + top-source share of the whitespace-token budget
+    across sources — the inequality number a data card reports (2 of
+    200 domains carrying 80% of tokens changes dedup leverage and
+    contamination blast radius).  One corpus aggregate + a window over
+    the source-cardinality frame; rank-weighted sum DECIMAL-exact.
+    Token definition = the shared _ws_token_count.  Fully oracled."""
+    from dataengineer_spark.operators import quality
+    from dataengineer_spark.operators.preparation import _ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.concentration_report(
+        docs, "source", _ws_token_count("text")
+    )
+
+
+_DQ_GINI_ORACLE = r"""
+WITH w AS (
+  SELECT source AS grp,
+    CAST(sum(coalesce(len(list_filter(
+      regexp_split_to_array(coalesce(text, ''), '\s+'),
+      t -> length(t) > 0)), 0)) AS BIGINT) AS w
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), r AS (
+  SELECT w,
+    CAST(row_number() OVER (ORDER BY w ASC, grp ASC) AS DECIMAL(10,0)) AS i
+  FROM w
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(sum(w) AS DECIMAL(28,0)) AS tot,
+    sum(i * CAST(w AS DECIMAL(28,0))) AS iw,
+    CAST(max(w) AS DECIMAL(28,0)) AS top
+  FROM r
+)
+SELECT n_groups, CAST(tot AS BIGINT) AS total_weight,
+  round(CASE WHEN n_groups > 0 AND CAST(tot AS DOUBLE) > 0 THEN
+    2.0 * CAST(iw AS DOUBLE)
+      / (CAST(n_groups AS DOUBLE) * CAST(tot AS DOUBLE))
+    - (CAST(n_groups AS DOUBLE) + 1.0) / CAST(n_groups AS DOUBLE)
+  END, 6) AS gini,
+  round(CASE WHEN CAST(tot AS DOUBLE) > 0
+    THEN CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) END, 6) AS top_share
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9993,6 +10040,7 @@ _ROUND6_FIRST = [
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
+    "q_dq_gini",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10136,6 +10184,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_calibrate": q_rank_calibrate,
         "q_dq_lang_mismatch": q_dq_lang_mismatch,
         "q_prep_churn_labels": q_prep_churn_labels,
+        "q_dq_gini": q_dq_gini,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10508,6 +10557,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rank_calibrate": _RANK_CALIBRATE_ORACLE,
         "q_dq_lang_mismatch": _dq_lang_mismatch_oracle(),
         "q_prep_churn_labels": _PREP_CHURN_LABELS_ORACLE,
+        "q_dq_gini": _DQ_GINI_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -183,6 +183,7 @@ HEADLINE = [
     "q_rank_calibrate",
     "q_dq_lang_mismatch",
     "q_prep_churn_labels",
+    "q_dq_gini",
 ]
 
 

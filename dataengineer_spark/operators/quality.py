@@ -584,3 +584,67 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("digit")
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+) -> DataFrame:
+    """Corpus concentration audit (Gini coefficient + top-group share,
+    public formulas) — the inequality read on "how much of the training
+    budget comes from how few sources": a corpus where 2 of 200 domains
+    carry 80% of tokens behaves very differently (dedup leverage,
+    contamination blast radius, mixture sensitivity) from a flat one,
+    and the data card should say which.
+
+    Gini from the sorted-weights identity ``G = 2·Σ(i·w_i)/(n·W)
+    − (n+1)/n`` with groups sorted (weight ASC, group ASC — a total
+    order).  ``weight_col`` may be a column name or Column expression
+    (pass the SAME token expression the budgeting oracles use);
+    per-group weights are integer sums, the rank-weighted sum runs as
+    DECIMAL(38,0) (exact, order-free), and the two trailing divisions
+    are IEEE doubles.  NULL groups carry no provenance and are
+    excluded; NULL weights count 0.
+
+    Scale shape: one corpus aggregate to group rows, then a window +
+    aggregate over the GROUP-cardinality frame (a provenance list, not
+    a corpus).  Output: one row (n_groups, total_weight, gini,
+    top_share), shares rounded to 6.
+    """
+    from pyspark.sql import Window as W
+
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    grouped = (
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), w_expr.alias("_w"))
+        .groupBy("grp")
+        .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("w"))
+    )
+    win = W.orderBy(F.col("w").asc(), F.col("grp").asc())
+    ranked = grouped.select(
+        "w", F.row_number().over(win).cast("decimal(10,0)").alias("_i")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("w").cast("decimal(28,0)").alias("_tot"),
+        F.sum(F.col("_i") * F.col("w").cast("decimal(28,0)")).alias("_iw"),
+        F.max("w").cast("decimal(28,0)").alias("_top"),
+    )
+    n = F.col("n_groups").cast("double")
+    tot = F.col("_tot").cast("double")
+    return agg.select(
+        "n_groups",
+        F.col("_tot").cast("bigint").alias("total_weight"),
+        F.round(
+            F.when(
+                (F.col("n_groups") > 0) & (tot > 0),
+                2.0 * F.col("_iw").cast("double") / (n * tot)
+                - (n + 1.0) / n,
+            ),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.when(tot > 0, F.col("_top").cast("double") / tot), 6
+        ).alias("top_share"),
+    )

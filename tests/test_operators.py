@@ -3445,3 +3445,38 @@ class TestReviewFixesRound6Late:
         assert out["change_id"] == 9
         # cusum at i=9: 10*(9e11 - 9.05e11) = -5e10
         assert abs(out["cusum"] - (-5e10)) < 1.0
+
+
+class TestConcentrationReport:
+    def test_perfect_equality_gini_zero(self, spark):
+        from dataengineer_spark.operators.quality import concentration_report
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(f"s{i}", 10) for i in range(5)], ["src", "w"]
+        )
+        r = concentration_report(df, "src", F.col("w")).collect()[0]
+        assert r["gini"] == 0.0
+        assert r["n_groups"] == 5 and r["total_weight"] == 50
+        assert r["top_share"] == 0.2
+
+    def test_total_concentration_approaches_one(self, spark):
+        from dataengineer_spark.operators.quality import concentration_report
+        from pyspark.sql import functions as F
+
+        rows = [("a", 0), ("b", 0), ("c", 0), ("d", 1000)]
+        df = spark.createDataFrame(rows, ["src", "w"])
+        r = concentration_report(df, "src", F.col("w")).collect()[0]
+        # all mass on 1 of 4 groups: G = (n-1)/n = 0.75
+        assert abs(r["gini"] - 0.75) < 1e-9
+        assert r["top_share"] == 1.0
+
+    def test_multiple_rows_per_group_summed_null_group_excluded(self, spark):
+        from dataengineer_spark.operators.quality import concentration_report
+        from pyspark.sql import functions as F
+
+        rows = [("a", 3), ("a", 7), ("b", 10), (None, 99), ("b", None)]
+        df = spark.createDataFrame(rows, ["src", "w"])
+        r = concentration_report(df, "src", F.col("w")).collect()[0]
+        assert r["n_groups"] == 2 and r["total_weight"] == 20
+        assert r["gini"] == 0.0  # 10 vs 10
