@@ -10002,6 +10002,56 @@ FROM a
 """
 
 
+def q_a12_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 per-slice exact ROC AUC (agg_ops.roc_auc_by): the rank-sum
+    AUC partitioned by a slice key (label%3 cohorts; score = first
+    embedding component rounded to 6 to cap the distinct-score axis,
+    truth = second component positive) — a global AUC hides a slice
+    where the model inverts.  Integral pair counts per slice; one-class
+    slices report NULL, never a fake 0.5.  Fully oracled."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    sliced = emb.select(
+        F.pmod(F.col("label"), F.lit(3)).alias("slice"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "score"
+        ),
+        (F.element_at("embedding", 2).cast("double") > 0).alias("y"),
+    )
+    return agg_ops.roc_auc_by(sliced, ["slice"], "score", F.col("y"))
+
+
+_A12_SLICED_AUC_ORACLE = """
+WITH s AS (
+  SELECT label % 3 AS slice,
+    round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+    CAST(embedding[2] AS DOUBLE) > 0 AS y
+  FROM embeddings
+), f AS (
+  SELECT * FROM s WHERE y IS NOT NULL
+), ps AS (
+  SELECT slice, score,
+    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM f GROUP BY slice, score
+), pr AS (
+  SELECT slice,
+    2 * np * coalesce(sum(nn) OVER (
+      PARTITION BY slice ORDER BY score ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + np * nn AS num2,
+    np, nn
+  FROM ps
+)
+SELECT slice,
+  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+    THEN CAST(sum(num2) AS DOUBLE) / (2.0 * sum(np) * sum(nn))
+  END, 6) AS auc,
+  CAST(sum(np) AS BIGINT) AS n_pos,
+  CAST(sum(nn) AS BIGINT) AS n_neg
+FROM pr GROUP BY slice ORDER BY slice
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10040,7 +10090,7 @@ _ROUND6_FIRST = [
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
-    "q_dq_gini",
+    "q_dq_gini", "q_a12_sliced_auc",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10185,6 +10235,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_lang_mismatch": q_dq_lang_mismatch,
         "q_prep_churn_labels": q_prep_churn_labels,
         "q_dq_gini": q_dq_gini,
+        "q_a12_sliced_auc": q_a12_sliced_auc,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10558,6 +10609,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_lang_mismatch": _dq_lang_mismatch_oracle(),
         "q_prep_churn_labels": _PREP_CHURN_LABELS_ORACLE,
         "q_dq_gini": _DQ_GINI_ORACLE,
+        "q_a12_sliced_auc": _A12_SLICED_AUC_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -184,6 +184,7 @@ HEADLINE = [
     "q_dq_lang_mismatch",
     "q_prep_churn_labels",
     "q_dq_gini",
+    "q_a12_sliced_auc",
 ]
 
 

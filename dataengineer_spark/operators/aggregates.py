@@ -1019,3 +1019,74 @@ def paired_t_test(
             F.col("n") >= 2, (F.col("n") - 1).cast("bigint")
         ).alias("dof"),
     )
+
+def roc_auc_by(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: Column,
+) -> DataFrame:
+    """Per-slice exact ROC AUC — :func:`roc_auc`'s Mann-Whitney
+    rank-sum identity with the distinct-score axis PARTITIONED by the
+    slice keys (the eval table a model review actually reads: AUC per
+    language, per source, per cohort — a global AUC hides a slice
+    where the model inverts).
+
+    Same exactness story as the global form: integral pair counts with
+    ties as half-credit, so the result is an exact rational per slice;
+    the only window runs over each slice's DISTINCT scores (bounded by
+    score precision, not rows).  Slices with only one class have an
+    undefined AUC and report NULL (never a fake 0.5 — absence of
+    evidence is not calibration).  NULL keys form their own slice only
+    if present in the data (SQL grouping semantics); NULL labels are
+    excluded up front (unknown truth contributes no pairs).
+
+    Output: (keys..., auc, n_pos, n_neg) ordered by keys.
+    """
+    from pyspark.sql import Window as W
+
+    per_score = (
+        df.where(label_col.isNotNull())
+        .select(
+            *keys,
+            F.col(score_col).alias("_s"),
+            label_col.cast("int").alias("_y"),
+        )
+        .groupBy(*keys, "_s")
+        .agg(
+            F.sum("_y").alias("_np"),
+            F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
+        )
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    paired = per_score.select(
+        *keys,
+        (
+             2 * F.col("_np") * F.coalesce(F.sum("_nn").over(w), F.lit(0))
+            + F.col("_np") * F.col("_nn")
+        ).alias("_num2"),
+        "_np",
+        "_nn",
+    )
+    agg = paired.groupBy(*keys).agg(
+        F.sum("_num2").alias("_n2"),
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum("_nn").cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        *keys,
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_n2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            ),
+            6,
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    ).orderBy(*keys)

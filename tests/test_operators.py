@@ -3480,3 +3480,47 @@ class TestConcentrationReport:
         r = concentration_report(df, "src", F.col("w")).collect()[0]
         assert r["n_groups"] == 2 and r["total_weight"] == 20
         assert r["gini"] == 0.0  # 10 vs 10
+
+
+class TestRocAucBy:
+    def test_perfect_and_inverted_slices(self, spark):
+        from dataengineer_spark.operators.aggregates import roc_auc_by
+        from pyspark.sql import functions as F
+
+        rows = (
+            # slice a: perfect separation -> auc 1
+            [("a", float(s), s >= 3) for s in range(6)]
+            # slice b: perfectly inverted -> auc 0
+            + [("b", float(s), s < 3) for s in range(6)]
+        )
+        df = spark.createDataFrame(rows, ["k", "score", "y"])
+        out = {r["k"]: r for r in roc_auc_by(df, ["k"], "score", F.col("y")).collect()}
+        assert out["a"]["auc"] == 1.0 and out["b"]["auc"] == 0.0
+        assert out["a"]["n_pos"] == 3 and out["a"]["n_neg"] == 3
+
+    def test_ties_half_credit_and_one_class_null(self, spark):
+        from dataengineer_spark.operators.aggregates import roc_auc_by
+        from pyspark.sql import functions as F
+
+        rows = (
+            # slice t: all scores equal -> every pair tied -> auc 0.5
+            [("t", 1.0, True), ("t", 1.0, False), ("t", 1.0, True),
+             ("t", 1.0, False)]
+            # slice o: only positives -> undefined
+            + [("o", 1.0, True), ("o", 2.0, True)]
+        )
+        df = spark.createDataFrame(rows, ["k", "score", "y"])
+        out = {r["k"]: r for r in roc_auc_by(df, ["k"], "score", F.col("y")).collect()}
+        assert out["t"]["auc"] == 0.5
+        assert out["o"]["auc"] is None and out["o"]["n_neg"] == 0
+
+    def test_matches_global_roc_auc_on_single_slice(self, spark):
+        from dataengineer_spark.operators.aggregates import roc_auc, roc_auc_by
+        from pyspark.sql import functions as F
+
+        rows = [("x", float(s % 7) / 3.0, (s * 13) % 5 < 2) for s in range(40)]
+        df = spark.createDataFrame(rows, ["k", "score", "y"])
+        a = roc_auc(df, "score", F.col("y")).collect()[0]
+        b = roc_auc_by(df, ["k"], "score", F.col("y")).collect()[0]
+        assert a["auc"] == b["auc"]
+        assert a["n_pos"] == b["n_pos"] and a["n_neg"] == b["n_neg"]
