@@ -10052,6 +10052,44 @@ FROM pr GROUP BY slice ORDER BY slice
 """
 
 
+def q_e9_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/E22 sorted-neighborhood blocking (join_ops.
+    sorted_neighborhood_pairs): each customer paired with its 3 nearest
+    name-order neighbors within its nation — the ER candidate generator
+    for keys where near-misses sort adjacently but never collide on an
+    equality bucket.  Two-level scale form: hash-partition by the
+    coarse key (nation), sort + rank-offset equi-join WITHIN blocks —
+    never a global one-task sort.  Fully oracled."""
+    cust = load_table(spark, sf_dir, "customer")
+    return join_ops.sorted_neighborhood_pairs(
+        cust,
+        "c_custkey",
+        F.col("c_name"),
+        window=3,
+        coarse_key=F.col("c_nationkey"),
+    ).orderBy("id_a", "id_b")
+
+
+_E9_SORTED_BLOCKING_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS k, c_nationkey AS blk
+  FROM customer WHERE c_name IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY blk ORDER BY k ASC, id ASC) AS rn
+  FROM base
+), probes AS (
+  SELECT blk, id AS id_a, k AS key_a, rn AS ra,
+    unnest(generate_series(rn + 1, rn + 3)) AS rb
+  FROM r
+)
+SELECT p.id_a, t.id AS id_b, p.key_a, t.k AS key_b,
+  CAST(p.rb - p.ra AS INT) AS rank_gap
+FROM probes p JOIN r t ON p.blk = t.blk AND p.rb = t.rn
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10090,7 +10128,7 @@ _ROUND6_FIRST = [
     "q_e6_ewma", "q_prep_curriculum", "q_dq_label_noise",
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
-    "q_dq_gini", "q_a12_sliced_auc",
+    "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10236,6 +10274,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prep_churn_labels": q_prep_churn_labels,
         "q_dq_gini": q_dq_gini,
         "q_a12_sliced_auc": q_a12_sliced_auc,
+        "q_e9_sorted_blocking": q_e9_sorted_blocking,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10610,6 +10649,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prep_churn_labels": _PREP_CHURN_LABELS_ORACLE,
         "q_dq_gini": _DQ_GINI_ORACLE,
         "q_a12_sliced_auc": _A12_SLICED_AUC_ORACLE,
+        "q_e9_sorted_blocking": _E9_SORTED_BLOCKING_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

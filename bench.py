@@ -185,6 +185,7 @@ HEADLINE = [
     "q_prep_churn_labels",
     "q_dq_gini",
     "q_a12_sliced_auc",
+    "q_e9_sorted_blocking",
 ]
 
 

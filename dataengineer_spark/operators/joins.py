@@ -665,3 +665,86 @@ def interval_proration(
         )
         .orderBy("month")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key,
+    window: int = 3,
+    coarse_key=None,
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández–Stolfo, public
+    method): sort records by a blocking key and emit each record paired
+    with its ``window`` nearest neighbors in that order — the
+    complement of equality blocking (:func:`fuzzy_join`'s ``block_on``)
+    for keys where near-misses sort adjacently (names, addresses)
+    but never collide on an equality bucket.
+
+    Scale shape — the TWO-LEVEL form, because the textbook single
+    global sort is a one-task window: records first hash-partition by
+    ``coarse_key`` (default: first character of the sort key), then
+    sort and slide WITHIN each coarse block — rank assignment and the
+    rank-offset self-join both run per-block, candidates bounded by
+    |block|·window.  The blindness to pairs straddling a coarse
+    boundary is the method's documented recall trade (same audit as
+    equality blocking: ``blocking_quality``).
+
+    Ordering is total — (sort key, id) — so ranks and the emitted pair
+    set are deterministic.  Each unordered pair appears ONCE
+    (id_a < id_b by rank order).  NULL sort keys cannot be
+    neighborhood-sorted and are excluded.
+
+    Output: (id_a, id_b, key_a, key_b, rank_gap) — rank_gap in
+    [1, window].
+    """
+    from pyspark.sql import Window as W
+
+    if window <= 0:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: window > 0, got {window}"
+        )
+    key = sort_key if not isinstance(sort_key, str) else F.col(sort_key)
+    coarse = (
+        coarse_key
+        if coarse_key is not None
+        else F.substring(key, 1, 1)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        coarse.alias("_blk"),
+    ).where(F.col("_k").isNotNull())
+    w = W.partitionBy("_blk").orderBy(F.col("_k").asc(), F.col("_id").asc())
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    left = ranked.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.col("_rn").alias("_ra"),
+    )
+    right = ranked.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("key_b"),
+        F.col("_rn").alias("_rb"),
+    )
+    # rank-offset equi-join: explode each left row to its `window`
+    # partner ranks, then join on (block, rank) — a plain shuffled
+    # equi-join, never a theta join
+    probes = left.select(
+        "_blk",
+        "id_a",
+        "key_a",
+        "_ra",
+        F.explode(
+            F.sequence(F.col("_ra") + 1, F.col("_ra") + window)
+        ).alias("_rb"),
+    )
+    return probes.join(right, ["_blk", "_rb"]).select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("_rb") - F.col("_ra")).cast("int").alias("rank_gap"),
+    )

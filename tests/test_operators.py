@@ -3524,3 +3524,50 @@ class TestRocAucBy:
         b = roc_auc_by(df, ["k"], "score", F.col("y")).collect()[0]
         assert a["auc"] == b["auc"]
         assert a["n_pos"] == b["n_pos"] and a["n_neg"] == b["n_neg"]
+
+
+class TestSortedNeighborhoodPairs:
+    def test_adjacent_names_paired_within_window(self, spark):
+        from dataengineer_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(1, "anna", "x"), (2, "annb", "x"), (3, "annc", "x"),
+                (4, "zz", "x")]
+        df = spark.createDataFrame(rows, ["id", "name", "blk"])
+        out = sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=2, coarse_key=F.col("blk")
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        # rank order anna<annb<annc<zz; window 2
+        assert pairs == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+        gaps = {(r["id_a"], r["id_b"]): r["rank_gap"] for r in out}
+        assert gaps[(1, 3)] == 2 and gaps[(1, 2)] == 1
+
+    def test_coarse_blocks_never_cross(self, spark):
+        from dataengineer_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(1, "aa", "x"), (2, "ab", "y")]
+        df = spark.createDataFrame(rows, ["id", "name", "blk"])
+        out = sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=3, coarse_key=F.col("blk")
+        ).collect()
+        assert out == []  # the documented recall trade
+
+    def test_each_unordered_pair_once_and_null_keys_excluded(self, spark):
+        from dataengineer_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(1, "a", "x"), (2, "b", "x"), (3, None, "x")]
+        df = spark.createDataFrame(rows, ["id", "name", "blk"])
+        out = sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=5, coarse_key=F.col("blk")
+        ).collect()
+        assert len(out) == 1
+        assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
