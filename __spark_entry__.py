@@ -104,6 +104,7 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_neardup_arrow",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
     "q_e3_pca_power",  # 1-row localCheckpoint lineage cuts per iteration
+    "q_e3_pca_power1",  # same lineage cuts, single iteration
 }
 
 #: theta joins that plan as BroadcastNestedLoop but whose BOTH sides are
@@ -9731,6 +9732,15 @@ FROM m
 """
 
 
+def q_e3_pca_power1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-iteration twin of q_e3_pca_power (same operator, iters=1)
+    — isolates the fixed cost (mu aggregate + plan compile) from the
+    per-iteration cost in the bench: wall(2-iter) − wall(1-iter) = one
+    power iteration.  Fully oracled via the shared builder."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.pca_power_top(emb, "embedding", dim=64, iters=1)
+
+
 def q_e3_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 distributed PCA, top component (sim_ops.pca_power_top): two
     power iterations of v ← normalize((X−μ)ᵀ(X−μ)v) without ever
@@ -9744,10 +9754,10 @@ def q_e3_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pca_power_top(emb, "embedding", dim=64, iters=2)
 
 
-def _pca_power_oracle() -> str:
+def _pca_power_oracle(iters: int = 2) -> str:
     import math
 
-    dim, iters = 64, 2
+    dim = 64
     v0 = repr(1.0 / math.sqrt(dim))
     parts = [f"""x0 AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -10129,6 +10139,7 @@ _ROUND6_FIRST = [
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
+    "q_e3_pca_power1",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10268,6 +10279,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_label_noise": q_dq_label_noise,
         "q_a11_paired_t": q_a11_paired_t,
         "q_e3_pca_power": q_e3_pca_power,
+        "q_e3_pca_power1": q_e3_pca_power1,
         "q_e9_proration": q_e9_proration,
         "q_rank_calibrate": q_rank_calibrate,
         "q_dq_lang_mismatch": q_dq_lang_mismatch,
@@ -10643,6 +10655,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_label_noise": _dq_label_noise_oracle(),
         "q_a11_paired_t": _A11_PAIRED_T_ORACLE,
         "q_e3_pca_power": _pca_power_oracle(),
+        "q_e3_pca_power1": _pca_power_oracle(iters=1),
         "q_e9_proration": _E9_PRORATION_ORACLE,
         "q_rank_calibrate": _RANK_CALIBRATE_ORACLE,
         "q_dq_lang_mismatch": _dq_lang_mismatch_oracle(),

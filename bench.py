@@ -179,6 +179,9 @@ HEADLINE = [
     "q_dq_label_noise",
     "q_a11_paired_t",
     "q_e3_pca_power",
+    # single-iteration twin: wall(2-iter) - wall(1-iter) = one power
+    # iteration (the pagerank3 breakdown pattern)
+    "q_e3_pca_power1",
     "q_e9_proration",
     "q_rank_calibrate",
     "q_dq_lang_mismatch",
