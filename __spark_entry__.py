@@ -10021,7 +10021,10 @@ def q_a12_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices report NULL, never a fake 0.5.  Fully oracled."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     sliced = emb.select(
-        F.pmod(F.col("label"), F.lit(3)).alias("slice"),
+        # % (truncation), not pmod: DuckDB's % truncates, and label is a
+        # DATA attribute (could be negative), unlike the surrogate keys
+        # pmod is used with elsewhere
+        (F.col("label") % 3).alias("slice"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
             "score"
         ),
@@ -10037,7 +10040,7 @@ WITH s AS (
     CAST(embedding[2] AS DOUBLE) > 0 AS y
   FROM embeddings
 ), f AS (
-  SELECT * FROM s WHERE y IS NOT NULL
+  SELECT * FROM s WHERE y IS NOT NULL AND score IS NOT NULL
 ), ps AS (
   SELECT slice, score,
     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,

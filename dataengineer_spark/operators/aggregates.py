@@ -23,16 +23,77 @@ def accuracy(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
     return df.agg(F.avg(hit).alias("accuracy"))
 
 
+def _rank_sum_auc(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: Column,
+) -> DataFrame:
+    """THE Mann-Whitney rank-sum core shared by :func:`roc_auc` and
+    :func:`roc_auc_by` — per-distinct-score (n_pos, n_neg) counts, the
+    cumulative-negatives-below window over the (optionally partitioned)
+    distinct-score axis, and the ``2·np·cum + np·nn`` tie-half-credit
+    identity, in ONE definition so the two AUC paths cannot drift.
+
+    NULL labels (unknown truth) and NULL scores (unrankable — engines
+    disagree on where NULL sorts, so they must contribute no pairs)
+    are excluded.  The doubled pair count accumulates as DECIMAL so a
+    hot score bucket cannot silently wrap an int64 where an oracle's
+    BIGINT multiply would instead throw.
+
+    Returns one row per key group: (keys..., _n2 DECIMAL, n_pos,
+    n_neg BIGINT).
+    """
+    from pyspark.sql import Window as W
+
+    dec = "decimal(18,0)"
+    per_score = (
+        df.where(label_col.isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            *keys,
+            F.col(score_col).alias("_s"),
+            label_col.cast("int").alias("_y"),
+        )
+        .groupBy(*keys, "_s")
+        .agg(
+            F.sum("_y").cast(dec).alias("_np"),
+            F.sum(F.lit(1) - F.col("_y")).cast(dec).alias("_nn"),
+        )
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # 2 * (pairs where pos > neg) + (tied pairs) — stays integral
+    paired = per_score.select(
+        *keys,
+        (
+            2 * F.col("_np")
+            * F.coalesce(F.sum("_nn").over(w), F.lit(0).cast(dec))
+            + F.col("_np") * F.col("_nn")
+        ).alias("_num2"),
+        "_np",
+        "_nn",
+    )
+    return paired.groupBy(*keys).agg(
+        F.sum("_num2").alias("_n2"),
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum("_nn").cast("bigint").alias("n_neg"),
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: Column) -> DataFrame:
     """A1-family — exact ROC AUC via the Mann-Whitney rank-sum identity,
 
-    computed WITHOUT a global sort of the rows: scores are first reduced
-    to per-distinct-score (n_pos, n_neg) counts (one hash aggregate with
-    map-side combine), then a single window over the distinct-score axis
-    accumulates negatives-below; correct-pair counting handles ties as
-    half-credit.  All pair counts are integers, so the result is an
-    exact rational — no float-summation order dependence, hence
-    engine-portable bit-for-bit after the final rounded division.
+    computed WITHOUT a global sort of the rows (shared core:
+    :func:`_rank_sum_auc`): scores reduce to per-distinct-score counts
+    (one hash aggregate with map-side combine), a single window over
+    the distinct-score axis accumulates negatives-below, and ties get
+    half-credit.  Pair counts are integral (DECIMAL accumulation — no
+    silent int64 wrap), so the result is an exact rational; NULL scores
+    and labels contribute no pairs; a one-class input has no defined
+    AUC and reports NULL, never a division artifact.
 
     The only non-distributed step is the window over DISTINCT scores,
     whose cardinality is bounded by score precision (round scores
@@ -41,31 +102,18 @@ def roc_auc(df: DataFrame, score_col: str, label_col: Column) -> DataFrame:
 
     Output: one row (auc, n_pos, n_neg).
     """
-    from pyspark.sql import Window as W
-
-    per_score = df.select(
-        F.col(score_col).alias("_s"),
-        label_col.cast("int").alias("_y"),
-    ).groupBy("_s").agg(
-        F.sum("_y").alias("_np"),
-        F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
-    )
-    w = W.orderBy(F.col("_s").asc()).rowsBetween(W.unboundedPreceding, -1)
-    # 2 * (pairs where pos > neg) + (tied pairs) — stays integral
-    paired = per_score.select(
-        (2 * F.col("_np") * F.coalesce(F.sum("_nn").over(w), F.lit(0))
-         + F.col("_np") * F.col("_nn")).alias("_num2"),
-        "_np",
-        "_nn",
-    )
-    return paired.agg(
+    agg = _rank_sum_auc(df, [], score_col, label_col)
+    return agg.select(
         F.round(
-            F.sum("_num2").cast("double")
-            / (2.0 * F.sum("_np") * F.sum("_nn")),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_n2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            ),
             6,
         ).alias("auc"),
-        F.sum("_np").alias("n_pos"),
-        F.sum("_nn").alias("n_neg"),
+        "n_pos",
+        "n_neg",
     )
 
 
@@ -1030,53 +1078,22 @@ def roc_auc_by(
     rank-sum identity with the distinct-score axis PARTITIONED by the
     slice keys (the eval table a model review actually reads: AUC per
     language, per source, per cohort — a global AUC hides a slice
-    where the model inverts).
+    where the model inverts).  One definition of the math for both
+    paths: :func:`_rank_sum_auc`.
 
     Same exactness story as the global form: integral pair counts with
-    ties as half-credit, so the result is an exact rational per slice;
-    the only window runs over each slice's DISTINCT scores (bounded by
+    ties as half-credit (DECIMAL accumulation — no silent int64 wrap),
+    the only window over each slice's DISTINCT scores (bounded by
     score precision, not rows).  Slices with only one class have an
     undefined AUC and report NULL (never a fake 0.5 — absence of
     evidence is not calibration).  NULL keys form their own slice only
-    if present in the data (SQL grouping semantics); NULL labels are
-    excluded up front (unknown truth contributes no pairs).
+    if present in the data (SQL grouping semantics); NULL labels AND
+    NULL scores are excluded up front (unknown truth / unrankable rows
+    contribute no pairs — engines disagree on where NULL sorts).
 
     Output: (keys..., auc, n_pos, n_neg) ordered by keys.
     """
-    from pyspark.sql import Window as W
-
-    per_score = (
-        df.where(label_col.isNotNull())
-        .select(
-            *keys,
-            F.col(score_col).alias("_s"),
-            label_col.cast("int").alias("_y"),
-        )
-        .groupBy(*keys, "_s")
-        .agg(
-            F.sum("_y").alias("_np"),
-            F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
-        )
-    )
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("_s").asc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    paired = per_score.select(
-        *keys,
-        (
-             2 * F.col("_np") * F.coalesce(F.sum("_nn").over(w), F.lit(0))
-            + F.col("_np") * F.col("_nn")
-        ).alias("_num2"),
-        "_np",
-        "_nn",
-    )
-    agg = paired.groupBy(*keys).agg(
-        F.sum("_num2").alias("_n2"),
-        F.sum("_np").cast("bigint").alias("n_pos"),
-        F.sum("_nn").cast("bigint").alias("n_neg"),
-    )
+    agg = _rank_sum_auc(df, keys, score_col, label_col)
     return agg.select(
         *keys,
         F.round(
@@ -1090,3 +1107,4 @@ def roc_auc_by(
         "n_pos",
         "n_neg",
     ).orderBy(*keys)
+

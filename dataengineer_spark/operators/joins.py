@@ -716,7 +716,12 @@ def sorted_neighborhood_pairs(
         coarse.alias("_blk"),
     ).where(F.col("_k").isNotNull())
     w = W.partitionBy("_blk").orderBy(F.col("_k").asc(), F.col("_id").asc())
-    ranked = base.withColumn("_rn", F.row_number().over(w))
+    # persisted: both sides of the rank-offset self-join read `ranked`,
+    # and without the persist the scan + per-block sort + window run
+    # TWICE (exchange reuse dedupes the shuffle, not the upstream
+    # work).  Compact (ids + keys + rank); caller owns cleanup, same
+    # contract as the minhash candidate sets.
+    ranked = base.withColumn("_rn", F.row_number().over(w)).persist()
     left = ranked.select(
         F.col("_blk"),
         F.col("_id").alias("id_a"),

@@ -3571,3 +3571,27 @@ class TestSortedNeighborhoodPairs:
         ).collect()
         assert len(out) == 1
         assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+
+
+class TestAucSharedCoreReviewFixes:
+    def test_null_scores_contribute_no_pairs(self, spark):
+        from dataengineer_spark.operators.aggregates import roc_auc_by
+        from pyspark.sql import functions as F
+
+        rows = [("k", None, False), ("k", 1.0, True), ("k", 0.5, False)]
+        df = spark.createDataFrame(rows, "k string, score double, y boolean")
+        r = roc_auc_by(df, ["k"], "score", F.col("y")).collect()[0]
+        # without the NULL-score row: one pos above one neg -> AUC 1;
+        # engines disagree on where NULL sorts, so it must be excluded
+        assert r["auc"] == 1.0
+        assert r["n_pos"] == 1 and r["n_neg"] == 1
+
+    def test_global_one_class_reports_null(self, spark):
+        from dataengineer_spark.operators.aggregates import roc_auc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1.0, True), (2.0, True)], "score double, y boolean"
+        )
+        r = roc_auc(df, "score", F.col("y")).collect()[0]
+        assert r["auc"] is None and r["n_neg"] == 0
