@@ -10103,6 +10103,75 @@ ORDER BY id_a, id_b
 """
 
 
+def q_e3_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E15 embedding QA census (sim_ops.embedding_outlier_report):
+    per coarse cell (8 seeded centroids, the IVF assignment), the count
+    of vectors whose affinity to their own cell falls 2σ below the cell
+    mean — encoder failures / corrupted inputs surface here before they
+    poison an ANN index or semantic dedup.  Map-only assignment against
+    the plan-literal codebook + one cell-keyed aggregate; moments
+    DECIMAL-exact.  Fully oracled (codebook + struct-max replayed)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.embedding_outlier_report(
+        emb, "embedding", dim=64, n_centroids=8, seed=7, z=2.0
+    )
+
+
+def _embed_outliers_oracle() -> str:
+    from dataengineer_spark.operators.similarity import _centroids
+
+    dim, n_centroids = 64, 8
+    cents = _centroids(dim, n_centroids, seed=7)
+    cm = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]"
+    )
+    scores = (
+        f"list_transform(generate_series(0, {n_centroids - 1}), "
+        "i -> {'score': list_reduce(list_transform("
+        f"generate_series(1, {dim}), "
+        "j -> v[j] * cm[i + 1][j]), (a, b) -> a + b), 'cell': i})"
+    )
+    sim9 = "CAST(round(sim, 9) AS DECIMAL(10,9))"
+    return f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+), lits AS (
+  SELECT CAST({cm} AS DOUBLE[][]) AS cm
+), bk AS (
+  SELECT v, {scores} AS scores,
+    sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+      j -> v[j] * v[j]), (a, b) -> a + b)) AS nrm
+  FROM e CROSS JOIN lits
+), a AS (
+  SELECT (list_max(scores)).cell AS cell,
+    (list_max(scores)).score / nrm AS sim
+  FROM bk WHERE nrm > 0
+), st AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+    sum({sim9}) AS s, sum({sim9} * {sim9}) AS s2
+  FROM a GROUP BY cell
+), mo AS (
+  SELECT cell, n,
+    CAST(s AS DOUBLE) / n AS m,
+    CASE WHEN n >= 2 THEN sqrt(greatest(
+      (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        / (n - 1.0), 0.0)) END AS sd
+  FROM st
+), fl AS (
+  SELECT a.cell,
+    CAST(sum(CASE WHEN mo.sd IS NOT NULL AND a.sim < mo.m - 2.0 * mo.sd
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM a JOIN mo ON a.cell = mo.cell GROUP BY a.cell
+)
+SELECT CAST(mo.cell AS INT) AS cell, mo.n, round(mo.m, 6) AS mean_sim,
+  round(mo.sd, 6) AS std_sim, fl.n_outliers
+FROM mo JOIN fl ON mo.cell = fl.cell ORDER BY cell
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10142,7 +10211,7 @@ _ROUND6_FIRST = [
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
-    "q_e3_pca_power1",
+    "q_e3_pca_power1", "q_e3_embed_outliers",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10290,6 +10359,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_gini": q_dq_gini,
         "q_a12_sliced_auc": q_a12_sliced_auc,
         "q_e9_sorted_blocking": q_e9_sorted_blocking,
+        "q_e3_embed_outliers": q_e3_embed_outliers,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10666,6 +10736,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_gini": _DQ_GINI_ORACLE,
         "q_a12_sliced_auc": _A12_SLICED_AUC_ORACLE,
         "q_e9_sorted_blocking": _E9_SORTED_BLOCKING_ORACLE,
+        "q_e3_embed_outliers": _embed_outliers_oracle(),
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

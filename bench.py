@@ -189,6 +189,7 @@ HEADLINE = [
     "q_dq_gini",
     "q_a12_sliced_auc",
     "q_e9_sorted_blocking",
+    "q_e3_embed_outliers",
 ]
 
 

@@ -1511,3 +1511,92 @@ def pca_power_top(
         F.round("_wv", 6).alias("loading"),
         F.round("_ev", 6).alias("eigenvalue"),
     ).orderBy("dim")
+
+def embedding_outlier_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 8,
+    seed: int = 7,
+    z: float = 2.0,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-space outlier census (public recipe — the embedding QA
+    pass before ANN indexing or semantic dedup): assign every vector to
+    its nearest coarse centroid, measure its cosine affinity to that
+    centroid, and per cell count the vectors more than ``z`` standard
+    deviations BELOW the cell's mean affinity — the "doesn't belong
+    anywhere" rows that are usually encoder failures, empty inputs, or
+    corrupted modalities.
+
+    Affinity = best_dot/|v| (centroids are unit-norm, so this is the
+    cosine to the assigned centroid); zero-norm vectors have no
+    affinity and are excluded up front.  Cell moments are DECIMAL-exact
+    (per-row affinities rounded to 9 then summed — float order can
+    never leak), the stddev clamps at zero before the sqrt (the
+    paired-t lesson), and the flag compares against the same exact
+    moments on both engines.
+
+    Scale shape: one map-only assignment pass (broadcast plan-literal
+    codebook, the IVF shape) + ONE cell-keyed aggregate; output is
+    codebook-sized.  Output: (cell, n, mean_sim, std_sim, n_outliers)
+    ordered by cell; moments rounded to 6.
+    """
+    cents = (
+        codebook
+        if codebook is not None
+        else _centroids(dim, n_centroids, seed)
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull()).select(v.alias("_v"))
+    best = F.array_max(_cell_scores(F.col("_v"), cents))
+    nrm = l2_norm(F.col("_v"))
+    assigned = base.select(
+        best.getField("cell").alias("cell"),
+        (best.getField("score") / nrm).alias("_sim"),
+        nrm.alias("_n"),
+    ).where(F.col("_n") > 0)
+    # affinity is a cosine (|sim| <= 1), so DECIMAL(10,9) holds it and
+    # its square stays at (21,18) — a wider base type would push the
+    # square past DuckDB's hard 38-digit width and kill the oracle
+    sim_dec = F.round(F.col("_sim"), 9).cast("decimal(10,9)")
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(sim_dec).alias("_s"),
+        F.sum(sim_dec * sim_dec).alias("_s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    var = F.greatest(
+        (F.col("_s2").cast("double") - F.col("_s").cast("double")
+         * F.col("_s").cast("double") / nd) / (nd - 1.0),
+        F.lit(0.0),
+    )
+    std = F.when(F.col("n") >= 2, F.sqrt(var))
+    moments = stats.select("cell", "n", mean.alias("_m"), std.alias("_sd"))
+    flagged = (
+        assigned.join(F.broadcast(moments), "cell")
+        .select(
+            "cell",
+            F.when(
+                F.col("_sd").isNotNull()
+                & (F.col("_sim") < F.col("_m") - z * F.col("_sd")),
+                1,
+            )
+            .otherwise(0)
+            .alias("_out"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("_out").cast("bigint").alias("n_outliers"))
+    )
+    return (
+        moments.join(flagged, "cell")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n",
+            F.round("_m", 6).alias("mean_sim"),
+            F.round("_sd", 6).alias("std_sim"),
+            "n_outliers",
+        )
+        .orderBy("cell")
+    )

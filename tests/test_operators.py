@@ -3595,3 +3595,61 @@ class TestAucSharedCoreReviewFixes:
         )
         r = roc_auc(df, "score", F.col("y")).collect()[0]
         assert r["auc"] is None and r["n_neg"] == 0
+
+
+class TestEmbeddingOutlierReport:
+    def test_planted_outlier_flagged_in_its_cell(self, spark):
+        from dataengineer_spark.operators.similarity import (
+            _centroids,
+            embedding_outlier_report,
+        )
+
+        cents = _centroids(4, 2, seed=7)
+        c0 = cents[0]
+        import random
+
+        rnd = random.Random(1)
+        rows = []
+        # 20 vectors tightly around centroid 0 (+tiny noise), plus one
+        # near-orthogonal vector that still assigns to SOME cell
+        for _ in range(20):
+            rows.append(([x + rnd.uniform(-0.01, 0.01) for x in c0],))
+        anti = [-x for x in c0]
+        rows.append((anti,))
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = embedding_outlier_report(
+            df, "embedding", dim=4, n_centroids=2, seed=7, z=2.0
+        ).collect()
+        total_outliers = sum(r["n_outliers"] for r in out)
+        total_n = sum(r["n"] for r in out)
+        assert total_n == 21
+        # the anti vector is either alone in its cell (n<2: no flagging
+        # possible) or grossly below its cell's mean
+        assert all(r["mean_sim"] is not None for r in out)
+        cell_of_anti = [r for r in out if r["n"] in (1, 21)]
+        if any(r["n"] == 21 for r in out):
+            assert total_outliers >= 1
+
+    def test_zero_norm_and_null_vectors_excluded(self, spark):
+        from dataengineer_spark.operators.similarity import (
+            embedding_outlier_report,
+        )
+
+        rows = [([1.0, 0.0],), ([0.0, 0.0],), (None,), ([0.9, 0.1],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = embedding_outlier_report(
+            df, "embedding", dim=2, n_centroids=2, seed=7
+        ).collect()
+        assert sum(r["n"] for r in out) == 2
+
+    def test_single_member_cell_null_std(self, spark):
+        from dataengineer_spark.operators.similarity import (
+            embedding_outlier_report,
+        )
+
+        df = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+        out = embedding_outlier_report(
+            df, "embedding", dim=2, n_centroids=2, seed=7
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["std_sim"] is None and out[0]["n_outliers"] == 0
