@@ -10172,6 +10172,85 @@ FROM mo JOIN fl ON mo.cell = fl.cell ORDER BY cell
 """
 
 
+def q_e10_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10/E15 seasonal-baseline anomalies (events.seasonal_anomaly):
+    events whose value sits 3σ outside their own (event type,
+    day-of-week) cell — the weekly-profile complement of the trailing
+    z-score, which aliases seasonality.  Integral micro-unit moments
+    (Σv² at exactly DuckDB's 38-digit cap), one (key,dow)-bounded
+    aggregate broadcast back, corpus never shuffles.  Fully oracled
+    (DuckDB's 0-based weekday shifted to Spark's Sunday=1)."""
+    from dataengineer_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev_ops.seasonal_anomaly(
+        ev, "event_type", "ts", "value", "event_id", z=3.0
+    ).orderBy("id")
+
+
+_E10_SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT event_type AS key, event_id AS id, ts,
+    CAST(value AS DOUBLE) AS value,
+    dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), cells AS (
+  SELECT key, dow, count(*) AS n,
+    sum(CAST(vi AS DECIMAL(19,0))) AS s,
+    sum(CAST(vi AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0))) AS s2
+  FROM base GROUP BY key, dow
+), mo AS (
+  SELECT key, dow,
+    CAST(s AS DOUBLE) / n AS m,
+    CASE WHEN n >= 2 THEN sqrt(greatest(
+      (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        / (n - 1.0), 0.0)) END AS sd
+  FROM cells
+)
+SELECT b.key, b.id, b.ts, b.value, CAST(b.dow AS INT) AS dow,
+  round(mo.m / 1000000, 6) AS cell_mean,
+  round(mo.sd / 1000000, 6) AS cell_std
+FROM base b JOIN mo ON b.key = mo.key AND b.dow = mo.dow
+WHERE mo.sd IS NOT NULL
+  AND abs(CAST(b.vi AS DOUBLE) - mo.m) > 3.0 * mo.sd
+ORDER BY b.id
+"""
+
+
+def q_dq_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 functional-dependency audit (quality.
+    functional_dependency_report): does o_custkey determine
+    o_orderpriority?  (It should not — and the report quantifies by
+    how much: violating-group share and the worst fan-out.)  The
+    schema-profiling read behind join-key safety and the regression
+    alarm for feeds shipping conflicting attribute values per key.
+    One exact distinct-per-group aggregate + one-row summary.  Fully
+    oracled (NULL RHS counts as a value of its own on both engines)."""
+    from dataengineer_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.functional_dependency_report(
+        orders, ["o_custkey"], "o_orderpriority"
+    )
+
+
+_DQ_FD_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+    count(DISTINCT o_orderpriority)
+      + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nd
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+  CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10211,7 +10290,8 @@ _ROUND6_FIRST = [
     "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
-    "q_e3_pca_power1", "q_e3_embed_outliers",
+    "q_e3_pca_power1", "q_e3_embed_outliers", "q_e10_seasonal",
+    "q_dq_fd",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10360,6 +10440,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a12_sliced_auc": q_a12_sliced_auc,
         "q_e9_sorted_blocking": q_e9_sorted_blocking,
         "q_e3_embed_outliers": q_e3_embed_outliers,
+        "q_e10_seasonal": q_e10_seasonal,
+        "q_dq_fd": q_dq_fd,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10737,6 +10819,8 @@ def oracle_sql() -> dict[str, str]:
         "q_a12_sliced_auc": _A12_SLICED_AUC_ORACLE,
         "q_e9_sorted_blocking": _E9_SORTED_BLOCKING_ORACLE,
         "q_e3_embed_outliers": _embed_outliers_oracle(),
+        "q_e10_seasonal": _E10_SEASONAL_ORACLE,
+        "q_dq_fd": _DQ_FD_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -190,6 +190,8 @@ HEADLINE = [
     "q_a12_sliced_auc",
     "q_e9_sorted_blocking",
     "q_e3_embed_outliers",
+    "q_e10_seasonal",
+    "q_dq_fd",
 ]
 
 

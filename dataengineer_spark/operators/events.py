@@ -581,3 +581,84 @@ def cusum_changepoint(
             6,
         ).alias("cusum"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    z: float = 3.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Seasonal-baseline anomaly flags (public method — the day-of-week
+    profile): each event's value is compared against the mean ± z·σ of
+    its OWN (key, day-of-week) cell, so a Sunday dip never pages
+    against a weekday baseline — the complement of the trailing-window
+    z-score (``anomaly_flags``), which chases level shifts but aliases
+    weekly seasonality.
+
+    Exactness: values fix-point to 1/``scale`` units and the cell
+    moments run entirely in that integral space — Σv as DECIMAL(28,0),
+    Σv² as DECIMAL(19,0)×DECIMAL(19,0) (38 digits, exactly DuckDB's
+    hard width cap — a fractional DECIMAL's square would blow past it),
+    so float order can never leak; the variance clamps at zero before
+    the sqrt and the flag compares micro-unit doubles derived from
+    those exact sums.  Day-of-week is an integer 1..7 (Sunday=1 — an
+    oracle on an engine whose weekday is 0-based shifts by one).  NULL
+    values/keys carry no signal and are excluded; a cell with n < 2
+    has no dispersion estimate and flags nothing.
+
+    Scale shape: one (key, dow) aggregate — (keys×7)-bounded — joined
+    back broadcast; the corpus never shuffles.  Output: flagged events
+    only: (key, id, ts, value, dow, cell_mean, cell_std), moments in
+    original units rounded to 6.
+    """
+    v_int = F.round(F.col(value_col).cast("double") * scale).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.dayofweek(F.to_date(ts_col)).alias("dow"),
+        v_int.alias("_vi"),
+    )
+    vd = F.col("_vi").cast("decimal(19,0)")
+    cells = base.groupBy("key", "dow").agg(
+        F.count("*").alias("_n"),
+        F.sum(vd).alias("_s"),
+        F.sum(vd * vd).alias("_s2"),
+    )
+    nd = F.col("_n").cast("double")
+    s_d = F.col("_s").cast("double")
+    s2_d = F.col("_s2").cast("double")
+    mean_u = s_d / nd
+    var_u = F.greatest(
+        (s2_d - s_d * s_d / nd) / (nd - 1.0), F.lit(0.0)
+    )
+    moments = cells.select(
+        "key",
+        "dow",
+        mean_u.alias("_m"),
+        F.when(F.col("_n") >= 2, F.sqrt(var_u)).alias("_sd"),
+    )
+    joined = base.join(F.broadcast(moments), ["key", "dow"])
+    flagged = joined.where(
+        F.col("_sd").isNotNull()
+        & (
+            F.abs(F.col("_vi").cast("double") - F.col("_m"))
+            > F.lit(z) * F.col("_sd")
+        )
+    )
+    return flagged.select(
+        "key",
+        "id",
+        "ts",
+        "value",
+        "dow",
+        F.round(F.col("_m") / scale, 6).alias("cell_mean"),
+        F.round(F.col("_sd") / scale, 6).alias("cell_std"),
+    )

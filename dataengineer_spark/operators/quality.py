@@ -648,3 +648,51 @@ def concentration_report(
             F.when(tot > 0, F.col("_top").cast("double") / tot), 6
         ).alias("top_share"),
     )
+
+
+def functional_dependency_report(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency audit (public schema-profiling method):
+    does LHS determine RHS?  One row summarizing how badly the
+    dependency ``lhs → rhs`` holds — the discovery/validation read
+    behind "is this column safe to use as a join key / dimension
+    attribute?" and the regression alarm when an upstream feed starts
+    shipping conflicting attribute values for the same key.
+
+    A violating LHS group holds >1 distinct RHS value; NULL RHS values
+    count as a value of their own (a key mapping to both 7 and NULL is
+    NOT a clean dependency — grouping semantics keep that honest on
+    both engines).  LHS groups with any NULL component are excluded
+    (SQL can't say two NULL keys are the same entity).
+
+    Scale shape: one exact distinct-per-group aggregate (Catalyst's
+    expand + two-phase), then a one-row summary.  Output:
+    (n_groups, n_violating, violation_rate, max_rhs_distinct),
+    rate rounded to 6.
+    """
+    non_null_lhs = df
+    for c in lhs_cols:
+        non_null_lhs = non_null_lhs.where(F.col(c).isNotNull())
+    per_group = non_null_lhs.groupBy(*lhs_cols).agg(
+        # count NULL as a distinct value: countDistinct skips NULLs, so
+        # add an any-null indicator to the distinct tally
+        (
+            F.countDistinct(rhs_col)
+            + F.max(F.col(rhs_col).isNull().cast("int"))
+        ).alias("_nd")
+    )
+    return per_group.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum((F.col("_nd") > 1).cast("int")).cast("bigint").alias(
+            "n_violating"
+        ),
+        F.round(
+            F.sum((F.col("_nd") > 1).cast("int"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("violation_rate"),
+        F.max("_nd").cast("bigint").alias("max_rhs_distinct"),
+    )

@@ -3653,3 +3653,75 @@ class TestEmbeddingOutlierReport:
         ).collect()
         assert len(out) == 1
         assert out[0]["std_sim"] is None and out[0]["n_outliers"] == 0
+
+
+class TestSeasonalAnomaly:
+    def test_weekday_profile_not_aliased(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.events import seasonal_anomaly
+
+        # Mondays run at ~100, Sundays at ~10; one wild Monday at 200.
+        # 12 baseline Mondays: the outlier is part of its own cell's
+        # moments, and the max standardized deviate is (n-1)/sqrt(n) —
+        # with too few points a z=3 flag is unreachable by construction
+        rows = []
+        eid = 0
+        base = dt.datetime(2024, 1, 1)  # a Monday
+        for w in range(12):
+            rows.append(("k", base + dt.timedelta(weeks=w), eid,
+                         100.0 + (w % 3) * 0.5)); eid += 1
+            rows.append(("k", base + dt.timedelta(weeks=w, days=6), eid,
+                         10.0 + (w % 3) * 0.5)); eid += 1
+        rows.append(("k", base + dt.timedelta(weeks=12), eid, 200.0))
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = seasonal_anomaly(df, "k", "ts", "v", "eid", z=3.0).collect()
+        # only the wild Monday flags; ordinary Sundays (10) are NORMAL
+        # for their own cell despite being 10x below the Monday mean
+        assert [r["id"] for r in out] == [eid]
+        assert out[0]["dow"] == 2  # Spark: Monday = 2
+
+    def test_small_cells_and_nulls_never_flag(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.events import seasonal_anomaly
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0, 1, 5.0), ("k", t0 + dt.timedelta(days=7), 2, None),
+                (None, t0, 3, 9.0)]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        out = seasonal_anomaly(df, "k", "ts", "v", "eid").collect()
+        assert out == []  # n=1 cell: no dispersion, no flags
+
+
+class TestFunctionalDependencyReport:
+    def test_clean_dependency_zero_violations(self, spark):
+        from dataengineer_spark.operators.quality import (
+            functional_dependency_report,
+        )
+
+        rows = [(1, "a"), (1, "a"), (2, "b"), (3, "c")]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        r = functional_dependency_report(df, ["k"], "v").collect()[0]
+        assert r["n_groups"] == 3 and r["n_violating"] == 0
+        assert r["violation_rate"] == 0.0 and r["max_rhs_distinct"] == 1
+
+    def test_null_rhs_counts_as_its_own_value(self, spark):
+        from dataengineer_spark.operators.quality import (
+            functional_dependency_report,
+        )
+
+        rows = [(1, "a"), (1, None), (2, None), (2, None)]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        r = functional_dependency_report(df, ["k"], "v").collect()[0]
+        # key 1 maps to {a, NULL}: violating; key 2 maps only to NULL:
+        # one value, clean
+        assert r["n_violating"] == 1 and r["max_rhs_distinct"] == 2
+
+    def test_null_lhs_groups_excluded(self, spark):
+        from dataengineer_spark.operators.quality import (
+            functional_dependency_report,
+        )
+
+        rows = [(None, "a"), (None, "b"), (1, "x")]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        r = functional_dependency_report(df, ["k"], "v").collect()[0]
+        assert r["n_groups"] == 1 and r["n_violating"] == 0
