@@ -10251,6 +10251,44 @@ FROM g
 """
 
 
+def q_e10_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 funnel latency (events.conversion_lag_report): per
+    signup-cohort month, exact p50/p90 of the seconds from each user's
+    first signup to their first subsequent purchase — the HOW-LONG view
+    the funnel's HOW-MANY counts don't answer.  Integer epoch-second
+    lags, exact interpolated percentiles per cohort (no global sort).
+    Fully oracled (quantile_cont)."""
+    from dataengineer_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev_ops.conversion_lag_report(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
+    )
+
+
+_E10_CONVERSION_LAG_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(ts) AS f_ts FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
+), t AS (
+  SELECT e.user_id, min(e.ts) AS t_ts
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f.f_ts
+  GROUP BY e.user_id
+), lag AS (
+  SELECT strftime(CAST(date_trunc('month', f.f_ts) AS DATE), '%Y-%m')
+    AS cohort,
+    CAST(CAST(floor(epoch(t.t_ts)) AS BIGINT)
+      - CAST(floor(epoch(f.f_ts)) AS BIGINT) AS DOUBLE) AS lag_s
+  FROM f JOIN t ON f.user_id = t.user_id
+)
+SELECT cohort, CAST(count(*) AS BIGINT) AS n_converted,
+  round(quantile_cont(lag_s, 0.5), 4) AS p50_lag,
+  round(quantile_cont(lag_s, 0.9), 4) AS p90_lag
+FROM lag GROUP BY cohort ORDER BY cohort
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10291,7 +10329,7 @@ _ROUND6_FIRST = [
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
     "q_e3_pca_power1", "q_e3_embed_outliers", "q_e10_seasonal",
-    "q_dq_fd",
+    "q_dq_fd", "q_e10_conversion_lag",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10442,6 +10480,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e3_embed_outliers": q_e3_embed_outliers,
         "q_e10_seasonal": q_e10_seasonal,
         "q_dq_fd": q_dq_fd,
+        "q_e10_conversion_lag": q_e10_conversion_lag,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10821,6 +10860,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e3_embed_outliers": _embed_outliers_oracle(),
         "q_e10_seasonal": _E10_SEASONAL_ORACLE,
         "q_dq_fd": _DQ_FD_ORACLE,
+        "q_e10_conversion_lag": _E10_CONVERSION_LAG_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

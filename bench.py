@@ -192,6 +192,7 @@ HEADLINE = [
     "q_e3_embed_outliers",
     "q_e10_seasonal",
     "q_dq_fd",
+    "q_e10_conversion_lag",
 ]
 
 

@@ -662,3 +662,69 @@ def seasonal_anomaly(
         F.round(F.col("_m") / scale, 6).alias("cell_mean"),
         F.round(F.col("_sd") / scale, 6).alias("cell_std"),
     )
+
+
+def conversion_lag_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_step: str,
+    to_step: str,
+    probs: list[float] | None = None,
+) -> DataFrame:
+    """Funnel-latency report (the product question behind every funnel:
+    not just HOW MANY convert but HOW LONG it takes): per first-touch
+    cohort month, exact percentiles of the lag between each user's
+    first ``from_step`` event and their first ``to_step`` event AFTER
+    it.  First-touch semantics match :func:`funnel_counts`; users who
+    never reach ``to_step`` simply don't contribute a lag (conversion
+    COUNTS are the funnel's job; this is the latency view).
+
+    Lags are integer epoch-second differences (exact); percentiles are
+    the engine's exact interpolated form (``aggregates.percentiles`` —
+    the same quantile_cont semantics an oracle replays), grouped by
+    cohort so no task ever sorts more than one cohort's converters.
+
+    Scale shape: two user-keyed aggregates + one user-keyed join (the
+    exchanges share a partitioning), then a cohort-keyed percentile
+    window — cohort-month groups, converter-bounded.  Output: (cohort
+    'yyyy-MM', n_converted, p50_lag, p90_lag) seconds rounded to 4.
+    """
+    from dataengineer_spark.operators.aggregates import percentiles
+
+    probs = probs or [0.5, 0.9]
+    f = (
+        df.where(
+            (F.col(type_col) == from_step) & F.col(user_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_f_ts"))
+    )
+    t = (
+        df.where(F.col(type_col) == to_step)
+        .join(f, user_col)
+        .where(F.col(ts_col) > F.col("_f_ts"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t_ts"))
+    )
+    lags = f.join(t, user_col).select(
+        F.date_format("_f_ts", "yyyy-MM").alias("cohort"),
+        (
+            F.col("_t_ts").cast("long") - F.col("_f_ts").cast("long")
+        ).cast("double").alias("_lag_s"),
+    )
+    pcts = percentiles(lags, ["cohort"], "_lag_s", probs)
+    counts = lags.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_converted")
+    )
+    out_cols = [f"p{int(p * 100)}" for p in probs]
+    return (
+        counts.join(pcts, "cohort")
+        .select(
+            "cohort",
+            "n_converted",
+            *[F.round(c, 4).alias(f"{c}_lag") for c in out_cols],
+        )
+        .orderBy("cohort")
+    )

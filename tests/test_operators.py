@@ -3725,3 +3725,45 @@ class TestFunctionalDependencyReport:
         df = spark.createDataFrame(rows, ["k", "v"])
         r = functional_dependency_report(df, ["k"], "v").collect()[0]
         assert r["n_groups"] == 1 and r["n_violating"] == 0
+
+
+class TestConversionLagReport:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, t0 + dt.timedelta(hours=h), ty) for u, h, ty in rows],
+            ["u", "ts", "ty"],
+        )
+
+    def test_first_touch_lag_percentiles(self, spark):
+        from dataengineer_spark.operators.events import conversion_lag_report
+
+        rows = [
+            ("u1", 0, "signup"), ("u1", 1, "purchase"),
+            ("u1", 5, "purchase"),              # only the FIRST counts
+            ("u2", 0, "signup"), ("u2", 3, "purchase"),
+            ("u3", 0, "signup"),                # never converts: no lag
+            ("u4", 2, "purchase"), ("u4", 4, "signup"),  # purchase BEFORE
+        ]
+        df = self._ev(spark, rows)
+        out = conversion_lag_report(
+            df, "u", "ts", "ty", "signup", "purchase"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["cohort"] == "2024-01" and r["n_converted"] == 2
+        # lags 3600s and 10800s -> p50 = 7200 (interpolated midpoint)
+        assert r["p50_lag"] == 7200.0
+        assert r["p90_lag"] == 3600 + 0.9 * 7200  # rank interpolation
+
+    def test_purchase_at_same_instant_not_counted(self, spark):
+        from dataengineer_spark.operators.events import conversion_lag_report
+
+        rows = [("u", 0, "signup"), ("u", 0, "purchase")]
+        df = self._ev(spark, rows)
+        out = conversion_lag_report(
+            df, "u", "ts", "ty", "signup", "purchase"
+        ).collect()
+        assert out == []  # strictly-after semantics (funnel parity)
