@@ -10289,6 +10289,61 @@ FROM lag GROUP BY cohort ORDER BY cohort
 """
 
 
+def q_dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 score-drift PSI (quality.psi_report): population stability
+    index of event values between the even- and odd-id cohorts (an A/A
+    split — the calibration read PSI alarms are tuned against) over 9
+    literal 50-unit bins.  One conditional-aggregate scan; empty bins
+    floored at 1e-6 before the ratio; ln parity per the KL-drift
+    precedent.  Fully oracled."""
+    from dataengineer_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    return quality.psi_report(
+        ev,
+        "value",
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        [float(50 * i) for i in range(1, 10)],
+    )
+
+
+def _dq_psi_oracle() -> str:
+    edges = [float(50 * i) for i in range(1, 10)]
+    ladder = "CASE " + " ".join(
+        f"WHEN x < {e!r} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    return f"""
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+), tagged AS (
+  SELECT {ladder} AS bin, a FROM src
+), counts AS (
+  SELECT bin, CAST(sum(a) AS BIGINT) AS n_a,
+    CAST(sum(1 - a) AS BIGINT) AS n_b
+  FROM tagged GROUP BY bin
+), bins AS (
+  SELECT CAST(unnest(generate_series(0, {len(edges)})) AS INT) AS bin
+), filled AS (
+  SELECT b.bin, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+  FROM bins b LEFT JOIN counts c ON b.bin = c.bin
+), tot AS (
+  SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb
+  FROM filled
+), p AS (
+  SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+    greatest(CASE WHEN ta > 0 THEN n_a / ta ELSE 0.0 END, 1e-06) AS pa,
+    greatest(CASE WHEN tb > 0 THEN n_b / tb ELSE 0.0 END, 1e-06) AS pb
+  FROM filled CROSS JOIN tot
+)
+SELECT bin, n_a, n_b,
+  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+  round((pa - pb) * ln(pa / pb), 6) AS psi_term
+FROM p ORDER BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10329,7 +10384,7 @@ _ROUND6_FIRST = [
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
     "q_e3_pca_power1", "q_e3_embed_outliers", "q_e10_seasonal",
-    "q_dq_fd", "q_e10_conversion_lag",
+    "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10481,6 +10536,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e10_seasonal": q_e10_seasonal,
         "q_dq_fd": q_dq_fd,
         "q_e10_conversion_lag": q_e10_conversion_lag,
+        "q_dq_psi": q_dq_psi,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10861,6 +10917,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e10_seasonal": _E10_SEASONAL_ORACLE,
         "q_dq_fd": _DQ_FD_ORACLE,
         "q_e10_conversion_lag": _E10_CONVERSION_LAG_ORACLE,
+        "q_dq_psi": _dq_psi_oracle(),
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -193,6 +193,7 @@ HEADLINE = [
     "q_e10_seasonal",
     "q_dq_fd",
     "q_e10_conversion_lag",
+    "q_dq_psi",
 ]
 
 

@@ -696,3 +696,86 @@ def functional_dependency_report(
         ).alias("violation_rate"),
         F.max("_nd").cast("bigint").alias("max_rhs_distinct"),
     )
+
+
+def psi_report(
+    df: DataFrame,
+    value_col: str,
+    side_col,
+    bin_edges: list[float],
+    floor_share: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one scored
+    column (public method — the industry-standard "has this score's
+    distribution moved" number; PSI > 0.2 is the conventional retrain
+    alarm): bin both cohorts on shared literal edges and sum
+    ``(p_a − p_b)·ln(p_a/p_b)`` per bin.
+
+    ``side_col`` is a boolean Column: true = cohort A, false = B, NULL
+    = excluded (unknown provenance is neither cohort).  Binning is a
+    plan-literal CASE ladder over ``bin_edges`` (shared doubles — no
+    width_bucket edge-semantics bets): bin i spans [edge_{i-1},
+    edge_i), with underflow bin 0 and overflow bin len(edges).  NULL
+    values are excluded and reported nowhere (use null_rates for
+    completeness).  Empty bins are floored at ``floor_share`` before
+    the ratio (the standard smoothing — an empty bin would make PSI
+    infinite); ln parity follows the KL-drift precedent (identical
+    IEEE inputs, rounded outputs).
+
+    Scale shape: ONE conditional-aggregate scan to (bins+2) rows, a
+    literal bin frame left-joined so every bin keeps a row, one
+    broadcast totals row.  Output: (bin, n_a, n_b, p_a, p_b, psi_term)
+    ordered by bin; shares and terms rounded to 6.  Total PSI =
+    sum(psi_term).
+    """
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("psi_report: bin_edges must be ascending, non-empty")
+    x = F.col(value_col).cast("double")
+    bin_expr = None
+    for i, e in enumerate(bin_edges):
+        cond = x < e
+        bin_expr = (
+            F.when(cond, i) if bin_expr is None else bin_expr.when(cond, i)
+        )
+    bin_expr = bin_expr.otherwise(len(bin_edges))
+    tagged = df.where(x.isNotNull() & side_col.isNotNull()).select(
+        bin_expr.alias("bin"),
+        side_col.cast("int").alias("_a"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum("_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("_a")).cast("bigint").alias("n_b"),
+    )
+    bins = df.sparkSession.range(0, len(bin_edges) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    filled = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    totals = filled.agg(
+        F.sum("n_a").cast("double").alias("_ta"),
+        F.sum("n_b").cast("double").alias("_tb"),
+    )
+    joined = filled.crossJoin(F.broadcast(totals))
+    pa = F.greatest(
+        F.when(F.col("_ta") > 0, F.col("n_a") / F.col("_ta")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(floor_share),
+    )
+    pb = F.greatest(
+        F.when(F.col("_tb") > 0, F.col("n_b") / F.col("_tb")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(floor_share),
+    )
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    ).orderBy("bin")

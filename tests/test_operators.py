@@ -3767,3 +3767,41 @@ class TestConversionLagReport:
             df, "u", "ts", "ty", "signup", "purchase"
         ).collect()
         assert out == []  # strictly-after semantics (funnel parity)
+
+
+class TestPsiReport:
+    def test_identical_cohorts_zero_psi(self, spark):
+        from dataengineer_spark.operators.quality import psi_report
+        from pyspark.sql import functions as F
+
+        rows = [(float(v), s) for v in (5, 15, 25, 5, 15, 25)
+                for s in (True, False)]
+        df = spark.createDataFrame(rows, ["v", "side"])
+        out = psi_report(df, "v", F.col("side"), [10.0, 20.0]).collect()
+        assert sum(r["psi_term"] for r in out) == 0.0
+        assert len(out) == 3  # under, mid, over
+
+    def test_shifted_cohort_positive_psi_and_all_bins_kept(self, spark):
+        from dataengineer_spark.operators.quality import psi_report
+        from pyspark.sql import functions as F
+
+        rows = [(5.0, True)] * 8 + [(25.0, True)] * 2 \
+             + [(5.0, False)] * 2 + [(25.0, False)] * 8
+        df = spark.createDataFrame(rows, ["v", "side"])
+        out = psi_report(df, "v", F.col("side"), [10.0, 20.0]).collect()
+        total = sum(r["psi_term"] for r in out)
+        assert total > 0.5  # a gross shift alarms loudly
+        # the untouched middle bin still has a row (floored shares)
+        assert len(out) == 3
+
+    def test_null_values_and_sides_excluded_validation(self, spark):
+        import pytest
+        from dataengineer_spark.operators.quality import psi_report
+        from pyspark.sql import functions as F
+
+        rows = [(1.0, True), (None, True), (2.0, None)]
+        df = spark.createDataFrame(rows, "v double, side boolean")
+        out = psi_report(df, "v", F.col("side"), [10.0]).collect()
+        assert sum(r["n_a"] + r["n_b"] for r in out) == 1
+        with pytest.raises(ValueError):
+            psi_report(df, "v", F.col("side"), [20.0, 10.0])
