@@ -10344,6 +10344,90 @@ FROM p ORDER BY bin
 """
 
 
+def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 k-anonymity risk census (quality.k_anonymity_report):
+    customers whose (nation, market segment, name-suffix bucket)
+    equivalence class holds fewer than k=5 members are
+    re-identification candidates — the release review before data
+    leaves a trust boundary.  NULL quasi components form their own
+    classes (two all-NULL rows ARE indistinguishable).  One group-size
+    aggregate + one-row summary.  Fully oracled."""
+    from dataengineer_spark.operators import quality
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # a coarse behavioural bucket to make classes realistically
+        # small: last 2 digits of the key mod 7
+        (F.pmod(F.col("c_custkey"), F.lit(7))).alias("bucket"),
+    )
+    return quality.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bucket"], k=5
+    )
+
+
+_DQ_KANON_ORACLE = """
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment, c_custkey % 7 AS bucket,
+    count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment, c_custkey % 7
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small_classes,
+  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(min(n) AS BIGINT) AS min_class_size,
+  round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+    / CAST(sum(n) AS DOUBLE), 6) AS risk_share
+FROM sizes
+"""
+
+
+def q_e10_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 inter-arrival burstiness (events.burstiness_report): per
+    event type, the coefficient of variation of epoch-second gaps under
+    the total (ts, id) order — CV≈1 Poisson-like, ≫1 bursty (retry
+    storms), ≪1 metronome (bots) — the traffic-shape read behind
+    rate-limit thresholds.  Integer-exact DECIMAL moments, clamped
+    variance.  One window shuffle + one key aggregate.  Fully
+    oracled."""
+    from dataengineer_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev_ops.burstiness_report(ev, "event_type", "ts", "event_id")
+
+
+_E10_BURSTINESS_ORACLE = """
+WITH base AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+    event_id AS id
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT key,
+    es - lag(es) OVER (PARTITION BY key ORDER BY es, id) AS gap
+  FROM base
+), gg AS (
+  SELECT key, gap FROM g WHERE gap IS NOT NULL
+), agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+    sum(CAST(gap AS DECIMAL(19,0))) AS s,
+    sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2
+  FROM gg GROUP BY key
+)
+SELECT key, n_gaps,
+  round(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+  round(CASE WHEN n_gaps >= 2 AND CAST(s AS DOUBLE) / n_gaps > 0
+    THEN sqrt(greatest(
+      (CAST(s2 AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_gaps)
+        / (n_gaps - 1.0), 0.0))
+      / (CAST(s AS DOUBLE) / n_gaps)
+    END, 6) AS cv
+FROM agg ORDER BY key
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10384,7 +10468,8 @@ _ROUND6_FIRST = [
     "q_rank_calibrate", "q_dq_lang_mismatch", "q_prep_churn_labels",
     "q_dq_gini", "q_a12_sliced_auc", "q_e9_sorted_blocking",
     "q_e3_pca_power1", "q_e3_embed_outliers", "q_e10_seasonal",
-    "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi",
+    "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi", "q_dq_kanon",
+    "q_e10_burstiness",
     # NOTE: the round-6 batches above (36 + 19 late-session additions,
     # all first-contact) overrun the driver's ~50-query budget by a few
     # slots — anything past slot 50 (the last new entries and the whole
@@ -10537,6 +10622,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_fd": q_dq_fd,
         "q_e10_conversion_lag": q_e10_conversion_lag,
         "q_dq_psi": q_dq_psi,
+        "q_dq_kanon": q_dq_kanon,
+        "q_e10_burstiness": q_e10_burstiness,
         "q_pipeline_curation2": q_pipeline_curation2,
         "q_dq_datacard": q_dq_datacard,
         "q_e2_containment": q_e2_containment,
@@ -10918,6 +11005,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_fd": _DQ_FD_ORACLE,
         "q_e10_conversion_lag": _E10_CONVERSION_LAG_ORACLE,
         "q_dq_psi": _dq_psi_oracle(),
+        "q_dq_kanon": _DQ_KANON_ORACLE,
+        "q_e10_burstiness": _E10_BURSTINESS_ORACLE,
         "q_pipeline_curation2": _PIPELINE_CURATION2_ORACLE,
         "q_dq_datacard": _DQ_DATACARD_ORACLE,
         "q_e2_containment": _E2_CONTAINMENT_ORACLE,

@@ -194,6 +194,8 @@ HEADLINE = [
     "q_dq_fd",
     "q_e10_conversion_lag",
     "q_dq_psi",
+    "q_dq_kanon",
+    "q_e10_burstiness",
 ]
 
 

@@ -728,3 +728,62 @@ def conversion_lag_report(
         )
         .orderBy("cohort")
     )
+
+
+def burstiness_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival burstiness per key (public metric — the coefficient
+    of variation of gaps): CV ≈ 1 is Poisson-like arrival, CV ≫ 1 is
+    bursty (retry storms, batch dumps masquerading as organic events),
+    CV ≪ 1 is a metronome (schedulers, bots) — the traffic-shape read
+    behind rate-limit and anomaly-threshold decisions.
+
+    Gaps are integer epoch-second differences under the total (ts, id)
+    order (exact); moments are integer-exact (Σg, Σg² as DECIMAL —
+    a day-long gap squared still fits 38 digits), variance clamps at
+    zero before the sqrt, and CV divides two doubles derived from the
+    exact sums.  NULL keys/timestamps are excluded; a key with < 3
+    events has < 2 gaps and reports NULL cv.
+
+    Scale shape: one window shuffle on the key (lag), one key aggregate
+    on the same partitioning.  Output: (key, n_gaps, mean_gap_s, cv),
+    rounded to 6.
+    """
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("_es"),
+        F.col(id_col).alias("_id"),
+    )
+    w = W.partitionBy("key").orderBy(F.col("_es").asc(), F.col("_id").asc())
+    gaps = base.select(
+        "key", (F.col("_es") - F.lag("_es").over(w)).alias("_g")
+    ).where(F.col("_g").isNotNull())
+    gd = F.col("_g").cast("decimal(19,0)")
+    agg = gaps.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum(gd).alias("_s"),
+        F.sum(gd * gd).alias("_s2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    var = F.greatest(
+        (F.col("_s2").cast("double")
+         - F.col("_s").cast("double") * F.col("_s").cast("double") / nd)
+        / (nd - 1.0),
+        F.lit(0.0),
+    )
+    cv = F.when(
+        (F.col("n_gaps") >= 2) & (mean > 0), F.sqrt(var) / mean
+    )
+    return agg.select(
+        "key",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv"),
+    ).orderBy("key")

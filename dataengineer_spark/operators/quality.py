@@ -779,3 +779,45 @@ def psi_report(
         F.round(pb, 6).alias("p_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk census over a quasi-identifier combination
+    (public privacy metric — the release-review read before training
+    data or analytics extracts leave a trust boundary): rows whose
+    quasi-identifier equivalence class holds fewer than ``k`` members
+    are re-identification candidates.
+
+    NULL quasi-identifier components form their own classes (SQL
+    grouping semantics — two all-NULL rows ARE indistinguishable to an
+    attacker, which is what matters here, so they are NOT excluded the
+    way join keys would be).
+
+    Scale shape: one exact group-size aggregate on the quasi columns,
+    then a one-row summary over the class-cardinality frame.  Output:
+    (n_rows, n_classes, n_small_classes, rows_at_risk, min_class_size,
+    risk_share) — risk_share rounded to 6.
+    """
+    if k <= 1:
+        raise ValueError(f"k_anonymity_report: k > 1 required, got {k}")
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
+    return sizes.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum((F.col("_n") < k).cast("int")).cast("bigint").alias(
+            "n_small_classes"
+        ),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("_n").cast("bigint").alias("min_class_size"),
+        F.round(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double"),
+            6,
+        ).alias("risk_share"),
+    )

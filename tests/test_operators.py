@@ -3805,3 +3805,67 @@ class TestPsiReport:
         assert sum(r["n_a"] + r["n_b"] for r in out) == 1
         with pytest.raises(ValueError):
             psi_report(df, "v", F.col("side"), [20.0, 10.0])
+
+
+class TestKAnonymityReport:
+    def test_small_classes_counted(self, spark):
+        from dataengineer_spark.operators.quality import k_anonymity_report
+
+        rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)]
+        df = spark.createDataFrame(rows, ["q1", "q2"])
+        r = k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+        assert r["n_rows"] == 8 and r["n_classes"] == 3
+        assert r["n_small_classes"] == 2 and r["rows_at_risk"] == 3
+        assert r["min_class_size"] == 1
+        assert abs(r["risk_share"] - 3 / 8) < 1e-9
+
+    def test_null_quasi_rows_form_classes(self, spark):
+        from dataengineer_spark.operators.quality import k_anonymity_report
+
+        rows = [(None, 1), (None, 1), ("a", None)]
+        df = spark.createDataFrame(rows, "q1 string, q2 int")
+        r = k_anonymity_report(df, ["q1", "q2"], k=3).collect()[0]
+        # (NULL,1) x2 and (a,NULL) x1: both classes exist, both small
+        assert r["n_classes"] == 2 and r["rows_at_risk"] == 3
+
+    def test_k_validation(self, spark):
+        import pytest
+        from dataengineer_spark.operators.quality import k_anonymity_report
+
+        df = spark.createDataFrame([("a",)], ["q1"])
+        with pytest.raises(ValueError):
+            k_anonymity_report(df, ["q1"], k=1)
+
+
+class TestBurstinessReport:
+    def test_metronome_vs_bursty(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.events import burstiness_report
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("tick", t0 + dt.timedelta(seconds=60 * i), i)
+                for i in range(10)]
+        # bursty: 8 events in one minute, then a day gap, repeated
+        eid = 100
+        for b in range(3):
+            for j in range(4):
+                rows.append(("burst",
+                             t0 + dt.timedelta(days=b, seconds=10 * j), eid))
+                eid += 1
+        df = spark.createDataFrame(rows, ["k", "ts", "eid"])
+        out = {r["key"]: r for r in burstiness_report(
+            df, "k", "ts", "eid").collect()}
+        assert out["tick"]["cv"] == 0.0          # perfect metronome
+        assert out["burst"]["cv"] > 1.5          # day gaps among 10s gaps
+        assert out["tick"]["mean_gap_s"] == 60.0
+
+    def test_short_series_null_cv(self, spark):
+        import datetime as dt
+        from dataengineer_spark.operators.events import burstiness_report
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0, 1), ("k", t0 + dt.timedelta(seconds=30), 2)]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid"])
+        out = burstiness_report(df, "k", "ts", "eid").collect()[0]
+        assert out["n_gaps"] == 1 and out["cv"] is None
+        assert out["mean_gap_s"] == 30.0
