@@ -10243,10 +10243,12 @@ WITH g AS (
   FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 )
 SELECT CAST(count(*) AS BIGINT) AS n_groups,
-  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
-  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
-    / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
-  CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+  CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violating,
+  round(CASE WHEN count(*) > 0
+    THEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+      / CAST(count(*) AS DOUBLE) END, 6) AS violation_rate,
+  CAST(coalesce(max(nd), 0) AS BIGINT) AS max_rhs_distinct
 FROM g
 """
 
@@ -10470,14 +10472,17 @@ _ROUND6_FIRST = [
     "q_e3_pca_power1", "q_e3_embed_outliers", "q_e10_seasonal",
     "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi", "q_dq_kanon",
     "q_e10_burstiness",
-    # NOTE: the round-6 batches above (36 + 19 late-session additions,
-    # all first-contact) overrun the driver's ~50-query budget by a few
-    # slots — anything past slot 50 (the last new entries and the whole
-    # stale cohort from q_dq_constraints on) rolls forward to the
-    # round-7 front by design: first driver contact for new queries
-    # outranks refreshing already-green rows. Round-7 planning: verify
-    # against CORRECTNESS_r06 which slots the driver actually covered,
-    # put any uncovered round-6 queries first, then the r2/r3 cohort.
+    # NOTE: the round-6 first-contact block above has grown well past
+    # the driver's ~50-query budget (late-session batches added retrieval
+    # eval, preference pairs, changepoint/seasonal/burstiness, Benford/
+    # FD/PSI/k-anon/Gini audits, Bradley-Terry, paired-t, sliced AUC,
+    # PCA + twin, proration, sorted blocking, embed outliers, churn
+    # labels, conversion lag) — everything past slot ~50 rolls forward
+    # to the round-7 front by design: first driver contact for new
+    # queries outranks refreshing already-green rows. Round-7 planning:
+    # diff THIS list against CORRECTNESS_r06's covered slots, put every
+    # still-uncovered round-6 query first (do not trust remembered
+    # counts — recount), then the stale r2/r3 cohort below.
     # --- stalest driver evidence: r2-latest greens (VERDICT r5 item 1 —
     # every one re-verified green in the judge's full r5 sweep; the point
     # is refreshing four-round-old driver rows against four rounds of

@@ -191,7 +191,7 @@ def percentiles(
         .withColumn("_n", F.count("*").over(W.partitionBy(*keys)))
     )
     aggs = []
-    for p in probs:
+    for p, name in zip(probs, pct_col_names(probs)):
         pos = (F.col("_n") - 1) * F.lit(p)
         lo = F.floor(pos)
         frac = pos - lo
@@ -200,7 +200,7 @@ def percentiles(
                 F.when(F.col("_rn") - 1 == lo, F.col(col) * (1 - frac))
                 .when(F.col("_rn") - 1 == lo + 1, F.col(col) * frac)
                 .otherwise(F.lit(0.0))
-            ).alias(f"p{int(p * 100)}")
+            ).alias(name)
         )
     return ranked.groupBy(*keys).agg(*aggs)
 
@@ -289,7 +289,11 @@ def percentiles_distributed(
             .agg(F.sum(F.col(col) * F.col("_weight")))
         )
         out = picked.select(
-            *keys, *[F.col(str(int(p * 100))).alias(f"p{int(p * 100)}") for p in probs]
+            *keys,
+            *[
+                F.col(str(int(p * 100))).alias(name)
+                for p, name in zip(probs, pct_col_names(probs))
+            ],
         )
         # materialize under the cache: _pid must mean the same partition in
         # the counts pass and here, and AQE may renumber the coalesced
@@ -311,9 +315,9 @@ def approx_percentiles(
     bounded by 1/accuracy of rank."""
     aggs = [
         F.percentile_approx(F.col(col), F.lit(p), F.lit(accuracy)).alias(
-            f"p{int(p * 100)}"
+            name
         )
-        for p in probs
+        for p, name in zip(probs, pct_col_names(probs))
     ]
     return df.groupBy(*keys).agg(*aggs)
 
@@ -1108,3 +1112,42 @@ def roc_auc_by(
         "n_neg",
     ).orderBy(*keys)
 
+
+
+def pct_col_names(probs: list[float]) -> list[str]:
+    """THE output column names :func:`percentiles` /
+    :func:`percentiles_distributed` use for a probability list —
+    callers that post-process percentile output must derive names
+    here, not re-derive the f-string (review-caught coupling).  Raises
+    on probs that collide under the int-percent truncation (two
+    columns with one alias is an ambiguous-reference
+    AnalysisException later, at a distance)."""
+    names = [f"p{int(p * 100)}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentile probs collide under int-percent naming: {probs}"
+        )
+    return names
+
+
+def exact_moment_stats(n_col: Column, s_col: Column, s2_col: Column):
+    """Shared mean / clamped sample-stddev from decimal-exact moment
+    sums — THE one definition for every (n, Σv, Σv²) consumer
+    (seasonal/burstiness/embedding-outlier/paired-t family), so a
+    guard fix lands everywhere at once (the _rank_sum_auc lesson).
+
+    Inputs: a count column and two DECIMAL sum columns.  Returns
+    (mean, std) Columns: mean = Σv/n; std = sqrt of the (n−1)-variance
+    CLAMPED at zero (float cancellation on constant inputs can leave
+    it ulps negative — sqrt(-0.0000…) is NaN on Spark, an error
+    elsewhere), NULL when n < 2.
+    """
+    nd = n_col.cast("double")
+    s_d = s_col.cast("double")
+    s2_d = s2_col.cast("double")
+    mean = s_d / nd
+    var = F.greatest(
+        (s2_d - s_d * s_d / nd) / (nd - 1.0), F.lit(0.0)
+    )
+    std = F.when(n_col >= 2, F.sqrt(var))
+    return mean, std

@@ -608,7 +608,10 @@ def seasonal_anomaly(
     those exact sums.  Day-of-week is an integer 1..7 (Sunday=1 — an
     oracle on an engine whose weekday is 0-based shifts by one).  NULL
     values/keys carry no signal and are excluded; a cell with n < 2
-    has no dispersion estimate and flags nothing.
+    has no dispersion estimate and flags nothing.  Magnitude bound:
+    the micro-unit cast saturates (Spark) or errors (an oracle engine)
+    past |value| ≈ 9.2·10^12 — far beyond metric data; lower ``scale``
+    if values are astronomical.
 
     Scale shape: one (key, dow) aggregate — (keys×7)-bounded — joined
     back broadcast; the corpus never shuffles.  Output: flagged events
@@ -632,18 +635,16 @@ def seasonal_anomaly(
         F.sum(vd).alias("_s"),
         F.sum(vd * vd).alias("_s2"),
     )
-    nd = F.col("_n").cast("double")
-    s_d = F.col("_s").cast("double")
-    s2_d = F.col("_s2").cast("double")
-    mean_u = s_d / nd
-    var_u = F.greatest(
-        (s2_d - s_d * s_d / nd) / (nd - 1.0), F.lit(0.0)
+    from dataengineer_spark.operators.aggregates import exact_moment_stats
+
+    mean_u, sd_u = exact_moment_stats(
+        F.col("_n"), F.col("_s"), F.col("_s2")
     )
     moments = cells.select(
         "key",
         "dow",
         mean_u.alias("_m"),
-        F.when(F.col("_n") >= 2, F.sqrt(var_u)).alias("_sd"),
+        sd_u.alias("_sd"),
     )
     joined = base.join(F.broadcast(moments), ["key", "dow"])
     flagged = joined.where(
@@ -691,7 +692,10 @@ def conversion_lag_report(
     window — cohort-month groups, converter-bounded.  Output: (cohort
     'yyyy-MM', n_converted, p50_lag, p90_lag) seconds rounded to 4.
     """
-    from dataengineer_spark.operators.aggregates import percentiles
+    from dataengineer_spark.operators.aggregates import (
+        pct_col_names,
+        percentiles,
+    )
 
     probs = probs or [0.5, 0.9]
     f = (
@@ -718,7 +722,7 @@ def conversion_lag_report(
     counts = lags.groupBy("cohort").agg(
         F.count("*").cast("bigint").alias("n_converted")
     )
-    out_cols = [f"p{int(p * 100)}" for p in probs]
+    out_cols = pct_col_names(probs)
     return (
         counts.join(pcts, "cohort")
         .select(
@@ -770,17 +774,12 @@ def burstiness_report(
         F.sum(gd).alias("_s"),
         F.sum(gd * gd).alias("_s2"),
     )
-    nd = F.col("n_gaps").cast("double")
-    mean = F.col("_s").cast("double") / nd
-    var = F.greatest(
-        (F.col("_s2").cast("double")
-         - F.col("_s").cast("double") * F.col("_s").cast("double") / nd)
-        / (nd - 1.0),
-        F.lit(0.0),
+    from dataengineer_spark.operators.aggregates import exact_moment_stats
+
+    mean, sd = exact_moment_stats(
+        F.col("n_gaps"), F.col("_s"), F.col("_s2")
     )
-    cv = F.when(
-        (F.col("n_gaps") >= 2) & (mean > 0), F.sqrt(var) / mean
-    )
+    cv = F.when(sd.isNotNull() & (mean > 0), sd / mean)
     return agg.select(
         "key",
         "n_gaps",

@@ -684,17 +684,28 @@ def functional_dependency_report(
             + F.max(F.col(rhs_col).isNull().cast("int"))
         ).alias("_nd")
     )
+    # coalesce the counters: with zero usable groups (empty feed or
+    # all-NULL keys — exactly when this alarm matters most) sum/max are
+    # NULL and a `> 0` consumer would go quiet; rate stays NULL (0/0
+    # has no honest value)
     return per_group.agg(
         F.count("*").cast("bigint").alias("n_groups"),
-        F.sum((F.col("_nd") > 1).cast("int")).cast("bigint").alias(
-            "n_violating"
-        ),
+        F.coalesce(
+            F.sum((F.col("_nd") > 1).cast("int")), F.lit(0)
+        ).cast("bigint").alias("n_violating"),
         F.round(
-            F.sum((F.col("_nd") > 1).cast("int"))
-            / F.count("*").cast("double"),
+            F.when(
+                F.count("*") > 0,
+                F.coalesce(
+                    F.sum((F.col("_nd") > 1).cast("int")), F.lit(0)
+                )
+                / F.count("*").cast("double"),
+            ),
             6,
         ).alias("violation_rate"),
-        F.max("_nd").cast("bigint").alias("max_rhs_distinct"),
+        F.coalesce(F.max("_nd"), F.lit(0)).cast("bigint").alias(
+            "max_rhs_distinct"
+        ),
     )
 
 
@@ -728,8 +739,14 @@ def psi_report(
     ordered by bin; shares and terms rounded to 6.  Total PSI =
     sum(psi_term).
     """
-    if not bin_edges or sorted(bin_edges) != list(bin_edges):
-        raise ValueError("psi_report: bin_edges must be ascending, non-empty")
+    if not bin_edges or any(
+        a >= b for a, b in zip(bin_edges, bin_edges[1:])
+    ):
+        raise ValueError(
+            "psi_report: bin_edges must be STRICTLY ascending and "
+            "non-empty — a duplicate edge creates an unreachable bin "
+            "indistinguishable from a genuinely empty one"
+        )
     x = F.col(value_col).cast("double")
     bin_expr = None
     for i, e in enumerate(bin_edges):

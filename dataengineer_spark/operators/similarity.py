@@ -1512,6 +1512,7 @@ def pca_power_top(
         F.round("_ev", 6).alias("eigenvalue"),
     ).orderBy("dim")
 
+
 def embedding_outlier_report(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1565,14 +1566,9 @@ def embedding_outlier_report(
         F.sum(sim_dec).alias("_s"),
         F.sum(sim_dec * sim_dec).alias("_s2"),
     )
-    nd = F.col("n").cast("double")
-    mean = F.col("_s").cast("double") / nd
-    var = F.greatest(
-        (F.col("_s2").cast("double") - F.col("_s").cast("double")
-         * F.col("_s").cast("double") / nd) / (nd - 1.0),
-        F.lit(0.0),
-    )
-    std = F.when(F.col("n") >= 2, F.sqrt(var))
+    from dataengineer_spark.operators.aggregates import exact_moment_stats
+
+    mean, std = exact_moment_stats(F.col("n"), F.col("_s"), F.col("_s2"))
     moments = stats.select("cell", "n", mean.alias("_m"), std.alias("_sd"))
     flagged = (
         assigned.join(F.broadcast(moments), "cell")

@@ -3605,30 +3605,41 @@ class TestEmbeddingOutlierReport:
         )
 
         cents = _centroids(4, 2, seed=7)
-        c0 = cents[0]
+        c0, c1 = cents
         import random
 
         rnd = random.Random(1)
         rows = []
-        # 20 vectors tightly around centroid 0 (+tiny noise), plus one
-        # near-orthogonal vector that still assigns to SOME cell
-        for _ in range(20):
+        # 21 vectors tightly around centroid 0 (+tiny noise)
+        for _ in range(21):
             rows.append(([x + rnd.uniform(-0.01, 0.01) for x in c0],))
-        anti = [-x for x in c0]
-        rows.append((anti,))
+        # planted outlier IN cell 0: dot(v, c0) = 0.1 > dot(v, c1)
+        # (= 0.1*c0·c1 < 0.1), but |v| is dominated by a component
+        # orthogonal to both centroids -> affinity ~0.1, far below the
+        # cell's ~1.0 mean
+        e = [1.0, 0.0, 0.0, 0.0]
+        d01 = sum(a * b for a, b in zip(c0, c1))
+        # Gram-Schmidt: c1 component orthogonal to c0
+        u1 = [b - d01 * a for a, b in zip(c0, c1)]
+        n1 = sum(x * x for x in u1) ** 0.5
+        u1 = [x / n1 for x in u1]
+        w = [
+            e[i]
+            - sum(ei * ci for ei, ci in zip(e, c0)) * c0[i]
+            - sum(ei * ui for ei, ui in zip(e, u1)) * u1[i]
+            for i in range(4)
+        ]
+        nw = sum(x * x for x in w) ** 0.5
+        assert nw > 1e-6  # dim 4 > span{c0, c1}: an orthogonal dir exists
+        v = [0.1 * c0[i] + 3.0 * w[i] / nw for i in range(4)]
+        rows.append((v,))
         df = spark.createDataFrame(rows, "embedding array<double>")
         out = embedding_outlier_report(
             df, "embedding", dim=4, n_centroids=2, seed=7, z=2.0
         ).collect()
-        total_outliers = sum(r["n_outliers"] for r in out)
-        total_n = sum(r["n"] for r in out)
-        assert total_n == 21
-        # the anti vector is either alone in its cell (n<2: no flagging
-        # possible) or grossly below its cell's mean
-        assert all(r["mean_sim"] is not None for r in out)
-        cell_of_anti = [r for r in out if r["n"] in (1, 21)]
-        if any(r["n"] == 21 for r in out):
-            assert total_outliers >= 1
+        cell0 = [r for r in out if r["n"] == 22]
+        assert len(cell0) == 1  # all 22 rows share the majority cell
+        assert cell0[0]["n_outliers"] == 1  # exactly the planted one
 
     def test_zero_norm_and_null_vectors_excluded(self, spark):
         from dataengineer_spark.operators.similarity import (
