@@ -238,17 +238,36 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver's BENCH_r{N}.json artifact keeps only a ~2,000-char tail
+    # of stdout, so only the last ~70 of the per-query timings survive and
+    # cross-round comparison is mostly blind (VERDICT r6 item 3).  Persist
+    # the FULL timing map to the repo as BENCH_DETAIL_r{N}.json, inferring
+    # N as 1 + the highest committed driver BENCH_r{N}.json (bench runs at
+    # round close, after the prior round's artifact landed).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    detail = os.path.join(repo, f"BENCH_DETAIL_r{n:02d}.json")
+    try:
+        with open(detail, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the tail
+    print(json.dumps(payload))
     spark.stop()
 
 
