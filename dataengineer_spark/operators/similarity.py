@@ -1395,25 +1395,36 @@ def pca_power_top(
     deterministic uniform direction (1/√d, …); the result's sign
     follows the iteration (flip externally if a convention is needed).
 
-    Scale shape: ``iters`` × (one full-scan aggregate to ONE row + one
-    broadcast of that row).  No collect, no d×d matrix, no shuffle
-    beyond the partial-aggregate exchanges.  The 1-row state carries
-    TWO ARRAY columns (means, weights) rather than 2·d scalar columns —
-    with scalar columns every downstream reference re-nests the whole
-    prior-iteration subplan and the driver OOMs building the tree.
-    Only COMPLETE vectors participate: NULL, short, and NULL-element
-    rows are excluded up front — letting sums merely skip NULL terms
-    would divide each dimension's mean by the GLOBAL row count while
-    its numerator covered fewer rows (review-caught centering bias on
-    ragged inputs).
+    Scale shape: ``iters + 1`` corpus passes, each ONE posexplode +
+    (pos)-keyed partial aggregate whose result is ``dim`` rows —
+    control-plane-sized at ANY corpus size, collected to the driver and
+    re-embedded as plan literals (the ``kmeans_codebook`` contract;
+    effectful-at-build).  An earlier form kept the 1-row state as a
+    broadcast frame with ``2·dim`` UNROLLED scalar aggregate
+    expressions per pass — correct data plan, but Catalyst spent more
+    wall ANALYZING/codegen-ing the 192-expression tree than executing
+    it (~equal wall at sf0.001 and sf0.1); two aggregate expressions
+    over exploded (pos, value) pairs produce the identical partial
+    sums with a constant-size plan.  Only COMPLETE vectors
+    participate: NULL, short, and NULL-element rows are excluded up
+    front — letting sums merely skip NULL terms would divide each
+    dimension's mean by the GLOBAL row count while its numerator
+    covered fewer rows (review-caught centering bias on ragged
+    inputs).
+
+    Driver-side arithmetic is IEEE-double, bit-identical to the
+    expression form it replaced: ``float(Decimal)`` is the correctly
+    rounded decimal→double cast, Python ``/`` and ``math.sqrt`` are
+    the same IEEE ops Spark's DOUBLE division/sqrt compile to, and the
+    norm fold keeps the same 0.0-seeded term order.
 
     Output: one row per dimension (dim 1-based, loading, eigenvalue) —
     eigenvalue is the covariance-scaled Rayleigh estimate ‖Cv‖/(n−1),
     identical on every row; loadings and eigenvalue rounded to 6.
     """
-    import functools
     import math
-    import operator
+
+    from dataengineer_spark.tuning import array_lit
 
     dec_mu = "decimal(28,12)"
     dec_c = "decimal(28,9)"
@@ -1426,90 +1437,85 @@ def pca_power_top(
                 F.slice(v, 1, dim), lambda e: e.isNull()
             )
         )
-        .select(v.alias("_v"))
+        .select(F.slice(v, 1, dim).alias("_v"))
     )
-    mu_aggs = [
-        F.sum(F.round(F.get("_v", j), 12).cast(dec_mu)).alias(f"_s{j}")
-        for j in range(dim)
-    ] + [F.count("*").alias("_n")]
-    state = x.agg(*mu_aggs).select(
-        F.array(
-            *[
-                F.col(f"_s{j}").cast("double") / F.col("_n")
-                for j in range(dim)
-            ]
-        ).alias("_mu"),
-        F.array(
-            *[F.lit(1.0 / math.sqrt(dim)) for _ in range(dim)]
-        ).alias("_w"),
-        F.col("_n"),
-        F.lit(0.0).alias("_lam"),
-    )
-    # 1-row lineage cut per iteration (the kmeans/pagerank pattern):
-    # without it each iteration re-nests the prior plan under every
-    # state reference and ANALYSIS time doubles the query (17 s → 7 s
-    # measured at sf0.001, results bit-identical).  Makes the operator
-    # effectful-at-build; the checkpointed frame is one row.
-    state = state.localCheckpoint(eager=True)
-    for _ in range(iters):
-        joined = x.crossJoin(F.broadcast(state))
-        s = functools.reduce(
-            operator.add,
-            [
-                (F.get("_v", j) - F.get("_mu", j)) * F.get("_w", j)
-                for j in range(dim)
-            ],
+    per = (
+        x.select(F.posexplode("_v").alias("_p", "_e"))
+        .groupBy("_p")
+        .agg(
+            F.sum(F.round("_e", 12).cast(dec_mu)).alias("_s"),
+            F.count("*").alias("_n"),
         )
-        scored = joined.select("_v", "_mu", s.alias("_sc"))
-        c_aggs = [
-            F.sum(
-                F.round(
-                    F.col("_sc") * (F.get("_v", j) - F.get("_mu", j)), 9
-                ).cast(dec_c)
-            ).alias(f"_c{j}")
+        .collect()  # dim rows — control-plane-sized
+    )
+    n = per[0]["_n"] if per else 0
+    mu_by = {r["_p"]: r["_s"] for r in per}
+    mu: list[float | None] = [
+        float(mu_by[j]) / n
+        if mu_by.get(j) is not None and n
+        else None
+        for j in range(dim)
+    ]
+    w: list[float | None] = [1.0 / math.sqrt(dim)] * dim
+    lam: float | None = 0.0
+    for _ in range(iters):
+        mu_c = array_lit(mu)
+        diff = F.zip_with(F.col("_v"), mu_c, lambda a, b: a - b)
+        s = F.aggregate(
+            F.zip_with(diff, array_lit(w), lambda d, wv: d * wv),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        # generator-per-select (the kmeans_codebook ExtractGenerator
+        # rule): compute the HOFs first, posexplode in a second select
+        per = (
+            x.select(diff.alias("_d"), s.alias("_sc"))
+            .select("_sc", F.posexplode("_d").alias("_p", "_dv"))
+            .groupBy("_p")
+            .agg(
+                F.sum(
+                    F.round(F.col("_sc") * F.col("_dv"), 9).cast(dec_c)
+                ).alias("_c")
+            )
+            .collect()  # dim rows — control-plane-sized
+        )
+        c_by = {r["_p"]: r["_c"] for r in per}
+        c = [
+            float(c_by[j]) if c_by.get(j) is not None else None
             for j in range(dim)
         ]
-        crow = (
-            scored.agg(*c_aggs)
-            .crossJoin(F.broadcast(state.select("_mu", "_n")))
-            .select(
-                "_mu",
-                "_n",
-                F.array(
-                    *[F.col(f"_c{j}").cast("double") for j in range(dim)]
-                ).alias("_c"),
+        if any(e is None for e in c):
+            nrm = None
+        else:
+            acc = 0.0
+            for e in c:
+                acc += e * e
+            nrm = math.sqrt(acc)
+        if nrm is not None and nrm > 0:
+            w = [e / nrm for e in c]
+        else:
+            w = [None] * dim
+        lam = nrm
+    # eigenvalue via IEEE double division (Python raises on /0.0 where
+    # DOUBLE yields inf/NaN — replicate the expression-form result)
+    if lam is None:
+        ev: float | None = None
+    else:
+        den = float(n - 1)
+        if den == 0.0:
+            ev = float("nan") if lam == 0.0 else math.copysign(
+                float("inf"), lam
             )
-        )
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform(F.col("_c"), lambda e: e * e),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
-            )
-        )
-        state = crow.select(
-            "_mu",
-            "_n",
-            F.when(
-                norm > 0,
-                F.transform(F.col("_c"), lambda e: e / norm),
-            )
-            .otherwise(
-                F.transform(
-                    F.col("_c"), lambda e: F.lit(None).cast("double")
-                )
-            )
-            .alias("_w"),
-            norm.alias("_lam"),
-        ).localCheckpoint(eager=True)
-    out = state.select(
-        F.posexplode("_w").alias("_p", "_wv"),
-        (F.col("_lam") / (F.col("_n") - 1).cast("double")).alias("_ev"),
+        else:
+            ev = lam / den
+    rows = [(j + 1, w[j], ev) for j in range(dim)]
+    out = df.sparkSession.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
     )
     return out.select(
-        (F.col("_p") + 1).cast("int").alias("dim"),
-        F.round("_wv", 6).alias("loading"),
-        F.round("_ev", 6).alias("eigenvalue"),
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
     ).orderBy("dim")
 
 

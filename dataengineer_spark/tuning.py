@@ -43,6 +43,10 @@ def array_lit(values) -> "Column":
     def render(v) -> str:
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(render(x) for x in v) + ")"
+        if v is None:
+            # typed NULL element (pca_power_top's degenerate-state arrays:
+            # a bare NULL in array() would type the array as VOID)
+            return "CAST(NULL AS DOUBLE)"
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, int):
