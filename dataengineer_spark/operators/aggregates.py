@@ -235,73 +235,72 @@ def percentiles_distributed(
         .where(F.col(col).isNotNull())  # SQL percentile semantics
         .repartitionByRange(n_part, *[F.col(k) for k in keys], F.col(col))
         .withColumn("_pid", F.spark_partition_id())
+        # lineage cut + one materialization: _pid must mean the same
+        # partition in the counts pass and the rank pass, and AQE may
+        # renumber the coalesced range partitions between jobs — the
+        # checkpoint freezes the computed _pid VALUES in the data, so
+        # both passes read identical assignments without round-tripping
+        # the result through the driver (blocks are reclaimed by the
+        # ContextCleaner when the frame is garbage collected)
+        .localCheckpoint(eager=True)
     )
-    ranged.persist()
-    try:
-        counts = (
-            ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()
+    counts = (
+        ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()
+    )
+    if not counts:
+        # empty input / all-NULL col: empty result with the REAL
+        # schema (createDataFrame from an empty list with name-only
+        # columns cannot infer types and raises)
+        fields = ", ".join(
+            f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
         )
-        if not counts:
-            # empty input / all-NULL col: empty result with the REAL
-            # schema (createDataFrame from an empty list with name-only
-            # columns cannot infer types and raises)
-            fields = ", ".join(
-                f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
-            )
-            probs_fields = ", ".join(f"p{int(p * 100)} double" for p in probs)
-            sep = ", " if fields and probs_fields else ""
-            return spark.createDataFrame([], fields + sep + probs_fields)
-        # cumulative offsets + totals per group (driver-side, control-plane)
-        offsets: list[tuple] = []
-        totals: dict[tuple, int] = {}
-        for r in counts:
-            g = tuple(r[k] for k in keys)
-            offsets.append((*g, r["_pid"], totals.get(g, 0)))
-            totals[g] = totals.get(g, 0) + r["count"]
-        off_df = spark.createDataFrame(
-            offsets, list(keys) + ["_pid", "_offset"]
-        )
-        # target ranks with interpolation weights per group and prob
-        targets: list[tuple] = []
-        for g, n in totals.items():
-            for p in probs:
-                pos = (n - 1) * p
-                lo, frac = int(pos // 1), pos % 1
-                targets.append((*g, int(p * 100), lo, 1.0 - frac))
-                if frac > 0:
-                    targets.append((*g, int(p * 100), lo + 1, frac))
-        tgt_df = spark.createDataFrame(
-            targets, [f"_t_{k}" for k in keys] + ["_prob", "_rank", "_weight"]
-        )
-        local_w = W.partitionBy(*keys, "_pid").orderBy(col)
-        global_rank = (
-            F.row_number().over(local_w) - 1 + F.col("_offset")
-        ).alias("_grank")
-        cond = F.col("_grank") == F.col("_rank")
-        for k in keys:
-            cond = cond & (F.col(k) == F.col(f"_t_{k}"))
-        picked = (
-            ranged.join(F.broadcast(off_df), [*keys, "_pid"])
-            .select(*keys, col, global_rank)
-            .join(F.broadcast(tgt_df), cond)
-            .groupBy(*keys)
-            .pivot("_prob", [int(p * 100) for p in probs])
-            .agg(F.sum(F.col(col) * F.col("_weight")))
-        )
-        out = picked.select(
-            *keys,
-            *[
-                F.col(str(int(p * 100))).alias(name)
-                for p, name in zip(probs, pct_col_names(probs))
-            ],
-        )
-        # materialize under the cache: _pid must mean the same partition in
-        # the counts pass and here, and AQE may renumber the coalesced
-        # range partitions between jobs. The result is groups × probs —
-        # control-plane sized — so collecting it is free.
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        ranged.unpersist()
+        probs_fields = ", ".join(f"p{int(p * 100)} double" for p in probs)
+        sep = ", " if fields and probs_fields else ""
+        return spark.createDataFrame([], fields + sep + probs_fields)
+    # cumulative offsets + totals per group (driver-side, control-plane)
+    offsets: list[tuple] = []
+    totals: dict[tuple, int] = {}
+    for r in counts:
+        g = tuple(r[k] for k in keys)
+        offsets.append((*g, r["_pid"], totals.get(g, 0)))
+        totals[g] = totals.get(g, 0) + r["count"]
+    off_df = spark.createDataFrame(
+        offsets, list(keys) + ["_pid", "_offset"]
+    )
+    # target ranks with interpolation weights per group and prob
+    targets: list[tuple] = []
+    for g, n in totals.items():
+        for p in probs:
+            pos = (n - 1) * p
+            lo, frac = int(pos // 1), pos % 1
+            targets.append((*g, int(p * 100), lo, 1.0 - frac))
+            if frac > 0:
+                targets.append((*g, int(p * 100), lo + 1, frac))
+    tgt_df = spark.createDataFrame(
+        targets, [f"_t_{k}" for k in keys] + ["_prob", "_rank", "_weight"]
+    )
+    local_w = W.partitionBy(*keys, "_pid").orderBy(col)
+    global_rank = (
+        F.row_number().over(local_w) - 1 + F.col("_offset")
+    ).alias("_grank")
+    cond = F.col("_grank") == F.col("_rank")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_t_{k}"))
+    picked = (
+        ranged.join(F.broadcast(off_df), [*keys, "_pid"])
+        .select(*keys, col, global_rank)
+        .join(F.broadcast(tgt_df), cond)
+        .groupBy(*keys)
+        .pivot("_prob", [int(p * 100) for p in probs])
+        .agg(F.sum(F.col(col) * F.col("_weight")))
+    )
+    return picked.select(
+        *keys,
+        *[
+            F.col(str(int(p * 100))).alias(name)
+            for p, name in zip(probs, pct_col_names(probs))
+        ],
+    )
 
 
 def approx_percentiles(

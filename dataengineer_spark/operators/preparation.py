@@ -753,42 +753,42 @@ def pps_systematic_sample(
         .where(F.col("_w") > 0)
         .repartitionByRange(n_part, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
+        # lineage cut + one materialization (same reason as the exact
+        # percentiles: _pid must mean the same partition in the sums
+        # pass and the selection pass) — the checkpoint freezes the
+        # computed _pid values in the data, so the returned frame stays
+        # LAZY and the sample never round-trips through the driver
+        # (with n in the millions the old collect was a driver hot spot)
+        .localCheckpoint(eager=True)
     )
-    ranged.persist()
-    try:
-        sums = ranged.groupBy("_pid").agg(F.sum("_w").alias("s")).orderBy("_pid").collect()
-        offsets, acc = [], 0
-        for r in sums:
-            offsets.append((r["_pid"], acc))
-            acc += r["s"]
-        total = acc
-        if total == 0:
-            # empty frame with the SAME schema as the non-empty path —
-            # a hardcoded `{id_col} long` would break unions/schema
-            # checks for non-long id columns on the all-zero-weights day
-            id_type = df.schema[id_col].dataType.simpleString()
-            return spark.createDataFrame(
-                [], f"{id_col} {id_type}, weight long"
-            )
-        off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
-        local = W.partitionBy("_pid").orderBy(id_col).rowsBetween(
-            W.unboundedPreceding, W.currentRow
+    sums = ranged.groupBy("_pid").agg(F.sum("_w").alias("s")).orderBy("_pid").collect()
+    offsets, acc = [], 0
+    for r in sums:
+        offsets.append((r["_pid"], acc))
+        acc += r["s"]
+    total = acc
+    if total == 0:
+        # empty frame with the SAME schema as the non-empty path —
+        # a hardcoded `{id_col} long` would break unions/schema
+        # checks for non-long id columns on the all-zero-weights day
+        id_type = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, weight long"
         )
-        cum = (F.sum("_w").over(local) + F.col("_offset")).alias("_cum")
-        out = (
-            ranged.join(F.broadcast(off_df), "_pid")
-            .select(id_col, F.col("_w").alias("weight"), cum)
-            .where(
-                F.expr(f"(_cum * {n}) div {total}")
-                > F.expr(f"((_cum - weight) * {n}) div {total}")
-            )
-            .select(id_col, "weight")
+    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    local = W.partitionBy("_pid").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (F.sum("_w").over(local) + F.col("_offset")).alias("_cum")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(id_col, F.col("_w").alias("weight"), cum)
+        .where(
+            F.expr(f"(_cum * {n}) div {total}")
+            > F.expr(f"((_cum - weight) * {n}) div {total}")
         )
-        # materialize under the cache (same reason as percentiles: _pid must
-        # mean the same partition in both jobs); result is <= n rows
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        ranged.unpersist()
+        .select(id_col, "weight")
+    )
 
 
 def equal_frequency_bin(
