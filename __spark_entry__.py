@@ -9318,7 +9318,9 @@ shared AS (
   SELECT query, CAST(count(*) AS BIGINT) AS n_overlap, sum(w) AS ws
   FROM shared GROUP BY query
 ), base AS (
-  SELECT DISTINCT query_id AS query FROM ra
+  SELECT query_id AS query FROM ra
+  UNION
+  SELECT query_id AS query FROM rb
 )
 SELECT base.query,
   CAST(coalesce(per_q.n_overlap, 0) AS BIGINT) AS n_overlap,
@@ -10135,9 +10137,13 @@ def _embed_outliers_oracle() -> str:
     )
     sim9 = "CAST(round(sim, 9) AS DECIMAL(10,9))"
     return f"""
-WITH e AS (
+WITH e0 AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE embedding IS NOT NULL
+), e AS (
+  SELECT v[1:{dim}] AS v FROM e0
+  WHERE len(v) >= {dim}
+    AND len(list_filter(v[1:{dim}], e -> e IS NULL)) = 0
 ), lits AS (
   SELECT CAST({cm} AS DOUBLE[][]) AS cm
 ), bk AS (
@@ -10374,11 +10380,12 @@ WITH sizes AS (
     count(*) AS n
   FROM customer GROUP BY c_nationkey, c_mktsegment, c_custkey % 7
 )
-SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
   CAST(count(*) AS BIGINT) AS n_classes,
-  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
     AS n_small_classes,
-  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
+    AS rows_at_risk,
   CAST(min(n) AS BIGINT) AS min_class_size,
   round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
     / CAST(sum(n) AS DOUBLE), 6) AS risk_share

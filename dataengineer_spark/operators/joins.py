@@ -716,12 +716,18 @@ def sorted_neighborhood_pairs(
         coarse.alias("_blk"),
     ).where(F.col("_k").isNotNull())
     w = W.partitionBy("_blk").orderBy(F.col("_k").asc(), F.col("_id").asc())
-    # persisted: both sides of the rank-offset self-join read `ranked`,
-    # and without the persist the scan + per-block sort + window run
-    # TWICE (exchange reuse dedupes the shuffle, not the upstream
-    # work).  Compact (ids + keys + rank); caller owns cleanup, same
-    # contract as the minhash candidate sets.
-    ranked = base.withColumn("_rn", F.row_number().over(w)).persist()
+    # lazily checkpointed: both sides of the rank-offset self-join read
+    # `ranked`, and without materialization the scan + per-block sort +
+    # window run TWICE (exchange reuse dedupes the shuffle, not the
+    # upstream work).  localCheckpoint rather than persist because the
+    # operator returns no handle to the internal frame — a persist
+    # could never be unpersisted by callers and would pin the blocks
+    # until the session died (review-caught); checkpoint blocks are
+    # reclaimed by the ContextCleaner once the returned frame is
+    # garbage collected.  Compact (ids + keys + rank).
+    ranked = base.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     left = ranked.select(
         F.col("_blk"),
         F.col("_id").alias("id_a"),

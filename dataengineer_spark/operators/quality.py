@@ -817,18 +817,25 @@ def k_anonymity_report(
     Scale shape: one exact group-size aggregate on the quasi columns,
     then a one-row summary over the class-cardinality frame.  Output:
     (n_rows, n_classes, n_small_classes, rows_at_risk, min_class_size,
-    risk_share) — risk_share rounded to 6.
+    risk_share) — risk_share rounded to 6.  On EMPTY input the
+    count-like outputs coalesce to 0 rather than NULL (the
+    functional_dependency_report contract: an ``n_small_classes > 0``
+    consumer would otherwise go quiet); min_class_size and risk_share
+    stay NULL — there is no minimum or share of nothing.
     """
     if k <= 1:
         raise ValueError(f"k_anonymity_report: k > 1 required, got {k}")
     sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
     return sizes.agg(
-        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_classes"),
-        F.sum((F.col("_n") < k).cast("int")).cast("bigint").alias(
-            "n_small_classes"
-        ),
-        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        F.coalesce(F.sum((F.col("_n") < k).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_small_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("rows_at_risk"),
         F.min("_n").cast("bigint").alias("min_class_size"),

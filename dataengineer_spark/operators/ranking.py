@@ -303,13 +303,21 @@ def ranking_eval(
 
     Input: one row per (query, candidate) with a 1-based integer
     ``rank_col`` (the system's ordering) and an integer graded relevance
-    ``rel_col`` >= 0.  Rows past rank ``k`` are ignored.
+    ``rel_col`` >= 0.  Rows past rank ``k`` contribute nothing to DCG,
+    hits, or RR — but they DO compete for the ideal ranking: IDCG is
+    the textbook one, computed over the FULL judged candidate set (top
+    ``k`` of all candidates re-ranked by relevance), so a relevant
+    judged item the system buried past rank ``k`` deflates nDCG
+    instead of silently inflating it (review-caught: the earlier form
+    dropped rows past ``k`` before the ideal re-rank, disagreeing with
+    standard nDCG whenever relevant candidates fell outside the
+    system's top-k).
 
     Exactness: gains ``2^rel - 1`` are exact small integers; discounts
     come from :func:`ndcg_discounts` as plan literals, so every product
     is an IEEE-defined double on any engine and only the (rounded)
-    per-query sums are float-order sensitive.  IDCG re-ranks the SAME
-    candidate set by relevance (window over the query key — the same
+    per-query sums are float-order sensitive.  IDCG re-ranks the same
+    judged set by relevance (window over the query key — the same
     hash partitioning the final aggregate uses, so the two wide stages
     share one shuffle); a permutation tie in that window cannot change
     the IDCG sum (equal gains swap positions).
@@ -319,7 +327,7 @@ def ranking_eval(
     (query, hits, dcg, idcg, ndcg, rr), rounded to 6.
     """
     disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
-    capped = ranked.where(F.col(rank_col) <= k).select(
+    base = ranked.select(
         F.col(query_col).alias("query"),
         F.col(rank_col).cast("int").alias("_rk"),
         F.col(rel_col).cast("int").alias("_rel"),
@@ -328,11 +336,20 @@ def ranking_eval(
     w = Window.partitionBy("query").orderBy(
         F.col("_rel").desc(), F.col("_rk").asc()
     )
-    scored = capped.withColumn("_irk", F.row_number().over(w)).select(
+    in_k = F.col("_rk") <= k
+    scored = base.withColumn("_irk", F.row_number().over(w)).select(
         "query",
-        (gain * F.element_at(disc, F.col("_rk"))).alias("_dg"),
-        (gain * F.element_at(disc, F.col("_irk"))).alias("_ig"),
-        F.when(F.col("_rel") > 0, F.col("_rk")).alias("_hit_rk"),
+        # CASE guards double as the element_at bound check (ANSI mode:
+        # an unconditional lookup at a rank past len(disc) would raise)
+        F.when(in_k, gain * F.element_at(disc, F.col("_rk")))
+        .otherwise(F.lit(0.0))
+        .alias("_dg"),
+        F.when(
+            F.col("_irk") <= k, gain * F.element_at(disc, F.col("_irk"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_ig"),
+        F.when((F.col("_rel") > 0) & in_k, F.col("_rk")).alias("_hit_rk"),
     )
     agg = scored.groupBy("query").agg(
         F.count("_hit_rk").alias("hits"),
@@ -393,9 +410,12 @@ def rbo_overlap(
     Inputs carry (query, item id, 1-based rank); rows past ``k`` are
     ignored.  Per query: inner-join the two top-k lists on the item id,
     weight each shared item by its entry depth ``max(rank_a, rank_b)``
-    via the :func:`rbo_weights` literal, sum, scale by (1-p).  Queries
-    with disjoint lists keep a row (rbo = 0) through the left join from
-    ranking A's query set.
+    via the :func:`rbo_weights` literal, sum, scale by (1-p).  The base
+    query set is the UNION of both rankings' query sets, so the metric
+    is symmetric: a query present in only one ranking keeps a row with
+    rbo = 0 (review-caught — anchoring on ranking A alone silently
+    dropped B-only queries, making the comparison asymmetric).
+    Queries with disjoint lists likewise keep a row (rbo = 0).
 
     Scale shape: two rank-capped inputs equi-join on (query, id) — one
     shuffle each, candidate-set-sized; the weight lookup is map-side;
@@ -420,7 +440,7 @@ def rbo_overlap(
         F.count("*").alias("n_overlap"),
         F.sum("_w").alias("_ws"),
     )
-    base = a.select("query").distinct()
+    base = a.select("query").union(b.select("query")).distinct()
     return base.join(per_q, "query", "left").select(
         "query",
         F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),

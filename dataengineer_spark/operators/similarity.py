@@ -1538,7 +1538,13 @@ def embedding_outlier_report(
 
     Affinity = best_dot/|v| (centroids are unit-norm, so this is the
     cosine to the assigned centroid); zero-norm vectors have no
-    affinity and are excluded up front.  Cell moments are DECIMAL-exact
+    affinity and are excluded up front, and — the pca_power_top guard —
+    so are NULL, short, and NULL-element vectors: a ragged vector's
+    dot against a ``dim``-length centroid is NULL, so without the
+    guard the row would still pass the norm filter and inflate its
+    cell's ``n`` via count(*) while contributing nothing to the moment
+    sums, biasing mean/std low and making the row unflaggable
+    (review-caught).  Cell moments are DECIMAL-exact
     (per-row affinities rounded to 9 then summed — float order can
     never leak), the stddev clamps at zero before the sqrt (the
     paired-t lesson), and the flag compares against the same exact
@@ -1555,7 +1561,15 @@ def embedding_outlier_report(
         else _centroids(dim, n_centroids, seed)
     )
     v = F.col(vec_col).cast("array<double>")
-    base = df.where(F.col(vec_col).isNotNull()).select(v.alias("_v"))
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.size(v) >= dim)
+        .where(~F.exists(F.slice(v, 1, dim), lambda e: e.isNull()))
+        # slice to dim so the norm below covers exactly the slots the
+        # dot products cover (a longer vector's tail must not dilute
+        # its cosine)
+        .select(F.slice(v, 1, dim).alias("_v"))
+    )
     best = F.array_max(_cell_scores(F.col("_v"), cents))
     nrm = l2_norm(F.col("_v"))
     assigned = base.select(

@@ -2856,15 +2856,21 @@ class TestRankingEval:
         assert row["dcg"] == 0.0 and row["idcg"] == 0.0
         assert row["ndcg"] is None and row["rr"] is None
 
-    def test_rows_past_k_ignored(self, spark):
-        from dataengineer_spark.operators.ranking import ranking_eval
+    def test_rows_past_k_deflate_ndcg_via_ideal(self, spark):
+        from dataengineer_spark.operators.ranking import ndcg_discounts, ranking_eval
 
         df = spark.createDataFrame(
             [("q", 1, 1), ("q", 2, 0), ("q", 3, 2)], ["q", "rk", "rel"]
         )
         row = ranking_eval(df, "q", "rk", "rel", k=2).collect()[0]
-        # the rel=2 item at rank 3 is outside the cut entirely
-        assert row["hits"] == 1 and row["rr"] == 1.0 and row["ndcg"] == 1.0
+        # the rel=2 item at rank 3 contributes nothing to DCG/hits/RR,
+        # but the IDEAL ranking may use it (textbook nDCG): ideal top-2
+        # is [rel 2, rel 1], so the system's burial shows up as ndcg < 1
+        assert row["hits"] == 1 and row["rr"] == 1.0
+        d = ndcg_discounts(2)
+        assert abs(row["dcg"] - 1.0 * d[0]) < 1e-6
+        assert abs(row["idcg"] - (3.0 * d[0] + 1.0 * d[1])) < 1e-6
+        assert row["ndcg"] < 1.0
 
 
 class TestRboOverlap:
@@ -2888,6 +2894,20 @@ class TestRboOverlap:
         out = rbo_overlap(a, b, "q", "item", "rk", k=10, p=0.9).collect()
         assert len(out) == 1
         assert out[0]["rbo"] == 0.0 and out[0]["n_overlap"] == 0
+
+    def test_one_sided_queries_keep_rows_both_ways(self, spark):
+        from dataengineer_spark.operators.ranking import rbo_overlap
+
+        # qa only in ranking A, qb only in ranking B: the base is the
+        # UNION of both query sets, so both keep an rbo=0 row
+        a = spark.createDataFrame([("qa", 1, 1)], ["q", "item", "rk"])
+        b = spark.createDataFrame([("qb", 1, 1)], ["q", "item", "rk"])
+        out = {
+            r["query"]: r
+            for r in rbo_overlap(a, b, "q", "item", "rk", k=10, p=0.9).collect()
+        }
+        assert set(out) == {"qa", "qb"}
+        assert all(r["rbo"] == 0.0 and r["n_overlap"] == 0 for r in out.values())
 
     def test_weights_decompose_depth_sum(self):
         from dataengineer_spark.operators.ranking import rbo_weights
@@ -3653,6 +3673,23 @@ class TestEmbeddingOutlierReport:
         ).collect()
         assert sum(r["n"] for r in out) == 2
 
+    def test_ragged_vectors_excluded_from_cell_moments(self, spark):
+        """Short / NULL-element vectors must not inflate a cell's n
+        while contributing nothing to its moment sums (the NULL-_sim
+        bias: mean/std read low, the row itself can never be flagged)."""
+        from dataengineer_spark.operators.similarity import (
+            embedding_outlier_report,
+        )
+
+        rows = [([1.0, 0.0],), ([0.9, 0.1],), ([1.0],), ([1.0, None],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = embedding_outlier_report(
+            df, "embedding", dim=2, n_centroids=2, seed=7
+        ).collect()
+        # only the two complete vectors participate anywhere
+        assert sum(r["n"] for r in out) == 2
+        assert all(r["mean_sim"] is not None for r in out)
+
     def test_single_member_cell_null_std(self, spark):
         from dataengineer_spark.operators.similarity import (
             embedding_outlier_report,
@@ -3846,6 +3883,18 @@ class TestKAnonymityReport:
         df = spark.createDataFrame([("a",)], ["q1"])
         with pytest.raises(ValueError):
             k_anonymity_report(df, ["q1"], k=1)
+
+    def test_empty_input_zero_counts_null_extrema(self, spark):
+        """Count-like outputs coalesce to 0 on empty input (the
+        functional_dependency_report contract — a `n_small_classes > 0`
+        consumer must not go quiet on NULL); min/share stay NULL."""
+        from dataengineer_spark.operators.quality import k_anonymity_report
+
+        df = spark.createDataFrame([], "q1 string, q2 int")
+        r = k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+        assert r["n_rows"] == 0 and r["n_classes"] == 0
+        assert r["n_small_classes"] == 0 and r["rows_at_risk"] == 0
+        assert r["min_class_size"] is None and r["risk_share"] is None
 
 
 class TestBurstinessReport:
