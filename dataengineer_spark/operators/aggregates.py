@@ -920,10 +920,15 @@ def bradley_terry(
     normalized to sum to ``total_rating`` at the end.
 
     Scale shape: battles reduce to the unordered pair-count matrix in
-    ONE corpus-sized aggregate; every MM iteration then runs on that
-    matrix — at most K² rows for K contestants (a leaderboard, not a
-    corpus) — as two tiny self-joins per iteration, all
-    broadcast-sized.  Nothing corpus-sized is ever collected.
+    ONE corpus-sized aggregate, materialized once by a localCheckpoint
+    (≤ 2K² rows for K contestants — a leaderboard, not a corpus);
+    every MM iteration then runs on that checkpoint as two tiny
+    broadcast self-joins, its own 1-pass output checkpointed in turn.
+    Without the lineage cuts each iteration re-nested the corpus
+    aggregate under every state reference (77 exchanges at iters=2,
+    wall dominated by Catalyst, the pca_power_top lesson); the cuts
+    change scheduling only, never values.  Nothing corpus-sized is
+    ever collected.  Effectful-at-build (the kmeans contract).
 
     Output: (model, n_battles, wins, rating) ordered by rating desc,
     model asc; rating rounded to 6.
@@ -955,18 +960,22 @@ def bradley_terry(
     # per-contestant side expansion: each pair contributes a win count
     # and an opponent row to BOTH sides — the frame every iteration
     # (and the final W_i / n_i accounting) aggregates from
-    sides = pairs.select(
-        F.col("_lo").alias("model"),
-        F.col("_hi").alias("_opp"),
-        F.col("_n"),
-        F.col("_lo_wins").alias("_wins"),
-    ).unionByName(
+    sides = (
         pairs.select(
-            F.col("_hi").alias("model"),
-            F.col("_lo").alias("_opp"),
+            F.col("_lo").alias("model"),
+            F.col("_hi").alias("_opp"),
             F.col("_n"),
-            (F.col("_n") - F.col("_lo_wins")).alias("_wins"),
+            F.col("_lo_wins").alias("_wins"),
         )
+        .unionByName(
+            pairs.select(
+                F.col("_hi").alias("model"),
+                F.col("_lo").alias("_opp"),
+                F.col("_n"),
+                (F.col("_n") - F.col("_lo_wins")).alias("_wins"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     ratings = sides.select("model").distinct().select(
         "model", F.lit(1.0).alias("_pi")
@@ -995,7 +1004,7 @@ def bradley_terry(
                 ),
                 F.lit(0.0),
             ).alias("_pi")
-        )
+        ).localCheckpoint(eager=True)  # K rows — control-plane-sized
     stats = sides.groupBy("model").agg(
         F.sum("_n").cast("bigint").alias("n_battles"),
         F.sum("_wins").cast("bigint").alias("wins"),
