@@ -52,7 +52,7 @@ from dataengineer_spark.plans.prostate import run_prostate
 from dataengineer_spark.schemas import PROSTATE_PRED_FIELDS
 from dataengineer_spark.sources.files import read_csv, write_csv
 from dataengineer_spark.sources.records import from_records
-from dataengineer_spark.sources.rest import RestSource
+from dataengineer_spark.sources.rest import RestSink, RestSource
 
 # ---------------------------------------------------------------------------
 # shared constants / SQL fragments (one definition, both engines)
@@ -260,9 +260,37 @@ FROM pred p JOIN {_label_dim_values()} ON p.h % 16 = l.label
 """
 
 
+def _marker_post_fn(marker_dir: str):
+    """Executor-side POST stand-in: one marker file per batch POSTed
+    (the tests' RestSink contract) — lets the flagship exercise the K4
+    upload path end-to-end without a live endpoint."""
+
+    def post(url: str, params: dict) -> list:
+        import os
+        import uuid as _uuid
+
+        with open(os.path.join(marker_dir, _uuid.uuid4().hex), "w") as fh:
+            fh.write(str(len(params["records"])))
+        return []
+
+    return post
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _flagship(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Finishes with the API-variant publish (K4, reference
+    diagnostic_group_pipeline_with_api.py upload step): the result
+    frame is POSTed batch-wise through ``RestSink.upload`` (the
+    ``foreachPartition`` bulk path) against a local marker-dir post_fn
+    before being returned, so the driver smoke covers the last
+    otherwise-unsmoked sink.  The returned frame is unchanged."""
+    out = _flagship(spark, "/root/testdata/sf0.001")
+    marker_dir = tempfile.mkdtemp(prefix="spark_graft_rest_publish_")
+    RestSink("local://publish", post_fn=_marker_post_fn(marker_dir)).upload(
+        out, batch_size=500
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
