@@ -175,6 +175,19 @@ class TestAggregates:
         # n=501 → (n-1)*0.5 = 250 exactly: median is the middle element
         assert round(vals[250], 6) == exact["a"][1]
 
+    def test_percentiles_distributed_stable_across_reevaluations(self, spark):
+        """Lazy result (localCheckpoint _pid pinning, no driver
+        round-trip): two evaluations of the same returned frame must
+        agree exactly."""
+        rows = [("g%d" % (i % 3), float((i * 13) % 97)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+        out = agg_ops.percentiles_distributed(
+            df, ["g"], "v", [0.5, 0.9], n_partitions=4
+        )
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(tuple(r) for r in out.collect())
+        assert a == b and len(a) == 3
+
     def test_percentiles_ignore_nulls(self, spark):
         # SQL semantics: NULL values don't participate. Ranked first they'd
         # absorb the target ranks and return 0.0 instead of the median.

@@ -344,6 +344,20 @@ class TestPpsSample:
         }
         assert a == b
 
+    def test_returned_frame_stable_across_reevaluations(self, spark):
+        """The returned frame is LAZY (no driver round-trip since the
+        localCheckpoint rewrite) — re-evaluating it must yield the
+        identical sample, i.e. the checkpointed `_pid` assignment can
+        never be recomputed differently between actions."""
+        from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+        rows = [(i, (i * 17) % 30 + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w long").repartition(5)
+        out = pps_systematic_sample(df, "doc_id", "w", n=15, n_part=4)
+        a = sorted((r["doc_id"], r["weight"]) for r in out.collect())
+        b = sorted((r["doc_id"], r["weight"]) for r in out.collect())
+        assert a == b and len(a) > 0
+
     def test_zero_and_negative_weights_are_excluded(self, spark):
         from dataengineer_spark.operators.preparation import pps_systematic_sample
 
