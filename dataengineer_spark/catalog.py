@@ -17,6 +17,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from dataengineer_spark.tuning import lineage_cut
+
 
 from dataengineer_spark import schemas as S
 
@@ -221,7 +223,7 @@ class Catalog:
         else:
             # object store: materialize first (cut lineage from the files
             # about to be replaced), then dynamic partition overwrite
-            staged = df.repartition(target_files).localCheckpoint()
+            staged = lineage_cut(df.repartition(target_files))
             (
                 staged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -301,7 +303,7 @@ class Catalog:
                 current.where(_partition_in(partition_col, touched))
                 .join(F.broadcast(incoming_keys), key_cols, "left_anti")
             )
-            merged = keep.unionByName(df).localCheckpoint()
+            merged = lineage_cut(keep.unionByName(df))
             (
                 merged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -415,7 +417,7 @@ class Catalog:
             keep = current.where(_partition_in(partition_col, touched)).join(
                 F.broadcast(touched_keys), key_cols, "left_anti"
             )
-            merged = keep.unionByName(upserts).localCheckpoint()
+            merged = lineage_cut(keep.unionByName(upserts))
             (
                 merged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataengineer_spark.tuning import lineage_cut
+
 
 def accuracy(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
     """A1 — fraction of rows where prediction equals truth.
@@ -230,7 +232,7 @@ def percentiles_distributed(
 
     spark = df.sparkSession
     n_part = n_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
+    ranged = lineage_cut(
         df.select(*keys, col)
         .where(F.col(col).isNotNull())  # SQL percentile semantics
         .repartitionByRange(n_part, *[F.col(k) for k in keys], F.col(col))
@@ -241,8 +243,9 @@ def percentiles_distributed(
         # checkpoint freezes the computed _pid VALUES in the data, so
         # both passes read identical assignments without round-tripping
         # the result through the driver (blocks are reclaimed by the
-        # ContextCleaner when the frame is garbage collected)
-        .localCheckpoint(eager=True)
+        # ContextCleaner when the frame is garbage collected; with a
+        # session checkpoint dir set, lineage_cut upgrades to the
+        # fault-tolerant reliable checkpoint)
     )
     counts = (
         ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()
@@ -960,7 +963,7 @@ def bradley_terry(
     # per-contestant side expansion: each pair contributes a win count
     # and an opponent row to BOTH sides — the frame every iteration
     # (and the final W_i / n_i accounting) aggregates from
-    sides = (
+    sides = lineage_cut(
         pairs.select(
             F.col("_lo").alias("model"),
             F.col("_hi").alias("_opp"),
@@ -975,7 +978,6 @@ def bradley_terry(
                 (F.col("_n") - F.col("_lo_wins")).alias("_wins"),
             )
         )
-        .localCheckpoint(eager=True)
     )
     ratings = sides.select("model").distinct().select(
         "model", F.lit(1.0).alias("_pi")
@@ -997,14 +999,16 @@ def bradley_terry(
                 F.when(denom > 0, F.col("_n") / denom).alias("_d"),
             )
         )
-        ratings = joined.groupBy("model").agg(
-            F.coalesce(
-                F.when(
-                    F.sum("_d") > 0, F.sum("_wins") / F.sum("_d")
-                ),
-                F.lit(0.0),
-            ).alias("_pi")
-        ).localCheckpoint(eager=True)  # K rows — control-plane-sized
+        ratings = lineage_cut(
+            joined.groupBy("model").agg(
+                F.coalesce(
+                    F.when(
+                        F.sum("_d") > 0, F.sum("_wins") / F.sum("_d")
+                    ),
+                    F.lit(0.0),
+                ).alias("_pi")
+            )
+        )  # K rows — control-plane-sized
     stats = sides.groupBy("model").agg(
         F.sum("_n").cast("bigint").alias("n_battles"),
         F.sum("_wins").cast("bigint").alias("wins"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dataengineer_spark.tuning import lineage_cut
+
 
 # deterministic affine-hash modulus for the MinHash family: the Mersenne
 # prime 2^31-1 keeps a·h + b within int64 under ANSI overflow checking
@@ -519,19 +521,18 @@ def connected_components(
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates().persist()
-    labels = (
+    labels = lineage_cut(
         edges.select("a").dropDuplicates()
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
-        .localCheckpoint()
     )
     try:
         for i in range(max_iter):
             nbr = edges.join(
                 labels, edges.b == labels.node
             ).select(F.col("a").alias("node"), F.col("label"))
-            new_labels = (
+            new_labels = lineage_cut(
                 labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-            ).localCheckpoint()
+            )
             if i == 0:
                 # round 0 always changes something on a non-empty graph
                 # (every edge endpoint sees a neighbor label for the first

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataengineer_spark.tuning import lineage_cut
+
 
 def pagerank(
     edges: DataFrame,
@@ -75,8 +77,8 @@ def pagerank(
         e.select(F.col("_src").alias("node"))
         .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = lineage_cut(nodes)
     # control-plane scalar (node count), same pattern as the engine's
     # other documented driver-side scalars (aggregates.py partition counts)
     n_nodes = nodes.count()
@@ -111,7 +113,7 @@ def pagerank(
             F.coalesce("rank", F.round(F.lit(base), 12)).alias("rank"),
         )
         if i % checkpoint_every == 0 and i < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = lineage_cut(ranks)
     # caller owns unpersist of nothing: e/e_deg stay cached only until
     # the returned plan executes; they are cheap to drop on session GC
     return ranks.select("node", F.round("rank", 8).alias("rank"))
@@ -238,6 +240,6 @@ def bfs_distances(
         dist = dist.unionByName(nxt)
         frontier = nxt
         if depth % checkpoint_every == 0 and depth < max_depth:
-            dist = dist.localCheckpoint()
-            frontier = frontier.localCheckpoint()
+            dist = lineage_cut(dist)
+            frontier = lineage_cut(frontier)
     return dist

@@ -15,6 +15,8 @@ import functools
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 
+from dataengineer_spark.tuning import lineage_cut
+
 
 def label_join(
     facts: DataFrame,
@@ -725,8 +727,8 @@ def sorted_neighborhood_pairs(
     # until the session died (review-caught); checkpoint blocks are
     # reclaimed by the ContextCleaner once the returned frame is
     # garbage collected.  Compact (ids + keys + rank).
-    ranked = base.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    ranked = lineage_cut(
+        base.withColumn("_rn", F.row_number().over(w)), eager=False
     )
     left = ranked.select(
         F.col("_blk"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dataengineer_spark.tuning import lineage_cut
+
 
 SPLIT_MULT = 2654435761  # Knuth multiplicative-hash constant
 #: domain-separation salts: mixture decisions must not be correlated with
@@ -748,7 +750,7 @@ def pps_systematic_sample(
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    ranged = (
+    ranged = lineage_cut(
         df.select(id_col, F.col(weight_col).cast("long").alias("_w"))
         .where(F.col("_w") > 0)
         .repartitionByRange(n_part, F.col(id_col))
@@ -759,7 +761,6 @@ def pps_systematic_sample(
         # computed _pid values in the data, so the returned frame stays
         # LAZY and the sample never round-trips through the driver
         # (with n in the millions the old collect was a driver hot spot)
-        .localCheckpoint(eager=True)
     )
     sums = ranged.groupBy("_pid").agg(F.sum("_w").alias("s")).orderBy("_pid").collect()
     offsets, acc = [], 0

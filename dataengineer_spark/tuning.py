@@ -29,6 +29,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage: reliable ``checkpoint`` when the session has a
+    checkpoint dir configured, ``localCheckpoint`` otherwise.
+
+    ``localCheckpoint`` stores blocks on executors — fast, zero shared
+    storage, and exactly right on local[*] or when the caller can
+    re-run the job on executor loss.  On a 1000-executor cluster those
+    blocks die with their executor and the frame becomes unreadable
+    mid-job, so production deployments that care set
+    ``spark.sparkContext.setCheckpointDir(hdfs_path)`` once and every
+    lineage cut in the engine silently upgrades to the fault-tolerant
+    form.  Semantics (values, partitioning, the frozen
+    ``spark_partition_id`` assignments the percentile/PPS operators
+    rely on) are identical either way.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def array_lit(values) -> "Column":
     """Literal array column from a Python list (1-D numbers or 2-D nested).
 

@@ -2335,6 +2335,48 @@ class TestSeventhReviewEdgeCases:
         assert math.isnan(a[0]) and a[1] == float("inf") and a[2] == float("-inf")
         assert a[3] == 1.5
 
+    def test_array_lit_null_elements_typed_double(self, spark):
+        from dataengineer_spark.tuning import array_lit
+
+        row = spark.range(1).select(array_lit([None, 2.0]).alias("a")).first()
+        assert row["a"][0] is None and row["a"][1] == 2.0
+
+    def test_lineage_cut_upgrades_with_checkpoint_dir(self, spark, tmp_path):
+        """Every lineage cut in the engine goes through lineage_cut:
+        local blocks by default (local[*] / re-runnable jobs), RELIABLE
+        checkpoint when the session has a checkpoint dir — the
+        fault-tolerance knob for 1000-executor deployments where
+        localCheckpoint blocks die with their executor."""
+        import os
+
+        from dataengineer_spark.tuning import lineage_cut
+
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        assert spark.sparkContext.getCheckpointDir() is None
+        local = lineage_cut(df)
+        assert local.count() == 100
+        ckdir = str(tmp_path / "ck")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        try:
+            reliable = lineage_cut(df)
+            assert reliable.count() == 100
+            # blocks actually hit the shared-storage dir (the .rdd
+            # accessor wraps a fresh RDD, so isCheckpointed() on it
+            # can't witness the internal reliable checkpoint)
+            assert os.listdir(ckdir)
+            assert sorted(r["v"] for r in reliable.collect()) == sorted(
+                r["v"] for r in df.collect()
+            )
+        finally:
+            # PySpark exposes no unset API — clear the scala Option via
+            # py4j so the session-scoped fixture leaves no cross-test
+            # state (a leftover dir would silently upgrade every later
+            # lineage cut; semantics-preserving but not what the suite
+            # pins)
+            none_opt = spark._jvm.scala.Option.apply(None)
+            getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(none_opt)
+            assert spark.sparkContext.getCheckpointDir() is None
+
     def test_run_config_rejects_short_dates(self):
         import pytest
 
