@@ -5,10 +5,13 @@ password, port).get_data(sql, columns)`` with whole-query pushdown
 (reference dx_group.py:166-184) and a ``SqlserverConn`` sibling selected by
 a ``db_type`` enum (dx_group.py:18,281). Spark's JDBC reader pushes the
 same query down via ``option("query", sql)``; the dialect is a config
-string here too. No JDBC driver jars ship in this container, so these
-functions build the plan and fail only at execution against a live DB —
-tests cover config/URL construction, the parquet catalog is the default
-plane.
+string here too. No postgres/sql-server driver jars ship in this
+container, so the enum dialects are covered by config/URL-construction
+tests — but the reader/writer THEMSELVES are integration-tested live
+against embedded Apache Derby (ships inside the Spark distribution;
+``tests/test_sources.py::TestJdbcLiveDerby`` round-trips an append
+write, a whole-query pushdown, and the partitioned parallel fetch).
+The parquet catalog is the default data plane.
 
 Scale: a naive JDBC read is a single partition; ``partition_column`` +
 bounds fans the read out across executors.
