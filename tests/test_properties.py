@@ -745,3 +745,124 @@ class TestRankingEvalBounds:
         out_i = ranking_eval(df_i, "q", "rk", "rel", k=10).collect()[0]
         if out_i["ndcg"] is not None:
             assert out_i["ndcg"] == 1.0
+
+
+class TestRankingEvalPythonParity:
+    @given(
+        data=st.lists(  # per query: list of rels; rank = position + 1
+            st.lists(st.integers(min_value=0, max_value=3),
+                     min_size=1, max_size=12),
+            min_size=1, max_size=4,
+        ),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_textbook_python(self, spark, data, k):
+        """Spark ranking_eval vs an independent pure-Python textbook
+        nDCG@k (DCG over the system's top-k, IDCG over the FULL judged
+        set — the round-7 review fix) on generated graded rankings."""
+        from dataengineer_spark.operators.ranking import (
+            ndcg_discounts,
+            ranking_eval,
+        )
+
+        rows = [
+            (f"q{qi}", i + 1, r)
+            for qi, rels in enumerate(data)
+            for i, r in enumerate(rels)
+        ]
+        df = spark.createDataFrame(rows, ["q", "rk", "rel"])
+        got = {
+            r["query"]: r for r in ranking_eval(df, "q", "rk", "rel", k=k).collect()
+        }
+        disc = ndcg_discounts(k)
+        for qi, rels in enumerate(data):
+            items = [(i + 1, r) for i, r in enumerate(rels)]
+            dcg = sum((2.0 ** r - 1) * disc[rk - 1] for rk, r in items if rk <= k)
+            ideal = sorted(items, key=lambda x: (-x[1], x[0]))[:k]
+            idcg = sum((2.0 ** r - 1) * disc[i] for i, (_, r) in enumerate(ideal))
+            hits = sum(1 for rk, r in items if r > 0 and rk <= k)
+            first = min((rk for rk, r in items if r > 0 and rk <= k), default=None)
+            row = got[f"q{qi}"]
+            assert row["hits"] == hits
+            assert abs(row["dcg"] - dcg) <= 1e-6
+            assert abs(row["idcg"] - idcg) <= 1e-6
+            if idcg > 0:
+                assert abs(row["ndcg"] - dcg / idcg) <= 1e-6
+            else:
+                assert row["ndcg"] is None
+            if first is None:
+                assert row["rr"] is None
+            else:
+                assert abs(row["rr"] - 1.0 / first) <= 1e-6
+
+
+class TestRboPythonParity:
+    @given(
+        perm_a=st.permutations(list(range(12))),
+        perm_b=st.permutations(list(range(12))),
+        k=st.integers(min_value=1, max_value=10),
+        cut_b=st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_direct_formula(self, spark, perm_a, perm_b, k, cut_b):
+        """Spark rbo_overlap vs the direct truncated-RBO definition
+        (1-p)·Σ p^(d-1)·X_d/d with X_d the overlap of the depth-d
+        prefixes — including ragged list lengths (B cut short)."""
+        from dataengineer_spark.operators.ranking import rbo_overlap
+
+        p = 0.9
+        a = spark.createDataFrame(
+            [("q", it, rk + 1) for rk, it in enumerate(perm_a)],
+            ["q", "item", "rk"],
+        )
+        b_items = list(perm_b)[:cut_b]
+        b = spark.createDataFrame(
+            [("q", it, rk + 1) for rk, it in enumerate(b_items)],
+            ["q", "item", "rk"],
+        )
+        row = rbo_overlap(a, b, "q", "item", "rk", k=k, p=p).collect()[0]
+        direct = 0.0
+        for d in range(1, k + 1):
+            xd = len(set(perm_a[:d]) & set(b_items[:d]))
+            direct += p ** (d - 1) * xd / d
+        direct *= 1.0 - p
+        assert abs(row["rbo"] - direct) <= 1e-6
+        assert row["n_overlap"] == len(set(perm_a[:k]) & set(b_items[:k]))
+
+
+class TestPpsPythonParity:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),  # id
+                st.integers(min_value=-5, max_value=5_000),  # weight
+            ),
+            min_size=1, max_size=60, unique_by=lambda t: t[0],
+        ),
+        n=st.integers(min_value=1, max_value=20),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_integer_reference(self, spark, rows, n):
+        """Spark pps_systematic_sample vs the pure-integer reference
+        cumsum/threshold rule — must agree EXACTLY on any partitioning
+        (the operator's core determinism claim, preserved across the
+        round-7 localCheckpoint rewrite)."""
+        from dataengineer_spark.operators.preparation import pps_systematic_sample
+
+        df = spark.createDataFrame(rows, "doc_id long, w long").repartition(3)
+        got = sorted(
+            (r["doc_id"], r["weight"])
+            for r in pps_systematic_sample(df, "doc_id", "w", n=n, n_part=4).collect()
+        )
+        pos = sorted((i, w) for i, w in rows if w > 0)
+        total = sum(w for _, w in pos)
+        want, cum = [], 0
+        for i, w in pos:
+            lo, cum = cum, cum + w
+            if total and (cum * n) // total > (lo * n) // total:
+                want.append((i, w))
+        assert got == want
