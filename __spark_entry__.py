@@ -103,8 +103,10 @@ EFFECTFUL_QUERIES = {
     "q_e11_stream_neardup",  # streaming run + lake writes
     "q_e11_stream_neardup_arrow",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
-    "q_e3_pca_power",  # 1-row localCheckpoint lineage cuts per iteration
-    "q_e3_pca_power1",  # same lineage cuts, single iteration
+    "q_e3_pca_power",  # dim-row control-plane collects per iteration
+    "q_e3_pca_power1",  # same collects, single iteration
+    "q_a10_bradley_terry",  # pair matrix + MM states checkpointed at build
+    "q_prep_pps_sample",  # ranged frame checkpointed at build (_pid pin)
 }
 
 #: theta joins that plan as BroadcastNestedLoop but whose BOTH sides are
