@@ -260,7 +260,10 @@ def main() -> None:
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
     n = (max(rounds) if rounds else 0) + 1
-    detail = os.path.join(repo, f"BENCH_DETAIL_r{n:02d}.json")
+    # non-default scale runs (e.g. the sf1 10x sweep) get their own file
+    # so they never clobber the driver-scale detail
+    tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{sf:g}"
+    detail = os.path.join(repo, f"BENCH_DETAIL_r{n:02d}{tag}.json")
     try:
         with open(detail, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
