@@ -18,6 +18,7 @@ Oracle-parity notes:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -286,12 +287,24 @@ def entry(spark: SparkSession) -> DataFrame:
     frame is POSTed batch-wise through ``RestSink.upload`` (the
     ``foreachPartition`` bulk path) against a local marker-dir post_fn
     before being returned, so the driver smoke covers the last
-    otherwise-unsmoked sink.  The returned frame is unchanged."""
-    out = _flagship(spark, "/root/testdata/sf0.001")
+    otherwise-unsmoked sink.  The frame is persisted across the two
+    actions (upload here, the driver's collect after return) so the
+    flagship plan executes once, and the marker dir — whose only job
+    is proving the executors POSTed — is removed before returning
+    (review-caught: an un-cleaned mkdtemp accumulated across smoke
+    runs).  The returned frame's values are unchanged."""
+    import shutil
+
+    out = _flagship(spark, "/root/testdata/sf0.001").persist()
     marker_dir = tempfile.mkdtemp(prefix="spark_graft_rest_publish_")
-    RestSink("local://publish", post_fn=_marker_post_fn(marker_dir)).upload(
-        out, batch_size=500
-    )
+    try:
+        RestSink(
+            "local://publish", post_fn=_marker_post_fn(marker_dir)
+        ).upload(out, batch_size=500)
+        if not os.listdir(marker_dir):
+            raise RuntimeError("K4 publish produced no POST markers")
+    finally:
+        shutil.rmtree(marker_dir, ignore_errors=True)
     return out
 
 

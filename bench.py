@@ -248,18 +248,28 @@ def main() -> None:
     # The driver's BENCH_r{N}.json artifact keeps only a ~2,000-char tail
     # of stdout, so only the last ~70 of the per-query timings survive and
     # cross-round comparison is mostly blind (VERDICT r6 item 3).  Persist
-    # the FULL timing map to the repo as BENCH_DETAIL_r{N}.json, inferring
-    # N as 1 + the highest committed driver BENCH_r{N}.json (bench runs at
-    # round close, after the prior round's artifact landed).
+    # the FULL timing map to the repo as BENCH_DETAIL_r{N}.json.  N comes
+    # from the driver's own PROGRESS.jsonl (its last line carries the
+    # CURRENT round), so a re-run after this round's BENCH_r{N}.json has
+    # landed still labels itself correctly; the max(BENCH_r*)+1 fallback
+    # covers checkouts without a progress log.
     repo = os.path.dirname(os.path.abspath(__file__))
     import re
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(repo)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-    ]
-    n = (max(rounds) if rounds else 0) + 1
+    n = None
+    try:
+        with open(os.path.join(repo, "PROGRESS.jsonl")) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        n = int(json.loads(lines[-1])["round"])
+    except (OSError, ValueError, KeyError, IndexError):
+        pass
+    if n is None:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        n = (max(rounds) if rounds else 0) + 1
     # non-default scale runs (e.g. the sf1 10x sweep) get their own file
     # so they never clobber the driver-scale detail
     tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{sf:g}"

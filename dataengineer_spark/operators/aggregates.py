@@ -217,7 +217,8 @@ def percentiles_distributed(
     (keys, value), so each task sorts only its bounded value slice:
 
     1. ``repartitionByRange(keys + [col])`` → value-contiguous slices,
-       persisted so both passes see one materialization;
+       checkpointed (``lineage_cut``) so both passes read one frozen
+       materialization;
     2. per-(group, slice) row counts → driver (groups × slices rows —
        control-plane sized) → cumulative offsets per group;
     3. local ``row_number`` within each slice + broadcast offset = exact
@@ -242,10 +243,10 @@ def percentiles_distributed(
         # renumber the coalesced range partitions between jobs — the
         # checkpoint freezes the computed _pid VALUES in the data, so
         # both passes read identical assignments without round-tripping
-        # the result through the driver (blocks are reclaimed by the
-        # ContextCleaner when the frame is garbage collected; with a
-        # session checkpoint dir set, lineage_cut upgrades to the
-        # fault-tolerant reliable checkpoint)
+        # the result through the driver (blocks/files are reclaimed on
+        # frame GC — ContextCleaner for local blocks, cleanCheckpoints
+        # for the fault-tolerant reliable branch a session checkpoint
+        # dir switches on)
     )
     counts = (
         ranged.groupBy(*keys, "_pid").count().orderBy(*keys, "_pid").collect()

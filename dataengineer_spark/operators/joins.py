@@ -718,15 +718,19 @@ def sorted_neighborhood_pairs(
         coarse.alias("_blk"),
     ).where(F.col("_k").isNotNull())
     w = W.partitionBy("_blk").orderBy(F.col("_k").asc(), F.col("_id").asc())
-    # lazily checkpointed: both sides of the rank-offset self-join read
-    # `ranked`, and without materialization the scan + per-block sort +
-    # window run TWICE (exchange reuse dedupes the shuffle, not the
-    # upstream work).  localCheckpoint rather than persist because the
-    # operator returns no handle to the internal frame — a persist
-    # could never be unpersisted by callers and would pin the blocks
-    # until the session died (review-caught); checkpoint blocks are
-    # reclaimed by the ContextCleaner once the returned frame is
-    # garbage collected.  Compact (ids + keys + rank).
+    # checkpointed (lazily on the local branch): both sides of the
+    # rank-offset self-join read `ranked`, and without materialization
+    # the scan + per-block sort + window run TWICE (exchange reuse
+    # dedupes the shuffle, not the upstream work).  lineage_cut rather
+    # than persist because the operator returns no handle to the
+    # internal frame — a persist could never be unpersisted by callers
+    # and would pin the blocks until the session died (review-caught);
+    # checkpoint blocks/files are reclaimed once the returned frame is
+    # garbage collected (ContextCleaner; reliable files via the session
+    # factory's cleanCheckpoints=true).  lineage_cut's reliable branch
+    # caches through the checkpoint write, so the multi-consumer dedup
+    # this materialization exists for holds on both branches.
+    # Compact (ids + keys + rank).
     ranked = lineage_cut(
         base.withColumn("_rn", F.row_number().over(w)), eager=False
     )

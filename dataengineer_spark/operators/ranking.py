@@ -311,7 +311,12 @@ def ranking_eval(
     instead of silently inflating it (review-caught: the earlier form
     dropped rows past ``k`` before the ideal re-rank, disagreeing with
     standard nDCG whenever relevant candidates fell outside the
-    system's top-k).
+    system's top-k).  A NULL ``rank_col`` means judged-but-UNRETRIEVED
+    (the left-join-of-judgments shape) and is the limiting case of the
+    same rule: no DCG/hit/RR contribution, full IDCG participation.
+    Its position among equal-relevance rows in the ideal window is
+    arbitrary, which cannot change the IDCG sum (equal gains swap
+    positions).
 
     Exactness: gains ``2^rel - 1`` are exact small integers; discounts
     come from :func:`ndcg_discounts` as plan literals, so every product

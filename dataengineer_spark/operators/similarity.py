@@ -1371,6 +1371,25 @@ def pq_reconstruction_error(
         F.round(F.col("_sum").cast("double") / F.col("n_vecs"), 6).alias("mse"),
     ).orderBy("subspace")
 
+def _complete_vectors(
+    df: DataFrame, vec_col: str, dim: int, out: str = "_v"
+) -> DataFrame:
+    """Project to COMPLETE ``dim``-slot vectors only: NULL, short, and
+    NULL-element rows are excluded, and the vector is sliced to exactly
+    ``dim`` so every downstream dot/norm/moment covers the same slots.
+    Shared by :func:`pca_power_top` and :func:`embedding_outlier_report`
+    (their SQL oracles replay the identical guard) — letting ragged
+    rows through counts them in denominators while their NULL products
+    contribute nothing to the sums (review-caught bias, twice)."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.size(v) >= dim)
+        .where(~F.exists(F.slice(v, 1, dim), lambda e: e.isNull()))
+        .select(F.slice(v, 1, dim).alias(out))
+    )
+
+
 def pca_power_top(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1428,17 +1447,7 @@ def pca_power_top(
 
     dec_mu = "decimal(28,12)"
     dec_c = "decimal(28,9)"
-    v = F.col(vec_col).cast("array<double>")
-    x = (
-        df.where(F.col(vec_col).isNotNull())
-        .where(F.size(v) >= dim)
-        .where(
-            ~F.exists(
-                F.slice(v, 1, dim), lambda e: e.isNull()
-            )
-        )
-        .select(F.slice(v, 1, dim).alias("_v"))
-    )
+    x = _complete_vectors(df, vec_col, dim)
     per = (
         x.select(F.posexplode("_v").alias("_p", "_e"))
         .groupBy("_p")
@@ -1560,16 +1569,7 @@ def embedding_outlier_report(
         if codebook is not None
         else _centroids(dim, n_centroids, seed)
     )
-    v = F.col(vec_col).cast("array<double>")
-    base = (
-        df.where(F.col(vec_col).isNotNull())
-        .where(F.size(v) >= dim)
-        .where(~F.exists(F.slice(v, 1, dim), lambda e: e.isNull()))
-        # slice to dim so the norm below covers exactly the slots the
-        # dot products cover (a longer vector's tail must not dilute
-        # its cosine)
-        .select(F.slice(v, 1, dim).alias("_v"))
-    )
+    base = _complete_vectors(df, vec_col, dim)
     best = F.array_max(_cell_scores(F.col("_v"), cents))
     nrm = l2_norm(F.col("_v"))
     assigned = base.select(

@@ -24,6 +24,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # reliable-checkpoint files (tuning.lineage_cut's fault-tolerant
+    # branch, active when a checkpoint dir is set) are deleted when the
+    # owning frame is garbage collected — Spark's default (false) keeps
+    # every checkpoint for the app's lifetime and an iterative operator
+    # would grow the dir without bound
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # parquet scans: keep partitions near 128MB so a 100 TB table splits into
     # ~800k tasks, not 8 giant ones; local tests never hit the cap anyway.

@@ -35,18 +35,37 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
 
     ``localCheckpoint`` stores blocks on executors — fast, zero shared
     storage, and exactly right on local[*] or when the caller can
-    re-run the job on executor loss.  On a 1000-executor cluster those
-    blocks die with their executor and the frame becomes unreadable
-    mid-job, so production deployments that care set
-    ``spark.sparkContext.setCheckpointDir(hdfs_path)`` once and every
-    lineage cut in the engine silently upgrades to the fault-tolerant
-    form.  Semantics (values, partitioning, the frozen
+    re-run the job on executor loss; its blocks are reclaimed by the
+    ContextCleaner once the frame is garbage collected.  On a
+    1000-executor cluster those blocks die with their executor and the
+    frame becomes unreadable mid-job, so production deployments that
+    care set ``spark.sparkContext.setCheckpointDir(hdfs_path)`` once
+    and every lineage cut in the engine silently upgrades to the
+    fault-tolerant form.  Semantics (values, partitioning, the frozen
     ``spark_partition_id`` assignments the percentile/PPS operators
     rely on) are identical either way.
+
+    The reliable branch checkpoints THROUGH a transient cache and
+    always eagerly: a bare ``Dataset.checkpoint`` computes the plan
+    once for the action and AGAIN for the checkpoint-write job
+    (RDD.doCheckpoint re-runs an unpersisted lineage), and a lazy
+    reliable checkpoint — unlike ``localCheckpoint`` — does not cache,
+    so multi-consumer callers (the rank-offset self-join) would
+    recompute upstream work per consumer.  The cache is dropped as
+    soon as the checkpoint file is the source of truth.  Checkpoint
+    FILES are reclaimed on frame GC because the session factory sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
+    Spark default of false would grow the dir for the app's lifetime);
+    sessions not built by :mod:`dataengineer_spark.session` should set
+    it too.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        cached = df.persist()
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
     return df.localCheckpoint(eager=eager)
 
 

@@ -2927,6 +2927,21 @@ class TestRankingEval:
         assert abs(row["idcg"] - (3.0 * d[0] + 1.0 * d[1])) < 1e-6
         assert row["ndcg"] < 1.0
 
+    def test_null_rank_is_judged_but_unretrieved(self, spark):
+        from dataengineer_spark.operators.ranking import ndcg_discounts, ranking_eval
+
+        # rel=2 judged but never retrieved (NULL rank): contributes to
+        # IDCG only — the left-join-of-judgments contract
+        df = spark.createDataFrame(
+            [("q", 1, 1), ("q", None, 2)], "q string, rk int, rel int"
+        )
+        row = ranking_eval(df, "q", "rk", "rel", k=2).collect()[0]
+        d = ndcg_discounts(2)
+        assert row["hits"] == 1 and row["rr"] == 1.0
+        assert abs(row["dcg"] - 1.0 * d[0]) < 1e-6
+        assert abs(row["idcg"] - (3.0 * d[0] + 1.0 * d[1])) < 1e-6
+        assert row["ndcg"] < 1.0
+
 
 class TestRboOverlap:
     def test_identical_rankings_score_one(self, spark):
