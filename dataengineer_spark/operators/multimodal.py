@@ -2,10 +2,15 @@
 
 ``binary`` payloads plus typed metadata (schemas.MEDIA). The Spark-side
 plumbing — schema, partition sizing, Arrow batch shape through
-``mapInPandas`` — is real and tested; the codec step itself is stubbed
-(image/audio libraries are not in this container): ``decode_*`` raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which produces
-seeded fake features so pipelines exercise end-to-end.
+``mapInPandas`` — is real and tested, and the codec step has a REAL
+execution path too: uncompressed 24-bit BMP decodes/encodes in pure
+numpy (``codec="bmp"``), so ``extract_features`` computes genuine pixel
+statistics and ``resize_images`` does a genuine nearest-neighbor
+resample, pixel-verified in tests with zero external libraries.
+Compressed formats (JPEG/PNG/audio/video) need PIL/librosa/ffmpeg —
+absent in this container — so those raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which produces seeded fake features
+(SQL-oracle-replayable) so pipelines exercise end-to-end.
 
 Scale notes: payloads never pass through a shuffle unless the caller asks
 for one — feature extraction is a narrow ``mapInPandas`` over the scan;
@@ -51,6 +56,78 @@ def _fake_feature(payload: bytes | None, dim: int) -> np.ndarray:
     return np.array(vals, dtype=np.float32)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up, BGR, 4-byte row padding) — the
+    real on-disk format the ``codec="bmp"`` path round-trips; also the
+    test fixture generator."""
+    import struct
+
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp: (H, W, 3) uint8 RGB expected")
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (H, W, 3) uint8 RGB
+    array — pure numpy, no codec library. Supports the common
+    BITMAPINFOHEADER layout (positive height = bottom-up) produced by
+    :func:`encode_bmp` and stock image tools saving uncompressed."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            "decode_bmp: only uncompressed 24-bit BITMAPINFOHEADER BMPs "
+            "are numpy-decodable; use PIL for compressed formats"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _bmp_feature(payload: bytes | None, dim: int) -> np.ndarray:
+    """REAL image feature from a decoded BMP: per-channel means and
+    stds (6), a 3×3 grid of mean luminances (9), and the aspect ratio
+    (1) = the 16-dim content descriptor. Deterministic float32."""
+    if payload is None:
+        return np.zeros(dim, dtype=np.float32)
+    px = decode_bmp(payload).astype(np.float64)
+    h, w, _ = px.shape
+    feats = list(px.reshape(-1, 3).mean(axis=0) / 255.0)
+    feats += list(px.reshape(-1, 3).std(axis=0) / 255.0)
+    lum = px @ np.array([0.299, 0.587, 0.114])
+    for gy in range(3):
+        for gx in range(3):
+            cell = lum[
+                gy * h // 3 : max((gy + 1) * h // 3, gy * h // 3 + 1),
+                gx * w // 3 : max((gx + 1) * w // 3, gx * w // 3 + 1),
+            ]
+            feats.append(cell.mean() / 255.0)
+    feats.append(w / h)
+    out = np.array(feats, dtype=np.float32)
+    if len(out) < dim:
+        out = np.pad(out, (0, dim - len(out)))
+    return out[:dim]
+
+
 def _feat_norm(f: np.ndarray) -> float:
     """L2 norm as an explicit double left fold (float32 inputs widened
     per element) — the float-op order a SQL oracle can reproduce."""
@@ -61,22 +138,33 @@ def _feat_norm(f: np.ndarray) -> float:
 
 
 def extract_features(
-    media: DataFrame, deterministic_fake: bool = False, dim: int = IMAGE_FEATURE_DIM
+    media: DataFrame,
+    deterministic_fake: bool = False,
+    dim: int = IMAGE_FEATURE_DIM,
+    codec: str | None = None,
 ) -> DataFrame:
     """Decode payloads → feature vectors via ``mapInPandas``.
 
-    Real decoders (PIL/librosa/ffmpeg) plug into ``_decode_batch``; absent
-    here, the deterministic fake keeps the distributed plumbing testable.
+    ``codec="bmp"`` runs the REAL pure-numpy decode + pixel-statistics
+    feature (:func:`_bmp_feature`); further decoders (PIL/librosa/
+    ffmpeg) plug in the same way.  With neither a codec nor
+    ``deterministic_fake``, raises — never silently fakes.
     """
+    if codec not in (None, "bmp"):
+        raise NotImplementedError(f"codec {codec!r} not available here")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if codec == "bmp":
+                feats = [_bmp_feature(p, dim) for p in pdf["payload"]]
+            elif deterministic_fake:
+                feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            else:
                 raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "pass deterministic_fake=True or install decoders"
+                    "compressed-media codecs not available in this "
+                    "environment; pass codec='bmp' for uncompressed BMP, "
+                    "deterministic_fake=True, or install decoders"
                 )
-            feats = [_fake_feature(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -90,25 +178,47 @@ def extract_features(
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, deterministic_fake: bool = False
+    media: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Image resize plumbing: binary in → binary out, metadata updated.
+    """Image resize: binary in → binary out, metadata updated.
 
-    The fake 'resize' truncates/pads the payload to width·height bytes so
-    batch shapes and schema behavior are exercised without a codec.
+    ``codec="bmp"`` performs a REAL nearest-neighbor resample (decode →
+    numpy index-map → re-encode), pixel-verified in tests.  The fake
+    'resize' truncates/pads the payload to width·height bytes so batch
+    shapes and schema behavior are exercised without any codec.
     """
-
+    if codec not in (None, "bmp"):
+        raise NotImplementedError(f"codec {codec!r} not available here")
     target = width * height
+
+    def _nn_resize(payload):
+        if payload is None:
+            return None
+        px = decode_bmp(payload)
+        h, w, _ = px.shape
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        return encode_bmp(px[yi][:, xi])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("image codecs not available; see docstring")
+            if codec == "bmp":
+                payloads = [_nn_resize(p) for p in pdf["payload"]]
+            elif deterministic_fake:
+                payloads = [
+                    None if p is None else bytes(p)[:target].ljust(target, b"\0")
+                    for p in pdf["payload"]
+                ]
+            else:
+                raise NotImplementedError(
+                    "image codecs not available; see docstring"
+                )
             out = pdf.copy()
-            out["payload"] = [
-                None if p is None else bytes(p)[:target].ljust(target, b"\0")
-                for p in pdf["payload"]
-            ]
+            out["payload"] = payloads
             out["width"] = width
             out["height"] = height
             yield out

@@ -288,6 +288,94 @@ class TestMultimodal:
         assert {r["kind"] for r in stats.collect()} == {"image", "video"}
 
 
+class TestBmpCodec:
+    """The REAL multimodal codec path: uncompressed 24-bit BMP in pure
+    numpy — genuine pixels through the same mapInPandas plumbing the
+    fake exercises, pixel-verified with zero external libraries."""
+
+    @staticmethod
+    def _px(h, w):
+        import numpy as np
+
+        # deterministic gradient + channel structure
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * 255 // max(w - 1, 1)).astype("uint8")
+        g = (y * 255 // max(h - 1, 1)).astype("uint8")
+        b = ((x + y) % 256).astype("uint8")
+        return np.stack([r, g, b], axis=-1)
+
+    def test_roundtrip_bit_exact(self):
+        import numpy as np
+
+        px = self._px(7, 5)  # odd width exercises the 4-byte row padding
+        back = multimodal.decode_bmp(multimodal.encode_bmp(px))
+        assert np.array_equal(px, back)
+
+    def test_extract_features_real_pixels(self, spark):
+        import numpy as np
+
+        solid = np.full((6, 6, 3), (255, 0, 0), dtype="uint8")  # pure red
+        df = spark.createDataFrame(
+            [
+                (1, "image", bytearray(multimodal.encode_bmp(solid)),
+                 "image/bmp", 6, 6, None),
+                (2, "image", None, "image/bmp", None, None, None),
+            ],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        out = {
+            r["media_id"]: r
+            for r in multimodal.extract_features(df, codec="bmp").collect()
+        }
+        f = out[1]["feature"]
+        # per-channel means of a pure-red image: (1, 0, 0); stds all 0;
+        # all nine grid luminances equal 0.299
+        assert abs(f[0] - 1.0) < 1e-6 and f[1] == 0.0 and f[2] == 0.0
+        assert f[3] == 0.0 and f[4] == 0.0 and f[5] == 0.0
+        for i in range(6, 15):
+            assert abs(f[i] - 0.299) < 1e-6
+        assert abs(f[15] - 1.0) < 1e-6  # aspect ratio 6/6
+        assert out[2]["feature"] == [0.0] * multimodal.IMAGE_FEATURE_DIM
+
+    def test_resize_real_nearest_neighbor(self, spark):
+        import numpy as np
+
+        # 2x2 checkerboard scaled to 4x4 must replicate each pixel 2x2
+        base = np.array(
+            [[[255, 255, 255], [0, 0, 0]], [[0, 0, 0], [255, 255, 255]]],
+            dtype="uint8",
+        )
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(multimodal.encode_bmp(base)),
+              "image/bmp", 2, 2, None)],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        row = multimodal.resize_images(df, 4, 4, codec="bmp").collect()[0]
+        assert row["width"] == 4 and row["height"] == 4
+        got = multimodal.decode_bmp(row["payload"])
+        want = base.repeat(2, axis=0).repeat(2, axis=1)
+        assert np.array_equal(got, want)
+
+    def test_compressed_format_still_refuses(self, spark):
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(b"\x89PNG..."), "image/png", 1, 1, None)],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        with pytest.raises(Exception):
+            multimodal.extract_features(df, codec="bmp").collect()
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(df, codec="jpeg")
+
+
 def _file_post_factory(marker_dir):
     def post(url, params):
         import os
