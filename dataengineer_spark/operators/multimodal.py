@@ -2,12 +2,14 @@
 
 ``binary`` payloads plus typed metadata (schemas.MEDIA). The Spark-side
 plumbing — schema, partition sizing, Arrow batch shape through
-``mapInPandas`` — is real and tested, and the codec step has a REAL
-execution path too: uncompressed 24-bit BMP decodes/encodes in pure
+``mapInPandas`` — is real and tested, and the codec step has REAL
+execution paths too: uncompressed 24-bit BMP decodes/encodes in pure
 numpy (``codec="bmp"``), so ``extract_features`` computes genuine pixel
 statistics and ``resize_images`` does a genuine nearest-neighbor
-resample, pixel-verified in tests with zero external libraries.
-Compressed formats (JPEG/PNG/audio/video) need PIL/librosa/ffmpeg —
+resample, pixel-verified in tests with zero external libraries; mono
+16-bit PCM WAV decodes the same way (``codec="wav"``) into a real
+duration/RMS/ZCR/spectral-band descriptor, sample-verified in tests.
+Compressed formats (JPEG/PNG/MP3/video) need PIL/librosa/ffmpeg —
 absent in this container — so those raise ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces seeded fake features
 (SQL-oracle-replayable) so pipelines exercise end-to-end.
@@ -128,6 +130,75 @@ def _bmp_feature(payload: bytes | None, dim: int) -> np.ndarray:
     return out[:dim]
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array as a mono 16-bit PCM RIFF/WAVE payload
+    (the real audio format the ``codec="wav"`` path consumes; also the
+    test fixture generator)."""
+    import struct
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav: 1-D int16 samples expected")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono 16-bit PCM RIFF/WAVE payload to (int16 samples,
+    sample_rate) — pure numpy/struct, no audio library. Walks the RIFF
+    chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
+            (bits,) = struct.unpack_from("<H", b, pos + 22)
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    "decode_wav: only mono 16-bit PCM is numpy-decodable; "
+                    "use librosa/ffmpeg for compressed or multi-channel audio"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    return data, rate
+
+
+def _wav_feature(payload: bytes | None, dim: int) -> np.ndarray:
+    """REAL audio feature from decoded PCM: duration (s), RMS, peak,
+    zero-crossing rate (4) + 12 log-energy bands of the magnitude
+    spectrum = the 16-dim content descriptor. Deterministic float32."""
+    if payload is None:
+        return np.zeros(dim, dtype=np.float32)
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    feats = [n / rate]
+    if n == 0:
+        feats += [0.0, 0.0, 0.0] + [0.0] * 12
+    else:
+        feats.append(math.sqrt(float((x * x).mean())))
+        feats.append(float(np.abs(x).max()))
+        feats.append(float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0)
+        mag = np.abs(np.fft.rfft(x))
+        bands = np.array_split(mag, 12)
+        feats += [float(np.log1p((b * b).sum())) for b in bands]
+    out = np.array(feats, dtype=np.float32)
+    if len(out) < dim:
+        out = np.pad(out, (0, dim - len(out)))
+    return out[:dim]
+
+
 def _feat_norm(f: np.ndarray) -> float:
     """L2 norm as an explicit double left fold (float32 inputs widened
     per element) — the float-op order a SQL oracle can reproduce."""
@@ -145,18 +216,22 @@ def extract_features(
 ) -> DataFrame:
     """Decode payloads → feature vectors via ``mapInPandas``.
 
-    ``codec="bmp"`` runs the REAL pure-numpy decode + pixel-statistics
-    feature (:func:`_bmp_feature`); further decoders (PIL/librosa/
-    ffmpeg) plug in the same way.  With neither a codec nor
+    ``codec="bmp"`` runs the REAL pure-numpy image decode +
+    pixel-statistics feature (:func:`_bmp_feature`); ``codec="wav"``
+    the real mono-PCM audio decode + spectral feature
+    (:func:`_wav_feature`); further decoders (PIL/librosa/ffmpeg)
+    plug in the same way.  With neither a codec nor
     ``deterministic_fake``, raises — never silently fakes.
     """
-    if codec not in (None, "bmp"):
+    if codec not in (None, "bmp", "wav"):
         raise NotImplementedError(f"codec {codec!r} not available here")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec == "bmp":
                 feats = [_bmp_feature(p, dim) for p in pdf["payload"]]
+            elif codec == "wav":
+                feats = [_wav_feature(p, dim) for p in pdf["payload"]]
             elif deterministic_fake:
                 feats = [_fake_feature(p, dim) for p in pdf["payload"]]
             else:

@@ -362,6 +362,32 @@ class TestBmpCodec:
         want = base.repeat(2, axis=0).repeat(2, axis=1)
         assert np.array_equal(got, want)
 
+    def test_wav_roundtrip_and_real_audio_features(self, spark):
+        import numpy as np
+
+        rate = 8000
+        t = np.arange(rate)  # exactly 1 s
+        # full-scale square wave at 200 Hz: rms = peak = 1, zcr = 400/8000
+        sq = (np.where((t * 200 * 2 // rate) % 2 == 0, 32767, -32767)).astype("int16")
+        back, r2 = multimodal.decode_wav(multimodal.encode_wav(sq, rate))
+        assert r2 == rate and np.array_equal(back, sq)
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(multimodal.encode_wav(sq, rate)),
+              "audio/wav", None, None, 1000)],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        f = multimodal.extract_features(df, codec="wav").collect()[0]["feature"]
+        assert abs(f[0] - 1.0) < 1e-6          # duration 1 s
+        assert abs(f[1] - 32767 / 32768) < 1e-4  # rms of a square wave
+        assert abs(f[2] - 32767 / 32768) < 1e-6  # peak
+        # 200 Hz square: one sign flip per half-period -> 400 crossings/s
+        assert abs(f[3] - 400 / 8000) < 1e-3
+        # spectral energy concentrated in the lowest of 12 bands
+        assert f[4] == max(f[4:16])
+
     def test_compressed_format_still_refuses(self, spark):
         df = spark.createDataFrame(
             [(1, "image", bytearray(b"\x89PNG..."), "image/png", 1, 1, None)],
