@@ -199,6 +199,61 @@ def _wav_feature(payload: bytes | None, dim: int) -> np.ndarray:
     return out[:dim]
 
 
+def encode_y4m(
+    frames: np.ndarray, fps: int = 25
+) -> bytes:
+    """Encode (N, H, W) uint8 luma-only frames as YUV4MPEG2 (C420,
+    chroma planes zeroed) — the real raw-video container the
+    ``codec="y4m"`` frame sampler consumes; also the fixture
+    generator. H and W must be even (4:2:0 chroma subsampling)."""
+    n, h, w = frames.shape
+    if frames.dtype != np.uint8 or h % 2 or w % 2:
+        raise ValueError("encode_y4m: (N, H, W) uint8 with even H/W expected")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes((h // 2) * (w // 2) * 2)
+    return head + b"".join(
+        b"FRAME\n" + f.tobytes() + chroma for f in frames
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a YUV4MPEG2 (C420) payload to ((N, H, W) uint8 luma
+    frames, fps) — pure numpy/bytes parsing, no ffmpeg. Chroma planes
+    are skipped (the sampler's features are luma-based)."""
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("decode_y4m: not a YUV4MPEG2 payload")
+    w = h = fps = None
+    for tok in b[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) // max(int(den), 1)
+        elif tok[:1] == b"C" and tok != b"C420":
+            raise ValueError(
+                "decode_y4m: only C420 is numpy-decodable; use ffmpeg "
+                "for other chroma layouts"
+            )
+    if not (w and h and fps):
+        raise ValueError("decode_y4m: missing W/H/F header fields")
+    luma, chroma = h * w, (h // 2) * (w // 2) * 2
+    frames, pos = [], nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("decode_y4m: malformed FRAME marker")
+        start = fnl + 1
+        frames.append(
+            np.frombuffer(b, dtype=np.uint8, count=luma, offset=start).reshape(h, w)
+        )
+        pos = start + luma + chroma
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
 def _feat_norm(f: np.ndarray) -> float:
     """L2 norm as an explicit double left fold (float32 inputs widened
     per element) — the float-op order a SQL oracle can reproduce."""
@@ -302,18 +357,56 @@ def resize_images(
 
 
 def sample_frames(
-    media: DataFrame, every_ms: int, deterministic_fake: bool = False
+    media: DataFrame,
+    every_ms: int,
+    deterministic_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Video frame sampling plumbing: one row in → N frame rows out
+    """Video frame sampling: one row in → N frame rows out
 
-    (``mapInPandas`` lets output cardinality differ from input). Fake
-    frames slice the payload at every_ms boundaries of duration_ms.
+    (``mapInPandas`` lets output cardinality differ from input).
+    ``codec="y4m"`` REALLY decodes YUV4MPEG2 raw video and emits the
+    luma plane of the frame nearest each ``every_ms`` boundary (frame
+    bytes out, true timestamps from the container fps) — frame-exact in
+    tests, no ffmpeg.  Fake frames slice the payload at every_ms
+    boundaries of duration_ms.
     """
-
+    if codec not in (None, "y4m"):
+        raise NotImplementedError(f"codec {codec!r} not available here")
     schema = "media_id long, frame_idx int, frame_ms long, frame binary"
+
+    def _y4m_rows(r) -> list[dict]:
+        frames, fps = decode_y4m(bytes(r["payload"]))
+        out = []
+        n, idx = len(frames), 0
+        ms = 0
+        while True:
+            src = (ms * fps) // 1000  # frame whose interval covers ms
+            if src >= n:
+                break
+            out.append(
+                {
+                    "media_id": r["media_id"],
+                    "frame_idx": idx,
+                    "frame_ms": ms,
+                    "frame": frames[src].tobytes(),
+                }
+            )
+            idx += 1
+            ms += every_ms
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "y4m":
+                rows = []
+                for _, r in pdf.iterrows():
+                    if r["payload"] is not None:
+                        rows.extend(_y4m_rows(r))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "frame_ms", "frame"]
+                )
+                continue
             if not deterministic_fake:
                 raise NotImplementedError("video codecs not available; see docstring")
             rows = []

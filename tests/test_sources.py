@@ -388,6 +388,29 @@ class TestBmpCodec:
         # spectral energy concentrated in the lowest of 12 bands
         assert f[4] == max(f[4:16])
 
+    def test_y4m_real_frame_sampling(self, spark):
+        import numpy as np
+
+        # 10 frames at 25 fps (400 ms of video), frame f is solid value f
+        frames = np.stack(
+            [np.full((4, 6), f, dtype="uint8") for f in range(10)]
+        )
+        payload = multimodal.encode_y4m(frames, fps=25)
+        dec, fps = multimodal.decode_y4m(payload)
+        assert fps == 25 and np.array_equal(dec, frames)
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(payload), "video/y4m", 6, 4, 400)],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        out = multimodal.sample_frames(df, 100, codec="y4m").collect()
+        # every 100 ms over 400 ms at 25 fps -> frames 0, 2, 5, 7
+        got = {r["frame_ms"]: r["frame"][0] for r in out}
+        assert got == {0: 0, 100: 2, 200: 5, 300: 7}
+        assert all(len(r["frame"]) == 4 * 6 for r in out)
+
     def test_compressed_format_still_refuses(self, spark):
         df = spark.createDataFrame(
             [(1, "image", bytearray(b"\x89PNG..."), "image/png", 1, 1, None)],
