@@ -287,15 +287,19 @@ def entry(spark: SparkSession) -> DataFrame:
     frame is POSTed batch-wise through ``RestSink.upload`` (the
     ``foreachPartition`` bulk path) against a local marker-dir post_fn
     before being returned, so the driver smoke covers the last
-    otherwise-unsmoked sink.  The frame is persisted across the two
-    actions (upload here, the driver's collect after return) so the
-    flagship plan executes once, and the marker dir — whose only job
-    is proving the executors POSTed — is removed before returning
-    (review-caught: an un-cleaned mkdtemp accumulated across smoke
-    runs).  The returned frame's values are unchanged."""
+    otherwise-unsmoked sink.  The frame is materialized ONCE via
+    ``lineage_cut`` and shared by both actions (upload here, the
+    driver's collect after return) — a bare persist would pin cache
+    blocks for the session lifetime with no caller able to unpersist
+    (the joins.py lesson); checkpoint blocks free on frame GC.  The
+    marker dir — whose only job is proving the executors POSTed — is
+    removed before returning (review-caught: an un-cleaned mkdtemp
+    accumulated across smoke runs).  Values are unchanged."""
     import shutil
 
-    out = _flagship(spark, "/root/testdata/sf0.001").persist()
+    from dataengineer_spark.tuning import lineage_cut
+
+    out = lineage_cut(_flagship(spark, "/root/testdata/sf0.001"))
     marker_dir = tempfile.mkdtemp(prefix="spark_graft_rest_publish_")
     try:
         RestSink(

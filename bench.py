@@ -261,7 +261,9 @@ def main() -> None:
         with open(os.path.join(repo, "PROGRESS.jsonl")) as fh:
             lines = [ln for ln in fh if ln.strip()]
         n = int(json.loads(lines[-1])["round"])
-    except (OSError, ValueError, KeyError, IndexError):
+    except (OSError, ValueError, KeyError, IndexError, TypeError):
+        # a malformed/absent progress log must never lose the run: the
+        # stdout JSON line and detail file still have to be written
         pass
     if n is None:
         rounds = [

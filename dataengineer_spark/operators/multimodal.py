@@ -95,6 +95,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             "decode_bmp: only uncompressed 24-bit BITMAPINFOHEADER BMPs "
             "are numpy-decodable; use PIL for compressed formats"
         )
+    if w <= 0 or h == 0:
+        # a zero/negative-width or zero-height header would reach the
+        # feature stage as an empty array (NaN means, w/h division) —
+        # fail here with the codec's own error instead
+        raise ValueError("decode_bmp: non-positive image dimensions")
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -169,8 +174,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             data = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos + 8)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None:
-        raise ValueError("decode_wav: missing fmt/data chunk")
+    if rate is None or rate <= 0 or data is None:
+        raise ValueError("decode_wav: missing or invalid fmt/data chunk")
     return data, rate
 
 
@@ -218,8 +223,10 @@ def encode_y4m(
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a YUV4MPEG2 (C420) payload to ((N, H, W) uint8 luma
-    frames, fps) — pure numpy/bytes parsing, no ffmpeg. Chroma planes
-    are skipped (the sampler's features are luma-based)."""
+    frames, (fps_num, fps_den)) — pure numpy/bytes parsing, no ffmpeg;
+    the frame rate stays an exact rational (NTSC 30000:1001 must not
+    floor). Chroma planes are skipped (the sampler's features are
+    luma-based)."""
     b = bytes(payload)
     nl = b.find(b"\n")
     if nl < 0 or not b.startswith(b"YUV4MPEG2"):
@@ -231,14 +238,16 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         elif tok[:1] == b"H":
             h = int(tok[1:])
         elif tok[:1] == b"F":
-            num, den = tok[1:].split(b":")
-            fps = int(num) // max(int(den), 1)
+            n_, d_ = tok[1:].split(b":")
+            fps = (int(n_), max(int(d_), 1))  # exact rational — NTSC
+            # rates like F30000:1001 must not floor to 29 fps (a 3.2%
+            # drift that de-syncs sampling over a minute of video)
         elif tok[:1] == b"C" and tok != b"C420":
             raise ValueError(
                 "decode_y4m: only C420 is numpy-decodable; use ffmpeg "
                 "for other chroma layouts"
             )
-    if not (w and h and fps):
+    if not (w and h and fps and fps[0] > 0):
         raise ValueError("decode_y4m: missing W/H/F header fields")
     luma, chroma = h * w, (h // 2) * (w // 2) * 2
     frames, pos = [], nl + 1
@@ -366,22 +375,30 @@ def sample_frames(
 
     (``mapInPandas`` lets output cardinality differ from input).
     ``codec="y4m"`` REALLY decodes YUV4MPEG2 raw video and emits the
-    luma plane of the frame nearest each ``every_ms`` boundary (frame
-    bytes out, true timestamps from the container fps) — frame-exact in
-    tests, no ffmpeg.  Fake frames slice the payload at every_ms
-    boundaries of duration_ms.
+    luma plane of the frame whose display interval COVERS each
+    ``every_ms`` boundary (floor semantics — the frame on screen at
+    that instant; frame bytes out, true timestamps from the
+    container's exact rational fps) — frame-exact in tests, no
+    ffmpeg.  Fake frames slice the payload at every_ms boundaries of
+    duration_ms.
     """
     if codec not in (None, "y4m"):
         raise NotImplementedError(f"codec {codec!r} not available here")
+    if every_ms <= 0:
+        # the fake path would ZeroDivide and the y4m path would loop
+        # forever (ms never advances) — reject up front on the driver
+        raise ValueError(f"sample_frames: every_ms > 0 required, got {every_ms}")
     schema = "media_id long, frame_idx int, frame_ms long, frame binary"
 
     def _y4m_rows(r) -> list[dict]:
-        frames, fps = decode_y4m(bytes(r["payload"]))
+        frames, (fn, fd) = decode_y4m(bytes(r["payload"]))
         out = []
         n, idx = len(frames), 0
         ms = 0
         while True:
-            src = (ms * fps) // 1000  # frame whose interval covers ms
+            # frame whose display interval covers ms, in exact integer
+            # arithmetic on the rational rate (no float drift)
+            src = (ms * fn) // (1000 * fd)
             if src >= n:
                 break
             out.append(

@@ -397,7 +397,7 @@ class TestBmpCodec:
         )
         payload = multimodal.encode_y4m(frames, fps=25)
         dec, fps = multimodal.decode_y4m(payload)
-        assert fps == 25 and np.array_equal(dec, frames)
+        assert fps == (25, 1) and np.array_equal(dec, frames)
         df = spark.createDataFrame(
             [(1, "video", bytearray(payload), "video/y4m", 6, 4, 400)],
             schema=(
@@ -410,6 +410,49 @@ class TestBmpCodec:
         got = {r["frame_ms"]: r["frame"][0] for r in out}
         assert got == {0: 0, 100: 2, 200: 5, 300: 7}
         assert all(len(r["frame"]) == 4 * 6 for r in out)
+        with pytest.raises(ValueError):  # infinite-loop guard
+            multimodal.sample_frames(df, 0, codec="y4m")
+
+    def test_y4m_ntsc_rational_rate_no_drift(self, spark):
+        """29.97 fps (F30000:1001) must sample with the exact rational —
+        flooring to 29 fps drifts ~2 s/minute (review-caught)."""
+        import numpy as np
+
+        frames = np.stack(
+            [np.full((2, 2), min(f, 255), dtype="uint8") for f in range(150)]
+        )
+        payload = (
+            b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 C420\n"
+            + b"".join(b"FRAME\n" + f.tobytes() + bytes(2) for f in frames)
+        )
+        dec, fps = multimodal.decode_y4m(payload)
+        assert fps == (30000, 1001) and len(dec) == 150
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(payload), "video/y4m", 2, 2, 5005)],
+            schema=(
+                "media_id long, kind string, payload binary, mime string, "
+                "width int, height int, duration_ms long"
+            ),
+        )
+        out = multimodal.sample_frames(df, 1000, codec="y4m").collect()
+        got = {r["frame_ms"]: r["frame"][0] for r in out}
+        # frame covering t: floor(t * 30000 / 1001000); at 5 s that is
+        # 149 — the 29-fps floor would pick 145, 4 frames early
+        assert got[5000] == (5000 * 30000) // 1001000 == 149
+
+    def test_malformed_headers_rejected(self):
+        import numpy as np
+
+        # zero-height BMP: flip the height field of a valid header
+        bmp = bytearray(multimodal.encode_bmp(np.zeros((2, 2, 3), "uint8")))
+        bmp[22:26] = (0).to_bytes(4, "little")
+        with pytest.raises(ValueError):
+            multimodal.decode_bmp(bytes(bmp))
+        # zero-sample-rate WAV: patch the fmt chunk's rate field
+        wav = bytearray(multimodal.encode_wav(np.zeros(4, "int16"), 8000))
+        wav[24:28] = (0).to_bytes(4, "little")
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(bytes(wav))
 
     def test_compressed_format_still_refuses(self, spark):
         df = spark.createDataFrame(
