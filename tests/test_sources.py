@@ -440,6 +440,20 @@ class TestBmpCodec:
         # 149 — the 29-fps floor would pick 145, 4 frames early
         assert got[5000] == (5000 * 30000) // 1001000 == 149
 
+    def test_bmp_top_down_layout_decodes(self):
+        """Negative BITMAPINFOHEADER height = top-down row order (stock
+        tools emit it): decode must not flip those rows."""
+        import numpy as np
+
+        px = self._px(4, 4)
+        bmp = bytearray(multimodal.encode_bmp(px))
+        # rewrite height to -4 and re-lay rows top-down un-flipped
+        stride = 4 * 3
+        bmp[22:26] = (-4).to_bytes(4, "little", signed=True)
+        body = px[:, :, ::-1].reshape(4, stride).tobytes()
+        bmp[54:] = body
+        assert np.array_equal(multimodal.decode_bmp(bytes(bmp)), px)
+
     def test_malformed_headers_rejected(self):
         import numpy as np
 
