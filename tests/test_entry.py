@@ -28,8 +28,15 @@ class TestContract:
         assert df.count() > 0
 
     def test_flagship_plan_has_no_shuffle_on_fact_side(self, spark):
-        # broadcast dim join: the documents scan must not shuffle
+        # broadcast dim join: the documents scan must not shuffle.
+        # Inspect the flagship plan directly — entry() returns a
+        # lineage_cut frame (one materialization shared by the K4
+        # upload and the driver's collect) whose own plan is just the
+        # checkpoint scan.
         plan = (
-            entrymod.entry(spark)._jdf.queryExecution().executedPlan().toString()
+            entrymod._flagship(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
