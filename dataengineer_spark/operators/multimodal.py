@@ -89,7 +89,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("decode_bmp: not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
-    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    _planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
     if hdr_size < 40 or bpp != 24 or compression != 0:
         raise ValueError(
             "decode_bmp: only uncompressed 24-bit BITMAPINFOHEADER BMPs "
