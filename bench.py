@@ -2,7 +2,12 @@
 
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+— where ``queries`` holds the 30 slowest headline timings so the line
+always fits the driver's 2,000-char stdout tail intact; the FULL registry
+(every ``queries()`` entry, headline best-of-2 + the rest timed once) is
+written to ``BENCH_DETAIL_r{N}.json`` in the repo.  Set
+``SPARK_GRAFT_BENCH_FULL=0`` to skip the non-headline tier.
 
 Each query executes to completion via the no-op sink (full compute, no
 driver materialization) — the measured time is scan+compute+shuffle, which
@@ -100,6 +105,9 @@ HEADLINE = [
     "q_e10_retention",
     "q_e10_attribution",
     "q_e9_fuzzy_join",
+    # output-bounded ER form (round-8): top-k matches per entity — the
+    # shape a real ER user runs first on clone-heavy corpora
+    "q_e9_fuzzy_join_topk",
     "q_e5_regression",
     "q_e5_rfm",
     "q_rank_rrf",
@@ -221,38 +229,66 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     qs = entrymod.queries()
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         # steady-state: best of 2 runs — first run pays one-time plan/codegen
         # cost that amortizes away at production data volumes
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # some operators persist compact intermediates (minhash/simhash
-        # candidate sets) and document that callers own cleanup — drop them
-        # so a 39-query loop doesn't accumulate cached blocks
+        try:
+            timings[name] = round(min(run_once(fn), run_once(fn)), 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            errors[name] = repr(exc)[:200]  # sink the whole artifact
+        # legacy cache hygiene (most intermediates are lineage_cut since
+        # r7/r8 and free on frame GC, but a few owned persists remain)
         spark.catalog.clearCache()
 
+    # full-registry tier (VERDICT r7 item 2): every non-headline query
+    # timed ONCE — cheaper than the headline's best-of-2, methodology
+    # held constant round-over-round, so the 130+ previously-untracked
+    # queries (remaining TPC-H shapes, E14 lake ops, portable twins) get
+    # cross-round regression visibility
+    full_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        for name, fn in qs.items():
+            if name in HEADLINE:
+                continue
+            try:
+                full_timings[name] = round(run_once(fn), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = repr(exc)[:200]
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
-    payload = {
+    full_total = round(sum(full_timings.values()), 3)
+    detail_payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "full_total": full_total,
+        "n_headline": len(timings),
+        "n_full": len(full_timings),
+        "queries": timings,
+        "full_queries": full_timings,
+        "errors": errors,
     }
-    # The driver's BENCH_r{N}.json artifact keeps only a ~2,000-char tail
-    # of stdout, so only the last ~70 of the per-query timings survive and
-    # cross-round comparison is mostly blind (VERDICT r6 item 3).  Persist
-    # the FULL timing map to the repo as BENCH_DETAIL_r{N}.json.  N comes
-    # from the driver's own PROGRESS.jsonl (its last line carries the
-    # CURRENT round), so a re-run after this round's BENCH_r{N}.json has
-    # landed still labels itself correctly; the max(BENCH_r*)+1 fallback
-    # covers checkouts without a progress log.
+    # The driver's BENCH_r{N}.json artifact keeps only the LAST ~2,000
+    # chars of stdout, so a single fat JSON line loses its head and
+    # parses as null (VERDICT r7 item 7).  Persist the FULL timing map to
+    # the repo as BENCH_DETAIL_r{N}.json and keep stdout's FINAL line a
+    # compact summary (headline total + the slowest queries) that always
+    # fits the tail intact.  N comes from the driver's own PROGRESS.jsonl
+    # (its last line carries the CURRENT round); when that log is
+    # missing/malformed, prefer the max existing BENCH_DETAIL_r* index —
+    # a re-run after BENCH_r{N}.json has landed re-labels round N, not
+    # N+1 (ADVICE r7) — and mark the guess in the payload.
     repo = os.path.dirname(os.path.abspath(__file__))
     import re
 
@@ -266,23 +302,52 @@ def main() -> None:
         # stdout JSON line and detail file still have to be written
         pass
     if n is None:
-        rounds = [
+        detail_rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_DETAIL_r(\d+)", f))
+        ]
+        bench_rounds = [
             int(m.group(1))
             for f in os.listdir(repo)
             if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
-        n = (max(rounds) if rounds else 0) + 1
+        if detail_rounds:
+            n = max(detail_rounds)
+        else:
+            n = (max(bench_rounds) if bench_rounds else 0) + 1
+        detail_payload["round_inferred"] = n
     # non-default scale runs (e.g. the sf1 10x sweep) get their own file
     # so they never clobber the driver-scale detail
     tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{sf:g}"
     detail = os.path.join(repo, f"BENCH_DETAIL_r{n:02d}{tag}.json")
     try:
         with open(detail, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            json.dump(detail_payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
-        pass  # read-only checkout: the stdout line still carries the tail
-    print(json.dumps(payload))
+        pass  # read-only checkout: the stdout summary still survives
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_headline": len(timings),
+        "n_full": len(full_timings),
+        "full_total": full_total,
+        "detail": os.path.basename(detail),
+        "queries": slowest,
+    }
+    if errors:
+        summary["n_errors"] = len(errors)
+    line = json.dumps(summary)
+    if len(line) > 1900:  # never let the tail cut the summary line
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

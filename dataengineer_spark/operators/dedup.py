@@ -264,9 +264,10 @@ def minhash_lsh_pairs(
     The only shuffle is the band-bucket join; candidate count scales with
     collision rate, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    The candidate-pair intermediate stays ``.persist()``-ed after the
-    result is consumed: callers own cleanup (``spark.catalog.clearCache()``
-    or unpersist) in long-lived sessions — see bench.py's per-query drop.
+    The candidate-pair intermediate is lineage-cut lazily (a plan-build
+    launches no job): its blocks materialize once at first action and
+    are freed by the ContextCleaner when the frame is garbage-collected
+    — no caller-owned ``unpersist`` obligation (VERDICT r7 item 4).
     """
     base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     if engine == "arrow":
@@ -291,11 +292,12 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        # candidate pairs are referenced twice below (verify probe +
-        # semi-join filter); persisting this collision-rate-sized set runs
-        # the signature/banding pipeline exactly once at any corpus size
-        .persist()
     )
+    # candidate pairs are referenced twice below (verify probe +
+    # semi-join filter); cutting this collision-rate-sized set runs
+    # the signature/banding pipeline exactly once at any corpus size —
+    # lazy, so building the plan stays job-free; blocks free on frame GC
+    cand = lineage_cut(cand, eager=False)
 
     # verify only the (collision-rate sized) candidate set: semi-join the
     # corpus down to candidate docs FIRST, then shingle just those — at a
@@ -468,19 +470,20 @@ def simhash_neardup_pairs(
     multi-probe scheme rotates the prefix; one prefix is the common fast
     path and misses only pairs differing inside the prefix.)
 
-    The fingerprint projection stays ``.persist()``-ed after the result is
-    consumed: callers own cleanup (``spark.catalog.clearCache()`` or
-    unpersist) in long-lived sessions — see bench.py's per-query drop.
+    The fingerprint projection is lineage-cut lazily (a plan-build
+    launches no job): its blocks materialize once at first action and
+    are freed by the ContextCleaner when the frame is garbage-collected
+    — no caller-owned ``unpersist`` obligation (VERDICT r7 item 4).
     """
-    with_fp = (
+    with_fp = lineage_cut(
         df.select(
             F.col(id_col), simhash64(text_col, portable=portable).alias("_fp")
         )
-        .withColumn("_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits))
-        # referenced by both self-join sides: persisting this 24-byte/row
+        # referenced by both self-join sides: cutting this 24-byte/row
         # projection computes the 64-bit-sum fingerprint pass once, not
         # twice — compact at any corpus size (id + fp + bucket only)
-        .persist()
+        .withColumn("_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits)),
+        eager=False,
     )
     a = with_fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "_bk")
     b = with_fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "_bk")
@@ -744,15 +747,15 @@ def minhash_lsh_join(
     banded_b = _band_buckets(
         sig_b, "bench_id", num_hashes, bands, portable=portable
     )
-    cand = (
+    cand = lineage_cut(
         banded_c.join(F.broadcast(banded_b), ["band", "bucket"])
         .select("corpus_id", "bench_id")
-        .dropDuplicates()
-        # referenced twice below (cand_ids + final join): persisting this
+        # referenced twice below (cand_ids + final join): cutting this
         # collision-rate-sized set runs the corpus signature/banding
-        # pipeline once, not twice (same policy as minhash_lsh_pairs;
-        # callers own cleanup in long-lived sessions)
-        .persist()
+        # pipeline once, not twice (same policy as minhash_lsh_pairs);
+        # lazy cut — no build-time job, blocks free on frame GC
+        .dropDuplicates(),
+        eager=False,
     )
     cand_ids = cand.select("corpus_id").dropDuplicates()
     sh_c = base_c.join(F.broadcast(cand_ids), "corpus_id", "left_semi").select(
@@ -1075,11 +1078,11 @@ def setsim_join(
             F.transform("_sw", lambda x: x["_w"]).alias("_toks"),
             F.size("_sw").alias("_n"),
         )
-        # consumed three times (prefix explode + both verify sides);
-        # persisted like the minhash candidate intermediates — compact
-        # (one row per doc), caller owns cache cleanup
-        .persist()
     )
+    # consumed three times (prefix explode + both verify sides); cut
+    # like the minhash candidate intermediates — compact (one row per
+    # doc), lazy (no build-time job), blocks free on frame GC
+    arr = lineage_cut(arr, eager=False)
     prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
     prefix = arr.select(
         "_id",

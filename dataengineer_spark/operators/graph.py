@@ -41,44 +41,59 @@ def pagerank(
     to 12 digits — the float sequence is reproducible on any engine and
     any partition count.
 
-    Scale shape: ``iterations`` × (one shuffle join on src + one hash
-    aggregate on dst + one co-partitioned left join back onto the node
-    universe).  Short runs chain into ONE lazily-planned DAG — Spark
-    reuses the per-round exchanges, so a 5-round run is a single job,
-    not six checkpoint materializations; every ``checkpoint_every``
-    rounds the rank vector is ``localCheckpoint``-ed to truncate lineage
-    for long convergence runs (the classic Pregel-without-Pregel loop).
-    The node universe is src ∪ dst, and every round's new rank vector is
-    left-joined back onto it (nodes receiving no contributions default
-    to ``(1-d)/N``), so source-only nodes keep a rank instead of
-    silently vanishing after iteration 1 and sink-only nodes are ranked
-    too.  Sink-only nodes still contribute nothing forward — the
-    standard dangling-rank leak, which symmetrized (undirected) inputs
-    avoid entirely.
+    Scale shape: ``iterations`` × (one join of the pre-partitioned edge
+    table against the rank vector + one hash aggregate on dst + one
+    co-partitioned left join back onto the node universe for the
+    teleport floor).  The degree-carrying edge table is hash-partitioned
+    on ``src`` ONCE and lineage-cut, so every round's join reuses that
+    stored partitioning and only the (node-count-sized) rank vector
+    moves — or none of it, when AQE sees a rank vector small enough to
+    broadcast; without the pre-partition a non-broadcastable rank vector
+    (any production graph) would re-shuffle the FULL edge table every
+    round.  A teleport-floor variant that fuses the left join into the
+    aggregate (union one NULL contribution per node, coalesce the
+    all-NULL groups) was measured and REJECTED in round 8: the fused
+    union costs more than the AQE-broadcast left join it replaces
+    (sf0.1 best-of-3: 3.4 s fused vs 2.5 s join form; both well under
+    the 4 s target).  Short runs chain into ONE lazily-planned DAG;
+    every ``checkpoint_every`` rounds the rank vector is lineage-cut to
+    truncate lineage for long convergence runs (the classic
+    Pregel-without-Pregel loop).  The node universe is src ∪ dst, and
+    every round's new rank vector is left-joined back onto it (nodes
+    receiving no contributions default to ``(1-d)/N``), so source-only
+    nodes keep a rank instead of silently vanishing after iteration 1
+    and sink-only nodes are ranked too.  Sink-only nodes still
+    contribute nothing forward — the standard dangling-rank leak, which
+    symmetrized (undirected) inputs avoid entirely.
 
     Output: (node, rank) with rank rounded to 8 digits.
     """
-    # the edge list feeds every iteration — materialize it once (callers
-    # often hand in a derived/self-joined frame that would otherwise be
-    # recomputed per round)
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).persist()
+    # the edge list feeds degree/node prep — cut it once (callers often
+    # hand in a derived/self-joined frame that would otherwise be
+    # recomputed per consumer); lineage_cut, not a bare persist, so the
+    # blocks free on frame GC (the joins.py lesson).  LAZY cuts: the
+    # blocks fill inside the jobs that first need them (e under the
+    # node-count job, e_deg under round 1) instead of costing two extra
+    # build jobs up front
+    e = lineage_cut(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
+        eager=False,
+    )
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    # degree is iteration-invariant: attach it to the edges ONCE so each
-    # round joins only the rank vector (which a localCheckpoint sizes
-    # accurately, letting AQE broadcast it when the node set is small)
-    e_deg = e.join(deg, "_src").persist()
-    # full node universe, materialized once: localCheckpoint gives AQE
-    # an exact size so the per-round left join broadcasts when the node
-    # set is small; at scale it is rank-vector-sized, the loop's
-    # inherent state, and the join co-partitions with the groupBy
-    nodes = (
+    # degree is iteration-invariant: attach it to the edges ONCE,
+    # hash-partition on the per-round join key so the stored blocks
+    # already satisfy the join's distribution (only the rank vector
+    # shuffles per round), and cut lineage — the cut also gives AQE an
+    # exact size for its broadcast decision
+    e_deg = lineage_cut(e.join(deg, "_src").repartition("_src"), eager=False)
+    # full node universe, cut once: rank-vector-sized, the loop's
+    # inherent state; the per-round left join co-partitions with the
+    # groupBy (or broadcasts, when AQE sees a small node set)
+    nodes = lineage_cut(
         e.select(F.col("_src").alias("node"))
         .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    nodes = lineage_cut(nodes)
     # control-plane scalar (node count), same pattern as the engine's
     # other documented driver-side scalars (aggregates.py partition counts)
     n_nodes = nodes.count()
@@ -114,8 +129,6 @@ def pagerank(
         )
         if i % checkpoint_every == 0 and i < iterations:
             ranks = lineage_cut(ranks)
-    # caller owns unpersist of nothing: e/e_deg stay cached only until
-    # the returned plan executes; they are cheap to drop on session GC
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
@@ -222,9 +235,12 @@ def bfs_distances(
     Output: (node, dist) for every node within ``max_depth`` hops of a
     seed (seeds themselves at dist 0).
     """
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).persist()
+    # lazy cut: BFS builds one chained DAG with no build-time job (the
+    # blocks still materialize once at first action and free on frame GC)
+    e = lineage_cut(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
+        eager=False,
+    )
     dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).alias("dist")
     )

@@ -304,6 +304,54 @@ def fuzzy_join(
     )
 
 
+def fuzzy_join_topk(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_on: list[tuple[Column, Column]],
+    k: int = 3,
+    max_distance: int = 5,
+    prefix_len: int = 40,
+    self_join: bool = True,
+) -> DataFrame:
+    """Output-bounded fuzzy join: each left entity keeps only its ``k``
+
+    best matches.  The unbounded ``fuzzy_join`` emits EVERY verified
+    pair — on clone-heavy corpora the round-7 sf1 probe measured the
+    match set exploding ×6,718 while inputs grew ×10 (SCALE.md), so the
+    capped form is what a real ER user runs first: review queues and
+    merge candidates want "the few best per record", not the cross
+    product of a hot block.
+
+    The cap is the engine's standard rank-window pattern applied AFTER
+    blocking + verify: partition by the left id over the verified match
+    set (already Σ|block|²-bounded), order by (distance, right id) for a
+    deterministic engine-portable tie-break, keep ``row_number ≤ k``.
+    The window shuffles only verified matches — output is ≤ k rows per
+    left entity no matter how hot a block gets, and the window key (the
+    left id) is exactly the entity key, so skew is bounded by the
+    per-entity match count the verify already paid for.
+
+    Output: (id_a, id_b, lev_dist, match_rank) with match_rank 1-based.
+    """
+    from pyspark.sql import Window
+
+    m = fuzzy_join(
+        left, right, left_id, right_id, left_text, right_text,
+        block_on, max_distance=max_distance, prefix_len=prefix_len,
+        self_join=self_join,
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("lev_dist").asc(), F.col("id_b").asc()
+    )
+    return m.withColumn("match_rank", F.row_number().over(w)).where(
+        F.col("match_rank") <= k
+    )
+
+
 def linkage_score(
     pairs: DataFrame,
     agreements: list[tuple[Column, float, float]],

@@ -186,9 +186,14 @@ def distribution_drift(
     words = explode_words(df.select(group_col, text_col), text_col)
     # gw feeds four consumers (terms, group totals, word totals, corpus
     # total) whose per-branch column pruning defeats ReuseExchange —
-    # persist the vocab-sized reduction so the explode+count runs once
-    # (the dedup.py candidate-set convention; caller/bench drops caches)
-    gw = words.groupBy(group_col, "word").agg(F.count("*").alias("c_gw")).persist()
+    # cut the vocab-sized reduction so the explode+count runs once
+    # (the dedup.py candidate-set convention); lazy, blocks free on GC
+    from dataengineer_spark.tuning import lineage_cut
+
+    gw = lineage_cut(
+        words.groupBy(group_col, "word").agg(F.count("*").alias("c_gw")),
+        eager=False,
+    )
     g_tot = gw.groupBy(group_col).agg(F.sum("c_gw").alias("n_g"))
     w_tot = gw.groupBy("word").agg(F.sum("c_gw").alias("c_w"))
     n_tot = gw.select(F.sum("c_gw").alias("n"))

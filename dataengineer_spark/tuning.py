@@ -45,15 +45,23 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     ``spark_partition_id`` assignments the percentile/PPS operators
     rely on) are identical either way.
 
-    The reliable branch checkpoints THROUGH a transient cache and
-    always eagerly: a bare ``Dataset.checkpoint`` computes the plan
-    once for the action and AGAIN for the checkpoint-write job
-    (RDD.doCheckpoint re-runs an unpersisted lineage), and a lazy
-    reliable checkpoint — unlike ``localCheckpoint`` — does not cache,
-    so multi-consumer callers (the rank-offset self-join) would
-    recompute upstream work per consumer.  The cache is dropped as
-    soon as the checkpoint file is the source of truth.  Checkpoint
-    FILES are reclaimed on frame GC because the session factory sets
+    The reliable branch checkpoints THROUGH a transient cache: a bare
+    ``Dataset.checkpoint`` computes the plan once for the action and
+    AGAIN for the checkpoint-write job (RDD.doCheckpoint re-runs an
+    unpersisted lineage), and a reliable checkpoint — unlike
+    ``localCheckpoint`` — does not cache, so multi-consumer callers
+    (the rank-offset self-join) would recompute upstream work per
+    consumer.  Eager cuts drop the cache as soon as the checkpoint
+    file is the source of truth; ``eager=False`` is honored too (the
+    cut stays build-time-silent under a checkpoint dir — ADVICE r7) by
+    deferring the checkpoint-write job to the first action and freeing
+    the transient cache when the returned frame is garbage-collected
+    (``weakref.finalize``), the same frees-on-frame-GC contract the
+    local branch gets from the ContextCleaner.  A frame the CALLER
+    already persisted is cut through its existing cache — no
+    re-persist (PySpark raises on storage-level change), and its
+    lifetime stays caller-owned.  Checkpoint FILES are reclaimed on
+    frame GC because the session factory sets
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
     Spark default of false would grow the dir for the app's lifetime);
     sessions not built by :mod:`dataengineer_spark.session` should set
@@ -61,12 +69,31 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        cached = df.persist()
-        try:
-            return cached.checkpoint(eager=True)
-        finally:
-            cached.unpersist()
+        lvl = df.storageLevel
+        caller_owned = lvl.useMemory or lvl.useDisk
+        cached = df if caller_owned else df.persist()
+        if eager:
+            try:
+                return cached.checkpoint(eager=True)
+            finally:
+                if not caller_owned:
+                    cached.unpersist()
+        out = cached.checkpoint(eager=False)
+        if not caller_owned:
+            import weakref
+
+            weakref.finalize(out, _unpersist_quietly, cached)
+        return out
     return df.localCheckpoint(eager=eager)
+
+
+def _unpersist_quietly(cached: DataFrame) -> None:
+    """GC finalizer for lineage_cut's lazy-reliable transient cache —
+    the JVM may already be gone at interpreter shutdown."""
+    try:
+        cached.unpersist()
+    except Exception:
+        pass
 
 
 def array_lit(values) -> "Column":
@@ -77,15 +104,37 @@ def array_lit(values) -> "Column":
     ~0.5 s of DRIVER time per 16×64 codebook — ~140× slower than letting
     the JVM parser build the same literal tree. Matters because query
     callables construct their plan on every invocation.
+
+    ``None`` elements are supported only in all-float arrays (typed
+    ``CAST(NULL AS DOUBLE)``; a bare NULL in ``array()`` would type the
+    array as VOID) — pca_power_top's degenerate-state arrays, the one
+    user.  A None next to int/bool/str siblings raises instead of
+    silently double-coercing the whole array (ADVICE r7).
     """
     from pyspark.sql import functions as F
+
+    def flat(v):
+        for x in v:
+            if isinstance(x, (list, tuple)):
+                yield from flat(x)
+            else:
+                yield x
+
+    vals = list(values)
+    leaves = list(flat(vals))
+    if any(x is None for x in leaves) and not all(
+        x is None or (isinstance(x, float) and not isinstance(x, bool))
+        for x in leaves
+    ):
+        raise ValueError(
+            "array_lit: None elements are only supported in all-float "
+            "arrays (NULL is typed as DOUBLE)"
+        )
 
     def render(v) -> str:
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(render(x) for x in v) + ")"
         if v is None:
-            # typed NULL element (pca_power_top's degenerate-state arrays:
-            # a bare NULL in array() would type the array as VOID)
             return "CAST(NULL AS DOUBLE)"
         if isinstance(v, bool):
             return "true" if v else "false"
@@ -102,4 +151,4 @@ def array_lit(values) -> "Column":
             return "CAST('-Infinity' AS DOUBLE)"
         return repr(f) + "D"
 
-    return F.expr(render(list(values)))
+    return F.expr(render(vals))

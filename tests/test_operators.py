@@ -1434,6 +1434,55 @@ class TestFuzzyJoin:
             (5, 5, 1), (5, 2, 0)
         }
 
+    def test_topk_caps_per_entity_with_deterministic_ties(self, spark):
+        # doc 1 matches 2 (dist 1), 3 (dist 1), 4 (dist 2), 5 (dist 2):
+        # k=2 keeps the two dist-1 matches, tie-broken by id_b ascending
+        rows = [
+            (1, "b1", "hello world"),
+            (2, "b1", "hello wurld"),
+            (3, "b1", "hello worlt"),
+            (4, "b1", "hello wurlt"),
+            (5, "b1", "hallo wurld"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+        out = join_ops.fuzzy_join_topk(
+            df, df, "doc_id", "doc_id", "text", "text",
+            block_on=[(F.col("blk"), F.col("blk"))], k=2, max_distance=2,
+        ).collect()
+        per_a = {}
+        for r in out:
+            per_a.setdefault(r["id_a"], []).append(
+                (r["match_rank"], r["id_b"], r["lev_dist"])
+            )
+        assert all(len(v) <= 2 for v in per_a.values())
+        assert sorted(per_a[1]) == [(1, 2, 1), (2, 3, 1)]
+        # rank ordering must follow (lev_dist, id_b) within each entity
+        for v in per_a.values():
+            assert sorted(v) == sorted(v, key=lambda x: x[0])
+
+    def test_topk_equals_unbounded_when_k_large(self, spark):
+        rows = [
+            (1, "b1", "aaaa"), (2, "b1", "aaab"), (3, "b1", "aabb"),
+            (4, "b2", "cccc"), (5, "b2", "cccd"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+        blk = [(F.col("blk"), F.col("blk"))]
+        full = {
+            (r["id_a"], r["id_b"], r["lev_dist"])
+            for r in join_ops.fuzzy_join(
+                df, df, "doc_id", "doc_id", "text", "text",
+                block_on=blk, max_distance=4,
+            ).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"], r["lev_dist"])
+            for r in join_ops.fuzzy_join_topk(
+                df, df, "doc_id", "doc_id", "text", "text",
+                block_on=blk, k=100, max_distance=4,
+            ).collect()
+        }
+        assert capped == full and len(full) > 0
+
 
 class TestPmiCollocations:
     def test_pmi_value_matches_hand_count(self, spark):
@@ -2373,6 +2422,50 @@ class TestSeventhReviewEdgeCases:
             # state (a leftover dir would silently upgrade every later
             # lineage cut; semantics-preserving but not what the suite
             # pins)
+            none_opt = spark._jvm.scala.Option.apply(None)
+            getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(none_opt)
+            assert spark.sparkContext.getCheckpointDir() is None
+
+    def test_array_lit_null_next_to_non_floats_raises(self, spark):
+        # None is typed CAST(NULL AS DOUBLE); silently double-coercing an
+        # int/bool/string array would change its element type (ADVICE r7)
+        import pytest
+
+        from dataengineer_spark.tuning import array_lit
+
+        for bad in ([None, 2], [None, True], [[1, 2], [None]]):
+            with pytest.raises(ValueError):
+                array_lit(bad)
+        # all-float with None stays supported
+        row = spark.range(1).select(array_lit([[None, 1.5]]).alias("a")).first()
+        assert row["a"][0][0] is None and row["a"][0][1] == 1.5
+
+    def test_lineage_cut_lazy_reliable_and_preowned_cache(self, spark, tmp_path):
+        """ADVICE r7: the reliable branch must honor eager=False (no
+        build-time job — sorted_neighborhood_pairs builds lazily) and
+        must not re-persist / transiently-unpersist a frame the CALLER
+        already cached."""
+        import os
+
+        from pyspark import StorageLevel
+
+        from dataengineer_spark.tuning import lineage_cut
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck2"))
+        try:
+            df = spark.range(50).withColumn("v", F.col("id") + 1)
+            lazy = lineage_cut(df, eager=False)
+            # values correct once an action runs; checkpoint files land
+            assert lazy.count() == 50
+            assert os.listdir(str(tmp_path / "ck2"))
+            # caller-owned cache: no raise on a non-default level, and
+            # the cache survives the cut (lifetime stays caller-owned)
+            owned = spark.range(20).persist(StorageLevel.DISK_ONLY)
+            cut = lineage_cut(owned)
+            assert cut.count() == 20
+            assert owned.storageLevel.useDisk  # still the caller's cache
+            owned.unpersist()
+        finally:
             none_opt = spark._jvm.scala.Option.apply(None)
             getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(none_opt)
             assert spark.sparkContext.getCheckpointDir() is None

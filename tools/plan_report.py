@@ -153,12 +153,31 @@ def main() -> int:
     bounded = getattr(entrymod, "BOUNDED_BNL_QUERIES", {})
     rows = []
     raw_bnl_queries = []
+    failed = []
     for name in sorted(qs):
         oracle = "duckdb" if name in oracles else "rows-only"
         if name in entrymod.EFFECTFUL_QUERIES:
-            rows.append(f"| {name} | {oracle} | _effectful — not planned here_ | | | |")
-            continue
-        s = summarize(plan_of(qs[name](spark, sf_dir)))
+            # effectful queries (streaming runs, lake-write round-trips,
+            # build-time collects) historically had NO plan row — exactly
+            # where the writes are (VERDICT r7 item 3).  Run the effect
+            # (temp-dir sinks / availableNow streams, same as every
+            # check_oracle pass) and record the plan of the RETURNED
+            # frame: the probe/read side — the read-back scan, the
+            # stream's batch-equivalent result, the loop's final chained
+            # body — which is what repeats at deployment scale.
+            oracle += " ⚙"
+            try:
+                frame = qs[name](spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — a broken build must
+                failed.append(name)  # surface as a row, not kill the report
+                rows.append(
+                    f"| {name} | {oracle} | _plan capture failed:"
+                    f" {type(exc).__name__}_ | | | |"
+                )
+                continue
+        else:
+            frame = qs[name](spark, sf_dir)
+        s = summarize(plan_of(frame))
         if s["raw_bnl"]:
             if name in bounded:
                 # self-declared cardinality-bounded theta join (e.g. a
@@ -192,8 +211,11 @@ def main() -> int:
         "",
         "Generated by `tools/plan_report.py` (sf0.001 statistics; join",
         "strategy may differ at production sizes where AQE demotes or",
-        "promotes broadcasts — the structural properties hold). Effectful",
-        "queries (streaming, sink round-trips) are listed without a plan.",
+        "promotes broadcasts — the structural properties hold). ⚙ marks",
+        "an effectful query (streaming run, lake-write round-trip,",
+        "build-time collect): its build ran first and the recorded plan",
+        "is the READ side — the returned probe/read-back frame, the part",
+        "that repeats at deployment scale.",
         "`BNL-scalar` = BroadcastNestedLoopJoin whose build side is a",
         "one-row ungrouped aggregate (corpus N, avgdl, scalar subquery):",
         "a scalar attach, structurally incapable of quadratic blow-up.",
