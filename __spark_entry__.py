@@ -10539,64 +10539,44 @@ FROM agg ORDER BY key
 
 
 # Round-7 rotation for the driver's ~50-query correctness budget.
-# The registry is CLOSED at 278 queries (267 oracled, 11 rows-only by
-# contract); every oracled query has a driver row except the 12 round-6
-# late additions listed first below (round-6 grew past the budget).
-# Front = (a) never-driver-covered oracled queries, then (b) greens
-# stalest-first (r1-latest cohort, then r2..r6 — recomputed from the
-# CORRECTNESS_r0{1..6}.json artifacts, not remembered counts).  All 11
+# The registry holds 279 queries (268 oracled, 11 rows-only by
+# contract); after round 7 every query has appeared in at least one
+# driver sample except this round's new q_e9_fuzzy_join_topk.  Front =
+# (a) never-driver-covered oracled queries, then (b) greens
+# stalest-first by last-sampled round (recomputed from the
+# CORRECTNESS_r0{1..7}.json artifacts, not remembered counts).  All 11
 # rows-only twins are ordered LAST (VERDICT r6 item 2) so no driver
 # sample slot can land on an err:"no_oracle" row.
-_ROUND7_FIRST = [
-    # --- never driver-covered (round-6 tail past the ~50 budget:
-    # first driver contact outranks refreshing greens) ---
-    "q_e3_pca_power1", "q_prep_churn_labels", "q_dq_gini",
-    "q_a12_sliced_auc", "q_e9_sorted_blocking", "q_e3_embed_outliers",
-    "q_e10_seasonal", "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi",
-    "q_dq_kanon", "q_e10_burstiness",
-    # --- then stalest driver evidence first: r1-latest cohort,
-    # then r2..r6 (slots past ~50/round roll to round 8) ---
-    "q_s1_csv_scan", "q_s2_table_scan", "q_s4_daterange_scan",
-    "q_s5_rest_source", "q_s6_inline_table", "q_k2_batch_audit",
-    "q_p1_project", "q_p2_select_where", "q_p3_conj_filter",
-    "q_p5_lit_columns", "q_p6_rename", "q_p7_cast", "q_p8_dropna",
-    "q_p9_struct_expand", "q_f4_sectionize", "q_f5_truncate",
-    "q_f6_format_date", "q_f7_split_label", "q_j1_label_join",
-    "q_j2_point_lookup", "q_j4_fanin_merge", "q_e3_pairwise_topk",
-    "q_e10_funnel", "q_pipeline_dx_group", "q_pipeline_prostate",
-    "q_pipeline_curation", "q_tpch_q6", "q_tpch_q18", "q_tpch_q17",
-    "q_tpch_q12", "q_tpch_q14", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-    "q_tpch_q1", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19", "q_tpch_q22",
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_e12_udf",
-    "q_e12_grouped_map", "q_e12_iter_udf", "q_e12_grouped_agg",
-    "q_e12_hof", "q_k3_csv_roundtrip", "q_k3_json_roundtrip",
-    "q_k3_orc_roundtrip", "q_s7_bucketed_join", "q_dq_constraints",
-    "q_dq_null_rates", "q_dq_orphans", "q_prep_sample_n",
+_ROUND8_FIRST = [
+    "q_e9_fuzzy_join_topk", "q_tpch_q9", "q_tpch_q13", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q19", "q_tpch_q22", "q_tpch_q2", "q_tpch_q11",
+    "q_tpch_q20", "q_tpch_q21", "q_e12_udf", "q_e12_grouped_map",
+    "q_e12_iter_udf", "q_e12_grouped_agg", "q_e12_hof", "q_k3_csv_roundtrip",
+    "q_k3_json_roundtrip", "q_k3_orc_roundtrip", "q_s7_bucketed_join",
+    "q_dq_constraints", "q_dq_null_rates", "q_dq_orphans", "q_prep_sample_n",
     "q_e5_percentile_dist", "q_e4_edit_distance", "q_o6_batch_lifecycle",
     "q_e1_incremental_dedup", "q_e4_pii_redact", "q_rank_bm25",
     "q_e9_asof_join", "q_e9_asof_tolerance", "q_e10_tumbling",
-    "q_e10_sliding", "q_e10_session", "q_e4_c4_filter",
-    "q_e4_gopher_filter", "q_rank_tfidf", "q_e2_dup_spans", "q_prep_dsir",
-    "q_dq_funnel", "q_k5_merge_upsert", "q_e3_topk_arrow",
-    "q_e11_stream_dedup", "q_e2_cluster_dedup", "q_e4_repetition",
-    "q_prep_pack", "q_prep_mixture", "q_prep_contamination",
-    "q_e2_embed_neardup", "q_e4_quality", "q_e4_tokens",
-    "q_e5_groupingsets", "q_e11_stream_lake", "q_e11_stream_join",
-    "q_e11_stateful", "q_e11_stream_session", "q_json_extract",
-    "q_e5_pivot", "q_e5_unpivot", "q_e5_distinct_agg", "q_e5_percentile",
-    "q_e7_grouptopk_salted", "q_prep_split", "q_prep_stratified",
-    "q_sql_api", "q_prep_wordcount", "q_mm_stats",
+    "q_e10_sliding", "q_e10_session", "q_e4_c4_filter", "q_e4_gopher_filter",
+    "q_rank_tfidf", "q_e2_dup_spans", "q_prep_dsir", "q_dq_funnel",
+    "q_k5_merge_upsert", "q_e3_topk_arrow", "q_e11_stream_dedup",
+    "q_e2_cluster_dedup", "q_e4_repetition", "q_prep_pack", "q_prep_mixture",
+    "q_prep_contamination", "q_e2_embed_neardup", "q_e4_quality",
+    "q_e4_tokens", "q_e5_groupingsets", "q_e11_stream_lake",
+    "q_e11_stream_join", "q_e11_stateful", "q_e11_stream_session",
+    "q_json_extract", "q_e5_pivot", "q_e5_unpivot", "q_e5_distinct_agg",
+    "q_e5_percentile", "q_e7_grouptopk_salted", "q_prep_split",
+    "q_prep_stratified", "q_sql_api", "q_prep_wordcount", "q_mm_stats",
     "q_e2_embed_lsh_neardup", "q_e5_corr_stats", "q_e1_dup_weights",
     "q_e4_perplexity", "q_e14_partitioned_scan", "q_e12_udtf",
     "q_e12_apply_arrow", "q_e2_minhash_portable", "q_json_variant",
-    "q_m1_classifier", "q_m2_qa_sectionize", "q_e3_ivf_topk",
-    "q_e10_anomaly", "q_a5_confusion", "q_a4_calibration",
-    "q_graph_triangles", "q_e5_regression", "q_e5_rfm", "q_rank_rrf",
-    "q_e3_dim_stats", "q_e10_retention", "q_e10_resample",
-    "q_e10_attribution", "q_graph_pagerank", "q_e9_fuzzy_join",
-    "q_f10_pmi", "q_f9_bpe_train", "q_s8_zorder_scan", "q_j5_salted_join",
-    "q_dq_snapshot_diff", "q_dq_drift", "q_k6_scd2", "q_e11_stream_hll",
+    "q_m1_classifier", "q_m2_qa_sectionize", "q_e3_ivf_topk", "q_e10_anomaly",
+    "q_a5_confusion", "q_a4_calibration", "q_graph_triangles",
+    "q_e5_regression", "q_e5_rfm", "q_rank_rrf", "q_e3_dim_stats",
+    "q_e10_retention", "q_e10_resample", "q_e10_attribution",
+    "q_graph_pagerank", "q_e9_fuzzy_join", "q_f10_pmi", "q_f9_bpe_train",
+    "q_s8_zorder_scan", "q_j5_salted_join", "q_dq_snapshot_diff",
+    "q_dq_drift", "q_k6_scd2", "q_e11_stream_hll",
     "q_e11_stream_decontaminate", "q_prep_bloom_decontaminate",
     "q_prep_pps_sample", "q_prep_chunk", "q_e2_semantic_dedup",
     "q_e2_semantic_dedup_trained", "q_e4_perplexity_ref",
@@ -10604,36 +10584,49 @@ _ROUND7_FIRST = [
     "q_e2_simhash_portable", "q_prep_decontaminate_portable",
     "q_e5_approx_percentile", "q_e5_approx_distinct", "q_e5_hll_rollup",
     "q_e5_cms_topk", "q_e5_histogram", "q_e5_winsorize", "q_mm_features",
-    "q_mm_frame_sample", "q_mm_resize", "q_e2_ngram_jaccard",
-    "q_e3_lsh_topk", "q_e3_pq_topk", "q_e3_jl_topk", "q_e3_kmeans",
-    "q_graph_bfs", "q_e3_ivfpq_topk", "q_k7_incremental_agg",
-    "q_k8_shard_export", "q_f11_zipf", "q_e11_stream_anomaly", "q_dq_skew",
-    "q_e10_wow", "q_e9_linkage", "q_e2_setsim_join", "q_a3_kappa",
-    "q_e4_oov", "q_a2_auc", "q_f12_bpe_tokenize", "q_f13_normalize",
-    "q_prep_upsample", "q_prep_semantic_decontaminate", "q_dq_dup_rate",
-    "q_k9_quarantine", "q_s9_schema_evolution", "q_prep_budget",
-    "q_e2_incremental_neardup", "q_k10_cdc_apply", "q_e11_stream_neardup",
-    "q_e1_dedup_by", "q_s10_corrupt_json", "q_a6_abtest", "q_dq_profile",
-    "q_f1_clean_msg", "q_a1_accuracy", "q_e1_dedup", "q_e1_distinct",
-    "q_e3_topk_sim", "q_e4_text_stats", "q_e4_langid", "q_e5_groupagg",
-    "q_e5_rollup", "q_e5_cube", "q_e6_window", "q_e6_frames", "q_e7_topk",
-    "q_e8_setops", "q_e9_semi_anti", "q_e9_range_join",
-    "q_e11_stream_tumbling", "q_e3_ivfpq_trained", "q_e3_ivfpq_stored",
-    "q_graph_pagerank3", "q_prep_temperature_mixture",
-    "q_scrub_boilerplate", "q_prep_kfold", "q_a7_pr_curve",
-    "q_e3_ann_recall", "q_e4_fertility", "q_f14_vocab_coverage",
-    "q_e6_range_frame", "q_e10_transitions", "q_prep_length_buckets",
-    "q_e3_pq_error", "q_a8_bootstrap", "q_e9_interval_join",
-    "q_e2_neardup_recall", "q_e4_novelty", "q_dq_cross_source",
-    "q_e10_conversation", "q_e10_decay", "q_a9_wilson",
-    "q_e9_blocking_quality", "q_rank_fair_trim", "q_rank_ndcg",
-    "q_rank_rbo", "q_prep_preference_pairs", "q_e10_cusum", "q_dq_benford",
+    "q_mm_frame_sample", "q_mm_resize", "q_e2_ngram_jaccard", "q_e3_lsh_topk",
+    "q_e3_pq_topk", "q_e3_jl_topk", "q_e3_kmeans", "q_graph_bfs",
+    "q_e3_ivfpq_topk", "q_k7_incremental_agg", "q_k8_shard_export",
+    "q_f11_zipf", "q_e11_stream_anomaly", "q_dq_skew", "q_e10_wow",
+    "q_e9_linkage", "q_e2_setsim_join", "q_a3_kappa", "q_e4_oov", "q_a2_auc",
+    "q_f12_bpe_tokenize", "q_f13_normalize", "q_prep_upsample",
+    "q_prep_semantic_decontaminate", "q_dq_dup_rate", "q_k9_quarantine",
+    "q_s9_schema_evolution", "q_prep_budget", "q_e2_incremental_neardup",
+    "q_k10_cdc_apply", "q_e11_stream_neardup", "q_e1_dedup_by",
+    "q_s10_corrupt_json", "q_a6_abtest", "q_dq_profile", "q_f1_clean_msg",
+    "q_a1_accuracy", "q_e1_dedup", "q_e1_distinct", "q_e3_topk_sim",
+    "q_e4_text_stats", "q_e4_langid", "q_e5_groupagg", "q_e5_rollup",
+    "q_e5_cube", "q_e6_window", "q_e6_frames", "q_e7_topk", "q_e8_setops",
+    "q_e9_semi_anti", "q_e9_range_join", "q_e11_stream_tumbling",
+    "q_e3_ivfpq_trained", "q_e3_ivfpq_stored", "q_graph_pagerank3",
+    "q_prep_temperature_mixture", "q_scrub_boilerplate", "q_prep_kfold",
+    "q_a7_pr_curve", "q_e3_ann_recall", "q_e4_fertility",
+    "q_f14_vocab_coverage", "q_e6_range_frame", "q_e10_transitions",
+    "q_prep_length_buckets", "q_e3_pq_error", "q_a8_bootstrap",
+    "q_e9_interval_join", "q_e2_neardup_recall", "q_e4_novelty",
+    "q_dq_cross_source", "q_e10_conversation", "q_e10_decay", "q_a9_wilson",
+    "q_e9_blocking_quality", "q_rank_fair_trim", "q_rank_ndcg", "q_rank_rbo",
+    "q_prep_preference_pairs", "q_e10_cusum", "q_dq_benford",
     "q_a10_bradley_terry", "q_e6_ewma", "q_prep_curriculum",
-    "q_dq_label_noise", "q_a11_paired_t", "q_e3_pca_power",
-    "q_e9_proration", "q_rank_calibrate", "q_dq_lang_mismatch",
-    "q_pipeline_curation2", "q_dq_datacard", "q_e2_containment",
-    "q_dq_mad_outliers", "q_e9_interval_coverage", "q_k6_scd2_lookup",
-    "q_prep_split_leakage", "q_e3_hard_negatives", "q_e3_knn_classify",
+    "q_dq_label_noise", "q_a11_paired_t", "q_e3_pca_power", "q_e9_proration",
+    "q_rank_calibrate", "q_dq_lang_mismatch", "q_pipeline_curation2",
+    "q_dq_datacard", "q_e2_containment", "q_dq_mad_outliers",
+    "q_e9_interval_coverage", "q_k6_scd2_lookup", "q_prep_split_leakage",
+    "q_e3_hard_negatives", "q_e3_knn_classify", "q_e3_pca_power1",
+    "q_prep_churn_labels", "q_dq_gini", "q_a12_sliced_auc",
+    "q_e9_sorted_blocking", "q_e3_embed_outliers", "q_e10_seasonal",
+    "q_dq_fd", "q_e10_conversion_lag", "q_dq_psi", "q_dq_kanon",
+    "q_e10_burstiness", "q_s1_csv_scan", "q_s2_table_scan",
+    "q_s4_daterange_scan", "q_s5_rest_source", "q_s6_inline_table",
+    "q_k2_batch_audit", "q_p1_project", "q_p2_select_where",
+    "q_p3_conj_filter", "q_p5_lit_columns", "q_p6_rename", "q_p7_cast",
+    "q_p8_dropna", "q_p9_struct_expand", "q_f4_sectionize", "q_f5_truncate",
+    "q_f6_format_date", "q_f7_split_label", "q_j1_label_join",
+    "q_j2_point_lookup", "q_j4_fanin_merge", "q_e3_pairwise_topk",
+    "q_e10_funnel", "q_pipeline_dx_group", "q_pipeline_prostate",
+    "q_pipeline_curation", "q_tpch_q6", "q_tpch_q18", "q_tpch_q17",
+    "q_tpch_q12", "q_tpch_q14", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+    "q_tpch_q1", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
 ]
 
 # All 11 rows-only-by-contract queries (no oracle_sql entry: engine
@@ -10650,7 +10643,7 @@ _ROWS_ONLY_LAST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    front = {k: q[k] for k in _ROUND7_FIRST}
+    front = {k: q[k] for k in _ROUND8_FIRST}
     tail = {k: q[k] for k in _ROWS_ONLY_LAST}
     mid = {k: v for k, v in q.items() if k not in front and k not in tail}
     return front | mid | tail
