@@ -83,12 +83,12 @@ def main() -> None:
 
     copy("part", f"""
         SELECT i AS p_partkey,
-               ['large','small','shiny','dull','red','green'][CAST(1 + hash(i*13+1) % 6 AS BIGINT)]
+               ['blue','cold','hot','large','new','small','old','red'][CAST(1 + hash(i*13+1) % 8 AS BIGINT)]
                  || ' ' ||
-               ['ring','box','case','drum','pipe','plate'][CAST(1 + hash(i*13+2) % 6 AS BIGINT)]
+               ['anvil','bolt','gear','gizmo','plate','ring','rod','widget'][CAST(1 + hash(i*13+2) % 8 AS BIGINT)]
                  AS p_name,
-               'Brand#' || CAST(hash(i * 13 + 3) % 10 AS VARCHAR) AS p_brand,
-               ['LARGE','MEDIUM','SMALL','STANDARD','PROMO'][CAST(1 + hash(i*13+4) % 5 AS BIGINT)]
+               'Brand#' || CAST(1 + hash(i * 13 + 3) % 25 AS VARCHAR) AS p_brand,
+               ['ECONOMY','LARGE','MEDIUM','PROMO','SMALL','STANDARD'][CAST(1 + hash(i*13+4) % 6 AS BIGINT)]
                  AS p_type,
                CAST(1 + hash(i * 13 + 5) % 50 AS INTEGER) AS p_size,
                round(900.0 + (hash(i * 13 + 6) % 120000) / 100.0, 2) AS p_retailprice
