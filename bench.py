@@ -207,6 +207,35 @@ HEADLINE = [
 ]
 
 
+def _emit_summary(
+    timings: dict[str, float],
+    full_timings: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+    detail: str,
+) -> None:
+    """One compact JSON line (headline total + the 30 slowest headline
+    timings), guaranteed to fit the driver's 2,000-char stdout tail."""
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_headline": len(timings),
+        "n_full": len(full_timings),
+        "full_total": round(sum(full_timings.values()), 3),
+        "detail": detail,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30]),
+    }
+    if errors:
+        summary["n_errors"] = len(errors)
+    line = json.dumps(summary)
+    if len(line) > 1900:  # never let the tail cut the summary line
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line, flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -248,6 +277,11 @@ def main() -> None:
         # legacy cache hygiene (most intermediates are lineage_cut since
         # r7/r8 and free on frame GC, but a few owned persists remain)
         spark.catalog.clearCache()
+
+    # crash insurance: if the (longer) full tier below is ever cut short
+    # by a driver timeout, stdout already ends with a parseable headline
+    # summary — the final print below supersedes it in the normal case
+    _emit_summary(timings, {}, errors, sf, detail="pending")
 
     # full-registry tier (VERDICT r7 item 2): every non-headline query
     # timed ONCE — cheaper than the headline's best-of-2, methodology
@@ -327,27 +361,7 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout summary still survives
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
-    )
-    summary = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_headline": len(timings),
-        "n_full": len(full_timings),
-        "full_total": full_total,
-        "detail": os.path.basename(detail),
-        "queries": slowest,
-    }
-    if errors:
-        summary["n_errors"] = len(errors)
-    line = json.dumps(summary)
-    if len(line) > 1900:  # never let the tail cut the summary line
-        summary.pop("queries")
-        line = json.dumps(summary)
-    print(line)
+    _emit_summary(timings, full_timings, errors, sf, os.path.basename(detail))
     spark.stop()
 
 
