@@ -147,8 +147,14 @@ def pagerank(
                 base + damping * F.sum("_c").cast("double"), 12
             ).alias("rank")
         )
-        # keep contribution-less nodes alive at the teleport floor
-        ranks = nodes.join(new_ranks, "node", "left").select(
+        # keep contribution-less nodes alive at the teleport floor; the
+        # new rank vector is node-bounded, so the same exact-count guard
+        # broadcasts it — statically, instead of per-round AQE re-plans
+        ranks = nodes.join(
+            F.broadcast(new_ranks) if small_ranks else new_ranks,
+            "node",
+            "left",
+        ).select(
             "node",
             F.coalesce("rank", F.round(F.lit(base), 12)).alias("rank"),
         )
