@@ -258,10 +258,16 @@ def bfs_distances(
     Frontier expansion: each round joins the edge list against the
     previous frontier (one shuffle join), anti-joins the visited set so
     a node keeps its FIRST (minimal) level, and unions into the distance
-    table.  Like ``pagerank``, short fixed-depth runs chain into one
-    lazily-planned DAG (the persisted edge exchange is reused per
-    round); ``checkpoint_every`` truncates lineage on deep traversals.
-    All-integer levels → deterministic on any engine or partitioning.
+    table.  Every round's frontier is lineage-cut LAZILY: it is
+    referenced TWICE (unioned into the distance table AND joined as the
+    next frontier), and each round's plan embeds the previous rounds'
+    — without the cut the chained DAG re-expands prior frontiers
+    exponentially in depth (round-8 audit: the depth-3 plan carried 87
+    exchanges; with per-round cuts it is a handful, each frontier
+    computed exactly once under the single final job).
+    ``checkpoint_every`` additionally cuts the accumulated distance
+    table on deep traversals.  All-integer levels → deterministic on
+    any engine or partitioning.
 
     Output: (node, dist) for every node within ``max_depth`` hops of a
     seed (seeds themselves at dist 0).
@@ -277,16 +283,16 @@ def bfs_distances(
     )
     frontier = dist
     for depth in range(1, max_depth + 1):
-        nxt = (
+        nxt = lineage_cut(
             e.join(frontier, F.col("_src") == F.col("node"))
             .select(F.col("_dst").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
-            .select("node", F.lit(depth).alias("dist"))
+            .select("node", F.lit(depth).alias("dist")),
+            eager=False,
         )
         dist = dist.unionByName(nxt)
         frontier = nxt
         if depth % checkpoint_every == 0 and depth < max_depth:
             dist = lineage_cut(dist)
-            frontier = lineage_cut(frontier)
     return dist
