@@ -2027,6 +2027,30 @@ class TestReviewedEdgeCases:
         empty = spark.createDataFrame([], "src long, dst long")
         assert graph_ops.pagerank(empty).count() == 0
 
+    def test_pagerank_broadcast_guard_paths_agree(self, spark):
+        # the exact-count broadcast guard changes only the physical join
+        # side assignment: ranks must be bit-identical whether the rank
+        # vector broadcasts (small graphs) or shuffle-joins against the
+        # pre-partitioned edges (the production path past the limit)
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(12) for b in range(12)
+             if a != b and (a + b) % 3 != 0],
+            "src long, dst long",
+        )
+        small = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(edges, iterations=4).collect()
+        }
+        big_path = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(
+                edges, iterations=4, broadcast_node_limit=0
+            ).collect()
+        }
+        assert small == big_path and len(small) == 12
+
     def test_funnel_empty_steps_raises(self, spark):
         import pytest
 
