@@ -297,7 +297,7 @@ def minhash_lsh_pairs(
     # semi-join filter); cutting this collision-rate-sized set runs
     # the signature/banding pipeline exactly once at any corpus size —
     # lazy, so building the plan stays job-free; blocks free on frame GC
-    cand = lineage_cut(cand, eager=False)
+    cand = lineage_cut(cand, eager=False, serialized=True)
 
     # verify only the (collision-rate sized) candidate set: semi-join the
     # corpus down to candidate docs FIRST, then shingle just those — at a
@@ -484,6 +484,7 @@ def simhash_neardup_pairs(
         # twice — compact at any corpus size (id + fp + bucket only)
         .withColumn("_bk", F.shiftrightunsigned(F.col("_fp"), 64 - prefix_bits)),
         eager=False,
+        serialized=True,  # corpus-row-sized
     )
     a = with_fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "_bk")
     b = with_fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "_bk")
@@ -756,6 +757,7 @@ def minhash_lsh_join(
         # lazy cut — no build-time job, blocks free on frame GC
         .dropDuplicates(),
         eager=False,
+        serialized=True,  # collision-rate-sized
     )
     cand_ids = cand.select("corpus_id").dropDuplicates()
     sh_c = base_c.join(F.broadcast(cand_ids), "corpus_id", "left_semi").select(
@@ -1080,9 +1082,10 @@ def setsim_join(
         )
     )
     # consumed three times (prefix explode + both verify sides); cut
-    # like the minhash candidate intermediates — compact (one row per
-    # doc), lazy (no build-time job), blocks free on frame GC
-    arr = lineage_cut(arr, eager=False)
+    # like the minhash candidate intermediates — one row per doc but
+    # carrying the full sorted token array, so serialized storage
+    # (corpus-sized); lazy (no build-time job), blocks free on frame GC
+    arr = lineage_cut(arr, eager=False, serialized=True)
     prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
     prefix = arr.select(
         "_id",

@@ -88,6 +88,7 @@ def pagerank(
     e = lineage_cut(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
         eager=False,
+        serialized=True,  # edge-list-sized: see lineage_cut docstring
     )
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
     # degree is iteration-invariant: attach it to the edges ONCE,
@@ -105,7 +106,9 @@ def pagerank(
     sc = e.sparkSession.sparkContext
     n_parts = max(sc.defaultParallelism, e.rdd.getNumPartitions())
     e_deg = lineage_cut(
-        e.join(deg, "_src").repartition(n_parts, "_src"), eager=False
+        e.join(deg, "_src").repartition(n_parts, "_src"),
+        eager=False,
+        serialized=True,  # edge-list-sized
     )
     # full node universe, cut once: rank-vector-sized, the loop's
     # inherent state; the per-round left join co-partitions with the
@@ -277,6 +280,7 @@ def bfs_distances(
     e = lineage_cut(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
         eager=False,
+        serialized=True,  # edge-list-sized
     )
     dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).alias("dist")

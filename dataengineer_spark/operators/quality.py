@@ -193,6 +193,7 @@ def distribution_drift(
     gw = lineage_cut(
         words.groupBy(group_col, "word").agg(F.count("*").alias("c_gw")),
         eager=False,
+        serialized=True,  # vocab x group sized
     )
     g_tot = gw.groupBy(group_col).agg(F.sum("c_gw").alias("n_g"))
     w_tot = gw.groupBy("word").agg(F.sum("c_gw").alias("c_w"))

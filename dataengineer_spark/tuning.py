@@ -29,9 +29,22 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+def lineage_cut(
+    df: DataFrame, eager: bool = True, serialized: bool = False
+) -> DataFrame:
     """Truncate lineage: reliable ``checkpoint`` when the session has a
     checkpoint dir configured, ``localCheckpoint`` otherwise.
+
+    ``serialized=True`` stores the cut's blocks MEMORY_AND_DISK_SER
+    instead of the deserialized default — mandatory for corpus-sized
+    frames: the round-8 sf10 probe killed a 48 GB local JVM re-loading
+    a ~200 M-row deserialized localCheckpoint block from disk
+    (``maybeCacheDiskValuesInMemory`` materializes per-row Java
+    objects; GCLocker allocation death), while serialized blocks hold
+    one byte buffer per block and survive.  Values and partitioning
+    are identical; the only cost is a per-scan deserialize of already
+    compact UnsafeRows.  Control-plane-sized cuts (node sets, rank
+    vectors, label tables) keep the faster deserialized default.
 
     ``localCheckpoint`` stores blocks on executors — fast, zero shared
     storage, and exactly right on local[*] or when the caller can
@@ -67,11 +80,18 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     sessions not built by :mod:`dataengineer_spark.session` should set
     it too.
     """
+    from pyspark import StorageLevel
+
+    # PySpark's MEMORY_AND_DISK is the SERIALIZED form (the JVM-side
+    # DataFrame default is MEMORY_AND_DISK_DESER)
+    level = StorageLevel.MEMORY_AND_DISK if serialized else None
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         lvl = df.storageLevel
         caller_owned = lvl.useMemory or lvl.useDisk
-        cached = df if caller_owned else df.persist()
+        cached = df if caller_owned else (
+            df.persist(level) if level is not None else df.persist()
+        )
         if eager:
             try:
                 return cached.checkpoint(eager=True)
@@ -84,7 +104,7 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
 
             weakref.finalize(out, _unpersist_quietly, cached)
         return out
-    return df.localCheckpoint(eager=eager)
+    return df.localCheckpoint(eager=eager, storageLevel=level)
 
 
 def _unpersist_quietly(cached: DataFrame) -> None:
