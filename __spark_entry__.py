@@ -4881,9 +4881,17 @@ def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.operators.dedup import connected_components, word_shingles
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # verify on HASHED shingles: the bucket join compares every in-bucket
+    # pair, so the intersect runs millions of times — int64 arrays cut
+    # that ~2× vs shingle strings, and |U| = |A|+|B|−|I| (distinct
+    # arrays) drops the array_union pass entirely: 2|I| ≥ |U| ⟺
+    # 3|I| ≥ |A|+|B|.  Set SIZES are hash-invariant, so the pair set —
+    # and the oracle's recursive-CTE components — are unchanged.
     sh = docs.select(
         "doc_id",
-        word_shingles(F.col("text"), 3).alias("_sh"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
         F.floor(textops.token_count(F.col("text")) / 5).alias("_bk"),
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"), "_bk")
@@ -4892,8 +4900,8 @@ def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "_bk")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            F.size(F.array_intersect("_sa", "_sb")) * 2
-            >= F.size(F.array_union("_sa", "_sb"))
+            F.size(F.array_intersect("_sa", "_sb")) * 3
+            >= F.size("_sa") + F.size("_sb")
         )
         .select("id_a", "id_b")
     )

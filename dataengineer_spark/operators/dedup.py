@@ -148,6 +148,27 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _hashed_shingles(text: Column, n: int) -> Column:
+    """Distinct char n-gram shingles as xxhash64 longs — the verify-stage
+    representation: exact-Jaccard verification only consumes set SIZES
+    (|∩|, |A|, |B|), which hashing preserves, and int64 array intersects
+    run ~2-4× faster than shingle-string ones on million-pair candidate
+    sets (same 2⁻⁶⁴-collision exactness budget the xxhash64 LSH family
+    already accepts)."""
+    return F.array_distinct(
+        F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
+    )
+
+
+def _jaccard(a: str, b: str) -> Column:
+    """Exact Jaccard of two DISTINCT arrays from one intersect pass:
+    |U| = |A| + |B| − |∩|, so the array_union walk is never built."""
+    inter = F.size(F.array_intersect(a, b))
+    return (
+        inter / (F.size(a) + F.size(b) - inter)
+    ).alias("jaccard")
+
+
 # -- MinHash + LSH banding --------------------------------------------------
 
 
@@ -162,24 +183,72 @@ def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 32, seed: int = 42,
-    portable: bool = False,
+def char_shingle_hashes(
+    text: Column | str, n: int = 5, portable: bool = False
 ) -> Column:
-    """array<bigint> MinHash signature of a shingle array.
+    """array<bigint> of DISTINCT hash values of ``text``'s char n-grams,
+    computed positionally — the shingle strings are never materialized.
 
-    Each component is min over shingles of ``(a·h(s) + b) mod p``.
-    SINGLE pass over the shingles: one ``aggregate`` folds the running
-    32-wide minimum vector — the shingle hash computed once per shingle
-    and the (a, b) families applied via literal arrays — 3× faster than
-    one array_min pass per hash family, all JVM-side, no UDF.
+    This is the signature-stage fast path: ``char_shingles`` +
+    per-shingle hashing walks a per-char array fold inside the Catalyst
+    interpreter (higher-order functions don't codegen), ~7× the cost of
+    this form, which unrolls the portable polynomial
+    ``fold (acc*31 + codepoint) % 1_000_003`` over exactly ``n`` chars
+    of ``substr`` (one ``mod`` at the end — exact: 128·31⁴ ≪ 2⁶³) and
+    skips both the shingle-string allocation and the distinct-on-strings
+    pass.  MinHash folds a min over hash VALUES, so deduping the hash
+    longs instead of the shingle strings yields bit-identical signatures
+    (equal strings hash equal; a colliding pair can only drop a
+    duplicate value the min ignores) — pinned by
+    ``tests/test_operators.py`` signature-parity tests.
 
-    ``h`` is ``xxhash64`` by default (the scale path); ``portable=True``
-    swaps the polynomial char hash the DuckDB oracle can replicate
-    bit-for-bit (preparation.portable_word_hash) — same plan shape,
-    per-char array walk instead of one JVM hash call.
+    Texts shorter than ``n`` chars have ONE shingle — the whole text —
+    exactly as ``char_shingles`` emits it (``greatest(L-n+1, 1)``), so
+    that case falls back to ``portable_word_hash`` / ``xxhash64`` of the
+    full string.
     """
-    from dataengineer_spark.operators.preparation import portable_word_hash
+    from dataengineer_spark.operators.preparation import (
+        _POLY_MOD, portable_word_hash,
+    )
+
+    c = F.col(text) if isinstance(text, str) else text
+    length = F.length(c)
+
+    if portable:
+        def hash_at(i: Column) -> Column:
+            # reduce mod p every 8 steps: an unreduced prefix stays
+            # < p·31⁸ ≈ 8.6e17 — inside int64 under ANSI for any n
+            acc = F.ascii(c.substr(i, F.lit(1))).cast("long")
+            since_mod = 0
+            for j in range(1, n):
+                acc = acc * 31 + F.ascii(c.substr(i + F.lit(j), F.lit(1)))
+                since_mod += 1
+                if since_mod == 8:
+                    acc = acc % F.lit(_POLY_MOD)
+                    since_mod = 0
+            return acc % F.lit(_POLY_MOD)
+
+        short = F.array(portable_word_hash(c))
+    else:
+        def hash_at(i: Column) -> Column:
+            return F.pmod(F.xxhash64(c.substr(i, F.lit(n))), F.lit(_MERSENNE))
+
+        short = F.array(F.pmod(F.xxhash64(c), F.lit(_MERSENNE)))
+
+    full = F.transform(F.sequence(F.lit(1), length - F.lit(n - 1)), hash_at)
+    return F.array_distinct(F.when(length >= n, full).otherwise(short))
+
+
+def minhash_from_hashes(
+    hashes: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature from PRE-HASHED shingle values.
+
+    Each component is min over values of ``(a·h + b) mod p``.  SINGLE
+    pass: one ``aggregate`` folds the running ``num_hashes``-wide
+    minimum vector, the (a, b) families applied via literal arrays —
+    all JVM-side, no UDF.
+    """
     from dataengineer_spark.tuning import array_lit
 
     params = _affine_params(num_hashes, seed)
@@ -187,21 +256,73 @@ def minhash_signature(
     b_arr = array_lit([b for _, b in params])
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
 
-    def fold_shingle(acc: Column, s: Column) -> Column:
-        if portable:
-            hv = portable_word_hash(s)
-        else:
-            hv = F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        hashes = F.transform(
+    def fold_value(acc: Column, hv: Column) -> Column:
+        hs = F.transform(
             idx,
             lambda j: F.pmod(
                 F.element_at(a_arr, j) * hv + F.element_at(b_arr, j), F.lit(_MERSENNE)
             ),
         )
-        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
+        return F.zip_with(acc, hs, lambda x, y: F.least(x, y))
 
     return F.aggregate(
-        shingles, F.array_repeat(F.lit(_MERSENNE).cast("bigint"), num_hashes), fold_shingle
+        hashes, F.array_repeat(F.lit(_MERSENNE).cast("bigint"), num_hashes), fold_value
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42,
+    portable: bool = False,
+) -> Column:
+    """array<bigint> MinHash signature of a shingle array.
+
+    Generic form for caller-built shingle columns (word shingles, custom
+    tokenizations): hashes each shingle then folds via
+    ``minhash_from_hashes``.  The char-shingle pipelines use
+    ``char_shingle_hashes`` instead, which produces identical values
+    without materializing the shingle strings.
+
+    ``h`` is ``xxhash64`` by default (the scale path); ``portable=True``
+    swaps the polynomial char hash the DuckDB oracle can replicate
+    bit-for-bit (preparation.portable_word_hash) — same plan shape,
+    per-char array walk instead of one JVM hash call.
+    """
+    from dataengineer_spark.operators.preparation import portable_word_hash
+
+    if portable:
+        hashed = F.transform(shingles, portable_word_hash)
+    else:
+        hashed = F.transform(
+            shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        )
+    return minhash_from_hashes(hashed, num_hashes, seed)
+
+
+def _expr_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int,
+    num_hashes: int, portable: bool, seed: int = 42,
+) -> DataFrame:
+    """(id, _sig) rows on the expression engine — shared signature stage
+    for the char-shingle LSH pipelines.
+
+    Fans the input out to the session parallelism first (``tuning.
+    fan_out``): signature folding runs in the Catalyst interpreter, so a
+    single-row-group input that scans as ONE task serializes the whole
+    stage — at production scale (hundreds of thousands of splits) the
+    fan-out is a structural no-op.  Streaming micro-batch frames skip
+    the partition-count probe (no ``.rdd`` on a streaming plan); their
+    parallelism comes from the source.
+    """
+    from dataengineer_spark.tuning import fan_out
+
+    if not df.isStreaming:
+        df = fan_out(df)
+    return df.select(
+        F.col(id_col),
+        minhash_from_hashes(
+            char_shingle_hashes(F.col(text_col), shingle_size, portable),
+            num_hashes, seed,
+        ).alias("_sig"),
     )
 
 
@@ -275,13 +396,8 @@ def minhash_lsh_pairs(
             base, id_col, "_t", shingle_size, num_hashes
         )
     else:
-        sig = base.select(
-            F.col(id_col),
-            minhash_signature(
-                char_shingles(F.col("_t"), shingle_size), num_hashes,
-                portable=portable,
-            ).alias("_sig"),
-        )
+        sig = _expr_signatures(base, id_col, "_t", shingle_size, num_hashes,
+                               portable)
 
     banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
 
@@ -308,16 +424,17 @@ def minhash_lsh_pairs(
     ).dropDuplicates()
     sh = (
         base.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .select(F.col(id_col), char_shingles(F.col("_t"), shingle_size).alias("_sh"))
+        .select(
+            F.col(id_col),
+            _hashed_shingles(F.col("_t"), shingle_size).alias("_sh"),
+        )
     )
     pairs = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
     ).join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.size(F.array_union("_sh_a", "_sh_b"))
-    ).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+    return pairs.select("id_a", "id_b", _jaccard("_sh_a", "_sh_b")).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(
@@ -503,6 +620,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_edge_limit: int = 500_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: returns ``(node,
     cluster_id)`` with ``cluster_id`` = the minimum id reachable through
@@ -519,12 +637,70 @@ def connected_components(
     on the node key, `localCheckpoint`-ed to truncate lineage — the
     standard scalable CC loop. Convergence is detected with a
     control-plane count.
+
+    Small graphs skip the loop: near-dup pair sets are collision-rate
+    sized (a sliver of the corpus even at 100 TB), so when the
+    deduplicated directed edge count is within ``driver_edge_limit``
+    (≤ ~8 MB of id pairs) the components are collapsed with one
+    driver-side union-find instead of diameter× join/agg rounds — the
+    same size-guarded control-plane pattern as the PageRank rank-vector
+    broadcast (graph.py).  Labels are identical (min reachable id, run
+    to full convergence, which is also what the recursive-CTE oracle
+    computes); graphs past the guard take the distributed loop
+    unchanged.  The count that arms the guard doubles as the edge-cache
+    materialization both paths need.
     """
     spark = pairs.sparkSession
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # the symmetric union references the pair plan TWICE — cutting the
+    # (collision-rate-sized) pair frame first runs the upstream
+    # candidate/verify pipeline once, not per union branch
+    e = lineage_cut(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        eager=False,
+    )
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates().persist()
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in edges.collect():
+                a, b = row[0], row[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for node in parent:
+                r = find(node)
+                m = comp_min.get(r)
+                if m is None or node < m:
+                    comp_min[r] = node
+            from pyspark.sql.types import StructField, StructType
+
+            node_t = edges.schema["a"].dataType
+            out_schema = StructType([
+                StructField("node", node_t, False),
+                StructField("cluster_id", node_t, False),
+            ])
+            return spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent], out_schema
+            )
+        finally:
+            edges.unpersist()
     labels = lineage_cut(
         edges.select("a").dropDuplicates()
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
@@ -736,12 +912,12 @@ def minhash_lsh_join(
             base_b, "bench_id", "_t", shingle_size, num_hashes
         )
     else:
-        sig = minhash_signature(
-            char_shingles(F.col("_t"), shingle_size), num_hashes,
-            portable=portable,
+        sig_c = _expr_signatures(
+            base_c, "corpus_id", "_t", shingle_size, num_hashes, portable
         )
-        sig_c = base_c.select("corpus_id", sig.alias("_sig"))
-        sig_b = base_b.select("bench_id", sig.alias("_sig"))
+        sig_b = _expr_signatures(
+            base_b, "bench_id", "_t", shingle_size, num_hashes, portable
+        )
     banded_c = _band_buckets(
         sig_c, "corpus_id", num_hashes, bands, portable=portable
     )
@@ -761,19 +937,18 @@ def minhash_lsh_join(
     )
     cand_ids = cand.select("corpus_id").dropDuplicates()
     sh_c = base_c.join(F.broadcast(cand_ids), "corpus_id", "left_semi").select(
-        "corpus_id", char_shingles(F.col("_t"), shingle_size).alias("_sh_a")
+        "corpus_id", _hashed_shingles(F.col("_t"), shingle_size).alias("_sh_a")
     )
     sh_b = base_b.select(
-        "bench_id", char_shingles(F.col("_t"), shingle_size).alias("_sh_b")
+        "bench_id", _hashed_shingles(F.col("_t"), shingle_size).alias("_sh_b")
     )
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.size(F.array_union("_sh_a", "_sh_b"))
-    ).alias("jaccard")
     return (
         cand.join(sh_c, "corpus_id")
         .join(F.broadcast(sh_b), "bench_id")
-        .select("corpus_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "corpus_id", "bench_id",
+            F.round(_jaccard("_sh_a", "_sh_b"), 6).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -808,12 +983,9 @@ def signature_table(
             num_hashes,
         )
     else:
-        sig = df.select(
-            F.col(id_col),
-            minhash_signature(
-                char_shingles(F.col(text_col), shingle_size), num_hashes,
-                portable=portable,
-            ).alias("_sig"),
+        sig = _expr_signatures(
+            df.select(F.col(id_col), F.col(text_col)), id_col, text_col,
+            shingle_size, num_hashes, portable,
         )
     banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
     # stamp the hash family into the bucket column's metadata (survives
@@ -1065,7 +1237,19 @@ def setsim_join(
     base = df.select(F.col(id_col).alias("_id"), elems.alias("_ws")).select(
         "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
     )
-    toks = base.select("_id", F.explode("_ws").alias("_w"))
+    # hash elements to int64 AT TOKENIZE TIME: every downstream stage —
+    # global frequency, the (freq, element) sort, the prefix equi-join,
+    # and above all the candidate array_intersect verify — compares
+    # longs instead of shingle strings (the verify hashes each element
+    # per pair; on templated corpora with millions of candidates the
+    # string form was ~4× this one).  The RESULT is identical: the
+    # prefix filter is lossless under ANY consistent global ordering,
+    # and jaccard is computed from set SIZES, which hashing preserves
+    # (a 64-bit collision inside one comparison is ~2⁻⁶⁴ — the same
+    # exactness budget the xxhash64 LSH family already accepts).
+    toks = base.select("_id", F.explode("_ws").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_w")
+    )
     freq = toks.groupBy("_w").agg(F.count("*").alias("_c"))
     arr = (
         toks.join(freq, "_w")

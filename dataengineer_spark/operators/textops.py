@@ -169,10 +169,24 @@ def winnowed_fingerprints(
     reproducibility (xxhash64 stays the scale default).
     """
     from dataengineer_spark.operators.dedup import char_shingles
-    from dataengineer_spark.operators.preparation import portable_word_hash
+    from dataengineer_spark.operators.preparation import (
+        portable_hash_fixed, portable_word_hash,
+    )
 
     c = F.col(text) if isinstance(text, str) else text
-    hash_fn = portable_word_hash if portable else F.xxhash64
+    if portable:
+        # every char n-shingle is exactly n chars except the single
+        # short-text shingle — take the unrolled fixed-length poly on
+        # the fast path, the generic fold on the rare short one.
+        # (positional hashing à la dedup.char_shingle_hashes is NOT
+        # usable here: winnowing keeps the k smallest hash VALUES with
+        # duplicates, so dedup must happen on the shingle STRINGS.)
+        def hash_fn(s: Column) -> Column:
+            return F.when(
+                F.length(s) == n, portable_hash_fixed(s, n)
+            ).otherwise(portable_word_hash(s))
+    else:
+        hash_fn = F.xxhash64
     hashes = F.transform(char_shingles(c, n), lambda s: hash_fn(s))
     return F.slice(F.array_sort(hashes), 1, keep)
 

@@ -794,6 +794,125 @@ class TestConnectedComponents:
         assert {r["cluster_id"] for r in out} == {0}
         assert len(out) == 21
 
+    def test_driver_unionfind_matches_distributed_loop(self, spark):
+        # the size-guarded driver union-find and the distributed
+        # min-label loop must label identically — chain + clique +
+        # isolated pair, string ids to pin the generic-schema path
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("x", "z"), ("y", "z"),
+             ("p", "q")],
+            "id_a string, id_b string",
+        )
+        fast = {r["node"]: r["cluster_id"]
+                for r in dedup_ops.connected_components(pairs).collect()}
+        loop = {r["node"]: r["cluster_id"]
+                for r in dedup_ops.connected_components(
+                    pairs, driver_edge_limit=0).collect()}
+        assert fast == loop
+        assert fast["c"] == "a" and fast["z"] == "x" and fast["q"] == "p"
+
+
+class TestCharShingleHashes:
+    def test_matches_hashed_char_shingles(self, spark):
+        # the positional fast path must produce the same hash SET as
+        # hashing the materialized distinct shingles, for both families —
+        # covers normal, shorter-than-n, empty, unicode, and NULL text
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "abc"), (3, ""), (4, "héllo wörld"),
+             (5, None), (6, "aaaaaaaa")],
+            "doc_id long, text string",
+        )
+        from pyspark.sql import functions as F
+        from dataengineer_spark.operators.preparation import portable_word_hash
+
+        for portable in (True, False):
+            fast = df.select(
+                "doc_id",
+                F.array_sort(
+                    dedup_ops.char_shingle_hashes(F.col("text"), 5, portable)
+                ).alias("h"),
+            )
+            if portable:
+                hash_fn = portable_word_hash
+            else:
+                hash_fn = lambda s: F.pmod(
+                    F.xxhash64(s), F.lit(dedup_ops._MERSENNE)
+                )
+            slow = df.select(
+                "doc_id",
+                F.array_sort(
+                    F.transform(
+                        dedup_ops.char_shingles(F.col("text"), 5), hash_fn
+                    )
+                ).alias("h"),
+            )
+            f = {r["doc_id"]: r["h"] for r in fast.collect()}
+            s = {r["doc_id"]: r["h"] for r in slow.collect()}
+            assert f == s, f"portable={portable}: {f} != {s}"
+
+    def test_portable_hash_forms_agree(self, spark):
+        # the sequence-fold portable_word_hash, the unrolled fixed-length
+        # form, and the historical split-based fold must all agree —
+        # including empty, NULL, unicode, and the >8-char periodic-mod path
+        from pyspark.sql import functions as F
+        from dataengineer_spark.operators.preparation import (
+            _POLY_MOD, portable_hash_fixed, portable_word_hash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, ""), (3, None), (4, "héllo wörld"),
+             (5, "a"), (6, "x" * 25), (7, "abcdefgh")],
+            "id long, s string",
+        )
+        split_fold = F.aggregate(
+            F.transform(
+                F.filter(F.split(F.col("s"), ""), lambda x: x != F.lit("")),
+                F.ascii,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x) % F.lit(_POLY_MOD),
+        )
+        rows = df.select(
+            "id", split_fold.alias("ref"),
+            portable_word_hash(F.col("s")).alias("seq"),
+            F.when(F.length("s") == 8, portable_hash_fixed(F.col("s"), 8))
+            .when(F.length("s") == 25, portable_hash_fixed(F.col("s"), 25))
+            .alias("fixed"),
+        ).collect()
+        for r in rows:
+            assert r["seq"] == r["ref"], r
+            if r["fixed"] is not None:
+                assert r["fixed"] == r["ref"], r
+
+    def test_signature_parity_fast_vs_generic(self, spark):
+        # minhash_from_hashes(char_shingle_hashes(...)) ==
+        # minhash_signature(char_shingles(...)) bit-for-bit
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["the quick brown fox jumps", "the quick brown fox jumped",
+                 "completely different text here", "ab", ""])],
+            "doc_id long, text string",
+        )
+        for portable in (True, False):
+            fast = df.select(
+                "doc_id",
+                dedup_ops.minhash_from_hashes(
+                    dedup_ops.char_shingle_hashes(F.col("text"), 5, portable)
+                ).alias("sig"),
+            )
+            slow = df.select(
+                "doc_id",
+                dedup_ops.minhash_signature(
+                    dedup_ops.char_shingles(F.col("text"), 5),
+                    portable=portable,
+                ).alias("sig"),
+            )
+            f = {r["doc_id"]: r["sig"] for r in fast.collect()}
+            s = {r["doc_id"]: r["sig"] for r in slow.collect()}
+            assert f == s, f"portable={portable}"
+
 
 class TestArrowTopK:
     def test_matches_native_fold(self, spark):
