@@ -3352,7 +3352,12 @@ def q_e3_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_code",
     )
     root = tempfile.mkdtemp(prefix="spark_graft_ivfidx_") + "/index"
-    idx.write.partitionBy("cell").parquet(root)
+    # co-locate each coarse cell before the partitioned write: without
+    # this every write task emits a file into every cell directory
+    # (tasks × 64 small files — the classic small-files trap, and most
+    # of this query's wall); shuffled by cell it's one file per cell,
+    # and the rows are PQ codes (~m bytes each), so the exchange is tiny
+    idx.repartition("cell").write.partitionBy("cell").parquet(root)
     stored = spark.read.parquet(root)
     qv = _pq_query_vec()
     cand = stored.where(
@@ -3623,7 +3628,7 @@ def q_e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     type: 'list'`` (CORRECTNESS_r01 q_e4_fingerprint).  Verification
     chain: ``q_e4_fingerprint_portable`` hash-matches the same winnowing
     window logic with a portable per-gram hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.doc_fingerprint(F.col("text")).alias("fingerprint"),
@@ -3637,7 +3642,7 @@ def q_e4_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints with the portable polynomial hash — the
     oracle recomputes the normalized whole-doc hash and the 4-smallest
     char-8-gram hashes exactly (xxhash64 twin: q_e4_fingerprint)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.doc_fingerprint(F.col("text"), portable=True).alias(

@@ -264,6 +264,27 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def drop_blocks() -> None:
+        """Per-query block hygiene: ``clearCache`` only empties the SQL
+        CacheManager — localCheckpoint blocks are raw persisted RDDs
+        that free on (Python) frame GC, which lags the loop, so across
+        ~280 queries they accumulate until executor storage is full and
+        later queries measure eviction thrash instead of their plan
+        (r8: q_e4_fingerprint_portable benched 24.9 s vs 2.2 s
+        isolated).  Collect the dead frames, then unpersist whatever
+        blocks remain."""
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        try:
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+        except Exception:  # noqa: BLE001 — private API; hygiene only
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -274,9 +295,7 @@ def main() -> None:
             timings[name] = round(min(run_once(fn), run_once(fn)), 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             errors[name] = repr(exc)[:200]  # sink the whole artifact
-        # legacy cache hygiene (most intermediates are lineage_cut since
-        # r7/r8 and free on frame GC, but a few owned persists remain)
-        spark.catalog.clearCache()
+        drop_blocks()
 
     # crash insurance: if the (longer) full tier below is ever cut short
     # by a driver timeout, stdout already ends with a parseable headline
@@ -297,7 +316,7 @@ def main() -> None:
                 full_timings[name] = round(run_once(fn), 3)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = repr(exc)[:200]
-            spark.catalog.clearCache()
+            drop_blocks()
 
     total = round(sum(timings.values()), 3)
     full_total = round(sum(full_timings.values()), 3)

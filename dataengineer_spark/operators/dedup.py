@@ -206,6 +206,11 @@ def char_shingle_hashes(
     exactly as ``char_shingles`` emits it (``greatest(L-n+1, 1)``), so
     that case falls back to ``portable_word_hash`` / ``xxhash64`` of the
     full string.
+
+    ``text`` MUST be a plain column reference: the positional walk reads
+    it ~n× per position and Catalyst inlines expression arguments, so a
+    computed string here would re-evaluate per read — select the
+    expression into a column first (every in-repo caller does).
     """
     from dataengineer_spark.operators.preparation import (
         _POLY_MOD, portable_word_hash,
@@ -1234,6 +1239,13 @@ def setsim_join(
         elems = F.array_distinct(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         )
+    from dataengineer_spark.tuning import fan_out
+
+    if not df.isStreaming:
+        # tokenize/shingle is the compute-bound map stage — fan a
+        # single-row-group local input out to all cores (no-op at
+        # production split counts, same policy as _expr_signatures)
+        df = fan_out(df)
     base = df.select(F.col(id_col).alias("_id"), elems.alias("_ws")).select(
         "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
     )

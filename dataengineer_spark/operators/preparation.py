@@ -328,6 +328,15 @@ def ngram_overlap(
     def grams(c: Column) -> Column:
         return word_ngrams(c, n)
 
+    # the corpus-side gram build is the compute-bound stage (tokenize +
+    # n-gram assembly per document); fan it out so a single-row-group
+    # local input doesn't serialize it on one task — a structural no-op
+    # at production split counts (the benchmark side is dimension-sized
+    # by contract and stays as scanned)
+    from dataengineer_spark.tuning import fan_out
+
+    if not df.isStreaming:
+        df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("_g"))
         .dropDuplicates()
@@ -472,22 +481,21 @@ def portable_word_hash(word: Column) -> Column:
     the DuckDB oracle can reproduce bucket assignment bit-for-bit; the
     scale default is ``xxhash64`` (JVM, no per-char array walk).
 
-    Folds over a position ``sequence`` + per-char ``substr``/``ascii``
-    instead of ``split(word, '')`` — same characters, same fold, no
-    per-char string-array materialization (the split form allocated the
-    whole char array before hashing; this walk touches one char at a
-    time).  Empty string hashes to the fold's 0 seed exactly as before
-    (``greatest(len, 1)`` keeps ``sequence`` ascending; ``ascii('')``
-    is 0, so the single padded step is ``(0*31+0) % p = 0``); NULL
-    stays NULL.
+    The ``split``-array input is LOAD-BEARING, not an accident: the
+    HOF's input expression is evaluated ONCE per row, so ``word`` may
+    be an arbitrarily complex expression (doc_fingerprint passes a
+    regex-normalized string).  A position-``sequence`` fold that
+    captures ``word`` in its lambda re-evaluates the whole expression
+    per CHARACTER — Catalyst inlines the capture — which turned
+    doc_fingerprint into a regex pass per char, O(len²)
+    (q_e4_fingerprint_portable 6→21 s at sf0.1 before this was caught).
+    For known-short, known-simple inputs use :func:`portable_hash_fixed`.
     """
-    w = word if isinstance(word, Column) else F.col(word)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1)))
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
     return F.aggregate(
-        idx,
+        F.transform(chars, F.ascii),
         F.lit(0).cast("long"),
-        lambda acc, i: (acc * F.lit(31) + F.ascii(w.substr(i, F.lit(1))))
-        % F.lit(_POLY_MOD),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_POLY_MOD),
     )
 
 
@@ -501,6 +509,12 @@ def portable_hash_fixed(s: Column, n: int) -> Column:
     guarantees length — on shorter input the ``ascii('') = 0`` padding
     silently changes the value, so guard with ``length(s) == n`` and
     fall back to :func:`portable_word_hash`.
+
+    ``s`` MUST be a cheap reference (a lambda variable or plain column):
+    the unrolled form reads ``s`` once per character, and Catalyst
+    inlines expression arguments — a regex/concat expression here would
+    re-run per char (see portable_word_hash's docstring for the
+    incident this rule comes from).
     """
     acc = F.ascii(s.substr(F.lit(1), F.lit(1))).cast("long")
     since_mod = 0
