@@ -282,8 +282,17 @@ def main() -> None:
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
                 rdd.unpersist()
-        except Exception:  # noqa: BLE001 — private API; hygiene only
-            pass
+        except Exception as exc:  # noqa: BLE001 — private py4j surface
+            # warn ONCE: silently losing this hygiene would quietly
+            # reintroduce the cross-query eviction thrash it exists to
+            # prevent (q_e4_fingerprint_portable 24.9 s vs 2.2 s)
+            if not getattr(drop_blocks, "_warned", False):
+                drop_blocks._warned = True
+                print(
+                    f"bench: RDD block hygiene unavailable ({exc!r}); "
+                    "full-tier timings may include cache-eviction thrash",
+                    file=sys.stderr,
+                )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

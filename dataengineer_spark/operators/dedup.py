@@ -213,7 +213,7 @@ def char_shingle_hashes(
     expression into a column first (every in-repo caller does).
     """
     from dataengineer_spark.operators.preparation import (
-        _POLY_MOD, portable_word_hash,
+        poly_unrolled, portable_word_hash,
     )
 
     c = F.col(text) if isinstance(text, str) else text
@@ -221,17 +221,11 @@ def char_shingle_hashes(
 
     if portable:
         def hash_at(i: Column) -> Column:
-            # reduce mod p every 8 steps: an unreduced prefix stays
-            # < p·31⁸ ≈ 8.6e17 — inside int64 under ANSI for any n
-            acc = F.ascii(c.substr(i, F.lit(1))).cast("long")
-            since_mod = 0
-            for j in range(1, n):
-                acc = acc * 31 + F.ascii(c.substr(i + F.lit(j), F.lit(1)))
-                since_mod += 1
-                if since_mod == 8:
-                    acc = acc % F.lit(_POLY_MOD)
-                    since_mod = 0
-            return acc % F.lit(_POLY_MOD)
+            # shared unrolled polynomial — mod cadence proof lives in
+            # preparation.poly_unrolled
+            return poly_unrolled(
+                lambda j: F.ascii(c.substr(i + F.lit(j), F.lit(1))), n
+            )
 
         short = F.array(portable_word_hash(c))
     else:
@@ -320,9 +314,7 @@ def _expr_signatures(
     """
     from dataengineer_spark.tuning import fan_out
 
-    if not df.isStreaming:
-        df = fan_out(df)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         minhash_from_hashes(
             char_shingle_hashes(F.col(text_col), shingle_size, portable),
@@ -395,7 +387,13 @@ def minhash_lsh_pairs(
     are freed by the ContextCleaner when the frame is garbage-collected
     — no caller-owned ``unpersist`` obligation (VERDICT r7 item 4).
     """
-    base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    from dataengineer_spark.tuning import fan_out
+
+    # fanned ONCE for both compute-bound consumers: the signature stage
+    # below AND the candidate verify re-shingling further down (which
+    # otherwise keeps the scan's partitioning through the broadcast
+    # semi-join and serializes on a single-row-group local input)
+    base = fan_out(df.select(F.col(id_col), F.col(text_col).alias("_t")))
     if engine == "arrow":
         sig = minhash_signatures_arrow(
             base, id_col, "_t", shingle_size, num_hashes
@@ -656,11 +654,18 @@ def connected_components(
     materialization both paths need.
     """
     spark = pairs.sparkSession
+    # NULL endpoints are dropped up front: a pair with a NULL id carries
+    # no identity to merge, and the two execution paths would otherwise
+    # diverge on them (the min-label join can't propagate THROUGH a NULL
+    # node — ``NULL == NULL`` is false — while a union-find would; with
+    # the filter both paths see the same graph)
+    #
     # the symmetric union references the pair plan TWICE — cutting the
     # (collision-rate-sized) pair frame first runs the upstream
     # candidate/verify pipeline once, not per union branch
     e = lineage_cut(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull()),
         eager=False,
     )
     edges = e.union(
@@ -903,12 +908,16 @@ def minhash_lsh_join(
     shingle-verify only the candidate rows (semi-join first). Map-only
     over the corpus end to end.
     """
-    base_c = corpus.select(
+    from dataengineer_spark.tuning import fan_out
+
+    # fanned ONCE for both compute-bound consumers (signatures + the
+    # candidate verify re-shingling) — same policy as minhash_lsh_pairs
+    base_c = fan_out(corpus.select(
         F.col(corpus_id).alias("corpus_id"), F.col(corpus_text).alias("_t")
-    )
-    base_b = bench.select(
+    ))
+    base_b = fan_out(bench.select(
         F.col(bench_id).alias("bench_id"), F.col(bench_text).alias("_t")
-    )
+    ))
     if engine == "arrow":
         sig_c = minhash_signatures_arrow(
             base_c, "corpus_id", "_t", shingle_size, num_hashes
@@ -1241,11 +1250,10 @@ def setsim_join(
         )
     from dataengineer_spark.tuning import fan_out
 
-    if not df.isStreaming:
-        # tokenize/shingle is the compute-bound map stage — fan a
-        # single-row-group local input out to all cores (no-op at
-        # production split counts, same policy as _expr_signatures)
-        df = fan_out(df)
+    # tokenize/shingle is the compute-bound map stage — fan a
+    # single-row-group local input out to all cores (no-op at
+    # production split counts, same policy as _expr_signatures)
+    df = fan_out(df)
     base = df.select(F.col(id_col).alias("_id"), elems.alias("_ws")).select(
         "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
     )

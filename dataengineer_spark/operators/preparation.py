@@ -335,8 +335,7 @@ def ngram_overlap(
     # by contract and stays as scanned)
     from dataengineer_spark.tuning import fan_out
 
-    if not df.isStreaming:
-        df = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("_g"))
         .dropDuplicates()
@@ -516,10 +515,27 @@ def portable_hash_fixed(s: Column, n: int) -> Column:
     re-run per char (see portable_word_hash's docstring for the
     incident this rule comes from).
     """
-    acc = F.ascii(s.substr(F.lit(1), F.lit(1))).cast("long")
+    return poly_unrolled(
+        lambda j: F.ascii(s.substr(F.lit(j + 1), F.lit(1))), n
+    )
+
+
+def poly_unrolled(code_at, n: int) -> Column:
+    """The unrolled ``(acc*31 + code) % 1_000_003`` polynomial, shared by
+    every fixed-length fast path (``portable_hash_fixed``,
+    ``dedup.char_shingle_hashes``) so the mod cadence — the thing the
+    int64-overflow proof depends on — lives in exactly one place.
+
+    ``code_at(j)`` returns the codepoint Column of the 0-based j-th
+    character and MUST be built from cheap references (lambda variables
+    or plain columns; Catalyst inlines captures).  Reduced mod p every
+    8 steps: an unreduced prefix stays < p·31⁸ ≈ 8.6e17, inside int64
+    under ANSI, and ``(x mod p)·31 + c ≡ x·31 + c (mod p)``.
+    """
+    acc = code_at(0).cast("long")
     since_mod = 0
-    for j in range(2, n + 1):
-        acc = acc * 31 + F.ascii(s.substr(F.lit(j), F.lit(1)))
+    for j in range(1, n):
+        acc = acc * 31 + code_at(j)
         since_mod += 1
         if since_mod == 8:
             acc = acc % F.lit(_POLY_MOD)

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the session default parallelism when the input is
 
-    under-partitioned; identity otherwise."""
+    under-partitioned; identity otherwise.  Streaming frames pass through
+    unchanged (``.rdd`` on a streaming plan raises; their parallelism
+    comes from the source) — the guard lives HERE so no caller can
+    forget it."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -794,6 +794,22 @@ class TestConnectedComponents:
         assert {r["cluster_id"] for r in out} == {0}
         assert len(out) == 21
 
+    def test_null_endpoints_dropped_on_both_paths(self, spark):
+        # a pair with a NULL id carries no identity to merge — both the
+        # driver union-find and the distributed loop must ignore it
+        # (pre-filter; without it the loop can't propagate THROUGH a
+        # NULL node while a union-find would, and they'd diverge)
+        pairs = spark.createDataFrame(
+            [("a", "b"), (None, "b"), ("c", None), ("x", "y")],
+            "id_a string, id_b string",
+        )
+        fast = {r["node"]: r["cluster_id"]
+                for r in dedup_ops.connected_components(pairs).collect()}
+        loop = {r["node"]: r["cluster_id"]
+                for r in dedup_ops.connected_components(
+                    pairs, driver_edge_limit=0).collect()}
+        assert fast == loop == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
     def test_driver_unionfind_matches_distributed_loop(self, spark):
         # the size-guarded driver union-find and the distributed
         # min-label loop must label identically — chain + clique +
