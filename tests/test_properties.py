@@ -866,3 +866,55 @@ class TestPpsPythonParity:
             if total and (cum * n) // total > (lo * n) // total:
                 want.append((i, w))
         assert got == want
+
+
+class TestPortablePolyParity:
+    """The unrolled mod-every-8 polynomial (preparation.poly_unrolled,
+    behind portable_hash_fixed and dedup.char_shingle_hashes) must equal
+    the reference fold for EVERY length, not just the pinned n∈{8,25} —
+    the int64-overflow proof depends on the mod cadence, and a cadence
+    edit would silently break DuckDB-oracle bit-parity."""
+
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.sampled_from(
+                    [chr(c) for c in range(0x20, 0x7F)]
+                    + ["é", "ü", "ß", "λ", "中", "🙂"]
+                ),
+                min_size=1,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_fixed_matches_fold_and_python(self, spark, texts):
+        from dataengineer_spark.operators.preparation import (
+            _POLY_MOD, portable_hash_fixed, portable_word_hash,
+        )
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        # one unrolled expression per distinct length present
+        out = df.select(
+            "id",
+            portable_word_hash(F.col("s")).alias("fold"),
+            F.coalesce(*[
+                F.when(
+                    F.length("s") == n, portable_hash_fixed(F.col("s"), n)
+                )
+                for n in sorted({len(t) for t in texts})
+            ]).alias("fixed"),
+        ).collect()
+        py = {
+            i: __import__("functools").reduce(
+                lambda acc, ch: (acc * 31 + ord(ch)) % _POLY_MOD, t, 0
+            )
+            for i, t in rows
+        }
+        for r in out:
+            assert r["fold"] == py[r["id"]], (r, py[r["id"]])
+            assert r["fixed"] == py[r["id"]], (r, py[r["id"]])
