@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from dataengineer_spark.tuning import lineage_cut
+from dataengineer_spark.tuning import lineage_cut, tie_lifetime, transient_persist
 
 
 # deterministic affine-hash modulus for the MinHash family: the Mersenne
@@ -297,6 +297,64 @@ def minhash_signature(
     return minhash_from_hashes(hashed, num_hashes, seed)
 
 
+def _shingle_hashes_sql(text_sql: str, n: int, portable: bool) -> str:
+    """SQL text of ``char_shingle_hashes`` — value-identical by
+    construction (same functions, same operand order; parity pinned in
+    tests/test_operators.py).  Exists because the Column-API builder
+    costs ~200 py4j round trips per use (~0.25 s of DRIVER time at
+    1.2 ms/trip on a loaded JVM) while one ``F.expr`` parse is a single
+    trip — and query callables rebuild their plan on every invocation.
+
+    ``text_sql`` must be a plain (quoted) column reference: the
+    positional walk reads it per position and the parser inlines it
+    verbatim.
+    """
+    from dataengineer_spark.operators.preparation import _POLY_MOD
+
+    if portable:
+        acc = f"CAST(ascii(substr({text_sql}, i, 1)) AS BIGINT)"
+        since_mod = 0
+        for j in range(1, n):
+            acc = f"({acc} * 31 + ascii(substr({text_sql}, i + {j}, 1)))"
+            since_mod += 1
+            if since_mod == 8:
+                acc = f"({acc} % {_POLY_MOD})"
+                since_mod = 0
+        per_pos = f"({acc} % {_POLY_MOD})"
+        short = (
+            f"array(aggregate("
+            f"transform(filter(split({text_sql}, ''), x -> x != ''), "
+            f"x -> ascii(x)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> (acc * 31 + x) % {_POLY_MOD}))"
+        )
+    else:
+        per_pos = f"pmod(xxhash64(substr({text_sql}, i, {n})), {_MERSENNE})"
+        short = f"array(pmod(xxhash64({text_sql}), {_MERSENNE}))"
+    full = (
+        f"transform(sequence(1, length({text_sql}) - {n - 1}), i -> {per_pos})"
+    )
+    return (
+        f"array_distinct(CASE WHEN length({text_sql}) >= {n} "
+        f"THEN {full} ELSE {short} END)"
+    )
+
+
+def _minhash_sql(hashes_sql: str, num_hashes: int, seed: int = 42) -> str:
+    """SQL text of ``minhash_from_hashes`` (same single-pass fold, same
+    affine family) — one parser trip instead of ~100 py4j calls."""
+    params = _affine_params(num_hashes, seed)
+    a_arr = "array(" + ",".join(str(a) for a, _ in params) + ")"
+    b_arr = "array(" + ",".join(str(b) for _, b in params) + ")"
+    return (
+        f"aggregate({hashes_sql}, "
+        f"array_repeat(CAST({_MERSENNE} AS BIGINT), {num_hashes}), "
+        f"(acc, hv) -> zip_with(acc, "
+        f"transform(sequence(1, {num_hashes}), "
+        f"j -> pmod(element_at({a_arr}, j) * hv + element_at({b_arr}, j), "
+        f"{_MERSENNE})), (x, y) -> least(x, y)))"
+    )
+
+
 def _expr_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int,
     num_hashes: int, portable: bool, seed: int = 42,
@@ -308,19 +366,23 @@ def _expr_signatures(
     fan_out``): signature folding runs in the Catalyst interpreter, so a
     single-row-group input that scans as ONE task serializes the whole
     stage — at production scale (hundreds of thousands of splits) the
-    fan-out is a structural no-op.  Streaming micro-batch frames skip
-    the partition-count probe (no ``.rdd`` on a streaming plan); their
-    parallelism comes from the source.
+    fan-out is a structural no-op, and on an already-fanned caller frame
+    it is one cached plan-string check (round-9).  Streaming micro-batch
+    frames skip the partition-count probe (no ``.rdd`` on a streaming
+    plan); their parallelism comes from the source.
+
+    The signature expression is built as ONE parsed SQL string
+    (``_minhash_sql`` ∘ ``_shingle_hashes_sql``) — value-identical to
+    the Column-API builders (parity pinned in tests) at ~1/200th the
+    driver-side build cost.
     """
     from dataengineer_spark.tuning import fan_out
 
-    return fan_out(df).select(
-        F.col(id_col),
-        minhash_from_hashes(
-            char_shingle_hashes(F.col(text_col), shingle_size, portable),
-            num_hashes, seed,
-        ).alias("_sig"),
+    sig_sql = _minhash_sql(
+        _shingle_hashes_sql(f"`{text_col}`", shingle_size, portable),
+        num_hashes, seed,
     )
+    return fan_out(df).select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
 
 
 def _band_buckets(
@@ -334,6 +396,10 @@ def _band_buckets(
     ``portable=True`` keeps the band's joined signature values as the
     (string) bucket key instead of xxhash64-ing them — the equi-join
     semantics are identical and a SQL oracle can reproduce the key.
+
+    The bands×rows struct array is built as ONE parsed SQL expression
+    (~300 py4j round trips → 1; see ``_shingle_hashes_sql``); bucket
+    values and the 0-based band numbering are unchanged.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -343,24 +409,19 @@ def _band_buckets(
         )
     rows = num_hashes // bands
 
-    def bucket(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+    def bucket(b: int) -> str:
+        elems = ", ".join(
+            f"element_at(_sig, {b * rows + r + 1})" for r in range(rows)
         )
-        return joined if portable else F.xxhash64(joined)
+        joined = f"concat_ws(',', {elems})"
+        return joined if portable else f"xxhash64({joined})"
 
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {bucket(b)})"
+        for b in range(bands)
+    )
     return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
+        id_col, F.explode(F.expr(f"array({structs})")).alias("_band")
     ).select(id_col, "_band.band", "_band.bucket")
 
 
@@ -413,10 +474,12 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # candidate pairs are referenced twice below (verify probe +
-    # semi-join filter); cutting this collision-rate-sized set runs
-    # the signature/banding pipeline exactly once at any corpus size —
-    # lazy, so building the plan stays job-free; blocks free on frame GC
-    cand = lineage_cut(cand, eager=False, serialized=True)
+    # semi-join filter); the transient persist runs the signature/
+    # banding pipeline exactly once at any corpus size, stays
+    # metadata-only at plan build (a lazy lineage cut would EXECUTE the
+    # candidate stages during plan construction under AQE — round-9
+    # profile), and unpersists when the returned frame is GC'd
+    cand = transient_persist(cand)
 
     # verify only the (collision-rate sized) candidate set: semi-join the
     # corpus down to candidate docs FIRST, then shingle just those — at a
@@ -435,9 +498,10 @@ def minhash_lsh_pairs(
     pairs = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
     ).join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-    return pairs.select("id_a", "id_b", _jaccard("_sh_a", "_sh_b")).where(
+    out = pairs.select("id_a", "id_b", _jaccard("_sh_a", "_sh_b")).where(
         F.col("jaccard") >= threshold
     )
+    return tie_lifetime(out, cand)
 
 
 def ngram_jaccard_pairs(
@@ -938,16 +1002,15 @@ def minhash_lsh_join(
     banded_b = _band_buckets(
         sig_b, "bench_id", num_hashes, bands, portable=portable
     )
-    cand = lineage_cut(
+    cand = transient_persist(
         banded_c.join(F.broadcast(banded_b), ["band", "bucket"])
         .select("corpus_id", "bench_id")
-        # referenced twice below (cand_ids + final join): cutting this
-        # collision-rate-sized set runs the corpus signature/banding
-        # pipeline once, not twice (same policy as minhash_lsh_pairs);
-        # lazy cut — no build-time job, blocks free on frame GC
+        # referenced twice below (cand_ids + final join): the transient
+        # persist runs the corpus signature/banding pipeline once, not
+        # twice (same policy as minhash_lsh_pairs), without executing
+        # the candidate stages at plan-build time the way a lazy
+        # lineage cut does under AQE (round-9 profile)
         .dropDuplicates(),
-        eager=False,
-        serialized=True,  # collision-rate-sized
     )
     cand_ids = cand.select("corpus_id").dropDuplicates()
     sh_c = base_c.join(F.broadcast(cand_ids), "corpus_id", "left_semi").select(
@@ -956,7 +1019,7 @@ def minhash_lsh_join(
     sh_b = base_b.select(
         "bench_id", _hashed_shingles(F.col("_t"), shingle_size).alias("_sh_b")
     )
-    return (
+    out = (
         cand.join(sh_c, "corpus_id")
         .join(F.broadcast(sh_b), "bench_id")
         .select(
@@ -965,6 +1028,7 @@ def minhash_lsh_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return tie_lifetime(out, cand)
 
 
 def signature_table(
@@ -1285,11 +1349,13 @@ def setsim_join(
             F.size("_sw").alias("_n"),
         )
     )
-    # consumed three times (prefix explode + both verify sides); cut
-    # like the minhash candidate intermediates — one row per doc but
-    # carrying the full sorted token array, so serialized storage
-    # (corpus-sized); lazy (no build-time job), blocks free on frame GC
-    arr = lineage_cut(arr, eager=False, serialized=True)
+    # consumed three times (prefix explode + both verify sides); the
+    # transient persist computes it once per action — one row per doc
+    # but carrying the full sorted token array, so serialized storage
+    # (corpus-sized); metadata-only at plan build (a lazy lineage cut
+    # executes upstream stages during plan construction under AQE),
+    # blocks free when the returned frame is GC'd (tie_lifetime below)
+    arr = transient_persist(arr)
     prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
     prefix = arr.select(
         "_id",
@@ -1345,7 +1411,7 @@ def setsim_join(
     jac = F.col("_inter").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_inter")
     )
-    return (
+    out = (
         v.where(jac >= t)
         .select(
             F.col("_ia").alias("id_a"),
@@ -1353,6 +1419,7 @@ def setsim_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+    return tie_lifetime(out, arr)
 
 
 def neardup_recall(

@@ -15,7 +15,18 @@ intermediates.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: plan-node match for an existing explicit redistribution (Repartition /
+#: RepartitionByExpression / coalesce all print as Repartition* nodes)
+_REPART_RE = re.compile(r"\bRepartition(ByExpression)?\b")
+#: attribute exprIds (``doc_id#123L``) differ per scan instantiation of the
+#: same query — strip them so the probe cache hits across invocations
+_EXPRID_RE = re.compile(r"#\d+")
+_PROBE_CACHE: dict[str, int] = {}
+_PROBE_CACHE_MAX = 256
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -24,14 +35,88 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     under-partitioned; identity otherwise.  Streaming frames pass through
     unchanged (``.rdd`` on a streaming plan raises; their parallelism
     comes from the source) — the guard lives HERE so no caller can
-    forget it."""
+    forget it.
+
+    Probe cost is driver-load-bearing (round-9 profile: the ``.rdd``
+    partition-count probe physically plans its subtree, ~0.1 s per call
+    at sf0.1, and pipelines stack 3-5 fan_out sites), so two fast paths
+    short-circuit it:
+
+    - a plan that already CONTAINS an explicit repartition/coalesce is
+      respected as-is (in-engine the only producer of those nodes ahead
+      of a fan_out site is a previous fan_out, which already fanned to
+      the session parallelism) — one plan-string fetch, no planning;
+    - otherwise the probed partition count is memoized by the plan
+      string with exprIds normalized out, so the per-query rebuild of
+      the same scan (every ``queries()`` callable reloads its tables)
+      probes once per session, not once per call.  The cache can go
+      stale if the SAME path is rewritten with a different file count
+      mid-session — consequence is a missed or redundant fan-out
+      (performance, never correctness), and in-engine lake writes land
+      under fresh temp dirs.
+    """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        plan = _EXPRID_RE.sub("", df._jdf.queryExecution().logical().toString())
+    except Exception:  # non-classic frame / private-surface drift
+        plan = None
+    if plan is not None:
+        if _REPART_RE.search(plan):
+            return df
+        parts = _PROBE_CACHE.get(plan)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                _PROBE_CACHE.clear()
+            _PROBE_CACHE[plan] = parts
+    else:
+        parts = df.rdd.getNumPartitions()
+    if parts >= target:
         return df
     return df.repartition(target)
+
+
+def transient_persist(df: DataFrame) -> DataFrame:
+    """Serialized persist for INTRA-QUERY reuse of a multi-consumer
+    intermediate (candidate-pair sets, sorted token arrays) WITHOUT the
+    plan-build cost of a lineage cut: under AQE, ``localCheckpoint`` —
+    even ``eager=False`` — forces ``getFinalPhysicalPlan`` at ``.rdd``
+    creation, which EXECUTES every upstream query stage at plan-build
+    time (round-9 profile: 1.7 s of the q_prep_decontaminate wall was
+    the cut running the candidate pipeline during ``fn()``, before the
+    action even started).  A persist is metadata-only at build; the
+    cache materializes at most once inside the consuming action and
+    every consumer reads it.
+
+    Lifetime: the producer MUST route its result frame through
+    ``tie_lifetime(out, cached)`` so the cache unpersists when the
+    result is garbage-collected — the same frees-on-frame-GC contract
+    ``lineage_cut`` gives, with none of the session-lifetime leak a
+    bare ``.persist()`` has.  Blocks are MEMORY_AND_DISK serialized
+    (the corpus-sized-cut rule from the sf10 probe).
+
+    Use ``lineage_cut`` instead when the PLAN must actually be
+    truncated (iterative algorithms whose chained plans grow per
+    round).
+    """
+    from pyspark import StorageLevel
+
+    # PySpark's MEMORY_AND_DISK is the SERIALIZED form
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def tie_lifetime(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` when ``out`` is garbage-collected.  The
+    finalizer holds the only strong reference to ``cached`` needed, so
+    the cache lives exactly as long as a consumer of ``out`` can still
+    trigger its recompute."""
+    import weakref
+
+    weakref.finalize(out, _unpersist_quietly, cached)
+    return out
 
 
 def lineage_cut(

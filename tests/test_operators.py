@@ -929,6 +929,68 @@ class TestCharShingleHashes:
             s = {r["doc_id"]: r["sig"] for r in slow.collect()}
             assert f == s, f"portable={portable}"
 
+    def test_sql_string_forms_match_column_builders(self, spark):
+        # round-9: _expr_signatures builds its signature expression as
+        # ONE parsed SQL string (~200x fewer py4j round trips at plan
+        # build); this pins the SQL text value-identical to the Column
+        # builders — both hash families, both band key forms, plus the
+        # short/empty/NULL/unicode edges the shingle CASE guards
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumped over the lazy dog"),
+             (3, "ab"), (4, ""), (5, None), (6, "héllo wörld çæ"),
+             (7, "x" * 300)],
+            "doc_id long, _t string",
+        )
+        for portable in (True, False):
+            col_form = df.select(
+                "doc_id",
+                dedup_ops.minhash_from_hashes(
+                    dedup_ops.char_shingle_hashes(F.col("_t"), 5, portable),
+                    32,
+                ).alias("_sig"),
+            )
+            sql_form = df.select(
+                "doc_id",
+                F.expr(
+                    dedup_ops._minhash_sql(
+                        dedup_ops._shingle_hashes_sql("`_t`", 5, portable),
+                        32,
+                    )
+                ).alias("_sig"),
+            )
+            c = {r["doc_id"]: r["_sig"] for r in col_form.collect()}
+            s = {r["doc_id"]: r["_sig"] for r in sql_form.collect()}
+            assert c == s, f"portable={portable}"
+            # band buckets: one-parsed-array form vs the per-band
+            # Column construction it replaced
+            rows = 32 // 8
+            def old_bucket(b):
+                joined = F.concat_ws(
+                    ",",
+                    *[F.element_at("_sig", b * rows + r + 1)
+                      for r in range(rows)],
+                )
+                return joined if portable else F.xxhash64(joined)
+
+            old_b = col_form.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.struct(F.lit(b).alias("band"),
+                             old_bucket(b).alias("bucket"))
+                    for b in range(8)
+                ])).alias("_band"),
+            ).select("doc_id", "_band.band", "_band.bucket")
+            new_b = dedup_ops._band_buckets(sql_form, "doc_id", 32, 8,
+                                            portable=portable)
+            o = {(r["doc_id"], r["band"]): r["bucket"]
+                 for r in old_b.collect()}
+            n = {(r["doc_id"], r["band"]): r["bucket"]
+                 for r in new_b.collect()}
+            assert o == n, f"portable={portable}"
+
 
 class TestArrowTopK:
     def test_matches_native_fold(self, spark):
