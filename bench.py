@@ -206,6 +206,17 @@ HEADLINE = [
     "q_e10_burstiness",
 ]
 
+#: Host-speed calibration probes (VERDICT r8 item 5): three cheap,
+#: plan-stable queries (narrow projection / hash agg / pushed-filter agg)
+#: timed best-of-3 at tier start AND tier end.  Their walls move with the
+#: host (CPU contention, JIT state, page cache), not with engine changes —
+#: so cross-round per-query deltas should be read NET of the calibration
+#: drift (r8→r9 triage burned a manual re-measurement session on what
+#: turned out to be a ~3× slower host; the r7-vs-r9 same-session A/B showed
+#: the "regressed" queries actually got 3-4× faster).  The start/end pair
+#: also bounds WITHIN-run drift for the long full tier.
+CALIBRATION = ["q_p1_project", "q_e5_groupagg", "q_tpch_q6"]
+
 
 def _emit_summary(
     timings: dict[str, float],
@@ -213,6 +224,7 @@ def _emit_summary(
     errors: dict[str, str],
     sf: float,
     detail: str,
+    calib: dict | None = None,
 ) -> None:
     """One compact JSON line (headline total + the 30 slowest headline
     timings), guaranteed to fit the driver's 2,000-char stdout tail."""
@@ -229,6 +241,13 @@ def _emit_summary(
     }
     if errors:
         summary["n_errors"] = len(errors)
+    if calib:
+        # compact host-speed yardstick: probe-total at tier start/end
+        summary["calib"] = {
+            "start": round(sum(calib["start"].values()), 3),
+            "end": round(sum(calib["end"].values()), 3),
+            "drift": calib["drift"],
+        }
     line = json.dumps(summary)
     if len(line) > 1900:  # never let the tail cut the summary line
         summary.pop("queries")
@@ -294,6 +313,22 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    def calibrate() -> dict[str, float]:
+        """Best-of-3 walls for the CALIBRATION probes — host-speed
+        yardstick recorded at tier start and end (block hygiene between
+        runs, same as the measured queries)."""
+        probes: dict[str, float] = {}
+        for name in CALIBRATION:
+            best = None
+            for _ in range(3):
+                dt = run_once(qs[name])
+                best = dt if best is None else min(best, dt)
+                drop_blocks()
+            probes[name] = round(best, 3)
+        return probes
+
+    calib_start = calibrate()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -327,8 +362,18 @@ def main() -> None:
                 errors[name] = repr(exc)[:200]
             drop_blocks()
 
+    calib_end = calibrate()
+
     total = round(sum(timings.values()), 3)
     full_total = round(sum(full_timings.values()), 3)
+    calib_payload = {
+        "start": calib_start,
+        "end": calib_end,
+        # within-run drift: end-of-tier host speed over start-of-tier
+        "drift": round(
+            sum(calib_end.values()) / max(sum(calib_start.values()), 1e-9), 3
+        ),
+    }
     detail_payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -337,6 +382,7 @@ def main() -> None:
         "full_total": full_total,
         "n_headline": len(timings),
         "n_full": len(full_timings),
+        "calibration": calib_payload,
         "queries": timings,
         "full_queries": full_timings,
         "errors": errors,
@@ -389,7 +435,10 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout summary still survives
-    _emit_summary(timings, full_timings, errors, sf, os.path.basename(detail))
+    _emit_summary(
+        timings, full_timings, errors, sf, os.path.basename(detail),
+        calib=calib_payload,
+    )
     spark.stop()
 
 
