@@ -4882,8 +4882,14 @@ def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → (doc_id, cluster_id). This is the oracle-checkable stand-in
     for the scale path minhash_lsh_pairs → connected_components →
     cluster_dedup (rows-only); the oracle computes the same components with
-    a recursive CTE."""
-    from dataengineer_spark.operators.dedup import connected_components, word_shingles
+    a recursive CTE.  Guarded like the other exact baselines (VERDICT r8
+    item 2): refuses when the blocked pair workload passes
+    ``dedup.QUADRATIC_PAIR_LIMIT`` — the bench/oracle corpora fit with
+    headroom; past it the answer is the LSH scale path, not a silent
+    quadratic."""
+    from dataengineer_spark.operators.dedup import (
+        connected_components, guard_bucket_quadratic, word_shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # verify on HASHED shingles: the bucket join compares every in-bucket
@@ -4899,6 +4905,7 @@ def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_sh"),
         F.floor(textops.token_count(F.col("text")) / 5).alias("_bk"),
     )
+    guard_bucket_quadratic(sh, "_bk", "minhash_lsh_pairs + connected_components")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"), "_bk")
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"), "_bk")
     pairs = (

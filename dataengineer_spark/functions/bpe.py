@@ -78,7 +78,9 @@ def bpe_train(
     collects one row).  The merge list is fully collected before
     returning, so the histogram cache is dropped on exit — repeated
     trainings in a long-lived session leak nothing."""
-    base = _segmented_histogram(df, text_col).persist()
+    from dataengineer_spark.tuning import transient_persist
+
+    base = transient_persist(_segmented_histogram(df, text_col))
     hist = base
     try:
         merges: list[tuple[str, str]] = []

