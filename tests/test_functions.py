@@ -182,6 +182,42 @@ class TestTruncate:
         assert rows[0]["offset"] == 0
         assert rows[1]["filtered_message"] is None
 
+    def test_hf_tokenizer_branch_with_injected_offsets(self, monkeypatch):
+        # the HF fast-tokenizer branch of _offsets/_truncate_one, run
+        # unconditionally via an injected stand-in implementing the
+        # offset-mapping contract (VERDICT r8 item 4): subword-ish
+        # 4-char tokens plus zero-width special-token offsets that the
+        # `o[1] > o[0]` filter must drop — the same assertions the
+        # skip-marked bert-base test makes (reference dx_group.py:49-61)
+        from dataengineer_spark.functions import truncate as tr
+
+        class _StandinFastTokenizer:
+            def __call__(self, text, return_offsets_mapping=True,
+                         add_special_tokens=False, **_kw):
+                offs = [(0, 0)]  # zero-width entry, like [CLS] would be
+                offs += [
+                    (i, min(i + 4, len(text))) for i in range(0, len(text), 4)
+                ]
+                offs.append((len(text), len(text)))
+                return {"offset_mapping": offs}
+
+        monkeypatch.setattr(tr, "_TOKENIZER", _StandinFastTokenizer())
+        text = "pathology " * 600  # 6000 chars → 1500 4-char tokens > 510
+        offs = tr._offsets(text)
+        assert len(offs) == 1500  # zero-width entries filtered out
+        kept, off = tr._truncate_one(text, "entire report", tr.TOKEN_LIMIT)
+        # keep the LAST 510 tokens exactly (dx_group.py:52-55)
+        assert off == offs[len(offs) - tr.TOKEN_LIMIT][0] and off > 0
+        assert text.endswith(kept) and kept == text[off:]
+        kept_head, off_head = tr._truncate_one(
+            text, "gross_or_micro", tr.TOKEN_LIMIT
+        )
+        assert text.startswith(kept_head)
+        assert off_head == offs[tr.TOKEN_LIMIT - 1][1]
+        # under-limit text passes through whole on this branch too
+        assert tr._truncate_one("abcd" * 10, "entire report",
+                                tr.TOKEN_LIMIT) == ("abcd" * 10, 0)
+
 
 class TestDatesAndLabels:
     def test_format_date_roundtrip(self, spark):
