@@ -1339,6 +1339,108 @@ def minhash_signatures_arrow(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _setsim_sorted_arrays(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int | None
+) -> DataFrame:
+    """(_id, _toks, _n) rarest-first sorted token arrays — the shared
+    tokenize/frequency/sort stage of the PPJoin pipeline, split out with
+    ``_setsim_candidates`` so the scale probes measure through the exact
+    code the join runs.
+
+    Hash elements to int64 AT TOKENIZE TIME: every downstream stage —
+    global frequency, the (freq, element) sort, the prefix equi-join,
+    and above all the candidate array_intersect verify — compares longs
+    instead of shingle strings (the verify hashes each element per pair;
+    on templated corpora with millions of candidates the string form was
+    ~4× this one).  The RESULT is identical: the prefix filter is
+    lossless under ANY consistent global ordering, and jaccard is
+    computed from set SIZES, which hashing preserves (a 64-bit collision
+    inside one comparison is ~2⁻⁶⁴ — the same exactness budget the
+    xxhash64 LSH family already accepts).
+    """
+    from dataengineer_spark.tuning import fan_out
+
+    if shingle_size is not None:
+        elems = char_shingles(F.col(text_col), shingle_size)
+    else:
+        elems = F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        )
+    # tokenize/shingle is the compute-bound map stage — fan a
+    # single-row-group local input out to all cores (no-op at
+    # production split counts, same policy as _expr_signatures)
+    base = fan_out(df).select(
+        F.col(id_col).alias("_id"), elems.alias("_ws")
+    ).select(
+        "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
+    )
+    toks = base.select("_id", F.explode("_ws").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_w")
+    )
+    freq = toks.groupBy("_w").agg(F.count("*").alias("_c"))
+    return (
+        toks.join(freq, "_w")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_c"), F.col("_w")))
+            ).alias("_sw")
+        )
+        .select(
+            "_id",
+            F.transform("_sw", lambda x: x["_w"]).alias("_toks"),
+            F.size("_sw").alias("_n"),
+        )
+    )
+
+
+def _setsim_candidates(arr: DataFrame, t: float, eps: float) -> DataFrame:
+    """PPJoin candidate stage over ``(_id, _toks, _n)`` rarest-first
+    sorted token arrays: prefix explode bounded by (1−t)·|set|+1, the
+    prefix equi-join, and the size + positional filters — everything
+    BEFORE the exact array verify.  Split out so the scale probes can
+    measure the filter's real candidate counts through the exact code
+    the join runs (tools/vocab_probe_r9.py), not a reimplementation.
+
+    PPJoin candidate filters, both cheap integer/float predicates
+    inside the equi-join, both applied BEFORE the distinct and the
+    (much heavier) array-verify join:
+
+    - size filter: Jaccard >= t forces min(|x|,|y|) >= t·max(|x|,|y|)
+    - positional filter: a collision at prefix positions (pa, pb)
+      bounds the possible overlap by min(na-pa, nb-pb)+1, which must
+      reach the minoverlap alpha = ceil(t/(1+t)·(na+nb)); keeping
+      pairs where ANY collision passes is a safe superset
+    """
+    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
+    prefix = arr.select(
+        "_id",
+        "_n",
+        F.posexplode(F.slice("_toks", 1, prefix_len)).alias("_p", "_w"),
+    ).select("_id", "_n", (F.col("_p") + 1).alias("_p"), "_w")
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")) - eps
+    )
+    ubound = (
+        F.least(
+            F.col("a._n") - F.col("a._p"), F.col("b._n") - F.col("b._p")
+        )
+        + 1
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_w")
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.col("a._n") >= t * F.col("b._n") - eps)
+            & (F.col("b._n") >= t * F.col("a._n") - eps)
+            & (ubound >= alpha)
+        )
+        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .distinct()
+    )
+
+
 def setsim_join(
     df: DataFrame,
     text_col: str = "text",
@@ -1380,49 +1482,7 @@ def setsim_join(
     # extra candidates — the final verify is exact, so correctness is
     # untouched and the filter stays lossless.
     eps = 1e-9
-    if shingle_size is not None:
-        elems = char_shingles(F.col(text_col), shingle_size)
-    else:
-        elems = F.array_distinct(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        )
-    from dataengineer_spark.tuning import fan_out
-
-    # tokenize/shingle is the compute-bound map stage — fan a
-    # single-row-group local input out to all cores (no-op at
-    # production split counts, same policy as _expr_signatures)
-    df = fan_out(df)
-    base = df.select(F.col(id_col).alias("_id"), elems.alias("_ws")).select(
-        "_id", F.filter("_ws", lambda w: F.length(w) > 0).alias("_ws")
-    )
-    # hash elements to int64 AT TOKENIZE TIME: every downstream stage —
-    # global frequency, the (freq, element) sort, the prefix equi-join,
-    # and above all the candidate array_intersect verify — compares
-    # longs instead of shingle strings (the verify hashes each element
-    # per pair; on templated corpora with millions of candidates the
-    # string form was ~4× this one).  The RESULT is identical: the
-    # prefix filter is lossless under ANY consistent global ordering,
-    # and jaccard is computed from set SIZES, which hashing preserves
-    # (a 64-bit collision inside one comparison is ~2⁻⁶⁴ — the same
-    # exactness budget the xxhash64 LSH family already accepts).
-    toks = base.select("_id", F.explode("_ws").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("_w")
-    )
-    freq = toks.groupBy("_w").agg(F.count("*").alias("_c"))
-    arr = (
-        toks.join(freq, "_w")
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_c"), F.col("_w")))
-            ).alias("_sw")
-        )
-        .select(
-            "_id",
-            F.transform("_sw", lambda x: x["_w"]).alias("_toks"),
-            F.size("_sw").alias("_n"),
-        )
-    )
+    arr = _setsim_sorted_arrays(df, text_col, id_col, shingle_size)
     # consumed three times (prefix explode + both verify sides); the
     # transient persist computes it once per action — one row per doc
     # but carrying the full sorted token array, so serialized storage
@@ -1430,41 +1490,7 @@ def setsim_join(
     # executes upstream stages during plan construction under AQE),
     # blocks free when the returned frame is GC'd (tie_lifetime below)
     arr = transient_persist(arr)
-    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - eps) + 1
-    prefix = arr.select(
-        "_id",
-        "_n",
-        F.posexplode(F.slice("_toks", 1, prefix_len)).alias("_p", "_w"),
-    ).select("_id", "_n", (F.col("_p") + 1).alias("_p"), "_w")
-    # PPJoin candidate filters, both cheap integer/float predicates
-    # inside the equi-join, both applied BEFORE the distinct and the
-    # (much heavier) array-verify join:
-    #  - size filter: Jaccard >= t forces min(|x|,|y|) >= t·max(|x|,|y|)
-    #  - positional filter: a collision at prefix positions (pa, pb)
-    #    bounds the possible overlap by min(na-pa, nb-pb)+1, which must
-    #    reach the minoverlap alpha = ceil(t/(1+t)·(na+nb)); keeping
-    #    pairs where ANY collision passes is a safe superset
-    alpha = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")) - eps
-    )
-    ubound = (
-        F.least(
-            F.col("a._n") - F.col("a._p"), F.col("b._n") - F.col("b._p")
-        )
-        + 1
-    )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "_w")
-        .where(
-            (F.col("a._id") < F.col("b._id"))
-            & (F.col("a._n") >= t * F.col("b._n") - eps)
-            & (F.col("b._n") >= t * F.col("a._n") - eps)
-            & (ubound >= alpha)
-        )
-        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
-        .distinct()
-    )
+    cand = _setsim_candidates(arr, t, eps)
     x = arr.select(
         F.col("_id").alias("_ia"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
     )
