@@ -222,6 +222,14 @@ def main() -> int:
         "`BNL-bounded` = a theta join both of whose sides are bounded by",
         "an aggregate's group-key cardinality (declared per query in",
         "`__spark_entry__.BOUNDED_BNL_QUERIES`, justification inline).",
+        "Counts are per unique plan-node id: a `transient_persist`ed",
+        "subtree prints once per consuming reference but its operators",
+        "keep their ids and execute once at runtime.  Round-9 note: the",
+        "LSH-family exchange counts ROSE vs r8 because the intra-query",
+        "cut moved from `localCheckpoint` (which truncates explain at",
+        "the cut, hiding the signature/banding stages that still ran)",
+        "to `transient_persist` (full pipeline visible) — the runtime",
+        "shuffle work is unchanged; the r9 numbers are the honest ones.",
         bnl_claim,
         "",
         "| query | oracle | joins | exchanges | pushdown | python |",
