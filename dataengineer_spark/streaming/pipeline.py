@@ -291,10 +291,15 @@ def stream_contamination(
             ".alias('_bg')); got columns "
             f"{bench_gram_set.columns}"
         )
+    from dataengineer_spark.tuning import fan_out_stream
+
     grams = word_ngrams(F.col(text_col), n)
     static = F.broadcast(bench_gram_set.withColumn("_k", F.lit(1)))
     return (
-        docs.select(F.col(id_col), grams.alias("_grams"))
+        # gram build + per-row intersect is the CPU; a file micro-batch
+        # is one partition per file and would serialize it (fan_out_stream
+        # docstring: measured 7× at sf0.1)
+        fan_out_stream(docs).select(F.col(id_col), grams.alias("_grams"))
         .withColumn("_k", F.lit(1))
         .join(static, "_k")
         .withColumn(
@@ -323,9 +328,17 @@ def windowed_distinct_approx(
     fixed-size per (window, event_type) whatever the cardinality — the
     only distinct the state store can afford on an unbounded stream.
     Same expression works in batch (operators/aggregates) — one
-    definition, two execution modes."""
+    definition, two execution modes.
+
+    The input is fanned to session parallelism first (``fan_out_stream``):
+    HLL register building happens in the PARTIAL aggregate, which runs on
+    the source partitioning — one partition per file on a file
+    micro-batch, serializing the sketch work before the window exchange
+    ever distributes it."""
+    from dataengineer_spark.tuning import fan_out_stream
+
     return (
-        events.withWatermark("ts", watermark)
+        fan_out_stream(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.approx_count_distinct(col, rsd).alias("approx_users"))
         .select(
