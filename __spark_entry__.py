@@ -4211,18 +4211,25 @@ def q_e5_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = agg_ops.approx_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
     )
+    # ONE array-percentile call: four scalar F.percentile aggs each hold
+    # their own full-column sort buffer; the array form sorts once and
+    # reads four ranks from it (same function, identical values)
     exact = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.percentile("l_extendedprice", F.lit(0.48)).alias("_lo50"),
-        F.percentile("l_extendedprice", F.lit(0.52)).alias("_hi50"),
-        F.percentile("l_extendedprice", F.lit(0.88)).alias("_lo90"),
-        F.percentile("l_extendedprice", F.lit(0.92)).alias("_hi90"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.48), F.lit(0.52), F.lit(0.88), F.lit(0.92)),
+        ).alias("_p"),
     )
     return est.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         "n_rows",
-        F.col("p50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_ok"),
-        F.col("p90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_ok"),
+        F.col("p50").between(
+            F.element_at("_p", 1), F.element_at("_p", 2)
+        ).alias("p50_ok"),
+        F.col("p90").between(
+            F.element_at("_p", 3), F.element_at("_p", 4)
+        ).alias("p90_ok"),
     )
 
 

@@ -470,13 +470,18 @@ def winsorize(
     outlier treatment that keeps rows (unlike a filter) and bounds
     influence (unlike raw values): the feature-cleaning step before
     scaling/aggregation.  One group aggregate computes both cut points
-    (SQL ``percentile``, exact with linear interpolation), broadcast back
+    in ONE array-percentile buffer (two scalar ``percentile`` aggs each
+    hold their own full-group sort buffer; the array form sorts once and
+    reads both ranks — same function, identical values), broadcast back
     onto the rows — no window over the raw data, no sort."""
     cuts = df.groupBy(*keys).agg(
-        F.percentile(F.col(col), F.lit(p_lo)).alias("_lo"),
-        F.percentile(F.col(col), F.lit(p_hi)).alias("_hi"),
+        F.percentile(
+            F.col(col), F.array(F.lit(p_lo), F.lit(p_hi))
+        ).alias("_p"),
     ).select(
-        *[F.col(k).alias(f"_ck_{k}") for k in keys], "_lo", "_hi"
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        F.element_at("_p", 1).alias("_lo"),
+        F.element_at("_p", 2).alias("_hi"),
     )
     # NULL measurements must STAY NULL — greatest/least skip NULLs, so an
     # unguarded clip would fabricate the p_lo cut for missing values
