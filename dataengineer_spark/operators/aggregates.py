@@ -315,14 +315,26 @@ def approx_percentiles(
     fixed-size mergeable state, so groups of any size flow through normal
     partial/final aggregation — the scale path when a group outgrows the
     single task that exact ``percentiles`` funnels it through. Error is
-    bounded by 1/accuracy of rank."""
-    aggs = [
-        F.percentile_approx(F.col(col), F.lit(p), F.lit(accuracy)).alias(
-            name
-        )
-        for p, name in zip(probs, pct_col_names(probs))
-    ]
-    return df.groupBy(*keys).agg(*aggs)
+    bounded by 1/accuracy of rank.
+
+    ONE sketch per group, queried at every requested rank (the array
+    form): the sketch's construction does not depend on ``p``, so N
+    scalar ``percentile_approx`` aggs would build N identical G-K
+    sketches over the same rows for identical answers.
+    """
+    arr = F.percentile_approx(
+        F.col(col),
+        F.array(*[F.lit(p) for p in probs]),
+        F.lit(accuracy),
+    )
+    out = df.groupBy(*keys).agg(arr.alias("_p"))
+    return out.select(
+        *keys,
+        *[
+            F.element_at("_p", i + 1).alias(name)
+            for i, name in enumerate(pct_col_names(probs))
+        ],
+    )
 
 
 def pivot_agg(
