@@ -296,6 +296,17 @@ def main() -> None:
 
         gc.collect()
         spark.catalog.clearCache()
+        # memory-sink temp views from finished streaming queries pin
+        # their results (and sink bookkeeping) for the session lifetime;
+        # ~30 accumulate over a full run — drop the uuid-named ones
+        try:
+            for t in spark.catalog.listTables():
+                if t.isTemporary and t.name.startswith(
+                    ("stream_", "stateful_", "anomaly_")
+                ):
+                    spark.catalog.dropTempView(t.name)
+        except Exception:  # noqa: BLE001 — hygiene must never fail a run
+            pass
         try:
             for rdd in list(
                 spark.sparkContext._jsc.getPersistentRDDs().values()
