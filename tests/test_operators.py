@@ -1514,6 +1514,38 @@ class TestWinsorize:
         out = agg_ops.winsorize(df, ["g"], "v", 0.0, 1.0)
         assert out.count() == 2 and set(out.columns) == {"g", "id", "v"}
 
+    def test_array_percentile_fold_matches_scalar_aggs(self, spark):
+        # the round-9 buffer folds claim IDENTICAL values: the array form
+        # of percentile / percentile_approx must equal N scalar aggs on
+        # awkward data (ties, negatives, uneven groups)
+        rows = [("g1", float(v * 7 % 13) - 3.0) for v in range(97)]
+        rows += [("g2", float(v % 5) * 1e6) for v in range(23)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        probs = [0.1, 0.5, 0.9]
+        arr = df.groupBy("g").agg(
+            F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("_p")
+        )
+        scal = df.groupBy("g").agg(
+            *[F.percentile("v", F.lit(p)).alias(f"p{i}")
+              for i, p in enumerate(probs)]
+        )
+        a = {r["g"]: list(r["_p"]) for r in arr.collect()}
+        s = {r["g"]: [r["p0"], r["p1"], r["p2"]] for r in scal.collect()}
+        assert a == s
+        got = {
+            (r["g"],): r
+            for r in agg_ops.approx_percentiles(df, ["g"], "v", probs).collect()
+        }
+        sa = df.groupBy("g").agg(
+            *[F.percentile_approx("v", F.lit(p), F.lit(10000)).alias(f"p{i}")
+              for i, p in enumerate(probs)]
+        )
+        for r in sa.collect():
+            g = got[(r["g"],)]
+            assert [g[c] for c in g.asDict() if c != "g"] == [
+                r["p0"], r["p1"], r["p2"]
+            ]
+
 
 class TestTrailingAnomalies:
     def test_flags_spike_and_cold_start(self, spark):
