@@ -277,10 +277,14 @@ def stream_contamination(
     the batch ``ngram_overlap`` and ``minhash_lsh_join``.  The join is
     stream-static on a constant key with a broadcast build side, so the
     query is MAP-ONLY: no state store, no watermark, append mode —
-    per-event cost is O(grams) regardless of stream lifetime (the
-    intersection is computed ONCE per row, hits and flag both derive
-    from it).  Batch twin: ``preparation.ngram_overlap`` (same gram
-    builder, same counts).
+    per-event cost is O(doc grams + |benchmark grams|) regardless of
+    stream lifetime (the intersect pays one hash-set pass over the
+    broadcast gram array PER ROW, so the operator's contract is a
+    dimension-sized benchmark, ≲10⁴ grams — the round-9 sf10 probe
+    priced a 40k-gram benchmark at 2×10¹¹ set ops over 5 M docs; for
+    benchmark suites past the bound use the foreachBatch explode-join
+    pattern of ``stream_neardup_filter`` instead).  Batch twin:
+    ``preparation.ngram_overlap`` (same gram builder, same counts).
     """
     from dataengineer_spark.operators.preparation import word_ngrams
 
