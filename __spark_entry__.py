@@ -2292,12 +2292,19 @@ def q_e2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated bit-for-bit by the DuckDB oracle, so the LSH pipeline
     itself is hash-verified, not just row-counted.  xxhash64 twin
     (q_e2_minhash_neardup) is the scale default with the identical plan."""
+    from dataengineer_spark.tuning import carry_lifetime
+
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
     out = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_size=5, num_hashes=32, bands=4,
         threshold=0.5, portable=True,
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # the wrapper select outlives `out` — move the candidate-cache tie
+    # onto it or the transient persist unpersists before the action
+    return carry_lifetime(
+        out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        out,
+    )
 
 
 #: DuckDB replay of dedup.char_shingles(text, 5) — distinct char 5-grams
@@ -3694,12 +3701,14 @@ def q_e2_neardup_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the pair generation AND the component collapse
     (recursive min-label CTE). xxhash64 twin: q_e2_neardup_dedup."""
     from dataengineer_spark.operators.dedup import cluster_dedup, minhash_lsh_pairs
+    from dataengineer_spark.tuning import carry_lifetime
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.5, portable=True
-    ).select("id_a", "id_b")
-    return cluster_dedup(docs, pairs, "doc_id").select("doc_id")
+    raw = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, portable=True)
+    pairs = carry_lifetime(raw.select("id_a", "id_b"), raw)
+    return carry_lifetime(
+        cluster_dedup(docs, pairs, "doc_id").select("doc_id"), pairs
+    )
 
 
 def _neardup_dedup_portable_oracle() -> str:
@@ -4967,12 +4976,14 @@ def q_e2_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WHOLE chain (portable hash family, recursive-CTE oracle) — this
     twin differs only in the hash family."""
     from dataengineer_spark.operators.dedup import cluster_dedup, minhash_lsh_pairs
+    from dataengineer_spark.tuning import carry_lifetime
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
+    raw = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = carry_lifetime(raw.select("id_a", "id_b"), raw)
+    return carry_lifetime(
+        cluster_dedup(docs, pairs, "doc_id").select("doc_id"), pairs
     )
-    return cluster_dedup(docs, pairs, "doc_id").select("doc_id")
 
 
 def q_e4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7868,7 +7879,10 @@ def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("all rights reserved"),
         ).alias("text"),
     )
-    return remove_boilerplate_lines(corpus, min_docs=20).orderBy("doc_id")
+    from dataengineer_spark.tuning import carry_lifetime
+
+    cleaned = remove_boilerplate_lines(corpus, min_docs=20)
+    return carry_lifetime(cleaned.orderBy("doc_id"), cleaned)
 
 
 _SCRUB_BOILERPLATE_ORACLE = """

@@ -332,16 +332,25 @@ def main() -> None:
         for name in CALIBRATION:
             best = None
             for _ in range(3):
-                dt = run_once(qs[name])
+                # a probe failure must never abort the run: the
+                # measurement loops record errors and continue, and the
+                # calibration is strictly less important than they are
+                try:
+                    dt = run_once(qs[name])
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"calibration:{name}"] = repr(exc)[:200]
+                    break
                 best = dt if best is None else min(best, dt)
                 drop_blocks()
-            probes[name] = round(best, 3)
+            if best is not None:
+                probes[name] = round(best, 3)
         return probes
-
-    calib_start = calibrate()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    calib_start = calibrate()
+
     for name in HEADLINE:
         fn = qs[name]
         # steady-state: best of 2 runs — first run pays one-time plan/codegen

@@ -33,7 +33,7 @@ def guard_bucket_quadratic(
     df: DataFrame,
     bucket_col: str,
     scale_fn: str,
-    allow: bool = False,
+    allow_quadratic: bool = False,
     limit: int | None = None,
 ) -> None:
     """Fail loudly when a blocking column's exact all-pairs workload is
@@ -44,11 +44,18 @@ def guard_bucket_quadratic(
     r8 item 2) — so the guard prices the actual workload, not the row
     count.  Cost: ONE narrow aggregate over the bucket column (Catalyst
     prunes every other column out of the probe scan), a fraction of one
-    verify pass.  ``allow=True`` is the caller's explicit opt-in for
+    verify pass.  ``allow_quadratic=True`` (same opt-in name as the
+    other exact-baseline guards) is the caller's explicit opt-in for
     known-small corpora (the DuckDB-oracle replay corpus passes the
     limit on its own).
+
+    NULL buckets are excluded from the probe: the guarded equi-join
+    never matches ``NULL == NULL``, so rows with a NULL blocking key
+    produce ZERO pairs and must not be priced as one giant bucket
+    (review r9 — an all-NULL-text corpus would otherwise refuse a
+    workload of zero compares).
     """
-    if allow:
+    if allow_quadratic:
         return
     cap = QUADRATIC_PAIR_LIMIT if limit is None else limit
     # double math: a degenerate single bucket of n rows prices n²/2,
@@ -56,7 +63,8 @@ def guard_bucket_quadratic(
     # report the blow-up, not die computing it
     n = F.col("count").cast("double")
     total = (
-        df.groupBy(bucket_col)
+        df.where(F.col(bucket_col).isNotNull())
+        .groupBy(bucket_col)
         .count()
         .agg(F.coalesce(F.sum(n * (n - F.lit(1.0)) / F.lit(2.0)), F.lit(0.0)))
         .first()[0]
@@ -499,10 +507,15 @@ def minhash_lsh_pairs(
     The only shuffle is the band-bucket join; candidate count scales with
     collision rate, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    The candidate-pair intermediate is lineage-cut lazily (a plan-build
-    launches no job): its blocks materialize once at first action and
-    are freed by the ContextCleaner when the frame is garbage-collected
-    — no caller-owned ``unpersist`` obligation (VERDICT r7 item 4).
+    The candidate-pair intermediate is ``transient_persist``-ed
+    (metadata-only at plan build — a lazy lineage cut would EXECUTE the
+    candidate stages during plan construction under AQE, round-9
+    profile): its blocks materialize once inside the consuming action
+    and unpersist when the RETURNED frame is garbage-collected
+    (``tie_lifetime``) — no caller-owned ``unpersist`` obligation, but
+    a caller that wraps the result (select/orderBy) before the action
+    must move the tie with ``tuning.carry_lifetime`` or the cache drops
+    at wrapper-build time.
     """
     from dataengineer_spark.tuning import fan_out
 
@@ -865,15 +878,37 @@ def connected_components(
             if changed == 0:
                 break
         if changed != 0:
-            # silent non-convergence would return labels that depend on
-            # WHICH side of driver_edge_limit the edge count landed
-            # (the union-find path always fully converges) — fail loudly
-            raise ValueError(
-                f"connected_components did not converge in {max_iter} "
-                f"rounds ({changed} labels still changing): the pair "
-                f"graph has diameter > max_iter. Raise max_iter — rounds "
-                f"needed equal the graph diameter."
+            # the loop exhausted its budget with the LAST measured round
+            # still changing — but that round may itself have been the
+            # final propagation (detection needs rounds+1), so verify
+            # with one more propagate-and-compare before declaring
+            # failure (review r9: raising here unconditionally failed
+            # graphs that converged exactly at max_iter, and the
+            # docstring invites setting max_iter to the known diameter)
+            nbr = edges.join(
+                labels, edges.b == labels.node
+            ).select(F.col("a").alias("node"), F.col("label"))
+            final = labels.union(nbr).groupBy("node").agg(
+                F.min("label").alias("label")
             )
+            still = (
+                final.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if still != 0:
+                # silent non-convergence would return labels that depend
+                # on WHICH side of driver_edge_limit the edge count
+                # landed (the union-find path always fully converges) —
+                # fail loudly
+                raise ValueError(
+                    f"connected_components did not converge in "
+                    f"{max_iter} rounds ({still} labels still "
+                    f"changing): the pair graph has diameter > "
+                    f"max_iter. Raise max_iter — rounds needed equal "
+                    f"the graph diameter."
+                )
         return labels.select("node", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
@@ -1565,11 +1600,14 @@ def neardup_recall(
         .where(F.col("_j") >= threshold)
         .select("id_a", "id_b")
     )
-    found = minhash_lsh_pairs(
+    from dataengineer_spark.tuning import carry_lifetime
+
+    raw = minhash_lsh_pairs(
         df, id_col, text_col, shingle_size=shingle_size,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         portable=portable,
-    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    )
+    found = raw.select("id_a", "id_b", F.lit(1).alias("_f"))
     stats = truth.join(found, ["id_a", "id_b"], "left").agg(
         F.count("*").alias("n_true"),
         # coalesce the SUM too: zero true pairs must report n_found 0,
@@ -1578,13 +1616,15 @@ def neardup_recall(
             F.sum(F.coalesce(F.col("_f"), F.lit(0))), F.lit(0).cast("long")
         ).alias("n_found"),
     )
-    return stats.select(
+    out = stats.select(
         "n_true",
         "n_found",
         F.when(
             F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
         ).alias("recall"),
     )
+    # the audit frame outlives `raw` — carry the candidate-cache tie
+    return carry_lifetime(out, raw)
 
 
 def containment_pairs(

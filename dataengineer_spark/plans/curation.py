@@ -78,6 +78,12 @@ def remove_near_dups(
     Anti-join against the pair list's ``id_b`` side — at corpus scale the
     pair list is collision-rate sized and broadcasts.
     """
+    from dataengineer_spark.tuning import carry_lifetime
+
     pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    # the anti-join frame outlives `pairs` — carry the candidate-cache
+    # tie onto it so the transient persist survives until the action
+    return carry_lifetime(
+        docs.join(F.broadcast(losers), id_col, "left_anti"), pairs
+    )

@@ -19,9 +19,16 @@ import re
 
 from pyspark.sql import DataFrame
 
-#: plan-node match for an existing explicit redistribution (Repartition /
-#: RepartitionByExpression / coalesce all print as Repartition* nodes)
-_REPART_RE = re.compile(r"\bRepartition(ByExpression)?\b")
+#: plan-node match for a round-robin SHUFFLE repartition with its width —
+#: ``df.repartition(n)`` prints ``Repartition n, true``.  Deliberately
+#: narrow (review r9): keyed ``repartition(n, col)`` / ``repartitionByRange``
+#: print ``RepartitionByExpression`` and ``coalesce`` prints
+#: ``Repartition n, false`` — those may target FEWER partitions than the
+#: session parallelism (shard writers, range layouts, coalesce(1)), so
+#: treating any Repartition* as "already fanned" would skip fanning
+#: exactly the under-partitioned frames this helper exists to widen.
+#: They fall through to the (cached) probe instead.
+_REPART_RE = re.compile(r"\bRepartition (\d+), true\b")
 #: attribute exprIds (``doc_id#123L``) differ per scan instantiation of the
 #: same query — strip them so the probe cache hits across invocations
 _EXPRID_RE = re.compile(r"#\d+")
@@ -42,10 +49,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     at sf0.1, and pipelines stack 3-5 fan_out sites), so two fast paths
     short-circuit it:
 
-    - a plan that already CONTAINS an explicit repartition/coalesce is
-      respected as-is (in-engine the only producer of those nodes ahead
-      of a fan_out site is a previous fan_out, which already fanned to
-      the session parallelism) — one plan-string fetch, no planning;
+    - a plan containing a round-robin shuffle repartition at or above
+      the target is respected as-is (in-engine the only producer of
+      that node ahead of a fan_out site is a previous fan_out) — one
+      plan-string fetch, no planning; keyed repartitions, range
+      repartitions, coalesce, and narrower round-robins fall through
+      to the probe, since they may leave the frame under-partitioned;
     - otherwise the probed partition count is memoized by the plan
       string with exprIds normalized out, so the per-query rebuild of
       the same scan (every ``queries()`` callable reloads its tables)
@@ -64,7 +73,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:  # non-classic frame / private-surface drift
         plan = None
     if plan is not None:
-        if _REPART_RE.search(plan):
+        # fast path: an explicit round-robin shuffle repartition at or
+        # above the target means the frame is already fanned (in-engine
+        # the only producer of that node ahead of a fan_out site is a
+        # previous fan_out); a NARROWER one, keyed repartitions, and
+        # coalesce fall through to the probe (review r9 — they may
+        # target fewer partitions than the session parallelism)
+        if any(int(n) >= target for n in _REPART_RE.findall(plan)):
             return df
         parts = _PROBE_CACHE.get(plan)
         if parts is None:
@@ -138,12 +153,47 @@ def transient_persist(df: DataFrame) -> DataFrame:
 def tie_lifetime(out: DataFrame, cached: DataFrame) -> DataFrame:
     """Unpersist ``cached`` when ``out`` is garbage-collected.  The
     finalizer holds the only strong reference to ``cached`` needed, so
-    the cache lives exactly as long as a consumer of ``out`` can still
-    trigger its recompute."""
+    the cache lives as long as a PYTHON holder of ``out`` exists.
+
+    DERIVED frames do not extend that lifetime: ``tie_lifetime(out,
+    c).select(...)`` returns a new DataFrame holding no Python
+    reference to ``out``, so once the original goes out of scope the
+    finalizer fires and the action recomputes the cached subtree per
+    consumer — correct, but the compute-once optimization is silently
+    lost (review r9).  Callers that wrap a tied result before the
+    action must move the tie onto the wrapper with
+    :func:`carry_lifetime`.  The ties are recorded on the frame
+    (``_graft_ties``) precisely so carry can find and detach them.
+    """
     import weakref
 
-    weakref.finalize(out, _unpersist_quietly, cached)
+    fin = weakref.finalize(out, _unpersist_quietly, cached)
+    ties = getattr(out, "_graft_ties", [])
+    out._graft_ties = ties + [(cached, fin)]
     return out
+
+
+def carry_lifetime(derived: DataFrame, src: DataFrame) -> DataFrame:
+    """Move ``src``'s cache ties onto ``derived`` — REQUIRED whenever an
+    in-repo caller derives a new frame (select/orderBy/filter/...) from
+    a ``tie_lifetime``'d result and lets the original go out of scope
+    before the action: without the carry the finalizer fires at frame
+    GC and the transient cache unpersists before it is ever read.
+    Detaches ``src``'s finalizers (no double-unpersist, no early fire)
+    and re-ties each cache to ``derived``.  A ``src`` with no ties
+    passes through untouched, so the helper is safe to apply
+    unconditionally."""
+    import weakref
+
+    for cached, fin in getattr(src, "_graft_ties", []):
+        fin.detach()
+        new_fin = weakref.finalize(derived, _unpersist_quietly, cached)
+        derived._graft_ties = getattr(derived, "_graft_ties", []) + [
+            (cached, new_fin)
+        ]
+    if getattr(src, "_graft_ties", None):
+        src._graft_ties = []
+    return derived
 
 
 def lineage_cut(

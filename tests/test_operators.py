@@ -372,11 +372,19 @@ class TestDedup:
         # at/under the limit and explicit opt-in both pass
         dedup_ops.guard_bucket_quadratic(df, "bk", "minhash_lsh_pairs", limit=6)
         dedup_ops.guard_bucket_quadratic(
-            df, "bk", "minhash_lsh_pairs", allow=True, limit=0
+            df, "bk", "minhash_lsh_pairs", allow_quadratic=True, limit=0
         )
         # empty input: zero workload, never refuses
         dedup_ops.guard_bucket_quadratic(
             df.where(F.lit(False)), "bk", "minhash_lsh_pairs", limit=0
+        )
+        # NULL buckets never pair in the guarded equi-join — the probe
+        # must not price them as one giant bucket
+        nulls = spark.createDataFrame(
+            [(i, None) for i in range(10)], "doc_id long, bk int"
+        )
+        dedup_ops.guard_bucket_quadratic(
+            nulls, "bk", "minhash_lsh_pairs", limit=0
         )
 
 
@@ -937,6 +945,42 @@ class TestConnectedComponents:
             pairs, driver_edge_limit=0, max_iter=15
         ).collect()
         assert {r["cluster_id"] for r in out} == {0}
+
+    def test_loop_converging_exactly_at_max_iter_succeeds(self, spark):
+        # a graph whose LAST label change lands in the final budgeted
+        # round is converged — the verification round must accept it
+        # instead of raising (review r9: detection needs rounds+1)
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2)], "id_a long, id_b long"
+        )
+        out = dedup_ops.connected_components(
+            pairs, driver_edge_limit=0, max_iter=2
+        ).collect()
+        assert {r["cluster_id"] for r in out} == {0} and len(out) == 3
+
+    def test_carry_lifetime_keeps_cache_through_wrappers(self, spark):
+        # tie_lifetime's finalizer fires when the TIED frame is GC'd;
+        # a derived wrapper holds no Python reference to it, so in-repo
+        # wrap sites must carry the tie (review r9)
+        import gc
+
+        from dataengineer_spark.tuning import (
+            carry_lifetime, tie_lifetime, transient_persist,
+        )
+
+        cached = transient_persist(spark.range(10))
+        cached.count()
+        out = tie_lifetime(cached.select("id"), cached)
+        derived = carry_lifetime(out.selectExpr("id * 2 AS x"), out)
+        del out
+        gc.collect()
+        # the wrapper still holds the tie: cache must be alive
+        lvl = cached.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        del derived
+        gc.collect()
+        lvl = cached.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
 
 
 class TestCharShingleHashes:
