@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 #: exactly the under-partitioned frames this helper exists to widen.
 #: They fall through to the (cached) probe instead.
 _REPART_RE = re.compile(r"\bRepartition (\d+), true\b")
+#: narrowing nodes: ``coalesce(n)`` prints ``Repartition n, false`` and
+#: keyed/range repartitions print ``RepartitionByExpression``.  A wide
+#: round-robin only proves the frame is fanned if none of these sits
+#: ABOVE it in the plan (closer to the root = earlier in the string) —
+#: ``df.repartition(64).coalesce(1)`` is 1 partition at the top even
+#: though the wide node is still in the plan (ADVICE r9).
+_NARROW_RE = re.compile(r"\bRepartition \d+, false\b|\bRepartitionByExpression\b")
 #: attribute exprIds (``doc_id#123L``) differ per scan instantiation of the
 #: same query — strip them so the probe cache hits across invocations
 _EXPRID_RE = re.compile(r"#\d+")
@@ -78,8 +85,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # the only producer of that node ahead of a fan_out site is a
         # previous fan_out); a NARROWER one, keyed repartitions, and
         # coalesce fall through to the probe (review r9 — they may
-        # target fewer partitions than the session parallelism)
-        if any(int(n) >= target for n in _REPART_RE.findall(plan)):
+        # target fewer partitions than the session parallelism).  The
+        # wide node only counts when NO narrowing node sits above it in
+        # the plan string (ADVICE r9: a later coalesce/keyed repartition
+        # over the wide one leaves the frame narrow; string order is
+        # root-first, so "above" = smaller index).  A narrow node in a
+        # sibling branch falls through to the probe too — a missed fast
+        # path, never a wrong answer.
+        m_narrow = _NARROW_RE.search(plan)
+        shadow_at = m_narrow.start() if m_narrow else len(plan) + 1
+        if any(
+            int(m.group(1)) >= target and m.start() < shadow_at
+            for m in _REPART_RE.finditer(plan)
+        ):
             return df
         parts = _PROBE_CACHE.get(plan)
         if parts is None:

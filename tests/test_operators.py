@@ -983,6 +983,61 @@ class TestConnectedComponents:
         assert not (lvl.useMemory or lvl.useDisk)
 
 
+class TestFanOut:
+    def test_wide_repartition_fast_path(self, spark):
+        from dataengineer_spark.tuning import fan_out
+
+        target = spark.sparkContext.defaultParallelism
+        wide = spark.range(1000).repartition(max(target, 64))
+        # already fanned: respected as-is, no extra shuffle on top
+        assert fan_out(wide) is wide
+
+    def test_coalesce_above_wide_repartition_is_not_fanned(self, spark):
+        # ADVICE r9: a coalesce ABOVE a wide round-robin leaves the frame
+        # narrow — the fast path must not short-circuit on the buried
+        # wide node; the probe sees 1 partition and re-fans
+        from dataengineer_spark.tuning import fan_out
+
+        target = spark.sparkContext.defaultParallelism
+        narrow = spark.range(1000).repartition(max(target, 64)).coalesce(1)
+        assert narrow.rdd.getNumPartitions() == 1
+        out = fan_out(narrow)
+        assert out is not narrow
+        assert out.rdd.getNumPartitions() >= target
+
+    def test_keyed_repartition_above_wide_falls_through(self, spark):
+        # keyed repartition above the wide node: partition count is the
+        # shuffle-partition conf, which may be under the target — must
+        # fall through to the probe, not trust the buried wide node
+        from dataengineer_spark.tuning import fan_out
+
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            target = spark.sparkContext.defaultParallelism
+            df = (
+                spark.range(1000)
+                .repartition(max(target, 64))
+                .repartition("id")
+            )
+            # AQE may pick its own post-shuffle count; the contract under
+            # test is only that the buried wide node does NOT fast-path —
+            # an under-target frame must come back re-fanned
+            assert df.rdd.getNumPartitions() < target
+            out = fan_out(df)
+            assert out.rdd.getNumPartitions() >= target
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def test_narrow_below_wide_keeps_fast_path(self, spark):
+        # a coalesce BELOW the wide repartition (re-widened afterwards)
+        # must still take the fast path — the top of the plan is wide
+        from dataengineer_spark.tuning import fan_out
+
+        target = spark.sparkContext.defaultParallelism
+        wide = spark.range(1000).coalesce(1).repartition(max(target, 64))
+        assert fan_out(wide) is wide
+
+
 class TestCharShingleHashes:
     def test_matches_hashed_char_shingles(self, spark):
         # the positional fast path must produce the same hash SET as
