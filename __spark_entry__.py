@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -102,6 +103,7 @@ EFFECTFUL_QUERIES = {
     "q_prep_semantic_decontaminate_arrow",  # same collect at build
     "q_k10_cdc_apply",  # staged-swap lake writes + read-back
     "q_e11_stream_neardup",  # streaming run + lake writes
+    "q_e11_stream_neardup_live",  # streaming run + lake writes
     "q_e11_stream_neardup_arrow",  # streaming run + lake writes
     "q_s10_corrupt_json",  # temp-dir feed write
     "q_e3_pca_power",  # dim-row control-plane collects per iteration
@@ -529,6 +531,64 @@ WITH s AS (SELECT doc_id, {_sql_sections('text')} FROM documents)
 SELECT doc_id, part_of_report,
        {_sql_truncate('filtered_message', 'part_of_report', 100)} AS truncated
 FROM s
+"""
+
+
+def q_f5_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 exact token-boundary truncation through the PRODUCTION Arrow
+    iterator-pandas_udf path (functions.truncate.truncate_text_tokens),
+    ORACLED: the dependency-free 'fake-offsets' tokenizer emits fixed
+    4-char tokens (plus zero-width specials the offsets filter drops),
+    which makes the token semantics SQL-expressible — ntok =
+    ceil(len/4), tail cut = 4*(ntok-limit), head cut = 4*limit — so the
+    full executor-side lifecycle (per-worker scheme resolution, the
+    offset-mapping branch of _offsets, the exact-limit cut arithmetic of
+    _truncate_one, Arrow struct returns) is hash-verified, not just
+    pytest-pinned.  Same cut contract as the reference's tokenizer form
+    (dx_group.py:49-61; exact-window divergence documented in
+    functions/truncate.py).  Map-only plan: one ArrowEvalPython over the
+    scan, no shuffle."""
+    from dataengineer_spark.functions.truncate import truncate_text_tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "entire report")
+        .otherwise("gross_or_micro")
+        .alias("part"),
+    )
+    out = docs.select(
+        "doc_id",
+        "part",
+        truncate_text_tokens(
+            "text", "part", tokenizer="fake-offsets", limit=50
+        ).alias("o"),
+    )
+    return out.select(
+        "doc_id",
+        "part",
+        F.col("o.filtered_message").alias("kept"),
+        F.col("o.offset").alias("cut_offset"),
+    )
+
+
+_F5_TOKENS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0 THEN 'entire report'
+              ELSE 'gross_or_micro' END AS part,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT doc_id, part,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN ntok <= 50 THEN text
+            WHEN part = 'entire report' THEN substr(text, 4 * (ntok - 50) + 1)
+            ELSE substr(text, 1, 200) END AS kept,
+       CAST(CASE WHEN text IS NULL OR ntok <= 50 THEN 0
+                 WHEN part = 'entire report' THEN 4 * (ntok - 50)
+                 ELSE 200 END AS INT) AS cut_offset
+FROM d
 """
 
 
@@ -8102,6 +8162,168 @@ def _stream_neardup_oracle() -> str:
     return _index_probe_oracle("SELECT doc_id, text, lang FROM documents")
 
 
+#: (batch, newb-SQL) micro-batch plan shared by the live-ingest engine run
+#: and its oracle — the split IS part of the deploy semantics (arrival
+#: order matters), so both sides must replay the same one.  Batch 2's
+#: +5000 re-crawls near-dup batch-1 content (caught ONLY because the index
+#: is maintained intra-run); batch 3 carries +6000/+7000 twin pairs of
+#: docs 480-489 — which are never ingested themselves — so the smaller-id
+#: copy must survive and the larger must drop via WITHIN-batch self-dedup.
+_STREAM_LIVE_BATCHES = [
+    "SELECT doc_id{c} FROM documents WHERE doc_id < 150",
+    "SELECT doc_id{c} FROM documents"
+    " WHERE doc_id >= 150 AND doc_id < 300"
+    " UNION ALL SELECT doc_id + 5000{c} FROM documents"
+    " WHERE doc_id < 30",
+    "SELECT doc_id{c} FROM documents"
+    " WHERE doc_id >= 300 AND doc_id < 480"
+    " UNION ALL SELECT doc_id + 6000{c} FROM documents"
+    " WHERE doc_id >= 480 AND doc_id < 490"
+    " UNION ALL SELECT doc_id + 7000{c} FROM documents"
+    " WHERE doc_id >= 480 AND doc_id < 490",
+]
+
+
+def q_e11_stream_neardup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 × E2 DEPLOY form (streaming.stream_neardup_ingest, VERDICT r9
+    item 2): near-dup-filtered ingest whose signature index is MAINTAINED
+    intra-run — each micro-batch's survivors append their band rows
+    before the next batch probes, and mutual near-dups within one batch
+    keep the smaller id.  Three deterministic micro-batches (one parquet
+    file each, mtime-ordered, maxFilesPerTrigger=1); the oracle replays
+    the identical split as a 3-layer SQL fold over the portable signature
+    family — batch-boundary semantics are CHECKED, not waived."""
+    import os
+    import shutil
+
+    from dataengineer_spark.streaming import (
+        stream_documents,
+        stream_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    root = tempfile.mkdtemp(prefix="spark_graft_sndl_")
+    stream_dir = os.path.join(root, "feed")
+    os.makedirs(stream_dir)
+    now = time.time()
+    for i, batch_sql in enumerate(_STREAM_LIVE_BATCHES, start=1):
+        stage = os.path.join(root, f"stage{i}")
+        spark.sql(
+            batch_sql.format(c=", text, lang, source, n_chars")
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        # the file source processes oldest-modified first
+        # (latestFirst=false): pin strictly increasing mtimes so the
+        # micro-batch order is the one the oracle replays
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+    s = stream_documents(spark, stream_dir)
+    q = stream_neardup_ingest(
+        s,
+        os.path.join(root, "index"),
+        os.path.join(root, "kept"),
+        shingle_size=5, num_hashes=32, bands=4, portable=True,
+        checkpoint=os.path.join(root, "ck"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(root, "kept")).select(
+        "doc_id", "lang"
+    )
+
+
+def _stream_live_oracle() -> str:
+    """3-layer SQL fold of the live-ingest semantics over the portable
+    MinHash family: per batch, self-dedup (smaller-id collision in the
+    SAME batch, unconditional on that doc's own survival) then the probe
+    against the bands of everything kept in STRICTLY earlier batches."""
+    from dataengineer_spark.operators.dedup import _MERSENNE, _affine_params
+
+    params = _affine_params(32, seed=42)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE}) AS s{j + 1}"
+        for j, (a, b) in enumerate(params)
+    )
+    rows = 32 // 4
+    bands_sql = "\nUNION ALL\n".join(
+        "SELECT batch, doc_id, {b} AS band, {cols} AS bucket FROM sigs".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"CAST(s{b * rows + r + 1} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(4)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 4, 1)), "
+        "i -> substr(text, CAST(i AS INT), 5)))"
+    )
+    polyhash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(string_split(s, ''), x -> x <> ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, x) -> (acc * 31 + x) % 1000003)"
+    )
+    corpus = "\n  UNION ALL\n".join(
+        f"SELECT {i} AS batch, * FROM ({b.format(c=', text, lang')})"
+        for i, b in enumerate(_STREAM_LIVE_BATCHES, start=1)
+    )
+    return f"""
+WITH corpus AS (
+  {corpus}
+), sh AS (
+  SELECT batch, doc_id, unnest({shingles}) AS s FROM corpus
+), hs AS (
+  SELECT batch, doc_id, {polyhash} AS h FROM sh
+), sigs AS (
+  SELECT batch, doc_id, {mins} FROM hs GROUP BY batch, doc_id
+), banded AS (
+  {bands_sql}
+), selfflag AS (
+  SELECT DISTINCT a.doc_id
+  FROM banded a JOIN banded b
+    ON a.batch = b.batch AND a.band = b.band AND a.bucket = b.bucket
+   AND b.doc_id < a.doc_id
+), kept1 AS (
+  SELECT doc_id FROM corpus WHERE batch = 1
+    AND doc_id NOT IN (SELECT doc_id FROM selfflag)
+), idx1 AS (
+  SELECT band, bucket FROM banded
+  WHERE doc_id IN (SELECT doc_id FROM kept1)
+), kept2 AS (
+  SELECT c.doc_id FROM corpus c WHERE c.batch = 2
+    AND c.doc_id NOT IN (SELECT doc_id FROM selfflag)
+    AND NOT EXISTS (
+      SELECT 1 FROM banded bn JOIN idx1 i
+        ON bn.band = i.band AND bn.bucket = i.bucket
+      WHERE bn.doc_id = c.doc_id)
+), idx2 AS (
+  SELECT * FROM idx1
+  UNION ALL
+  SELECT band, bucket FROM banded
+  WHERE doc_id IN (SELECT doc_id FROM kept2)
+), kept3 AS (
+  SELECT c.doc_id FROM corpus c WHERE c.batch = 3
+    AND c.doc_id NOT IN (SELECT doc_id FROM selfflag)
+    AND NOT EXISTS (
+      SELECT 1 FROM banded bn JOIN idx2 i
+        ON bn.band = i.band AND bn.bucket = i.bucket
+      WHERE bn.doc_id = c.doc_id)
+), keptall AS (
+  SELECT doc_id FROM kept1
+  UNION ALL SELECT doc_id FROM kept2
+  UNION ALL SELECT doc_id FROM kept3
+)
+SELECT c.doc_id, c.lang FROM corpus c
+JOIN keptall k ON c.doc_id = k.doc_id
+"""
+
+
 def q_k10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 CDC apply (catalog.apply_cdc): replication-consumer MERGE of
     an insert/update/delete change batch into the lake — updates replace
@@ -10589,6 +10811,8 @@ FROM agg ORDER BY key
 # rows-only twins are ordered LAST (VERDICT r6 item 2) so no driver
 # sample slot can land on an err:"no_oracle" row.
 _ROUND8_FIRST = [
+    # round-10 additions lead the rotation: never driver-sampled yet
+    "q_f5_truncate_tokens", "q_e11_stream_neardup_live",
     "q_e9_fuzzy_join_topk", "q_tpch_q9", "q_tpch_q13", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q19", "q_tpch_q22", "q_tpch_q2", "q_tpch_q11",
     "q_tpch_q20", "q_tpch_q21", "q_e12_udf", "q_e12_grouped_map",
@@ -10745,6 +10969,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2_incremental_neardup_arrow": q_e2_incremental_neardup_arrow,
         "q_k10_cdc_apply": q_k10_cdc_apply,
         "q_e11_stream_neardup": q_e11_stream_neardup,
+        "q_e11_stream_neardup_live": q_e11_stream_neardup_live,
         "q_e11_stream_neardup_arrow": q_e11_stream_neardup_arrow,
         "q_e1_dedup_by": q_e1_dedup_by,
         "q_s10_corrupt_json": q_s10_corrupt_json,
@@ -10939,6 +11164,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_f1_clean_msg": q_f1_clean_msg,
         "q_f4_sectionize": q_f4_sectionize,
         "q_f5_truncate": q_f5_truncate,
+        "q_f5_truncate_tokens": q_f5_truncate_tokens,
         "q_f6_format_date": q_f6_format_date,
         "q_f7_split_label": q_f7_split_label,
         "q_j1_label_join": q_j1_label_join,
@@ -11022,6 +11248,7 @@ def oracle_sql() -> dict[str, str]:
         "q_f1_clean_msg": _F1_ORACLE,
         "q_f4_sectionize": _F4_ORACLE,
         "q_f5_truncate": _F5_ORACLE,
+        "q_f5_truncate_tokens": _F5_TOKENS_ORACLE,
         "q_f6_format_date": (
             "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS d FROM orders"
         ),
@@ -11130,6 +11357,7 @@ def oracle_sql() -> dict[str, str]:
         "q_e2_incremental_neardup": _incremental_neardup_oracle(),
         "q_k10_cdc_apply": _K10_CDC_ORACLE,
         "q_e11_stream_neardup": _stream_neardup_oracle(),
+        "q_e11_stream_neardup_live": _stream_live_oracle(),
         "q_e1_dedup_by": _E1_DEDUP_BY_ORACLE,
         "q_s10_corrupt_json": _S10_CORRUPT_JSON_ORACLE,
         "q_a6_abtest": _A6_ABTEST_ORACLE,

@@ -109,7 +109,7 @@ class TestRealTokenizerTruncation:
         )
         # force a fresh load so the HF branch (not a previously cached
         # regex fallback) serves this test
-        tr._TOKENIZER = None
+        tr._TOKENIZERS.pop("hf", None)
         text = "pathology " * 600  # > 510 BERT tokens either way
         kept, off = tr._truncate_one(text, "entire report", tr.TOKEN_LIMIT)
         assert off > 0 and text.endswith(kept)
@@ -120,4 +120,4 @@ class TestRealTokenizerTruncation:
         kept_head, off_head = tr._truncate_one(text, "gross_or_micro", tr.TOKEN_LIMIT)
         assert text.startswith(kept_head)
         assert off_head == offs[tr.TOKEN_LIMIT - 1][1]
-        tr._TOKENIZER = None  # leave no cross-test tokenizer state
+        tr._TOKENIZERS.pop("hf", None)  # leave no cross-test tokenizer state
