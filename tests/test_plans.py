@@ -308,3 +308,52 @@ class TestRound4ePlanShapes:
         assert "LeftAnti" in p and "LeftSemi" in p
         assert p.count("xxhash64") >= 1  # new side IS hashed
         assert "Scan ExistingRDD" in p or "LogicalRDD" in p  # index scan
+
+
+class TestPinnedPlanShapes:
+    """The plan-shape regression gate (VERDICT r9 item 4): every pinned
+    headline query's summarized physical plan — exchange count, join
+    strategies, python execution mode, raw-BNL count — must match
+    tests/plan_pins.json, derived under this exact session shape by
+    `python tools/pin_plans.py`.  An intentional plan change re-pins
+    (re-run the tool, review the JSON diff, commit both); an accidental
+    one fails here in minutes instead of surfacing as a bench mystery a
+    round later.  FEWER exchanges than pinned also fails — an improvement
+    should be looked at and re-pinned, not absorbed silently."""
+
+    @pytest.fixture(scope="class")
+    def pins(self):
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "plan_pins.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def test_pin_list_matches_tool(self, pins):
+        from tools.pin_plans import PINNED_QUERIES
+
+        assert sorted(pins) == sorted(PINNED_QUERIES)
+
+    def test_pinned_queries_exist_and_are_pure(self, pins):
+        qs = entrymod.queries()
+        for name in pins:
+            assert name in qs, name
+            assert name not in _EFFECTFUL, f"{name} became effectful: re-pin"
+
+    def test_plan_summaries_match_pins(self, spark, sf_dir, pins):
+        from tools.plan_report import summarize
+
+        qs = entrymod.queries()
+        mismatches = {}
+        for name, pin in sorted(pins.items()):
+            got = summarize(_plan(spark, sf_dir, name))
+            got = {k: got[k] for k in ("exchanges", "joins", "python",
+                                       "raw_bnl")}
+            if got != pin:
+                mismatches[name] = {"pinned": pin, "got": got}
+        assert not mismatches, (
+            "plan shapes drifted from tests/plan_pins.json — if the change "
+            "is intentional, re-pin with `python tools/pin_plans.py` and "
+            f"commit the diff: {mismatches}"
+        )
