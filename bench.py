@@ -217,6 +217,14 @@ HEADLINE = [
 #: also bounds WITHIN-run drift for the long full tier.
 CALIBRATION = ["q_p1_project", "q_e5_groupagg", "q_tpch_q6"]
 
+#: Full-tier queries timed best-of-2 instead of once (VERDICT r9 item 5):
+#: the stateful/streaming E11 runs pay a per-run stream-startup +
+#: state-store-init cost with high host-noise variance — run-once walls
+#: produced two rounds of false regression alarms (r8: a session was spent
+#: disproving one; r9: q_e11_stateful's 10.0 s tier spike re-measured at
+#: 1.4-1.7 s).  ~30 s of tier budget buys min-of-2 for exactly this set.
+FULL_BEST_OF_2_PREFIX = "q_e11_"
+
 
 def _emit_summary(
     timings: dict[str, float],
@@ -377,7 +385,13 @@ def main() -> None:
             if name in HEADLINE:
                 continue
             try:
-                full_timings[name] = round(run_once(fn), 3)
+                dt = run_once(fn)
+                if name.startswith(FULL_BEST_OF_2_PREFIX):
+                    # stateful-streaming noise guard: min-of-2 (see
+                    # FULL_BEST_OF_2_PREFIX), block hygiene between runs
+                    drop_blocks()
+                    dt = min(dt, run_once(fn))
+                full_timings[name] = round(dt, 3)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = repr(exc)[:200]
             drop_blocks()
