@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataengineer_spark.tuning import lineage_cut
+from dataengineer_spark.tuning import lineage_cut, tie_lifetime, transient_persist
 
 
 def pagerank(
@@ -201,8 +201,18 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_coeff).
+
+    The canonical edge list is referenced SIX times in this plan (degree
+    union twice, edge count, both wedge sides, closing semi-join) —
+    callers hand in a derived frame (typically a self-join + distinct),
+    so without a cache the heaviest subtree executes once per
+    reference (round-10 plan audit: 25 exchanges, most of them the
+    edge build repeating).  One transient persist makes it
+    compute-once; lifetime rides the returned census frame.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = transient_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -232,18 +242,21 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ).agg(F.count("*").alias("n_triangles"))
     )
     out = counts.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
-    return out.select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        F.round(
-            F.when(
-                F.col("n_wedges") > 0,
-                3.0 * F.col("n_triangles") / F.col("n_wedges"),
-            ).otherwise(0.0),
-            6,
-        ).alias("clustering_coeff"),
+    return tie_lifetime(
+        out.select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        ),
+        e,
     )
 
 
