@@ -249,9 +249,15 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # triangle {x<y<z} appears EXACTLY at edge (x,y): z is a forward
     # neighbour of both x and y, while at (x,z)/(y,z) the third vertex
     # precedes the endpoint and is in neither forward list.
+    # shuffle_hash, not sort-merge: the adjacency table is node-sized
+    # (fits a per-partition hash build at any scale), while the probe
+    # side of the second join carries an adjacency array per edge —
+    # Σ deg longs, ~58 GB at the sf10 probe — and an SMJ SORTS that
+    # stream (measured: 43 GB disk spill, 715 s wall; hinted SHJ
+    # streams it sort-free)
     adj = e.groupBy(F.col("a").alias("node")).agg(
         F.collect_list("b").alias("nbrs")
-    )
+    ).hint("shuffle_hash")
     empty = F.array().cast(dict(adj.dtypes)["nbrs"])
     tri = (
         # inner join is exact: adj⁺(x) always contains b (the edge
