@@ -1994,6 +1994,36 @@ class TestTriangleStats:
         assert r["n_wedges"] == 5 and r["n_triangles"] == 1
         assert r["clustering_coeff"] == 0.6
 
+    def test_edge_iterator_counts_each_triangle_once(self, spark):
+        # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} — each must
+        # be counted exactly once, at its smallest edge (1,2), never
+        # re-found at the other two edges (the r10 edge-iterator's
+        # forward-adjacency invariant)
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (7, 8)],
+            "src long, dst long",
+        )
+        r = graph_ops.triangle_stats(edges).first()
+        assert r["n_nodes"] == 6 and r["n_edges"] == 6
+        assert r["n_wedges"] == 8 and r["n_triangles"] == 2
+        assert r["clustering_coeff"] == 0.75
+
+    def test_triangle_free_and_empty(self, spark):
+        from dataengineer_spark.operators import graph as graph_ops
+
+        # path graph: wedges but zero triangles (the left-join empty-
+        # adjacency leg: node 3 has no forward neighbours)
+        path = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        r = graph_ops.triangle_stats(path).first()
+        assert r["n_wedges"] == 1 and r["n_triangles"] == 0
+        # empty edge list must census 0 triangles, not NULL
+        r = graph_ops.triangle_stats(path.where("src > 99")).first()
+        assert r["n_triangles"] == 0 and r["n_edges"] == 0
+
 
 class TestKeySkewReport:
     def test_ranks_shares_and_ties(self, spark):
