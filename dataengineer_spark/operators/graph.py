@@ -42,13 +42,17 @@ def pagerank(
     to 12 digits — the float sequence is reproducible on any engine and
     any partition count.
 
-    Scale shape: ``iterations`` × (one join of the pre-partitioned edge
+    Scale shape: ``iterations`` × (one join of the degree-carrying edge
     table against the rank vector + one hash aggregate on dst + one
     co-partitioned left join back onto the node universe for the
-    teleport floor).  The degree-carrying edge table is hash-partitioned
-    on ``src`` ONCE and lineage-cut, so every round's join reuses that
-    stored partitioning and only the (node-count-sized) rank vector
-    moves.  When the node count — an EXACT control-plane scalar, already
+    teleport floor).  In the SHUFFLE regime (node count past the
+    broadcast limit) the edge table is hash-partitioned on ``src`` ONCE
+    and lineage-cut, so every round's join reuses that stored
+    partitioning and only the (node-count-sized) rank vector moves; in
+    the broadcast regime the round join is map-side over the stored
+    blocks as-is and the pre-partition is skipped — it is a pure extra
+    edge-wide shuffle there (~20% of a 3-iteration sf1 wall,
+    tools/profile_r10_pr.py).  When the node count — an EXACT control-plane scalar, already
     paid for by the teleport term — is at most ``broadcast_node_limit``
     (~24 MB of (key, rank) rows at the 1 M default), the rank vector is
     explicitly broadcast into that join: round-8 stage profiling showed
@@ -91,25 +95,6 @@ def pagerank(
         serialized=True,  # edge-list-sized: see lineage_cut docstring
     )
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    # degree is iteration-invariant: attach it to the edges ONCE,
-    # hash-partition on the per-round join key so the stored blocks
-    # already satisfy the join's distribution (only the rank vector
-    # shuffles per round), and cut lineage.  The partition COUNT is
-    # explicit — max(session parallelism, the edge frame's own count) —
-    # because a bare repartition("_src") lets AQE coalesce the stored
-    # blocks to a handful of fat partitions (advisory-size targeting),
-    # and every subsequent round inherits that under-parallelism; an
-    # explicit user count is respected, keeping each round's map stage
-    # as wide as the loop's compute needs.  At production scale the
-    # edge frame's own partition count dominates the max and this is a
-    # plain keyed repartition.
-    sc = e.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism, e.rdd.getNumPartitions())
-    e_deg = lineage_cut(
-        e.join(deg, "_src").repartition(n_parts, "_src"),
-        eager=False,
-        serialized=True,  # edge-list-sized
-    )
     # full node universe, cut once: rank-vector-sized, the loop's
     # inherent state; the per-round left join co-partitions with the
     # groupBy (or broadcasts, when AQE sees a small node set)
@@ -131,6 +116,31 @@ def pagerank(
     # exact-count-guarded broadcast (see docstring): values identical
     # either way, only the join's physical side assignment changes
     small_ranks = n_nodes <= broadcast_node_limit
+    # degree is iteration-invariant: attach it to the edges ONCE and cut
+    # lineage.  The keyed pre-partition on the per-round join key exists
+    # for the SHUFFLE regime only (so every round moves just the rank
+    # vector, never the edge table); in the broadcast regime the round
+    # join is map-side over whatever blocks e_deg has, and the
+    # repartition is a pure extra edge-wide shuffle — the r10 sf1
+    # profile (tools/profile_r10_pr.py) measured it at ~20% of the
+    # 3-iteration wall for zero benefit.  The partition COUNT in the
+    # shuffle branch is explicit — max(session parallelism, the edge
+    # frame's own count) — because a bare repartition("_src") lets AQE
+    # coalesce the stored blocks to a handful of fat partitions
+    # (advisory-size targeting) and every subsequent round inherits
+    # that under-parallelism; an explicit user count is respected.  At
+    # production scale the edge frame's own count dominates the max and
+    # this is a plain keyed repartition.
+    e_deg = e.join(deg, "_src")
+    if not small_ranks:
+        sc = e.sparkSession.sparkContext
+        n_parts = max(sc.defaultParallelism, e.rdd.getNumPartitions())
+        e_deg = e_deg.repartition(n_parts, "_src")
+    e_deg = lineage_cut(
+        e_deg,
+        eager=False,
+        serialized=True,  # edge-list-sized
+    )
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), 12).alias("rank")
     )
