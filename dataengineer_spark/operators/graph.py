@@ -45,14 +45,13 @@ def pagerank(
     Scale shape: ``iterations`` × (one join of the degree-carrying edge
     table against the rank vector + one hash aggregate on dst + one
     co-partitioned left join back onto the node universe for the
-    teleport floor).  In the SHUFFLE regime (node count past the
-    broadcast limit) the edge table is hash-partitioned on ``src`` ONCE
-    and lineage-cut, so every round's join reuses that stored
-    partitioning and only the (node-count-sized) rank vector moves; in
-    the broadcast regime the round join is map-side over the stored
-    blocks as-is and the pre-partition is skipped — it is a pure extra
-    edge-wide shuffle there (~20% of a 3-iteration sf1 wall,
-    tools/profile_r10_pr.py).  When the node count — an EXACT control-plane scalar, already
+    teleport floor).  The degree-carrying edge table is hash-partitioned
+    on ``src`` ONCE at an explicit width and lineage-cut, so every
+    round's join reuses those stored blocks and only the
+    (node-count-sized) rank vector moves; the width comes from session
+    confs in the broadcast regime and from the (plan-executing) edge
+    partition probe only in the shuffle regime, where it is
+    load-bearing (tools/profile_r10_pr.py).  When the node count — an EXACT control-plane scalar, already
     paid for by the teleport term — is at most ``broadcast_node_limit``
     (~24 MB of (key, rank) rows at the 1 M default), the rank vector is
     explicitly broadcast into that join: round-8 stage profiling showed
@@ -116,28 +115,38 @@ def pagerank(
     # exact-count-guarded broadcast (see docstring): values identical
     # either way, only the join's physical side assignment changes
     small_ranks = n_nodes <= broadcast_node_limit
-    # degree is iteration-invariant: attach it to the edges ONCE and cut
-    # lineage.  The keyed pre-partition on the per-round join key exists
-    # for the SHUFFLE regime only (so every round moves just the rank
-    # vector, never the edge table); in the broadcast regime the round
-    # join is map-side over whatever blocks e_deg has, and the
-    # repartition is a pure extra edge-wide shuffle — the r10 sf1
-    # profile (tools/profile_r10_pr.py) measured it at ~20% of the
-    # 3-iteration wall for zero benefit.  The partition COUNT in the
-    # shuffle branch is explicit — max(session parallelism, the edge
-    # frame's own count) — because a bare repartition("_src") lets AQE
-    # coalesce the stored blocks to a handful of fat partitions
-    # (advisory-size targeting) and every subsequent round inherits
-    # that under-parallelism; an explicit user count is respected.  At
-    # production scale the edge frame's own count dominates the max and
-    # this is a plain keyed repartition.
-    e_deg = e.join(deg, "_src")
-    if not small_ranks:
-        sc = e.sparkSession.sparkContext
-        n_parts = max(sc.defaultParallelism, e.rdd.getNumPartitions())
-        e_deg = e_deg.repartition(n_parts, "_src")
+    # degree is iteration-invariant: attach it to the edges ONCE,
+    # hash-partition on the per-round join key at an EXPLICIT width, and
+    # cut lineage.  The explicit count matters because a bare
+    # repartition("_src") lets AQE coalesce the stored blocks to a
+    # handful of fat partitions (advisory-size targeting) and every
+    # round inherits that under-parallelism — the r10 sf0.1 A/B showed
+    # pagerank3 2× slower with no pre-partition at all (AQE stored the
+    # tiny join output as ~1 block and every round's map stage ran
+    # single-task).  How the width is CHOSEN differs by regime
+    # (tools/profile_r10_pr.py):
+    # - broadcast regime: session width (defaultParallelism vs the
+    #   shuffle-partition conf).  The r8 form's `.rdd` partition-count
+    #   probe physically plans and EXECUTES the edge build at
+    #   plan-build time — at sf1 the probe job cost about as much as
+    #   the repartition it was sizing; session confs give the same
+    #   width for free at any scale where the rank vector broadcasts.
+    # - shuffle regime: the probe is load-bearing (a production edge
+    #   frame's own width dominates the session conf, and halving a
+    #   corpus-sized frame's parallelism to a conf value would be the
+    #   real regression), so pay it there only.
+    sc = e.sparkSession.sparkContext
+    session_width = max(
+        sc.defaultParallelism,
+        int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    n_parts = (
+        session_width
+        if small_ranks
+        else max(session_width, e.rdd.getNumPartitions())
+    )
     e_deg = lineage_cut(
-        e_deg,
+        e.join(deg, "_src").repartition(n_parts, "_src"),
         eager=False,
         serialized=True,  # edge-list-sized
     )
