@@ -357,8 +357,18 @@ def bfs_distances(
     )
     frontier = dist
     for depth in range(1, max_depth + 1):
+        # shuffle_hash on the frontier (build) side: the frontier is
+        # node-bounded while the probe side is the full edge list — an
+        # SMJ here re-SORTS the edges every level (the r10 sf10 probe
+        # planned exactly that once the frontier outgrew broadcast:
+        # 180 M rows sorted per level for a hash lookup's worth of
+        # work); AQE still upgrades to broadcast when a level's
+        # frontier is tiny
         nxt = lineage_cut(
-            e.join(frontier, F.col("_src") == F.col("node"))
+            e.join(
+                frontier.hint("shuffle_hash"),
+                F.col("_src") == F.col("node"),
+            )
             .select(F.col("_dst").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
