@@ -8197,6 +8197,7 @@ def q_e11_stream_neardup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from dataengineer_spark.streaming import (
+        compact_neardup_ingest,
         stream_documents,
         stream_neardup_ingest,
     )
@@ -8223,14 +8224,23 @@ def q_e11_stream_neardup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micro-batch order is the one the oracle replays
         os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
     s = stream_documents(spark, stream_dir)
+    # n_index_buckets sized to bench scale (one bucket ≈ one task); at
+    # deploy it scales with accepted-history size, not stream length
     q = stream_neardup_ingest(
         s,
         os.path.join(root, "index"),
         os.path.join(root, "kept"),
         shingle_size=5, num_hashes=32, bands=4, portable=True,
         checkpoint=os.path.join(root, "ck"),
+        n_index_buckets=8,
     )
     q.awaitTermination()
+    # maintenance compaction (VERDICT r10 item 1): collapse the per-epoch
+    # index/out file spray; values unchanged — the oracle hash proves it
+    compact_neardup_ingest(
+        spark, os.path.join(root, "index"), os.path.join(root, "kept"),
+        n_buckets=8,
+    )
     return spark.read.parquet(os.path.join(root, "kept")).select(
         "doc_id", "lang"
     )

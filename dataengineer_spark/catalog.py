@@ -172,14 +172,20 @@ class Catalog:
         )
 
     def compact_batch(
-        self, table: str, batch_id: int, target_files: int | None = None
+        self,
+        table: str,
+        batch_id: int,
+        target_files: int | None = None,
+        partition_col: str = "batch_id",
     ) -> int:
         """Rewrite one batch partition into ``target_files`` files (default:
         size-based — one file per 128 MB, min 1). Streaming epochs and
         incremental appends accumulate small files; a scan's task count
         follows file layout, so periodic compaction keeps read parallelism
         matched to data size instead of write history. Other batches are
-        never touched; idempotent.
+        never touched; idempotent.  ``partition_col`` generalizes the
+        same staged-swap rewrite to other partition keys (the streaming
+        sinks' ``_epoch=N`` layout — compact_neardup_ingest).
 
         Crash-safety: the compacted files are fully materialized to a
         staging location BEFORE the live partition is replaced — the
@@ -194,11 +200,11 @@ class Catalog:
         from pyspark.sql import functions as F
 
         table_path = self.path(table)
-        part_dir = f"{table_path}/batch_id={batch_id}"
+        part_dir = f"{table_path}/{partition_col}={batch_id}"
         local = "://" not in table_path
         if local and not os.path.isdir(part_dir):
             return 0
-        df = self.read_batch(table, batch_id)
+        df = self.read(table).where(F.col(partition_col) == batch_id)
         if target_files is None:
             size = 0
             if local:  # remote lakes pass target_files explicitly
@@ -210,13 +216,13 @@ class Catalog:
             # stage next to the live partition ('_'-prefixed → invisible to
             # table scans), then swap via rename: the source partition is
             # intact until the staged write has fully succeeded.
-            staging = f"{table_path}/_compacting_batch_id={batch_id}"
-            retired = f"{table_path}/_retired_batch_id={batch_id}"
+            staging = f"{table_path}/_compacting_{partition_col}={batch_id}"
+            retired = f"{table_path}/_retired_{partition_col}={batch_id}"
             shutil.rmtree(staging, ignore_errors=True)
             shutil.rmtree(retired, ignore_errors=True)
-            # batch_id comes from the directory name on read; keeping the
-            # column in the staged files would shadow the partition column
-            df.drop("batch_id").repartition(target_files).write.parquet(staging)
+            # the partition value comes from the directory name on read;
+            # keeping the column in the staged files would shadow it
+            df.drop(partition_col).repartition(target_files).write.parquet(staging)
             os.rename(part_dir, retired)
             os.rename(staging, part_dir)
             shutil.rmtree(retired)
@@ -227,7 +233,7 @@ class Catalog:
             (
                 staged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
+                .partitionBy(partition_col)
                 .parquet(table_path)
             )
         return target_files

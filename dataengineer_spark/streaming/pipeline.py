@@ -184,9 +184,18 @@ def batch_audited_sink(
 ):
     """foreachBatch sink that writes each micro-batch through the engine's
 
-    batch-audit lineage: stamp the epoch-derived batch_id, append the audit
-    row, write the partition. Exactly the reference's per-batch pattern
-    (SURVEY.md E11 note) with streaming semantics.
+    batch-audit lineage: stamp the epoch-derived batch_id, write the
+    batch_id=N partition, append the audit row. Exactly the reference's
+    per-batch pattern (SURVEY.md E11 note) with streaming semantics.
+
+    Effectively-once (VERDICT r10 item 2): the data write is
+    ``catalog.overwrite_batch`` — dynamic partition overwrite of the
+    epoch's own ``batch_id=N`` partition — so a micro-batch retried
+    after a sink failure REPLACES its partition instead of appending a
+    duplicate copy, and the audit row is written only if no
+    (batch_id, pipeline_name) row exists yet (a control-plane read of
+    the one-row-per-batch audit table; the driver retries an epoch
+    serially, so check-then-append races with nothing).
 
     ``checkpoint`` is REQUIRED: epoch ids are monotonic only within one
     checkpoint lineage — without it every run restarts at epoch 0 and
@@ -195,9 +204,6 @@ def batch_audited_sink(
     to the checkpoint; point different pipelines (or a reset) at
     different audit tables or id ranges.
     """
-    from dataengineer_spark.batch import AUDIT_TABLE, stamp_batch
-    from dataengineer_spark import schemas as S
-
     if not checkpoint:
         raise ValueError(
             "batch_audited_sink: checkpoint is required — epoch-derived "
@@ -205,14 +211,7 @@ def batch_audited_sink(
         )
 
     def sink(df: DataFrame, epoch_id: int) -> None:
-        spark = df.sparkSession
-        stamped = stamp_batch(df, epoch_id)
-        catalog.write(stamped, table)
-        audit = spark.createDataFrame(
-            [(int(epoch_id), pipeline_name, None, None, f"stream epoch {epoch_id}")],
-            schema=S.BATCH,
-        )
-        catalog.write(audit, AUDIT_TABLE)
+        _audited_epoch(df, int(epoch_id), catalog, table, pipeline_name)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("update")
     if checkpoint:
@@ -220,6 +219,47 @@ def batch_audited_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _audited_epoch(
+    df: DataFrame, epoch_id: int, catalog, table: str, pipeline_name: str
+) -> None:
+    """One micro-batch of ``batch_audited_sink`` — module-level so the
+    replay contract is testable: calling this twice with the same
+    ``epoch_id`` (a retried batch) must leave exactly one copy of the
+    epoch's data partition and one audit row."""
+    from dataengineer_spark import schemas as S
+    from dataengineer_spark.batch import AUDIT_TABLE, stamp_batch
+
+    spark = df.sparkSession
+    stamped = stamp_batch(df, epoch_id)
+    catalog.overwrite_batch(stamped, table)
+    audited = False
+    if catalog.exists(AUDIT_TABLE):
+        audited = (
+            catalog.read(AUDIT_TABLE, S.BATCH)
+            .where(
+                (F.col("batch_id") == int(epoch_id))
+                & (F.col("pipeline_name") == pipeline_name)
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+    if not audited:
+        audit = spark.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    pipeline_name,
+                    None,
+                    None,
+                    f"stream epoch {epoch_id}",
+                )
+            ],
+            schema=S.BATCH,
+        )
+        catalog.write(audit, AUDIT_TABLE)
 
 
 def stream_dedup(
@@ -480,15 +520,19 @@ def stream_neardup_filter(
     stateful aggregation, while per-batch it is the ordinary two-join
     batch plan.
 
-    ``checkpoint`` is REQUIRED: the sink appends to ``out_path``, so a
-    checkpoint-less rerun would reprocess the whole source and write
-    every kept row twice.
+    ``checkpoint`` is REQUIRED: without one a rerun reprocesses the
+    whole source from scratch under NEW epoch ids, re-landing every kept
+    row.  WITH a checkpoint the sink is effectively-once: each epoch
+    lands as an ``_epoch=N`` partition via dynamic partition overwrite,
+    so a micro-batch retried after a sink failure REPLACES its own
+    partition instead of appending a duplicate copy (VERDICT r10 item 2;
+    the fixed index makes the retried epoch's kept set bit-identical).
     """
     if not checkpoint:
         raise ValueError(
             "stream_neardup_filter: checkpoint is required — a rerun "
-            "without one reprocesses the whole source and appends "
-            "duplicate rows to out_path (same lineage hazard as "
+            "without one reprocesses the whole source under new epoch "
+            "ids and re-lands every kept row (same lineage hazard as "
             "batch_audited_sink)"
         )
 
@@ -499,7 +543,7 @@ def stream_neardup_filter(
             df, seen_bands, id_col, text_col, shingle_size, num_hashes,
             bands, portable=portable, engine=engine,
         )
-        kept.write.mode("append").parquet(out_path)
+        _overwrite_epoch(kept, out_path, epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -521,6 +565,8 @@ def stream_neardup_ingest(
     portable: bool = False,
     checkpoint: str | None = None,
     engine: str = "expr",
+    n_index_buckets: int = 64,
+    compact_every: int = 0,
 ):
     """DEPLOY-form near-dup-filtered ingest (VERDICT r9 item 2) — unlike
     ``stream_neardup_filter``'s fixed-index probe, the signature index is
@@ -542,10 +588,36 @@ def stream_neardup_ingest(
        rule one windowed aggregate instead of an iterative collapse and
        makes results independent of partitioning;
     3. CROSS-batch probe: drop docs sharing any (band, bucket) with the
-       index as of the previous batch (semi join on 24-byte rows —
-       identical shape to ``incremental_neardup``);
-    4. survivors append to ``out_path``; survivors' band rows append to
-       ``index_path``.
+       index as of the previous epoch — see "Index layout" below for
+       why this never shuffles or sorts the stored side;
+    4. survivors land as the epoch's ``_epoch=N`` partition of
+       ``out_path`` (dynamic partition overwrite — idempotent, below);
+       survivors' band rows append to the bucketed index table.
+
+    Index layout (VERDICT r10 item 1 — the round-10 form re-read and
+    re-SHUFFLED the whole unpartitioned index per batch): the index is
+    a BUCKETED external table at ``index_path`` (``bucketBy(
+    n_index_buckets, "bucket")``, the same machinery as
+    ``catalog.write_bucketed`` / q_s7), and the per-batch probe is
+
+    - **bucket-pruned (adaptively)**: when the batch's band rows number
+      at most ``n_index_buckets`` (expected bucket coverage ≤ ~63%),
+      their distinct bucket values (a control-plane list, ≤ batch_size ×
+      bands strings) become an ``isin`` filter that Spark's bucket
+      pruning resolves to a bucket subset at PLAN time — the scan reads
+      only matching bucket files (``SelectedBucketsCount`` in the plan)
+      however large the accepted history grows.  Bigger batches hit
+      every bucket anyway, so they skip the filter (a many-hundred-
+      literal In costs ~0.5s of driver planning for zero pruning);
+    - **shuffle- and sort-free on the stored side**: the probe is an
+      inner join whose BUILD side is the broadcast batch band rows
+      (micro-batch-bounded by construction), so the index side streams
+      through a tiny hash table — no exchange, no sort, and only the
+      (band, bucket) columns are read (column pruning drops ids);
+    - **epoch-fenced**: index rows are stamped with the epoch that
+      accepted them and the probe reads strictly-earlier epochs
+      (``_epoch < N``, pushed to the parquet scan), which is what makes
+      retries safe (below).
 
     Semantics note: results DEPEND on the micro-batch split — two mutual
     near-dups in one batch keep the smaller id, across batches the
@@ -553,68 +625,46 @@ def stream_neardup_ingest(
     matters), so the batch oracle must replay the SAME split; callers
     that need split-invariance use ``stream_neardup_filter``.
 
-    Failure/replay contract: a batch retried after a sink failure
-    re-appends (same hazard as every foreachBatch appender, hence the
-    required ``checkpoint``).  Duplicate rows in ``index_path`` are
-    semantically harmless — band rows act as a set under the semi-join
-    probe — so the index needs no transactional dedup; ``out_path``
-    carries the usual at-least-once caveat.
+    Failure/replay contract (VERDICT r10 item 2): effectively-once on
+    ``out_path`` — each epoch's survivors land via dynamic partition
+    overwrite of ``_epoch=N``, and because the probe ignores index rows
+    stamped with the CURRENT epoch, a batch retried after a mid-sink
+    failure recomputes the identical kept set and REPLACES its own
+    partition instead of appending a duplicate copy.  The index append
+    itself stays at-least-once: a retry re-appends band rows carrying
+    the same epoch stamp, which is harmless (band rows act as a set
+    under the probe join) and collapsed by compaction.  ``checkpoint``
+    is REQUIRED — without one a rerun replays the source under new
+    epoch ids and the overwrite key no longer matches.
 
-    Scale shape: the index grows with ACCEPTED docs only (~24 bytes ×
-    bands per doc).  Re-reading it per batch is one partition-pruned
-    parquet scan of a bands-sized table; at deployment the append and
-    the probe hit the same lake table the batch pipeline maintains, so
-    stream and batch ingest share one index.  Seed the index by writing
-    ``signature_table(history)`` to ``index_path`` before starting.
+    Small-file hygiene: each epoch adds ≤ ``n_index_buckets`` index
+    files (band rows are grouped by bucket before the bucketed append)
+    and one ``out_path`` partition.  ``compact_every=N`` runs
+    ``compact_neardup_ingest`` inline every N epochs — fine for bench
+    and short streams; long-running deployments should instead schedule
+    it as a maintenance job (it rewrites the index), which the entry
+    queries demonstrate post-run.  Seed the index from batch history
+    with ``seed_neardup_index(signature_table(history), index_path)``.
     """
     if not checkpoint:
         raise ValueError(
             "stream_neardup_ingest: checkpoint is required — a rerun "
-            "without one reprocesses the whole source and appends "
-            "duplicate rows to out_path"
+            "without one reprocesses the whole source under new epoch "
+            "ids, breaking the _epoch overwrite key and duplicating "
+            "out_path rows"
         )
 
-    from pyspark.sql import Window as W
-
-    from dataengineer_spark.operators.dedup import signature_table
-
     def sink(df: DataFrame, epoch_id: int) -> None:
-        spark = df.sparkSession
-        bands_new = signature_table(
-            df, id_col, text_col, shingle_size, num_hashes, bands,
-            portable=portable, engine=engine,
-        ).localCheckpoint()  # batch-sized; probed twice + appended below
-        try:
-            # self-dedup (rule 2): one window over the batch's band rows.
-            # NULL buckets are excluded so the window keeps SQL-equality
-            # semantics (a join on bucket never matches NULLs; a window
-            # partition WOULD group them) — same zero-pair contract as
-            # dedup.guard_bucket_quadratic
-            w = W.partitionBy("band", "bucket")
-            self_flag = (
-                bands_new.where(F.col("bucket").isNotNull())
-                .withColumn("_m", F.min(id_col).over(w))
-                .where(F.col("_m") < F.col(id_col))
-                .select(id_col)
+        _neardup_ingest_epoch(
+            df, int(epoch_id), index_path, out_path, id_col, text_col,
+            shingle_size, num_hashes, bands, portable, engine,
+            n_index_buckets,
+        )
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            compact_neardup_ingest(
+                df.sparkSession, index_path, out_path,
+                n_buckets=n_index_buckets,
             )
-            # cross-batch probe (rule 3) against the index as of the
-            # previous batch; first batch starts from the seed (or empty)
-            try:
-                idx = spark.read.parquet(index_path).select("band", "bucket")
-                cross_flag = bands_new.join(
-                    idx, ["band", "bucket"], "left_semi"
-                ).select(id_col)
-            except Exception:  # no index yet: nothing ingested or seeded
-                cross_flag = self_flag.limit(0)
-            dropped = self_flag.unionByName(cross_flag).dropDuplicates()
-            kept = df.join(dropped, id_col, "left_anti")
-            kept.write.mode("append").parquet(out_path)
-            kept_bands = bands_new.join(
-                dropped, id_col, "left_anti"
-            )
-            kept_bands.write.mode("append").parquet(index_path)
-        finally:
-            bands_new.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -622,3 +672,354 @@ def stream_neardup_ingest(
         .option("checkpointLocation", checkpoint)
     )
     return writer.trigger(availableNow=True).start()
+
+
+def neardup_index_table(index_path: str) -> str:
+    """Session-catalog name for the bucketed signature index stored at
+    ``index_path`` — content-addressed from the path, so every ingest
+    (and every restart) pointing at the same lake location resolves to
+    the same table entry while concurrent ingests to different
+    locations never collide.  The name is metadata only; the data lives
+    at ``index_path`` (external table)."""
+    import hashlib
+
+    digest = hashlib.sha1(index_path.encode("utf-8")).hexdigest()[:12]
+    return f"neardup_index_{digest}"
+
+
+def seed_neardup_index(
+    bands_df: DataFrame, index_path: str, n_index_buckets: int = 64
+) -> str:
+    """Seed (or extend) the live-ingest signature index from batch
+    history: ``bands_df`` is ``dedup.signature_table`` over the already-
+    accepted corpus.  Seed rows are stamped ``_epoch = -1`` so every
+    real epoch's probe (``_epoch < N``, N ≥ 0) sees them.  Returns the
+    session-catalog table name.  This is how stream and batch ingest
+    share ONE index: the batch pipeline's stored ``signature_table``
+    rows seed here, and the stream's accepted docs extend it."""
+    stamped = bands_df.withColumn("_epoch", F.lit(-1).cast("bigint"))
+    _append_index_bands(stamped, index_path, n_index_buckets)
+    return neardup_index_table(index_path)
+
+
+def _append_index_bands(
+    stamped_bands: DataFrame, index_path: str, n_index_buckets: int
+) -> None:
+    """Append epoch-stamped band rows to the bucketed index table,
+    creating it on first write.  Rows are pre-grouped by ``bucket`` (a
+    tiny shuffle of 24-byte batch-bounded rows) so one epoch adds at
+    most ``n_index_buckets`` files instead of tasks × buckets."""
+    spark = stamped_bands.sparkSession
+    table = neardup_index_table(index_path)
+    writer = (
+        stamped_bands.repartition(n_index_buckets, "bucket")
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_index_buckets, "bucket")
+        .sortBy("bucket")
+    )
+    if not spark.catalog.tableExists(table):
+        writer = writer.option("path", index_path)
+    writer.saveAsTable(table)
+
+
+def _overwrite_epoch(df: DataFrame, out_path: str, epoch_id: int) -> None:
+    """Land a micro-batch's rows as the ``_epoch=N`` partition of
+    ``out_path`` via dynamic partition overwrite — the idempotent
+    foreachBatch write: a retried epoch replaces its own partition,
+    other epochs are never touched."""
+    (
+        df.withColumn("_epoch", F.lit(int(epoch_id)).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(out_path)
+    )
+
+
+def _neardup_ingest_epoch(
+    df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    engine: str,
+    n_index_buckets: int,
+) -> None:
+    """One micro-batch of ``stream_neardup_ingest`` — module-level so the
+    replay contract is testable: calling this twice with the same
+    ``epoch_id`` (a retried batch) must leave ``out_path`` with exactly
+    one copy of the epoch's survivors and later epochs unaffected."""
+    from pyspark.sql import Window as W
+
+    from dataengineer_spark.operators.dedup import _sig_family, signature_table
+
+    spark = df.sparkSession
+    table = neardup_index_table(index_path)
+    bands_new = signature_table(
+        df, id_col, text_col, shingle_size, num_hashes, bands,
+        portable=portable, engine=engine,
+    ).localCheckpoint()  # batch-sized; probed twice + appended below
+    # bucket pruning lives in the bucketed-scan path, which the planner
+    # auto-disables when no operator needs the bucket distribution (the
+    # probe's build side is broadcast, so none does) — force bucketed
+    # scans for this sink's jobs and restore after
+    _ABS = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior_abs = spark.conf.get(_ABS, "true")
+    spark.conf.set(_ABS, "false")
+    try:
+        # self-dedup (rule 2): one window over the batch's band rows.
+        # NULL buckets are excluded so the window keeps SQL-equality
+        # semantics (a join on bucket never matches NULLs; a window
+        # partition WOULD group them) — same zero-pair contract as
+        # dedup.guard_bucket_quadratic
+        w = W.partitionBy("band", "bucket")
+        self_flag = (
+            bands_new.where(F.col("bucket").isNotNull())
+            .withColumn("_m", F.min(id_col).over(w))
+            .where(F.col("_m") < F.col(id_col))
+            .select(id_col)
+        )
+        # cross-batch probe (rule 3) against STRICTLY earlier epochs of
+        # the bucketed index (seed rows carry _epoch=-1).  Bucket
+        # pruning is ADAPTIVE: when the batch's band-row count is small
+        # vs the bucket count (expected coverage ≤ ~63%), its distinct
+        # bucket values — a control-plane list, ≤ batch × bands strings
+        # — become an isin filter that resolves to a bucket subset at
+        # PLAN time (SelectedBucketsCount), so the scan skips
+        # non-matching bucket files however large the accepted history
+        # grows.  A big batch hits every bucket anyway, and a
+        # many-hundred-literal In costs real driver planning time
+        # (measured ~0.5s at 668 values), so past the threshold the
+        # probe relies on the broadcast hash join alone.
+        cross_flag = _cross_probe(
+            spark, index_path, bands_new, epoch_id, id_col,
+            _sig_family(portable, engine), n_index_buckets,
+        )
+        if cross_flag is None:
+            cross_flag = self_flag.limit(0)
+        # dropped ids are referenced by BOTH writes below — checkpoint
+        # once so the index probe runs once per epoch, not per consumer
+        dropped = (
+            self_flag.unionByName(cross_flag).dropDuplicates().localCheckpoint()
+        )
+        try:
+            kept = df.join(dropped, id_col, "left_anti")
+            _overwrite_epoch(kept, out_path, epoch_id)
+            kept_bands = (
+                bands_new.join(dropped, id_col, "left_anti")
+                .withColumn("_epoch", F.lit(int(epoch_id)).cast("bigint"))
+            )
+            _append_index_bands(kept_bands, index_path, n_index_buckets)
+        finally:
+            dropped.unpersist()
+    finally:
+        spark.conf.set(_ABS, prior_abs)
+        bands_new.unpersist()
+
+
+def _cross_probe(
+    spark: SparkSession,
+    index_path: str,
+    bands_new: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    fam: str,
+    n_index_buckets: int,
+):
+    """Cross-batch probe plan (rule 3) against STRICTLY earlier epochs of
+    the bucketed index (seed rows carry _epoch=-1); returns None when
+    there is no index or no band rows to probe.  Bucket pruning is
+    ADAPTIVE: when the batch's band-row count is at most the bucket
+    count (expected coverage ≤ ~63%), its distinct bucket values — a
+    control-plane list, ≤ batch × bands strings — become an isin filter
+    that resolves to a bucket subset at PLAN time
+    (``SelectedBucketsCount``), so the scan skips non-matching bucket
+    files however large the accepted history grows.  A big batch hits
+    every bucket anyway, and a many-hundred-literal In costs real
+    driver planning time (measured ~0.5 s at 668 values), so past the
+    threshold the probe relies on the broadcast hash join alone."""
+    table = neardup_index_table(index_path)
+    if not spark.catalog.tableExists(table):
+        return None
+    stored = spark.table(table)
+    # same cross-family fence as dedup.incremental_neardup: a seeded
+    # index built with another signature family would silently match
+    # nothing — fail loudly instead
+    stamped = (
+        stored.schema["bucket"].metadata.get("neardup_family")
+        if "bucket" in stored.columns
+        else None
+    )
+    if stamped is not None and stamped != fam:
+        raise ValueError(
+            "stream_neardup_ingest: the stored index at "
+            f"{index_path} was built with the '{stamped}' signature "
+            f"family but this stream probes with '{fam}' — cross-family "
+            "buckets never match, so every duplicate would silently pass"
+        )
+    n_pairs = bands_new.where(F.col("bucket").isNotNull()).count()
+    if not n_pairs:
+        return None
+    idx = stored.where(F.col("_epoch") < F.lit(int(epoch_id)))
+    if n_pairs <= n_index_buckets:
+        bucket_vals = [
+            r[0]
+            for r in bands_new.where(F.col("bucket").isNotNull())
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+        idx = idx.where(F.col("bucket").isin(bucket_vals))
+    # build side = broadcast batch bands (micro-batch-bounded); the
+    # index side streams through the hash table with no exchange and
+    # no sort
+    return idx.select("band", "bucket").join(
+        F.broadcast(bands_new.select(id_col, "band", "bucket")),
+        ["band", "bucket"],
+        "inner",
+    ).select(id_col)
+
+
+def neardup_probe_plan(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    engine: str = "expr",
+    n_index_buckets: int = 64,
+) -> DataFrame:
+    """Standalone builder of one micro-batch's cross-index probe plan —
+    exactly the join ``stream_neardup_ingest`` runs per epoch, exposed
+    so the plan-shape gate (tests/test_streaming.py, tests/test_plans.py)
+    can pin the probe's physical strategy: bucket-pruned scan, broadcast
+    batch build side, no exchange or sort on the stored index.  The
+    bucketed-scan conf is left to the caller (the sink forces it per
+    epoch); the gate asserts under the forced setting."""
+    from dataengineer_spark.operators.dedup import _sig_family, signature_table
+
+    bands_new = signature_table(
+        batch_df, id_col, text_col, shingle_size, num_hashes, bands,
+        portable=portable, engine=engine,
+    ).localCheckpoint()
+    probe = _cross_probe(
+        spark, index_path, bands_new, epoch_id, id_col,
+        _sig_family(portable, engine), n_index_buckets,
+    )
+    if probe is None:
+        raise ValueError(
+            "neardup_probe_plan: no index table exists at "
+            f"{index_path} (or the batch has no band rows) — run or "
+            "seed the ingest first"
+        )
+    return probe
+
+
+def compact_neardup_ingest(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str | None = None,
+    n_buckets: int = 64,
+    out_target_files: int | None = None,
+) -> dict:
+    """Maintenance compaction for the live-ingest lake layout: per-epoch
+    appends accumulate ≤ n_buckets index files and one out partition per
+    micro-batch, and probe-scan task counts follow file layout — this
+    collapses both back to data-sized file counts (same rationale as
+    ``catalog.compact_batch``).
+
+    Index: exact-duplicate band rows (only ever produced by retried
+    epochs — same stamp, same content) are dropped and the table is
+    rewritten to one file per bucket.  Local lakes get the staged-swap
+    crash contract (fully materialized beside the live directory, then
+    two renames); object stores rewrite in place after a lineage cut,
+    with the same documented non-atomic window as ``compact_batch``.
+
+    Out: every ``_epoch=N`` partition holding more files than its
+    size-based target is rewritten through ``catalog.compact_batch``
+    (partition_col="_epoch"); already-compact epochs are skipped by a
+    file-count check, so periodic calls only touch new epochs.
+    """
+    import glob
+    import os
+    import shutil
+
+    from dataengineer_spark.catalog import Catalog
+    from dataengineer_spark.tuning import lineage_cut
+
+    table = neardup_index_table(index_path)
+    stats = {"index_rewritten": False, "out_epochs_compacted": 0}
+    if spark.catalog.tableExists(table):
+        compacted = (
+            spark.table(table).dropDuplicates().repartition(n_buckets, "bucket")
+        )
+        local = "://" not in index_path
+        if local:
+            staging = index_path.rstrip("/") + "_compacting"
+            retired = index_path.rstrip("/") + "_retired"
+            stg_table = table + "_stg"
+            spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
+            (
+                compacted.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, "bucket")
+                .sortBy("bucket")
+                .option("path", staging)
+                .saveAsTable(stg_table)
+            )
+            os.rename(index_path, retired)
+            os.rename(staging, index_path)
+            # external drop removes metadata only; the files just moved
+            spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+            shutil.rmtree(retired)
+            spark.catalog.refreshTable(table)
+        else:
+            # object store: no atomic rename — materialize away from the
+            # files about to be replaced, then rewrite (non-atomic
+            # window documented, as in compact_batch's remote branch)
+            staged = lineage_cut(compacted)
+            (
+                staged.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, "bucket")
+                .sortBy("bucket")
+                .option("path", index_path)
+                .saveAsTable(table)
+            )
+        stats["index_rewritten"] = True
+    if out_path is not None and "://" not in out_path and os.path.isdir(out_path):
+        cat = Catalog(spark, out_path)
+        cat.attach("_ingest_out", out_path)
+        chunk = 128 * 1024 * 1024
+        for d in sorted(os.listdir(out_path)):
+            if not d.startswith("_epoch="):
+                continue
+            part_dir = os.path.join(out_path, d)
+            files = glob.glob(os.path.join(part_dir, "*.parquet"))
+            size = sum(os.path.getsize(f) for f in files)
+            target = out_target_files or max(
+                1, size // chunk + (1 if size % chunk else 0)
+            )
+            if len(files) <= target:
+                continue  # already compact: periodic calls skip old epochs
+            cat.compact_batch(
+                "_ingest_out",
+                int(d.split("=", 1)[1]),
+                target_files=target,
+                partition_col="_epoch",
+            )
+            stats["out_epochs_compacted"] += 1
+    return stats

@@ -170,6 +170,27 @@ class TestBatchAuditedSink:
         assert audit.count() >= 1
         assert audit.first()["pipeline_name"] == "evt"
 
+    def test_epoch_replay_is_idempotent(self, spark, sf_dir, tmp_path):
+        """VERDICT r10 item 2: a retried micro-batch must overwrite its
+        own batch_id partition (dynamic partition overwrite) and not
+        re-append its audit row."""
+        from dataengineer_spark.streaming.pipeline import _audited_epoch
+
+        catalog = Catalog(spark, str(tmp_path / "lake"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).limit(100)
+        _audited_epoch(ev, 0, catalog, "events_out", "evt")
+        _audited_epoch(ev, 0, catalog, "events_out", "evt")  # retry
+        written = catalog.read("events_out")
+        assert written.count() == 100  # one copy, not two
+        audit = catalog.read(AUDIT_TABLE)
+        assert audit.where(F.col("batch_id") == 0).count() == 1
+        # a later epoch still appends normally alongside
+        _audited_epoch(ev, 1, catalog, "events_out", "evt")
+        assert catalog.read("events_out").count() == 200
+        assert catalog.read(AUDIT_TABLE).count() == 2
+
 
 class TestStreamStreamJoin:
     def test_interval_join_semantics_batch_parity(self, spark):
@@ -475,6 +496,185 @@ class TestStreamNeardupIngest:
         )
         with _pytest.raises(ValueError, match="checkpoint is required"):
             stream_neardup_ingest(stream, "idx", "out")
+
+    def _mk_batch(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, "en") for i, t in rows], "doc_id long, text string, lang string"
+        )
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """VERDICT r10 item 2: a micro-batch retried after a sink failure
+        must REPLACE its own _epoch partition, not append a duplicate
+        copy — and the retry must not self-collide with the index rows
+        its failed attempt already appended."""
+        from dataengineer_spark.streaming.pipeline import _neardup_ingest_epoch
+
+        index, out = str(tmp_path / "idx"), str(tmp_path / "kept")
+        t1 = "the quick brown fox jumps over the lazy dog once more"
+        args = ("doc_id", "text", 5, 32, 4, True, "expr", 8)
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(1, t1), (2, "unrelated second text")]),
+            0, index, out, *args,
+        )
+        # retry epoch 0 (e.g. crash after the index append): same kept
+        # set, one copy — the probe must ignore epoch-0 index rows
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(1, t1), (2, "unrelated second text")]),
+            0, index, out, *args,
+        )
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert got == [1, 2]  # no duplicates, nothing self-dropped
+        # a later epoch still probes epoch 0's (possibly doubled) index
+        # rows correctly: doc 3 re-crawls doc 1 and is dropped once
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(3, t1), (4, "novel content here")]),
+            1, index, out, *args,
+        )
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 4]
+
+    def test_seeded_index_filters_first_epoch(self, spark, tmp_path):
+        """seed_neardup_index(signature_table(history)) is how stream and
+        batch ingest share one lake index: seed rows carry _epoch=-1 and
+        every real epoch probes them."""
+        from dataengineer_spark.operators.dedup import signature_table
+        from dataengineer_spark.streaming import seed_neardup_index
+        from dataengineer_spark.streaming.pipeline import _neardup_ingest_epoch
+
+        index, out = str(tmp_path / "idx"), str(tmp_path / "kept")
+        t1 = "the quick brown fox jumps over the lazy dog once more"
+        history = self._mk_batch(spark, [(100, t1)])
+        seed_neardup_index(
+            signature_table(history, bands=4, portable=True), index,
+            n_index_buckets=8,
+        )
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(1, t1), (2, "fresh unseen text")]),
+            0, index, out, "doc_id", "text", 5, 32, 4, True, "expr", 8,
+        )
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == [2]  # doc 1 re-crawls seeded history
+
+    def test_cross_family_probe_raises(self, spark, tmp_path):
+        """Same fence as dedup.incremental_neardup: probing a seeded index
+        with a different signature family must fail loudly."""
+        import pytest as _pytest
+
+        from dataengineer_spark.operators.dedup import signature_table
+        from dataengineer_spark.streaming import seed_neardup_index
+        from dataengineer_spark.streaming.pipeline import _neardup_ingest_epoch
+
+        index, out = str(tmp_path / "idx"), str(tmp_path / "kept")
+        history = self._mk_batch(spark, [(100, "seed history text")])
+        seed_neardup_index(
+            signature_table(history, bands=4, portable=False), index,
+            n_index_buckets=8,
+        )
+        with _pytest.raises(ValueError, match="signature family"):
+            _neardup_ingest_epoch(
+                self._mk_batch(spark, [(1, "whatever text")]),
+                0, index, out, "doc_id", "text", 5, 32, 4, True, "expr", 8,
+            )
+
+    def test_compaction_preserves_results_and_shrinks_files(
+        self, spark, tmp_path
+    ):
+        """compact_neardup_ingest collapses the per-epoch file spray
+        (index: one file per bucket; out: size-targeted per epoch) with
+        bit-identical read-back — and the compacted index still probes."""
+        import glob
+
+        from dataengineer_spark.streaming import compact_neardup_ingest
+        from dataengineer_spark.streaming.pipeline import (
+            _neardup_ingest_epoch,
+            neardup_index_table,
+        )
+
+        index, out = str(tmp_path / "idx"), str(tmp_path / "kept")
+        t1 = "the quick brown fox jumps over the lazy dog once more"
+        args = ("doc_id", "text", 5, 32, 4, True, "expr", 8)
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(1, t1), (2, "second doc body")]),
+            0, index, out, *args,
+        )
+        # a retry doubles epoch-0 index rows — compaction must drop them
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(1, t1), (2, "second doc body")]),
+            0, index, out, *args,
+        )
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(4, "novel fourth document")]),
+            1, index, out, *args,
+        )
+        tbl = neardup_index_table(index)
+        rows_before = {
+            tuple(r) for r in spark.table(tbl).collect()
+        }
+        files_before = len(glob.glob(index + "/*.parquet"))
+        kept_before = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        stats = compact_neardup_ingest(spark, index, out, n_buckets=8)
+        assert stats["index_rewritten"]
+        files_after = len(glob.glob(index + "/*.parquet"))
+        assert files_after <= 8 < files_before
+        assert {tuple(r) for r in spark.table(tbl).collect()} == rows_before
+        assert (
+            sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+            == kept_before
+        )
+        # the compacted index still probes: doc 5 re-crawls doc 1
+        _neardup_ingest_epoch(
+            self._mk_batch(spark, [(5, t1)]), 2, index, out, *args,
+        )
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == kept_before
+
+    def test_probe_plan_bucket_pruned_no_index_shuffle(self, spark, tmp_path):
+        """The 100×-design contract of VERDICT r10 item 1, asserted on the
+        actual probe plan: a small batch's probe scan selects a bucket
+        SUBSET (plan-time pruning) and the stored index side has no
+        exchange and no sort — only the broadcast of the batch bands."""
+        from dataengineer_spark.streaming.pipeline import (
+            _neardup_ingest_epoch,
+            neardup_probe_plan,
+        )
+
+        index, out = str(tmp_path / "idx"), str(tmp_path / "kept")
+        args = ("doc_id", "text", 5, 32, 4, True, "expr", 8)
+        _neardup_ingest_epoch(
+            self._mk_batch(
+                spark,
+                [(i, f"document number {i} with its own body") for i in range(20)],
+            ),
+            0, index, out, *args,
+        )
+        probe = neardup_probe_plan(
+            spark,
+            index,
+            self._mk_batch(spark, [(100, "probe doc one two three")]),
+            epoch_id=1, bands=4, portable=True, n_index_buckets=8,
+        )
+        # the sink forces bucketed scans per epoch; assert under the
+        # same setting (pruning lives in the bucketed-scan path)
+        abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prior = spark.conf.get(abs_key, "true")
+        spark.conf.set(abs_key, "false")
+        try:
+            plan = probe._sc._jvm.PythonSQLUtils.explainString(
+                probe._jdf.queryExecution(), "formatted"
+            )
+        finally:
+            spark.conf.set(abs_key, prior)
+        assert "SelectedBucketsCount:" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Sort" not in plan
+        # the only exchange is the broadcast of the batch side
+        import re
+
+        assert not re.search(r"Exchange (hash|range)partitioning", plan)
 
 
 class TestReviewedStreamingEdgeCases:
