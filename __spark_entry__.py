@@ -79,6 +79,7 @@ EFFECTFUL_QUERIES = {
     "q_e2_cluster_dedup",  # CC loop executes under localCheckpoint at build
     "q_graph_pagerank",  # power-iteration loop under localCheckpoint at build
     "q_graph_pagerank3",  # same loop, 3 iterations
+    "q_graph_pagerank_dangling",  # same loop + per-round leak scalar
     "q_e2_neardup_dedup_portable",  # same CC loop on portable pairs
     "q_e2_neardup_dedup",
     "q_o6_batch_lifecycle",
@@ -1309,6 +1310,88 @@ def q_graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass REDISTRIBUTION (graph.pagerank
+    dangling="redistribute", VERDICT r10 item 4) on a graph that
+    actually has sinks: the directed supplier→part bipartite graph
+    (parts never ship rank forward).  Each round the dangling nodes'
+    total rank — one node-bounded semi join + exact decimal scalar,
+    broadcast-cross-joined into the lazy plan — is spread uniformly:
+    rank = (1-d)/N + d·(Σ contrib + leak/N).  The default "leak" form
+    (q_graph_pagerank) is unchanged, so its pinned hashes stand.
+    Oracle: the 3-stage unrolled CTE with the per-round leak scalar
+    folded in, replaying the identical float path (round/14 → decimal
+    sum → double → round/12)."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    )
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        # offset part keys out of the supplier id range: one shared node
+        # namespace, no accidental supplier/part id collisions
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    return graph_ops.pagerank(
+        edges, "src", "dst", damping=0.85, iterations=3,
+        dangling="redistribute",
+    )
+
+
+def _pagerank_dangling_oracle(iters: int = 3) -> str:
+    """Unrolled power iteration with per-round dangling redistribution —
+    every float step mirrors graph.pagerank(dangling="redistribute"):
+    leak = Σ round(rank,14)::DECIMAL(38,14) over sink nodes, the scalar
+    lk = round(leak::double / N, 14), contribs as in _pagerank_oracle,
+    rank = round((1-d)/N + d·(sc::double + lk), 12) with the
+    contribution-less floor round((1-d)/N + d·lk, 12)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+  FROM lineitem
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), dang AS (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)
+), r0 AS (
+  SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", lk{i} AS (
+  SELECT round(CAST(coalesce(
+           (SELECT sum(CAST(round(r.rank, 14) AS DECIMAL(38,14)))
+            FROM r{i - 1} r JOIN dang USING (node)),
+           0) AS DOUBLE) / nn.n, 14) AS lk
+  FROM nn
+), s{i} AS (
+  SELECT e.dst AS node,
+         sum(CAST(round(r.rank / deg.d, 14) AS DECIMAL(38,14))) AS sc
+  FROM e JOIN deg ON deg.src = e.src
+  JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN round((1.0 - 0.85) / nn.n
+                         + 0.85 * (CAST(s.sc AS DOUBLE) + lk{i}.lk), 12)
+              ELSE round((1.0 - 0.85) / nn.n + 0.85 * lk{i}.lk, 12)
+         END AS rank
+  FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
+  CROSS JOIN nn CROSS JOIN lk{i}
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 8) AS rank FROM r{iters}"
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     """Unrolled ``iters``-stage power iteration; every float step mirrors
     operators/graph.py:pagerank (round/14 → decimal sum → ×0.85 +
@@ -2212,6 +2295,52 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = edges.select("src").where(F.col("src") % 97 == 0).distinct()
     return graph_ops.bfs_distances(edges, seeds, max_depth=3)
+
+
+def q_graph_bfs_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE BFS frontier-expansion level (graph.bfs_level_plan) on the
+    same co-purchase graph and seeds as q_graph_bfs — the loop's stable
+    sub-shape, registered so the plan gate can PIN the frontier join
+    strategy (VERDICT r10 item 6: the full BFS is loop-built over
+    lineage cuts, not pinnable; the shuffle-hash frontier hint that cut
+    the sf10 wall 217→104 s must not silently rot).  Pure plan build —
+    no cuts, no jobs — and SQL-expressible, so it is oracled too."""
+    from dataengineer_spark.operators import graph as graph_ops
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    visited = seeds.select("node", F.lit(0).alias("dist"))
+    return graph_ops.bfs_level_plan(edges, seeds, visited, depth=1)
+
+
+_GRAPH_BFS_LEVEL_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), seeds AS (
+  SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0
+)
+SELECT DISTINCT e.dst AS node, CAST(1 AS INTEGER) AS dist
+FROM e JOIN seeds ON e.src = seeds.node
+WHERE e.dst NOT IN (SELECT node FROM seeds)
+"""
 
 
 def _bfs_oracle() -> str:
@@ -10821,7 +10950,9 @@ FROM agg ORDER BY key
 # rows-only twins are ordered LAST (VERDICT r6 item 2) so no driver
 # sample slot can land on an err:"no_oracle" row.
 _ROUND8_FIRST = [
-    # round-10 additions lead the rotation: never driver-sampled yet
+    # round-11 addition leads the rotation: never driver-sampled yet
+    "q_graph_pagerank_dangling", "q_graph_bfs_level",
+    # round-10 additions
     "q_f5_truncate_tokens", "q_e11_stream_neardup_live",
     "q_e9_fuzzy_join_topk", "q_tpch_q9", "q_tpch_q13", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q19", "q_tpch_q22", "q_tpch_q2", "q_tpch_q11",
@@ -10960,6 +11091,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a2_auc": q_a2_auc,
         "q_graph_pagerank": q_graph_pagerank,
         "q_graph_pagerank3": q_graph_pagerank3,
+        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "q_graph_bfs_level": q_graph_bfs_level,
         "q_e9_fuzzy_join": q_e9_fuzzy_join,
         "q_e9_fuzzy_join_topk": q_e9_fuzzy_join_topk,
         "q_f10_pmi": q_f10_pmi,
@@ -11350,6 +11483,8 @@ def oracle_sql() -> dict[str, str]:
         "q_a2_auc": _A2_AUC_ORACLE,
         "q_graph_pagerank": _pagerank_oracle(),
         "q_graph_pagerank3": _pagerank_oracle(3),
+        "q_graph_pagerank_dangling": _pagerank_dangling_oracle(3),
+        "q_graph_bfs_level": _GRAPH_BFS_LEVEL_ORACLE,
         "q_e9_fuzzy_join": _E9_FUZZY_ORACLE,
         "q_e9_fuzzy_join_topk": _E9_FUZZY_TOPK_ORACLE,
         "q_f10_pmi": _F10_PMI_ORACLE,

@@ -23,6 +23,37 @@ from pyspark.sql import functions as F
 from dataengineer_spark.tuning import lineage_cut, tie_lifetime, transient_persist
 
 
+def _session_width(spark) -> int:
+    """Parallelism the session is configured for: max(defaultParallelism,
+    shuffle partitions).  The conf parse is defensive — platforms can set
+    spark.sql.shuffle.partitions to a non-numeric value (e.g. 'auto'
+    under some AQE distributions), and a ValueError at plan-build time
+    would crash the whole query (ADVICE r10)."""
+    sc = spark.sparkContext
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        conf_width = int(raw)
+    except (TypeError, ValueError):
+        conf_width = sc.defaultParallelism
+    return max(sc.defaultParallelism, conf_width)
+
+
+def _lake_width(df: DataFrame) -> int:
+    """Jobless scan-width signal for a frame read from a lake: the
+    distinct input file count, from the plan's FileIndex METADATA — no
+    Spark job runs (unlike an `.rdd.getNumPartitions()` probe, which
+    plans and executes the physical scan).  Under the engine's lake
+    contract (compaction targets 128 MB files) file count ≈ scan split
+    count, so `max(session_width, lake_width)` keeps a corpus-sized
+    frame's parallelism from collapsing to a small session conf.
+    Purely in-memory/derived frames report no files → 0 (callers fall
+    back to the session width via the max)."""
+    try:
+        return len(df.inputFiles())
+    except Exception:
+        return 0
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -31,6 +62,7 @@ def pagerank(
     iterations: int = 5,
     checkpoint_every: int = 8,
     broadcast_node_limit: int = 1_000_000,
+    dangling: str = "leak",
 ) -> DataFrame:
     """Fixed-iteration PageRank by power iteration on an edge list.
 
@@ -48,10 +80,11 @@ def pagerank(
     teleport floor).  The degree-carrying edge table is hash-partitioned
     on ``src`` ONCE at an explicit width and lineage-cut, so every
     round's join reuses those stored blocks and only the
-    (node-count-sized) rank vector moves; the width comes from session
-    confs in the broadcast regime and from the (plan-executing) edge
-    partition probe only in the shuffle regime, where it is
-    load-bearing (tools/profile_r10_pr.py).  When the node count — an EXACT control-plane scalar, already
+    (node-count-sized) rank vector moves; the width is max(session
+    confs, lake file count) — both metadata-only reads, no plan-build
+    job (the r10 form's ``.rdd`` partition probe executed the edge
+    build to size it; tools/profile_r10_pr.py measured where the edge
+    frame's own width is load-bearing).  When the node count — an EXACT control-plane scalar, already
     paid for by the teleport term — is at most ``broadcast_node_limit``
     (~24 MB of (key, rank) rows at the 1 M default), the rank vector is
     explicitly broadcast into that join: round-8 stage profiling showed
@@ -75,12 +108,30 @@ def pagerank(
     every round's new rank vector is left-joined back onto it (nodes
     receiving no contributions default to ``(1-d)/N``), so source-only
     nodes keep a rank instead of silently vanishing after iteration 1
-    and sink-only nodes are ranked too.  Sink-only nodes still
-    contribute nothing forward — the standard dangling-rank leak, which
-    symmetrized (undirected) inputs avoid entirely.
+    and sink-only nodes are ranked too.
+
+    ``dangling`` (VERDICT r10 item 4): with the default ``"leak"``,
+    sink nodes (no out-edges) contribute nothing forward and their rank
+    mass drains out of the system each round — fine for symmetrized
+    (undirected) inputs, which have no sinks, and kept as the default so
+    existing result hashes stay pinned.  ``"redistribute"`` implements
+    standard PageRank: each round the dangling nodes' total rank is
+    spread uniformly, ``rank = (1-d)/N + d*(sum contrib + leak/N)``.  The
+    leak is ONE node-bounded semi-join + scalar aggregate per round,
+    folded into the lazy plan as a broadcast 1-row cross join (the same
+    control-plane pattern as the teleport term — no per-round driver
+    job), and its float path is deterministic like the contributions:
+    ranks are rounded/14 and summed as DECIMAL(38,14), the scalar
+    ``leak/N`` is re-rounded/14 in double, so a SQL oracle replays the
+    whole iteration bit-for-bit.
 
     Output: (node, rank) with rank rounded to 8 digits.
     """
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"pagerank: dangling must be 'leak' or 'redistribute', got "
+            f"{dangling!r}"
+        )
     # the edge list feeds degree/node prep — cut it once (callers often
     # hand in a derived/self-joined frame that would otherwise be
     # recomputed per consumer); lineage_cut, not a bare persist, so the
@@ -123,33 +174,29 @@ def pagerank(
     # round inherits that under-parallelism — the r10 sf0.1 A/B showed
     # pagerank3 2× slower with no pre-partition at all (AQE stored the
     # tiny join output as ~1 block and every round's map stage ran
-    # single-task).  How the width is CHOSEN differs by regime
-    # (tools/profile_r10_pr.py):
-    # - broadcast regime: session width (defaultParallelism vs the
-    #   shuffle-partition conf).  The r8 form's `.rdd` partition-count
-    #   probe physically plans and EXECUTES the edge build at
-    #   plan-build time — at sf1 the probe job cost about as much as
-    #   the repartition it was sizing; session confs give the same
-    #   width for free at any scale where the rank vector broadcasts.
-    # - shuffle regime: the probe is load-bearing (a production edge
-    #   frame's own width dominates the session conf, and halving a
-    #   corpus-sized frame's parallelism to a conf value would be the
-    #   real regression), so pay it there only.
-    sc = e.sparkSession.sparkContext
-    session_width = max(
-        sc.defaultParallelism,
-        int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
-    n_parts = (
-        session_width
-        if small_ranks
-        else max(session_width, e.rdd.getNumPartitions())
-    )
+    # single-task).  The width is max(session confs, lake metadata):
+    # a production edge frame's own scan width can dominate the session
+    # conf, and halving a corpus-sized frame's parallelism to a conf
+    # value would be the real regression — the r10 form measured that
+    # with a `.rdd` partition-count probe, which physically plans and
+    # EXECUTES the edge build at plan-build time (at sf1 the probe job
+    # cost about as much as the repartition it was sizing); the
+    # file-count read below is metadata-only (jobless — VERDICT r10
+    # nit 2), and under the engine's own lake contract (compaction
+    # targets 128 MB files, catalog.compact_batch) file count ≈ scan
+    # split count.  Derived in-memory frames report no input files and
+    # fall back to the session width.
+    n_parts = max(_session_width(e.sparkSession), _lake_width(edges))
     e_deg = lineage_cut(
         e.join(deg, "_src").repartition(n_parts, "_src"),
         eager=False,
         serialized=True,  # edge-list-sized
     )
+    redistribute = dangling == "redistribute"
+    if redistribute:
+        # dangling set = nodes with no out-edges; node-bounded and
+        # iteration-invariant, cut once like the node universe
+        dang = lineage_cut(nodes.join(deg, nodes["node"] == deg["_src"], "left_anti"))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), 12).alias("rank")
     )
@@ -164,23 +211,68 @@ def pagerank(
                 .alias("_c"),
             )
         )
-        new_ranks = contribs.groupBy("node").agg(
-            F.round(
-                base + damping * F.sum("_c").cast("double"), 12
-            ).alias("rank")
-        )
-        # keep contribution-less nodes alive at the teleport floor; the
-        # new rank vector is node-bounded, so the same exact-count guard
-        # broadcasts it — statically, instead of per-round AQE re-plans
-        ranks = nodes.join(
-            F.broadcast(new_ranks) if small_ranks else new_ranks,
-            "node",
-            "left",
-        ).select(
-            "node",
-            F.coalesce("rank", F.round(F.lit(base), 12)).alias("rank"),
-        )
-        if i % checkpoint_every == 0 and i < iterations:
+        if redistribute:
+            # dangling mass this round: exact decimal sum of rounded
+            # ranks over the dangling set, spread as a per-node double
+            # scalar — one 1-row frame broadcast-cross-joined into both
+            # branches below (no per-round driver job; the whole run
+            # stays one lazy DAG)
+            leak = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank"), 14).cast("decimal(38,14)")),
+                    F.lit(0).cast("decimal(38,14)"),
+                ).alias("_leak")
+            )
+            lk = F.round(F.col("_leak").cast("double") / n_nodes, 14)
+            new_ranks = (
+                contribs.groupBy("node")
+                .agg(F.sum("_c").alias("_sc"))
+                .crossJoin(F.broadcast(leak))
+                .select(
+                    "node",
+                    F.round(
+                        base
+                        + damping * (F.col("_sc").cast("double") + lk),
+                        12,
+                    ).alias("rank"),
+                )
+            )
+            floor = F.round(base + damping * lk, 12)
+            ranks = (
+                nodes.join(
+                    F.broadcast(new_ranks) if small_ranks else new_ranks,
+                    "node",
+                    "left",
+                )
+                .crossJoin(F.broadcast(leak))
+                .select("node", F.coalesce("rank", floor).alias("rank"))
+            )
+        else:
+            new_ranks = contribs.groupBy("node").agg(
+                F.round(
+                    base + damping * F.sum("_c").cast("double"), 12
+                ).alias("rank")
+            )
+            # keep contribution-less nodes alive at the teleport floor;
+            # the new rank vector is node-bounded, so the same
+            # exact-count guard broadcasts it — statically, instead of
+            # per-round AQE re-plans
+            ranks = nodes.join(
+                F.broadcast(new_ranks) if small_ranks else new_ranks,
+                "node",
+                "left",
+            ).select(
+                "node",
+                F.coalesce("rank", F.round(F.lit(base), 12)).alias("rank"),
+            )
+        if redistribute and i < iterations:
+            # the redistribute round references the previous rank vector
+            # THREE times (contribs, leak, and the floor's cross join) —
+            # uncut, the chained DAG would re-expand prior rounds
+            # exponentially (the BFS lesson); a lazy per-round cut keeps
+            # each round's vector computed exactly once
+            ranks = lineage_cut(ranks, eager=False)
+        elif i % checkpoint_every == 0 and i < iterations:
             ranks = lineage_cut(ranks)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
@@ -207,47 +299,64 @@ def degree_stats(
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle census over a canonical undirected edge list
 
-    (callers pass each edge once as src < dst, deduplicated): triangle
-    {x<y<z} is counted exactly once, at its smallest edge (x,y), as a
-    member of adj⁺(x) ∩ adj⁺(y) — the EDGE-ITERATOR algorithm over
-    forward (canonical-order) adjacency lists.  Each node's forward
+    (callers pass each edge once as src < dst, deduplicated): the
+    EDGE-ITERATOR algorithm over DEGREE-ORDERED forward adjacency
+    lists.  Edges are re-oriented low-degree -> high-degree (ties by
+    id), defining a total order x ≺ y iff (deg(x), x) < (deg(y), y);
+    triangle {x ≺ y ≺ z} is counted exactly once, at its ≺-smallest
+    edge (x, y), as a member of adj⁺(x) ∩ adj⁺(y).  Each node's forward
     neighbours are collected once (one hash aggregate, array-valued),
-    the lists are attached to both endpoints of every edge (two
-    shuffle-hash/broadcast joins against the node-sized adjacency
-    table), and the per-edge intersection size sums to the global
-    count.
+    the lists are attached to both endpoints of every oriented edge,
+    and the per-edge intersection size sums to the global count.
+    Counts are orientation-invariant — any total order yields the same
+    census — so results are bit-identical to the round-10 id-ordered
+    form and to the SQL oracle.
+
+    Why degree order (VERDICT r10 item 3): under id order a hub's
+    forward list holds nearly its whole neighbourhood, so the probe
+    join ships that array once per incident edge — the round-10 sf10
+    probe measured the adjacency exchange at ~58 GB for a 120 M-edge
+    co-purchase graph (14.85 B wedges).  Degree order caps every
+    forward list at O(√m) (the classic arboricity bound: a node keeps
+    only neighbours of ≥ its own degree, and only √(2m) nodes have
+    degree ≥ √(2m)), which shrinks Σ|adj⁺| bytes shipped per edge and
+    bounds the worst per-partition hash-build skew.  The orientation
+    itself costs two joins of the edge list against the node-sized
+    degree table — map-side cheap next to the probe exchange it trims.
 
     Why not the wedge-join form ((x,y)⋈(y,z) then semi-check (x,z)):
-    its intermediate IS the ordered-wedge set — a round-10 sf10 probe
-    measured ~8 × 10⁹ wedge rows off a 90 M-edge co-purchase graph, and
-    the closing join's sort of that stream overflowed a 48 GB/80 GB
-    local node (UnsafeExternalSorter spill → disk full).  The
-    edge-iterator never materialises wedges: the only corpus-sized
-    shuffle carries one adjacency array per edge endpoint (Σ deg ints,
-    ~20 GB at the same scale, no sort anywhere), and the Σ deg² work
-    happens inside ``array_intersect`` without ever becoming rows.
-    Degree skew moves from row-count blowup to array bytes — same
-    asymptotic, strictly smaller constant, and spill-free.
+    its intermediate IS the ordered-wedge set — the round-10 sf10 probe
+    measured 14.85 × 10⁹ wedge rows off the 120 M-edge graph, and the
+    closing join's sort of that stream overflowed a 48 GB/80 GB local
+    node (UnsafeExternalSorter spill -> disk full).  The edge-iterator
+    never materialises wedges: the only corpus-sized shuffle carries
+    one adjacency array per edge endpoint (~58 GB at that probe before
+    degree ordering, no sort anywhere), and the Σ deg² work happens
+    inside ``array_intersect`` without ever becoming rows.
 
-    Wedge totals come from the degree distribution (one more hash
-    aggregate); the global clustering coefficient closes on scalars.
-    All counts integral → engine-exact; coefficient rounds to 6.
+    Wedge totals come from the UNDIRECTED degree distribution
+    (unchanged by orientation); the global clustering coefficient
+    closes on scalars.  All counts integral -> engine-exact;
+    coefficient rounds to 6.
 
     Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_coeff).
 
-    The canonical edge list is referenced FIVE times in this plan
-    (degree union twice, edge count, adjacency build, intersection
-    probe) — callers hand in a derived frame (typically a self-join +
-    distinct), so without a cache the heaviest subtree executes once
-    per reference (round-10 plan audit: 25 exchanges, most of them the
-    edge build repeating).  One transient persist makes it
-    compute-once; lifetime rides the returned census frame.
+    The canonical edge list is referenced several times (degree union
+    twice, edge count, orientation) and the oriented list twice
+    (adjacency build, intersection probe) — callers hand in a derived
+    frame (typically a self-join + distinct), so without caches the
+    heaviest subtrees execute once per reference (round-10 plan audit:
+    25 exchanges, most of them the edge build repeating).  Transient
+    persists make each compute-once; lifetimes ride the returned census
+    frame.
     """
     e = transient_persist(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
-    deg = (
+    # UNDIRECTED degree: feeds the wedge count AND the orientation (3
+    # references) — node-sized, persist once
+    deg = transient_persist(
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -263,27 +372,50 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .alias("n_wedges"),
     )
     n_edges = e.agg(F.count("*").alias("n_edges"))
-    # forward adjacency: node → its canonical-order (greater-id)
-    # neighbours.  Node-sized table; each edge joins it twice.  A
-    # triangle {x<y<z} appears EXACTLY at edge (x,y): z is a forward
-    # neighbour of both x and y, while at (x,z)/(y,z) the third vertex
-    # precedes the endpoint and is in neither forward list.
-    # shuffle_hash, not sort-merge: the adjacency table is node-sized
-    # (fits a per-partition hash build at any scale), while the probe
-    # side of the second join carries an adjacency array per edge —
-    # Σ deg longs, ~58 GB at the sf10 probe — and an SMJ SORTS that
-    # stream (measured: 43 GB disk spill, 715 s wall; hinted SHJ
-    # streams it sort-free)
-    adj = e.groupBy(F.col("a").alias("node")).agg(
-        F.collect_list("b").alias("nbrs")
+    # degree-ordered orientation: (a, b) becomes (u, v) with u ≺ v under
+    # (deg, id) order.  a < b canonically, so the tie-break keeps (a, b).
+    # shuffle_hash on the node-sized degree sides: an SMJ would sort the
+    # edge list twice (AQE still upgrades to broadcast when deg is tiny)
+    da = deg.select(F.col("node").alias("_an"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("_bn"), F.col("d").alias("_db"))
+    lo_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = transient_persist(
+        e.join(da.hint("shuffle_hash"), F.col("a") == F.col("_an"))
+        .join(db.hint("shuffle_hash"), F.col("b") == F.col("_bn"))
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # forward adjacency: node -> its ≺-greater neighbours.  Node-COUNT
+    # rows but Σ fdeg = m total array entries, i.e. edge-list-sized
+    # BYTES (each row carries its full neighbour array) — degree
+    # ordering caps any one array at O(√m), bounding the per-partition
+    # build skew.  A triangle {x ≺ y ≺ z} appears EXACTLY at edge
+    # (x, y): z is a forward neighbour of both x and y, while at
+    # (x,z)/(y,z) the third vertex precedes the endpoint and is in
+    # neither forward list.
+    # shuffle_hash, not sort-merge: the probe side of the second join
+    # carries an adjacency array per edge — Σ deg longs, ~58 GB at the
+    # r10 sf10 probe — and an SMJ SORTS that stream (measured: 43 GB
+    # disk spill, 715 s wall; hinted SHJ streams it sort-free).  The
+    # trade: ShuffledHashJoin's build side cannot spill, so the
+    # adjacency partition being built must fit executor memory — degree
+    # ordering is what keeps hub-skewed partitions from concentrating
+    # there (the same no-spill caveat applies to the BFS frontier
+    # hint when a level's frontier approaches the node universe).
+    adj = fwd.groupBy(F.col("u").alias("node")).agg(
+        F.collect_list("v").alias("nbrs")
     ).hint("shuffle_hash")
     empty = F.array().cast(dict(adj.dtypes)["nbrs"])
     tri = (
-        # inner join is exact: adj⁺(x) always contains b (the edge
-        # itself), so every edge's x-side matches a row
-        e.join(adj, e["a"] == adj["node"], "inner")
-        .select(F.col("b").alias("_y"), F.col("nbrs").alias("_nx"))
-        # y may have NO forward neighbours (largest id in its
+        # inner join is exact: adj⁺(u) always contains v (the edge
+        # itself), so every edge's u-side matches a row
+        fwd.join(adj, F.col("u") == adj["node"], "inner")
+        .select(F.col("v").alias("_y"), F.col("nbrs").alias("_nx"))
+        # v may have NO forward neighbours (≺-maximal in its
         # component) — left join + empty list, intersection 0
         .join(adj, F.col("_y") == adj["node"], "left")
         .select(
@@ -299,22 +431,20 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
     )
     out = counts.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
-    return tie_lifetime(
-        out.select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                F.when(
-                    F.col("n_wedges") > 0,
-                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
-                ).otherwise(0.0),
-                6,
-            ).alias("clustering_coeff"),
-        ),
-        e,
+    out = out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering_coeff"),
     )
+    return tie_lifetime(tie_lifetime(tie_lifetime(out, e), deg), fwd)
 
 
 def bfs_distances(
@@ -357,22 +487,8 @@ def bfs_distances(
     )
     frontier = dist
     for depth in range(1, max_depth + 1):
-        # shuffle_hash on the frontier (build) side: the frontier is
-        # node-bounded while the probe side is the full edge list — an
-        # SMJ here re-SORTS the edges every level (the r10 sf10 probe
-        # planned exactly that once the frontier outgrew broadcast:
-        # 180 M rows sorted per level for a hash lookup's worth of
-        # work); AQE still upgrades to broadcast when a level's
-        # frontier is tiny
         nxt = lineage_cut(
-            e.join(
-                frontier.hint("shuffle_hash"),
-                F.col("_src") == F.col("node"),
-            )
-            .select(F.col("_dst").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .select("node", F.lit(depth).alias("dist")),
+            bfs_level_plan(e, frontier, dist, depth, src="_src", dst="_dst"),
             eager=False,
         )
         dist = dist.unionByName(nxt)
@@ -380,3 +496,40 @@ def bfs_distances(
         if depth % checkpoint_every == 0 and depth < max_depth:
             dist = lineage_cut(dist)
     return dist
+
+
+def bfs_level_plan(
+    edges: DataFrame,
+    frontier: DataFrame,
+    visited: DataFrame,
+    depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ONE frontier-expansion level of ``bfs_distances`` — the loop's
+    stable sub-shape, factored out so the plan gate can pin its join
+    strategy (VERDICT r10 item 6: the full BFS is loop-built over
+    lineage cuts and not pinnable as a whole; this one-level plan is,
+    via the oracled ``q_graph_bfs_level``).
+
+    shuffle_hash on the frontier (build) side: the frontier is
+    node-bounded while the probe side is the full edge list — an SMJ
+    here re-SORTS the edges every level (the r10 sf10 probe planned
+    exactly that once the frontier outgrew broadcast: 180 M rows sorted
+    per level for a hash lookup's worth of work); AQE still upgrades to
+    broadcast when a level's frontier is tiny.  SHJ's build side cannot
+    spill, so a frontier approaching the node universe must fit the
+    per-partition hash build — node-bounded by construction, same
+    caveat as the triangle adjacency hint.  ``frontier`` must expose a
+    ``node`` column; ``visited`` holds (node, ...) rows already
+    reached (the anti join keeps first/minimal levels)."""
+    return (
+        edges.join(
+            frontier.select("node").hint("shuffle_hash"),
+            F.col(src) == F.col("node"),
+        )
+        .select(F.col(dst).alias("node"))
+        .distinct()
+        .join(visited, "node", "left_anti")
+        .select("node", F.lit(depth).alias("dist"))
+    )

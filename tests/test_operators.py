@@ -2532,6 +2532,92 @@ class TestReviewedEdgeCases:
         with pytest.raises(ValueError, match="non-empty"):
             event_ops.funnel_counts(df, "ts", "user_id", "event_type", [])
 
+    def test_pagerank_dangling_redistribute_conserves_mass(self, spark):
+        """VERDICT r10 item 4: with dangling='redistribute' the rank
+        vector stays a probability distribution (Σ rank ≈ 1 up to
+        rounding), while the default 'leak' form drains sink mass —
+        on a star graph 0→{1,2,3} every leaf is a sink."""
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        leak = sum(
+            r["rank"] for r in graph_ops.pagerank(edges, iterations=4).collect()
+        )
+        redis = sum(
+            r["rank"]
+            for r in graph_ops.pagerank(
+                edges, iterations=4, dangling="redistribute"
+            ).collect()
+        )
+        assert abs(redis - 1.0) < 1e-6
+        assert leak < 0.75  # 3 of 4 nodes leak their mass each round
+
+    def test_pagerank_dangling_rejects_unknown_mode(self, spark):
+        import pytest
+
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="dangling"):
+            graph_ops.pagerank(edges, dangling="drop")
+
+    def test_pagerank_no_sinks_redistribute_equals_leak(self, spark):
+        # on a sink-free (symmetrized) graph the leak is exactly 0 every
+        # round, so both modes must produce bit-identical ranks
+        from dataengineer_spark.operators import graph as graph_ops
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(6) for b in range(6) if a != b],
+            "src long, dst long",
+        )
+        base = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(edges, iterations=3).collect()
+        }
+        redis = {
+            r["node"]: r["rank"]
+            for r in graph_ops.pagerank(
+                edges, iterations=3, dangling="redistribute"
+            ).collect()
+        }
+        assert base == redis
+
+    def test_graph_width_probe_is_metadata_only(self, spark, sf_dir):
+        """VERDICT r10 item 5: the pre-partition width comes from session
+        confs + lake file metadata — same widths as before on the bench
+        fixtures, no plan-build job.  A lake-read frame reports its file
+        count; a derived in-memory frame reports 0 and falls back to the
+        session width."""
+        from dataengineer_spark.operators.graph import _lake_width, _session_width
+        from dataengineer_spark.testdata import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        assert _lake_width(li) == len(li.inputFiles()) > 0
+        derived = spark.range(10).join(spark.range(10), "id")
+        assert _lake_width(derived.groupBy("id").count()) == 0
+        sw = _session_width(spark)
+        assert sw == max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        # non-numeric conf must not crash plan build (ADVICE r10) —
+        # vanilla Spark validates the conf at set time, so the
+        # Databricks-style 'auto' value is stubbed
+        class _Conf:
+            def get(self, key, default=None):
+                return "auto"
+
+        class _SC:
+            defaultParallelism = 7
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        assert _session_width(_Spark()) == 7
+
 
 class TestThirdReviewEdgeCases:
     def test_band_buckets_reject_non_divisible(self, spark):

@@ -70,6 +70,7 @@ PINNED_QUERIES = [
     "q_f5_truncate_tokens",
     "q_f12_bpe_tokenize",
     "q_graph_triangles",
+    "q_graph_bfs_level",
     "q_prep_wordcount",
 ]
 
