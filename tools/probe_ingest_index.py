@@ -113,6 +113,43 @@ def legacy_walls(spark, index_path, batch_bands):
     return round(statistics.median(walls), 3)
 
 
+def live_epochs(spark, root, seed_docs: int, n_epochs: int, docs_dir: str):
+    """The literal N-batch form: drive the REAL per-epoch sink body
+    (signature → self-dedup → probe → epoch overwrite → bucketed index
+    append) batch after batch against a pre-seeded history, recording
+    each epoch's full wall.  Flat walls against a 10×-bigger seed =
+    the probe does not pay O(history) per batch."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_spark.streaming.pipeline import _neardup_ingest_epoch
+
+    index_path = os.path.join(root, f"live_index_{seed_docs}")
+    out_path = os.path.join(root, f"live_out_{seed_docs}")
+    seed_neardup_index(
+        synth_bands(spark, seed_docs, 0), index_path, n_index_buckets=N_BUCKETS
+    )
+    docs = (
+        spark.read.parquet(docs_dir)
+        .select("doc_id", "text")
+        .limit(BATCH_DOCS * n_epochs)
+        .localCheckpoint()
+    )
+    walls = []
+    for ep in range(n_epochs):
+        batch = docs.where(
+            (F.col("doc_id") % n_epochs) == ep
+        ).limit(BATCH_DOCS).localCheckpoint()
+        t0 = time.time()
+        _neardup_ingest_epoch(
+            batch, ep, index_path, out_path, "doc_id", "text",
+            5, 32, 8, True, "expr", N_BUCKETS,
+        )
+        walls.append(round(time.time() - t0, 3))
+        batch.unpersist()
+    docs.unpersist()
+    return walls
+
+
 def main() -> int:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -161,6 +198,22 @@ def main() -> int:
         )
         results["legacy_growth_x"] = round(
             l["r10_legacy_s"] / max(s["r10_legacy_s"], 1e-9), 2
+        )
+        # literal N-batch sequence through the real sink body, small vs
+        # 10× seed — per-epoch medians should roughly match
+        docs_dir = "/root/testdata/sf0.1/documents.parquet"
+        n_epochs = 12
+        for tag, n_docs in (("small", small), ("large", small * mult)):
+            walls = live_epochs(spark, root, n_docs, n_epochs, docs_dir)
+            results["walls"][tag]["live_epoch_walls_s"] = walls
+            results["walls"][tag]["live_epoch_median_s"] = round(
+                statistics.median(walls), 3
+            )
+            print(f"live {tag}: {walls}", flush=True)
+        results["live_growth_x"] = round(
+            results["walls"]["large"]["live_epoch_median_s"]
+            / max(results["walls"]["small"]["live_epoch_median_s"], 1e-9),
+            2,
         )
         print(json.dumps(results))
         if out_json:
