@@ -608,7 +608,15 @@ def stream_neardup_ingest(
       only matching bucket files (``SelectedBucketsCount`` in the plan)
       however large the accepted history grows.  Bigger batches hit
       every bucket anyway, so they skip the filter (a many-hundred-
-      literal In costs ~0.5s of driver planning for zero pruning);
+      literal In costs ~0.5s of driver planning for zero pruning).
+      Pruning lives in the bucketed-scan path, which the planner
+      auto-disables when no operator wants the bucket distribution —
+      the sink forces ``autoBucketedScan.enabled=false`` for the
+      duration of each epoch and restores it after (a session-level
+      conf, so a concurrent query planned in that window also reads
+      bucketed tables one-task-per-bucket — harmless for this engine's
+      other bucketed table, q_s7's, whose join wants that layout
+      anyway);
     - **shuffle- and sort-free on the stored side**: the probe is an
       inner join whose BUILD side is the broadcast batch band rows
       (micro-batch-bounded by construction), so the index side streams
