@@ -1265,10 +1265,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions round-then-decimal-sum so the whole power iteration is
     bit-reproducible and the oracle can replay it as unrolled CTEs.
 
-    fan_out on the scan: AQE broadcasts the self-join, so the pair
-    explosion + distinct partial-agg runs on the scan's partitions —
-    3 tasks on a single-file local input (VERDICT r4 item 5: the edge
-    build, not the iteration, was 8.6 of the 11.8 s bench wall)."""
+    Edge build: per-order collect_set + in-partition pair explode (see
+    _cooccurrence_edges — round-11 replaced the lineitem self-join;
+    identical distinct edge set, one scan, no broadcast build)."""
     from dataengineer_spark.operators import graph as graph_ops
 
     return graph_ops.pagerank(
@@ -1277,23 +1276,50 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, item_col: str, canonical: bool = False
+) -> DataFrame:
+    """Distinct co-occurrence edge list: items sharing an ``l_orderkey``
+    — ``canonical=False`` emits both directions (x ≠ y), ``True`` one
+    canonical row (x < y).
+
+    Round-11 optimization (guide §2.4/§3.1): the original form was a
+    lineitem SELF-JOIN on l_orderkey — two scans, a round-robin fan_out
+    exchange under BOTH branches, and a 600 k-row broadcast build at
+    sf0.1 (at 100 TB the build side outgrows broadcast and the planner
+    degrades to a sort-merge join, i.e. two corpus sorts).  Rewritten as
+    one groupBy(l_orderkey).collect_set + an in-partition pair explode:
+    ONE scan, ONE shuffle of the (orderkey, item) rows, no broadcast /
+    no join at any scale, and the quadratic pair expansion happens
+    inside the partition exactly where the self-join would have done the
+    same multiplication.  Per-key set sizes are bounded by the per-order
+    item count (≤7 in this schema; the co-occurrence quadratic itself is
+    inherent in either form).  The distinct edge SET is provably
+    identical to the self-join's (collect_set dedups what distinct
+    collapsed; NULL items drop on both paths), so every downstream rank/
+    census/BFS value — and the pinned oracle hashes — are unchanged.
+    Measured sf0.1: edge build 2.06 → 1.55 s; pagerank(5) 6.25 → 4.88 s
+    (tools/profile_r11_pr2.py, eqcheck 0 differing rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", item_col)
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set(item_col).alias("_is"))
+        .select(F.explode("_is").alias("src"), F.col("_is").alias("_is2"))
+        .select("src", F.explode("_is2").alias("dst"))
+    )
+    cond = (
+        (F.col("src") < F.col("dst"))
+        if canonical
+        else (F.col("src") != F.col("dst"))
+    )
+    return pairs.where(cond).distinct()
+
+
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared edge list for the PageRank iteration-count twins — ONE
     builder so the twins provably run the identical graph (the
     oracle-sharing contract rests on identical inputs)."""
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .distinct()
-    )
+    return _cooccurrence_edges(spark, sf_dir, "l_suppkey")
 
 
 def q_graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1879,23 +1905,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficient of the part co-purchase graph (parts sharing
     an order, canonical src<dst) — ordered-wedge join + closing-edge
     semi join, intermediate bounded by ordered wedges, all counts
-    integral.  fan_out: same scan-partition-bound explosion as
-    q_graph_pagerank."""
+    integral.  Edge build: per-order collect_set + pair explode
+    (_cooccurrence_edges), same as q_graph_pagerank."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _cooccurrence_edges(spark, sf_dir, "l_partkey", canonical=True)
     return graph_ops.triangle_stats(edges)
 
 
@@ -2276,23 +2290,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics (graph.bfs_distances): multi-source BFS out to 3
     hops over the part co-purchase graph, seeds = partkeys divisible by
     97 — frontier join + visited anti-join per level, all-integer
-    levels, lazily chained like pagerank.  fan_out: same scan-
-    partition-bound explosion as q_graph_pagerank."""
+    levels, lazily chained like pagerank.  Edge build: per-order
+    collect_set + pair explode (_cooccurrence_edges), same as
+    q_graph_pagerank."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _cooccurrence_edges(spark, sf_dir, "l_partkey")
     seeds = edges.select("src").where(F.col("src") % 97 == 0).distinct()
     return graph_ops.bfs_distances(edges, seeds, max_depth=3)
 
@@ -2307,19 +2310,7 @@ def q_graph_bfs_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cuts, no jobs — and SQL-expressible, so it is oracled too."""
     from dataengineer_spark.operators import graph as graph_ops
 
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _cooccurrence_edges(spark, sf_dir, "l_partkey")
     seeds = (
         edges.select(F.col("src").alias("node"))
         .where(F.col("node") % 97 == 0)
