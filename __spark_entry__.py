@@ -5324,23 +5324,15 @@ def q_prep_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the exact contamination SQL plus that guarantee as a
     boolean — n_bloom_hits >= n_exact_hits per document, asserted TRUE."""
     from dataengineer_spark.operators.preparation import (
-        bloom_contamination,
-        ngram_overlap,
+        bloom_exact_contamination,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    bloom = bloom_contamination(docs, bench, "text", "doc_id", n=8)
-    exact = ngram_overlap(docs, bench, "text", "doc_id", n=8).select(
-        "doc_id", "n_hits", "contaminated"
-    )
-    return bloom.join(exact, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_hits",
-        "contaminated",
-        (F.col("n_bloom_hits") >= F.col("n_hits")).alias("no_false_neg"),
-    )
+    # fused bloom+exact pass (round-11): row-identical to
+    # bloom_contamination ⋈ ngram_overlap on doc_id, one corpus scan and
+    # one corpus-wide join fewer (see the operator docstring)
+    return bloom_exact_contamination(docs, bench, "text", "doc_id", n=8)
 
 
 _PREP_BLOOM_ORACLE = f"""

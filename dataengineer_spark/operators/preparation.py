@@ -738,20 +738,43 @@ def bloom_contamination(
     classic (1-e^{-kn/m})^k.  Returns (id, n_grams, n_bloom_hits,
     maybe_contaminated).
     """
+    hits = _bloom_gram_hits(benchmark, text_col, n, k, m)
+    all_grams = word_ngrams(F.col(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.size(all_grams).alias("n_grams"),
+        F.coalesce(hits, F.lit(0)).alias("n_bloom_hits"),
+        (F.coalesce(hits, F.lit(0)) > 0).alias("maybe_contaminated"),
+    )
+
+
+def _bloom_gram_hits(
+    benchmark: DataFrame, text_col: str, n: int, k: int, m: int
+) -> Column:
+    """Benchmark-gram Bloom probe as a single COLUMN over ``text_col``:
+    the count of the row's distinct word n-grams whose ``k`` bit
+    positions are all set in the benchmark bitset.
+
+    The bitset is built distributed (bloom_bitset — mergeable across
+    benchmark shards) but PROBED as a plan literal: m bits pack into
+    m/64 longs (32 KB at m=2^18), so the corpus side is ONE map-only
+    pass — per doc, an in-row filter over its distinct grams testing
+    all k bit positions against the mask.  The previous shape exploded
+    (id, gram) rows, shuffled them for a distinct, exploded k probe
+    rows each, and re-aggregated twice; at 100 TB that shuffled the
+    corpus's full gram text.  Nothing exchanges now.  The build feeds
+    grams straight into the position explode WITHOUT a gram-level
+    dropDuplicates (round-11): bloom_bitset dedups POSITIONS, so the
+    bitset is identical either way and the build job loses its gram
+    exchange — hashing a duplicate gram k times is cheaper than
+    shuffling the gram text to dedup it first.
+    """
     from dataengineer_spark.tuning import array_lit
 
-    # the bitset is built distributed (bloom_bitset — mergeable across
-    # benchmark shards) but PROBED as a plan literal: m bits pack into
-    # m/64 longs (32 KB at m=2^18), so the corpus side is ONE map-only
-    # pass — per doc, an in-row filter over its distinct grams testing
-    # all k bit positions against the mask.  The previous shape exploded
-    # (id, gram) rows, shuffled them for a distinct, exploded k probe
-    # rows each, and re-aggregated twice; at 100 TB that shuffled the
-    # corpus's full gram text.  Nothing exchanges now.
     bench_pos = bloom_bitset(
         benchmark.select(
             F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-        ).dropDuplicates(),
+        ),
         "_g", k, m,
     ).collect()  # ≤ m rows of one int — control-plane-sized by design
     words = [0] * max(1, (m + 63) >> 6)  # ceil(m/64); tiny test bitsets
@@ -776,14 +799,63 @@ def bloom_contamination(
         )
 
     all_grams = word_ngrams(F.col(text_col), n)
-    hits = F.size(
-        F.filter(F.array_distinct(all_grams), gram_hits_all_bits)
-    )
-    return df.select(
+    return F.size(F.filter(F.array_distinct(all_grams), gram_hits_all_bits))
+
+
+def bloom_exact_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    k: int = 4,
+    m: int = 1 << 18,
+) -> DataFrame:
+    """:func:`bloom_contamination` and :func:`ngram_overlap` fused into
+    one pass — the audit shape that reports the Bloom hit count NEXT TO
+    the exact count per document (the no-false-negative check).
+
+    Row-for-row equal to ``bloom_contamination(df, ...).join(
+    ngram_overlap(df, ...), id)`` projected to (id, n_grams, n_hits,
+    contaminated, no_false_neg), but structurally cheaper (round-11,
+    guide §2.4): the separate composition scanned the corpus THREE times
+    (bloom probe, exact gram explode, exact totals) and paid a
+    corpus-wide doc_id join to glue the two operators back together;
+    here the map-only Bloom probe rides ON the totals projection, so the
+    corpus scans twice (probe+totals, gram explode) and the only join
+    left is the per-doc hits attach the exact count already needed.
+    ``n_grams`` is the same expression either side computed it from, and
+    the old inner join was over two full-coverage sides, so the fused
+    left join keeps the identical row set.
+    """
+    from dataengineer_spark.tuning import fan_out
+
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    bloom_hits = _bloom_gram_hits(benchmark, text_col, n, k, m)
+    grams = word_ngrams(F.col(text_col), n)
+    base = df.select(
         F.col(id_col),
-        F.size(all_grams).alias("n_grams"),
-        F.coalesce(hits, F.lit(0)).alias("n_bloom_hits"),
-        (F.coalesce(hits, F.lit(0)) > 0).alias("maybe_contaminated"),
+        F.size(grams).alias("n_grams"),
+        F.coalesce(bloom_hits, F.lit(0)).alias("n_bloom_hits"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .dropDuplicates()
+    )
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_g").alias("n_hits"))
+    )
+    return base.join(hits, id_col, "left_outer").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        (F.col("n_bloom_hits") >= F.coalesce("n_hits", F.lit(0))).alias(
+            "no_false_neg"
+        ),
     )
 
 

@@ -316,6 +316,58 @@ class TestBloomContamination:
         assert sum(bloom.values()) > sum(exact.values())  # FPs exist at m=8
 
 
+class TestBloomExactContamination:
+    def test_fused_equals_join_of_parts(self, spark):
+        # round-11: the fused bloom+exact pass must be row-identical to
+        # bloom_contamination ⋈ ngram_overlap on the id (the composition
+        # q_prep_bloom_decontaminate shipped before the fusion)
+        from dataengineer_spark.operators.preparation import (
+            bloom_contamination,
+            bloom_exact_contamination,
+            ngram_overlap,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five"),
+                (3, "alpha beta gamma delta zeta"),
+                (4, "totally different words here now"),
+                (5, ""),  # no grams: n_grams 0, no hits
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.where("doc_id = 1 or doc_id = 3")
+        fused = {
+            r["doc_id"]: (
+                r["n_grams"], r["n_hits"], r["contaminated"], r["no_false_neg"]
+            )
+            for r in bloom_exact_contamination(
+                docs, bench, "text", "doc_id", n=4
+            ).collect()
+        }
+        bloom = bloom_contamination(docs, bench, "text", "doc_id", n=4)
+        exact = ngram_overlap(docs, bench, "text", "doc_id", n=4).select(
+            "doc_id", "n_hits", "contaminated"
+        )
+        from pyspark.sql import functions as SF
+
+        joined = {
+            r["doc_id"]: (
+                r["n_grams"], r["n_hits"], r["contaminated"], r["no_false_neg"]
+            )
+            for r in bloom.join(exact, "doc_id")
+            .select(
+                "doc_id", "n_grams", "n_hits", "contaminated",
+                (SF.col("n_bloom_hits") >= SF.col("n_hits")).alias(
+                    "no_false_neg"
+                ),
+            )
+            .collect()
+        }
+        assert fused == joined and len(fused) == 5
+
+
 class TestPpsSample:
     def test_selection_is_weight_proportional_and_deterministic(self, spark):
         from dataengineer_spark.operators.preparation import pps_systematic_sample
