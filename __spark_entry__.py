@@ -3376,17 +3376,12 @@ def q_e3_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the re-indexed trained codebooks, cell assignment, the probe list,
     encode argmax, and the LUT distances all hash-match."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    coarse = [
-        c
-        for _, c in sim_ops.kmeans_codebook(
-            emb, dim=64, n_centroids=8, iters=1, seed=7
-        )
-    ]
-    # all four sub-codebooks in ONE corpus pass (value-identical to four
-    # independent sliced fits — pinned in tests): 2 training scans total
-    # (coarse + fused PQ) instead of 5
-    cb = sim_ops.pq_codebooks_fit(
-        emb, dim=64, m=4, ksub=8, iters=1, seed=11
+    # coarse + all four sub-codebooks in ONE corpus pass (round-11;
+    # value-identical to the five independent fits — pinned in tests):
+    # 1 training scan total instead of 2 (r10) instead of 5 (r9)
+    coarse, cb = sim_ops.ivfpq_codebooks_fit(
+        emb, dim=64, m=4, ksub=8, n_coarse=8, iters=1,
+        coarse_seed=7, pq_seed=11,
     )
     top = sim_ops.ivf_pq_top_k(
         emb, _pq_query_vec(), coarse, cb, k=10, n_probe=2

@@ -735,6 +735,91 @@ def pq_codebooks_fit(
     return [[cent for _, cent in pairs] for pairs in cbs]
 
 
+def ivfpq_codebooks_fit(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    n_coarse: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    coarse_seed: int = 7,
+    pq_seed: int = 11,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Coarse codebook AND all ``m`` PQ sub-codebooks in ONE corpus pass
+    per iteration — the full IVF-PQ training front-end fused (round-11,
+    guide §1.2 "remove unnecessary passes").
+
+    Value-identical to ``kmeans_codebook(df, dim, n_coarse, iters,
+    seed=coarse_seed)`` + ``pq_codebooks_fit(df, dim, m, ksub, iters,
+    seed=pq_seed)`` run separately (pinned in tests): the coarse fit
+    rides as one more subspace branch (``j = -1``, the full vector) in
+    the same explode, and the per-``(j, cell, pos)`` exact-decimal means
+    are independent across branches — fusing changes the SCHEDULE, not
+    the arithmetic.  At corpus scale this halves the training reads
+    (one scan per iteration instead of two) and merges two driver
+    collects into one control-plane-sized result
+    (``(n_coarse × dim + m × ksub × dsub)`` rows).
+
+    Returns ``(coarse_centroids, sub_codebooks)`` in the shapes
+    :func:`ivf_pq_top_k` consumes.
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m equal subvectors")
+    dsub = dim // m
+    coarse_pairs = list(enumerate(_centroids(dim, n_coarse, coarse_seed)))
+    cbs = [
+        list(enumerate(_centroids(dsub, ksub, pq_seed + j))) for j in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        branches = [
+            F.struct(
+                F.lit(-1).alias("j"),
+                nearest_cell_of(v, coarse_pairs).alias("cell"),
+                v.alias("s"),
+            )
+        ]
+        for j in range(m):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            branches.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    nearest_cell_of(sub, cbs[j]).alias("cell"),
+                    sub.alias("s"),
+                )
+            )
+        means = (
+            # generator-per-select (the kmeans_codebook ExtractGenerator
+            # rule): explode the branch structs first, posexplode second
+            df.select(F.explode(F.array(*branches)).alias("r"))
+            .select("r.j", "r.cell", F.posexplode("r.s").alias("pos", "x"))
+            .groupBy("j", "cell", "pos")
+            .agg(_exact_mean_col().alias("c"))
+            .collect()  # control-plane-sized (see docstring)
+        )
+        acc: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            acc.setdefault(r["j"], {}).setdefault(r["cell"], {})[
+                r["pos"]
+            ] = r["c"]
+        coarse_pairs = [
+            (cid, [comp[p] for p in range(dim)])
+            for cid, comp in sorted(acc.get(-1, {}).items())
+        ]
+        cbs = [
+            [
+                (cid, [comp[p] for p in range(dsub)])
+                for cid, comp in sorted(acc.get(j, {}).items())
+            ]
+            for j in range(m)
+        ]
+    return (
+        [cent for _, cent in coarse_pairs],
+        [[cent for _, cent in pairs] for pairs in cbs],
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     dim: int,

@@ -1264,6 +1264,37 @@ class TestPqCodebooksFit:
             ]
             assert fused[j] == solo
 
+    def test_ivfpq_fused_fit_identical_to_coarse_plus_pq_fits(self, spark):
+        # round-11: the single-pass coarse+PQ trainer must reproduce the
+        # separate kmeans_codebook + pq_codebooks_fit pair bit-for-bit
+        import random
+
+        from dataengineer_spark.operators import similarity as sim_ops
+
+        rng = random.Random(9)
+        dim, m, ksub, ncoarse = 32, 4, 4, 6
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(150)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        coarse_f, cbs_f = sim_ops.ivfpq_codebooks_fit(
+            df, dim=dim, m=m, ksub=ksub, n_coarse=ncoarse, iters=2,
+            coarse_seed=7, pq_seed=11,
+        )
+        coarse_solo = [
+            c
+            for _, c in sim_ops.kmeans_codebook(
+                df, dim=dim, n_centroids=ncoarse, iters=2, seed=7
+            )
+        ]
+        cbs_solo = sim_ops.pq_codebooks_fit(
+            df, dim=dim, m=m, ksub=ksub, iters=2, seed=11
+        )
+        assert coarse_f == coarse_solo
+        assert cbs_f == cbs_solo
+
 
 class TestHardNegativeMining:
     def test_negatives_only_cross_label_and_hard_first(self, spark):
