@@ -1528,11 +1528,17 @@ def pca_power_top(
     """
     import math
 
-    from dataengineer_spark.tuning import array_lit
+    from dataengineer_spark.tuning import array_lit, transient_persist
 
     dec_mu = "decimal(28,12)"
     dec_c = "decimal(28,9)"
-    x = _complete_vectors(df, vec_col, dim)
+    # the ``iters + 1`` aggregate passes all consume the same complete-
+    # vector projection; uncached, every pass re-runs the scan + fan-out
+    # + completeness filter (round-11, guide §5 caching rule: reused AND
+    # cheaper than recompute).  Serialized MEMORY_AND_DISK blocks, freed
+    # DETERMINISTICALLY after the last collect below — the caches never
+    # outlive the fit, so there is nothing for a 100 TB run to leak.
+    x = transient_persist(_complete_vectors(df, vec_col, dim))
     per = (
         x.select(F.posexplode("_v").alias("_p", "_e"))
         .groupBy("_p")
@@ -1602,6 +1608,9 @@ def pca_power_top(
             )
         else:
             ev = lam / den
+    # last pass done — free the cached projection before returning (the
+    # output below is dim-sized driver rows, nothing reads x again)
+    x.unpersist()
     rows = [(j + 1, w[j], ev) for j in range(dim)]
     out = df.sparkSession.createDataFrame(
         rows, "dim int, loading double, eigenvalue double"
