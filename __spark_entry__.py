@@ -5082,7 +5082,16 @@ def q_e2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components, guard_bucket_quadratic, word_shingles,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out BEFORE the bucket self-join (round-11): the single-file
+    # local scan is ONE partition, and since the build side broadcasts,
+    # the probe side's partitioning is what the in-bucket pair compare
+    # runs on — unfanned, all ~693k intersects executed on one task
+    # (measured 17.2 s for the pair stage alone; fanned it spreads
+    # across every core).  Structural no-op at production split counts,
+    # the standard fan_out contract.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # verify on HASHED shingles: the bucket join compares every in-bucket
     # pair, so the intersect runs millions of times — int64 arrays cut
     # that ~2× vs shingle strings, and |U| = |A|+|B|−|I| (distinct
@@ -7385,7 +7394,11 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a second scan."""
     from dataengineer_spark.operators import quality
 
-    orders = load_table(spark, sf_dir, "orders")
+    # fan_out (round-11): the profile's multi-count_distinct aggregate
+    # EXPANDs every row 5× before aggregating, and the single-file local
+    # scan is one partition — unfanned, that whole expand ran on one
+    # task (A/B: 2.93 → 2.54 s fanned).  No-op at production splits.
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
     return quality.table_profile(
         orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
     )
