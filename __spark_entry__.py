@@ -9755,21 +9755,63 @@ def q_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-computed plan literals; the joins are rank-capped
     candidate-set-sized.  Fully oracled (both plane sets replayed)."""
     from dataengineer_spark.operators import ranking
+    from dataengineer_spark.operators.windows import top_k_per_group
+    from dataengineer_spark.tuning import tie_lifetime, transient_persist
 
+    # ONE signature pass for both plane sets (round-11): the 6-plane
+    # hyperplane family is a PREFIX of the 8-plane one (_hyperplanes
+    # draws sequentially from the same seeded RNG), so the 6-plane
+    # bucket is exactly the low 6 bits of the 8-plane signature —
+    # compute the 8-bit signature + norms once, cache the signed corpus,
+    # and derive both rankings from it (the uncached form ran the
+    # interpreted signature fold and the corpus scan twice).  Buckets,
+    # candidate sets, and cos_sim are bit-identical to two independent
+    # lsh_top_k calls — the unchanged oracle replays both plane sets.
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    qs = emb.where(F.col("vec_id") < 20)
+    planes8 = sim_ops._hyperplanes(64, 8, seed=42)
+    c = transient_persist(
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").cast("array<double>").alias("_cv"),
+        ).select(
+            "*",
+            sim_ops.lsh_bucket(F.col("_cv"), planes8).alias("_bk8"),
+            sim_ops.l2_norm(F.col("_cv")).alias("_cn"),
+        )
+    )
+    q = c.where(F.col("corpus_id") < 20).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("_cv").alias("_qv"),
+        "_bk8",
+        F.col("_cn").alias("_qn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom > 0, sim_ops.dot(F.col("_qv"), F.col("_cv")) / denom)
     order = [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")]
-    ra = win_ops.ranked(
-        sim_ops.lsh_top_k(qs, emb, dim=64, n_planes=8, k=10),
-        ["query_id"], order, "rnk",
-    )
-    rb = win_ops.ranked(
-        sim_ops.lsh_top_k(qs, emb, dim=64, n_planes=6, k=10),
-        ["query_id"], order, "rnk",
-    )
-    return ranking.rbo_overlap(
-        ra, rb, "query_id", "corpus_id", "rnk", k=10, p=0.9
+
+    def ranked_for(bits: int):
+        mask = (1 << bits) - 1
+        qb = q.select(
+            "query_id", "_qv", "_qn",
+            F.col("_bk8").bitwiseAND(F.lit(mask)).alias("_bk"),
+        )
+        cb = c.select(
+            "corpus_id", "_cv", "_cn",
+            F.col("_bk8").bitwiseAND(F.lit(mask)).alias("_bk"),
+        )
+        scored = qb.join(cb, on="_bk").withColumn("cos_sim", cos).select(
+            "query_id", "corpus_id", "cos_sim"
+        )
+        return win_ops.ranked(
+            top_k_per_group(scored, ["query_id"], order, 10),
+            ["query_id"], order, "rnk",
+        )
+
+    out = ranking.rbo_overlap(
+        ranked_for(8), ranked_for(6), "query_id", "corpus_id", "rnk",
+        k=10, p=0.9,
     ).orderBy("query")
+    return tie_lifetime(out, c)
 
 
 def _rank_rbo_oracle() -> str:
