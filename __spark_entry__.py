@@ -9394,9 +9394,15 @@ def q_pipeline_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_spark.operators.preparation import kfold_assign
     from dataengineer_spark.operators.ranking import fair_trim
     from dataengineer_spark.operators.textops import ngram_novelty
+    from dataengineer_spark.tuning import carry_lifetime
 
     docs = _docs(spark, sf_dir)
-    nov = ngram_novelty(docs, n=3).select("doc_id", "n_grams", "n_novel")
+    nov0 = ngram_novelty(docs, n=3)
+    # carry the novelty gram-cache tie onto the derived frame (and onto
+    # the returned frame below) so it survives until the action
+    nov = carry_lifetime(
+        nov0.select("doc_id", "n_grams", "n_novel"), nov0
+    )
     scored = docs.join(nov, "doc_id")
     kept = fair_trim(
         scored,
@@ -9413,9 +9419,12 @@ def q_pipeline_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = textops.token_count(F.coalesce(F.col("text"), F.lit(""))).cast(
         "long"
     )
-    return folded.groupBy("fold", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(toks).alias("n_tokens"),
+    return carry_lifetime(
+        folded.groupBy("fold", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+        ),
+        nov,
     )
 
 

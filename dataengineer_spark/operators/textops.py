@@ -324,21 +324,30 @@ def ngram_novelty(
     Output: (id, n_grams, n_novel, novelty).
     """
     from dataengineer_spark.operators.preparation import word_ngrams
+    from dataengineer_spark.tuning import tie_lifetime, transient_persist
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-            "_g"
-        ),
+    # the gram rows feed BOTH the document-frequency aggregate and the
+    # probe side of the join — uncached, the tokenize + n-gram explode
+    # ran twice (round-11; same transient-cache policy as
+    # lm.bigram_perplexity, freed when the returned frame is GC'd —
+    # deriving callers must carry_lifetime)
+    grams = transient_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "_g"
+            ),
+        )
     )
     dfreq = grams.groupBy("_g").agg(F.count("*").alias("_df"))
     per = grams.join(dfreq, "_g").groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
         F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
     )
-    return per.select(
+    out = per.select(
         id_col,
         "n_grams",
         "n_novel",
         (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
     )
+    return tie_lifetime(out, grams)
