@@ -5177,8 +5177,13 @@ def q_e2_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 — Gopher-style repetition quality signals (map-only HOFs)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """E4 — Gopher-style repetition quality signals (map-only HOFs).
+
+    fan_out (round-11 opt): the line/bigram HOF chain is CPU-bound map
+    work, and the single-row-group local scan otherwise runs it on ONE
+    task (isolated A/B: 1.43 -> 0.52 s; structural no-op at production
+    split counts)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return textops.repetition_signals(docs).drop("text")
 
 
