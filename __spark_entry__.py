@@ -3536,7 +3536,7 @@ def q_e3_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = enc.select(
         "vec_id",
-        sim_ops.nearest_cell(F.col("_cv"), coarse).alias("cell"),
+        sim_ops.nearest_cell("_cv", coarse).alias("cell"),
         "pq_code",
     )
     root = tempfile.mkdtemp(prefix="spark_graft_ivfidx_") + "/index"
@@ -3570,7 +3570,7 @@ def q_e3_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = sim_ops.random_projection_matrix(64, 16, seed=17)
     red = emb.select(
         "vec_id",
-        sim_ops.project(F.col("embedding").cast("array<double>"), mat).alias("rv"),
+        sim_ops.project("CAST(`embedding` AS ARRAY<DOUBLE>)", mat).alias("rv"),
     )
     qv = sim_ops.project_py(_pq_query_vec(), mat)
     top = sim_ops.brute_force_top_k(red, qv, vec_col="rv", id_col="vec_id", k=10)
@@ -9804,8 +9804,8 @@ def q_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("_cv"),
         ).select(
             "*",
-            sim_ops.lsh_bucket(F.col("_cv"), planes8).alias("_bk8"),
-            sim_ops.l2_norm(F.col("_cv")).alias("_cn"),
+            sim_ops.lsh_bucket("_cv", planes8).alias("_bk8"),
+            sim_ops.l2_norm("_cv").alias("_cn"),
         )
     )
     q = c.where(F.col("corpus_id") < 20).select(
@@ -9815,7 +9815,7 @@ def q_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cn").alias("_qn"),
     )
     denom = F.col("_qn") * F.col("_cn")
-    cos = F.when(denom > 0, sim_ops.dot(F.col("_qv"), F.col("_cv")) / denom)
+    cos = F.when(denom > 0, sim_ops.dot("_qv", "_cv") / denom)
     order = [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")]
 
     def ranked_for(bits: int):

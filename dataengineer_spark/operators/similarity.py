@@ -16,8 +16,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<numeric> columns (JVM-side)."""
+# -- single-parse SQL expression builders ------------------------------------
+#
+# Column-API construction of the vector folds below costs one py4j JVM
+# round trip per F.* call, and the higher-order-function lambdas cost
+# several each; a pq_encode + reconstruction plan measured 4,048 round
+# trips ≈ 2.8 s of DRIVER time per query BUILD (round-11 profile) — more
+# than the queries' execution.  Each ``*_s`` helper renders the identical
+# expression as ONE SQL string, parsed JVM-side in a single call
+# (``F.expr``): same functions, same lambda shapes, same literals → the
+# same Catalyst tree and bit-identical values (oracle-verified).  Helpers
+# take/return SQL fragments; public wrappers accept ``Column | str`` and
+# keep the old Column path for callers whose inputs are not expressible
+# as SQL text.
+
+
+def _dot_s(a: str, b: str) -> str:
+    """SQL twin of :func:`dot` (same zip_with/aggregate left fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _l2_s(a: str) -> str:
+    """SQL twin of :func:`l2_norm`."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+        "(acc, v) -> acc + v))"
+    )
+
+
+def _sqdist_s(a: str, b: str) -> str:
+    """SQL twin of :func:`sqdist` (same left fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _vec_s(col_name: str) -> str:
+    """``CAST(`col` AS ARRAY<DOUBLE>)`` — the standard vector projection."""
+    return f"CAST(`{col_name}` AS ARRAY<DOUBLE>)"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side).  String
+    args (column names / SQL fragments) build via one parsed expression."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_s(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -25,7 +72,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_s(a))
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
@@ -153,14 +202,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _lsh_bucket_s(vec: str, planes: list[list[float]]) -> str:
+    """SQL twin of :func:`lsh_bucket` — identical fold structure."""
+    from dataengineer_spark.tuning import sql_literal
+
+    n_planes = len(planes)
+    pmat = sql_literal([[p[j] for p in planes] for j in range(len(planes[0]))])
+    bits = sql_literal([1 << i for i in range(n_planes)])
+    sums = (
+        f"aggregate(zip_with({vec}, {pmat}, "
+        "(x, row) -> transform(row, pv -> x * pv)), "
+        f"array_repeat(0.0D, {n_planes}), "
+        "(acc, contrib) -> zip_with(acc, contrib, (a, c) -> a + c))"
+    )
+    return (
+        f"aggregate(zip_with({sums}, {bits}, "
+        "(s, bit) -> CASE WHEN s > 0 THEN bit ELSE 0 END), 0, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec·plane_i) → int bucket.
 
     ONE fold over the vector carries all plane partial sums as an array
     accumulator (the minhash_signature pattern): per-element work is a
     width-``n_planes`` zip instead of ``n_planes`` separate interpreted
-    folds — measured ~4× faster in the expression interpreter.
+    folds — measured ~4× faster in the expression interpreter.  String
+    ``vec`` builds the whole signature as one parsed SQL expression
+    (round-11: the Column path cost ~100 py4j round trips per call).
     """
+    if isinstance(vec, str):
+        return F.expr(_lsh_bucket_s(vec, planes))
     from dataengineer_spark.tuning import array_lit
 
     n_planes = len(planes)
@@ -201,18 +274,18 @@ def _lsh_scored(
     planes = _hyperplanes(dim, n_planes, seed)
     q = q_pre.select(
         "*",
-        lsh_bucket(F.col("_qv"), planes).alias("_bk"),
-        l2_norm(F.col("_qv")).alias("_qn"),
+        lsh_bucket("_qv", planes).alias("_bk"),
+        l2_norm("_qv").alias("_qn"),
     )
     c = c_pre.select(
         "*",
-        lsh_bucket(F.col("_cv"), planes).alias("_bk"),
-        l2_norm(F.col("_cv")).alias("_cn"),
+        lsh_bucket("_cv", planes).alias("_bk"),
+        l2_norm("_cv").alias("_cn"),
     )
     denom = F.col("_qn") * F.col("_cn")
     return q.join(c, on="_bk").withColumn(
         "cos_sim",
-        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom),
+        F.when(denom > 0, dot("_qv", "_cv") / denom),
     )
 
 
@@ -400,8 +473,8 @@ def embedding_neardup_pairs(
     ).select(
         # norm per ROW before the self-join, not per candidate pair
         "*",
-        lsh_bucket(F.col("_v"), planes).alias("_bk"),
-        l2_norm(F.col("_v")).alias("_n"),
+        lsh_bucket("_v", planes).alias("_bk"),
+        l2_norm("_v").alias("_n"),
     )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
@@ -417,7 +490,7 @@ def embedding_neardup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).alias(
+            F.when(denom > 0, dot("_va", "_vb") / denom).alias(
                 "cos_sim"
             ),
         )
@@ -443,13 +516,27 @@ def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
     return cents
 
 
-def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+def _cell_scores_s(vec: str, cents: list[list[float]]) -> str:
+    """SQL twin of :func:`_cell_scores`."""
+    from dataengineer_spark.tuning import sql_literal
+
+    cmat = sql_literal(cents)
+    return (
+        f"transform({cmat}, (c, i) -> "
+        f"struct({_dot_s(vec, 'c')} AS score, i AS cell))"
+    )
+
+
+def _cell_scores(vec: Column | str, cents: list[list[float]]) -> Column:
     """array<struct<score,cell>> of centroid-affinity scores.
 
     score = vec·centroid — cosine-ORDER-equivalent for one vec (the
     1/|vec| factor is a shared positive divisor), so the norm fold per
     centroid the cosine form paid is dropped; the codebook ships as one
-    parsed literal (see tuning.array_lit)."""
+    parsed literal (see tuning.array_lit); a string ``vec`` parses the
+    whole scores array in one call."""
+    if isinstance(vec, str):
+        return F.expr(_cell_scores_s(vec, cents))
     from dataengineer_spark.tuning import array_lit
 
     cmat = array_lit(cents)
@@ -459,8 +546,11 @@ def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
     )
 
 
-def nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+def nearest_cell(vec: Column | str, cents: list[list[float]]) -> Column:
     """Index of the nearest (max cosine) centroid — the IVF assignment."""
+    if isinstance(vec, str):
+        # struct compare: score first, then cell (same as array_max below)
+        return F.expr(f"array_max({_cell_scores_s(vec, cents)}).cell")
     scores = _cell_scores(vec, cents)
     best = F.array_max(scores)  # struct compare: score first, then cell
     return best.getField("cell")
@@ -499,18 +589,18 @@ def ivf_top_k(
         # per-ROW pre-join: inside the scored select the norm would be
         # re-folded once per candidate pair — the dominant cost measured
         "*",
-        nearest_cell(F.col("_cv"), cents).alias("_cell"),
-        l2_norm(F.col("_cv")).alias("_cn"),
+        nearest_cell("_cv", cents).alias("_cell"),
+        l2_norm("_cv").alias("_cn"),
     )
     probe = F.slice(
-        F.reverse(F.array_sort(_cell_scores(F.col("_qv"), cents))), 1, n_probe
+        F.reverse(F.array_sort(_cell_scores("_qv", cents))), 1, n_probe
     )
     q = (
         queries.select(
             F.col(q_id).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         )
-        .select("*", l2_norm(F.col("_qv")).alias("_qn"))
+        .select("*", l2_norm("_qv").alias("_qn"))
         .withColumn("_p", F.explode(probe))
         .select("query_id", "_qv", "_qn", F.col("_p.cell").alias("_cell"))
     )
@@ -518,7 +608,7 @@ def ivf_top_k(
     scored = q.join(c, on="_cell").select(
         "query_id",
         "corpus_id",
-        F.when(denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom).alias("cos_sim"),
+        F.when(denom > 0, dot("_qv", "_cv") / denom).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
@@ -577,11 +667,23 @@ def brute_force_top_k_arrow(
 # -- k-means codebook training (Lloyd's) ------------------------------------
 
 
-def nearest_cell_of(vec: Column, pairs: list[tuple[int, list[float]]]) -> Column:
+def nearest_cell_of(
+    vec: Column | str, pairs: list[tuple[int, list[float]]]
+) -> Column:
     """IVF assignment against an EXPLICIT (cell_id, centroid) codebook —
     like ``nearest_cell`` but ids survive empty-cell drops during k-means
     training. Max dot product; ties go to the larger cell id (struct
     max), mirrored in the SQL oracles as ORDER BY score DESC, cell DESC."""
+    if isinstance(vec, str):
+        from dataengineer_spark.tuning import sql_literal
+
+        cmat = sql_literal([c for _, c in pairs])
+        ids = sql_literal([cid for cid, _ in pairs])
+        return F.expr(
+            f"array_max(transform({cmat}, (c, i) -> "
+            f"struct({_dot_s(vec, 'c')} AS score, "
+            f"element_at({ids}, i + 1) AS cell))).cell"
+        )
     from dataengineer_spark.tuning import array_lit
 
     cmat = array_lit([c for _, c in pairs])
@@ -644,7 +746,7 @@ def kmeans_codebook(
     pairs = list(enumerate(_centroids(dim, n_centroids, seed)))
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        cell = nearest_cell_of(v, pairs)
+        cell = nearest_cell_of(_vec_s(vec_col), pairs)
         means = (
             # two-step select: a generator (posexplode) in the same select
             # as a HOF whose lambda aliases struct fields makes Spark's
@@ -702,12 +804,12 @@ def pq_codebooks_fit(
     for _ in range(iters):
         per_sub = []
         for j in range(m):
-            sub = F.slice(v, j * dsub + 1, dsub)
+            sub_s = f"slice({_vec_s(vec_col)}, {j * dsub + 1}, {dsub})"
             per_sub.append(
                 F.struct(
                     F.lit(j).alias("j"),
-                    nearest_cell_of(sub, cbs[j]).alias("cell"),
-                    sub.alias("s"),
+                    nearest_cell_of(sub_s, cbs[j]).alias("cell"),
+                    F.expr(sub_s).alias("s"),
                 )
             )
         means = (
@@ -776,17 +878,17 @@ def ivfpq_codebooks_fit(
         branches = [
             F.struct(
                 F.lit(-1).alias("j"),
-                nearest_cell_of(v, coarse_pairs).alias("cell"),
+                nearest_cell_of(_vec_s(vec_col), coarse_pairs).alias("cell"),
                 v.alias("s"),
             )
         ]
         for j in range(m):
-            sub = F.slice(v, j * dsub + 1, dsub)
+            sub_s = f"slice({_vec_s(vec_col)}, {j * dsub + 1}, {dsub})"
             branches.append(
                 F.struct(
                     F.lit(j).alias("j"),
-                    nearest_cell_of(sub, cbs[j]).alias("cell"),
-                    sub.alias("s"),
+                    nearest_cell_of(sub_s, cbs[j]).alias("cell"),
+                    F.expr(sub_s).alias("s"),
                 )
             )
         means = (
@@ -880,8 +982,8 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).select(
         "*",
-        nearest_cell(F.col("_v"), cents).alias("cell"),
-        l2_norm(F.col("_v")).alias("_n"),
+        nearest_cell("_v", cents).alias("cell"),
+        l2_norm("_v").alias("_n"),
     )
     a = base.select(
         F.col("id").alias("id_a"), F.col("_v").alias("_va"),
@@ -897,7 +999,7 @@ def semantic_dedup(
         a.join(b, on="cell")
         .where(F.col("id_a") > F.col("id_b"))
         .where(
-            F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom >= threshold)
+            F.when(denom > 0, dot("_va", "_vb") / denom >= threshold)
             .otherwise(F.lit(False))
         )
         .groupBy(F.col("id_a").alias("id"))
@@ -918,10 +1020,12 @@ def semantic_dedup(
 # -- product quantization (PQ / ADC) ----------------------------------------
 
 
-def sqdist(a: Column, b: Column) -> Column:
+def sqdist(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance of two array<double> columns (left fold, so the
 
     summation order is fixed — oracles replay it bit-for-bit)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sqdist_s(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -960,34 +1064,39 @@ def pq_encode(
     the raw vector: the representation that lets a 100 TB corpus's index
     fit in a fraction of the footprint and an ADC scan read 64× less.
     """
-    from dataengineer_spark.tuning import array_lit
+    from dataengineer_spark.tuning import sql_literal
 
     dsub = len(codebook[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    # round-11: the whole m-code array parses as ONE SQL expression —
+    # the per-subspace Column/lambda construction cost ~2 s of py4j
+    # driver time per plan build (more than the encode's execution).
+    # Expression structure is unchanged: argmin ||s-c||² ≡ argmax
+    # s·c - ||c||²/2 (||s||² is constant per row), ONE fold carries all
+    # ksub dot partial sums (the lsh_bucket accumulator pattern), the
+    # half-norms fold in as literals computed driver-side with the same
+    # left-fold order the oracle repr's; max score wins with ties to the
+    # LOWER index via the negated-index struct field (mirrors the SQL
+    # oracle's list_max over {'s','ni'}).
+    v = _vec_s(vec_col)
     codes = []
     for j, cb in enumerate(codebook):
-        sub = F.slice(v, j * dsub + 1, dsub)
+        sub = f"slice({v}, {j * dsub + 1}, {dsub})"
         ksub = len(cb)
-        # argmin ||s-c||² ≡ argmax s·c - ||c||²/2 (||s||² is constant per
-        # row): ONE fold carries all ksub dot partial sums (the lsh_bucket
-        # accumulator pattern — 8 interpreted passes instead of 128), the
-        # half-norms fold in as literals computed driver-side with the
-        # same left-fold order the oracle repr's.
-        pmat = array_lit([[c[t] for c in cb] for t in range(dsub)])
-        dots = F.aggregate(
-            F.zip_with(sub, pmat, lambda x, row: F.transform(row, lambda cv: x * cv)),
-            F.array_repeat(F.lit(0.0), ksub),
-            lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+        pmat = sql_literal([[c[t] for c in cb] for t in range(dsub)])
+        dots = (
+            f"aggregate(zip_with({sub}, {pmat}, "
+            "(x, row) -> transform(row, cv -> x * cv)), "
+            f"array_repeat(0.0D, {ksub}), "
+            "(acc, contrib) -> zip_with(acc, contrib, (a, c) -> a + c))"
         )
-        halves = array_lit([_half_sqnorm(c) for c in cb])
-        scores = F.zip_with(dots, halves, lambda d, h: d - h)
-        # max score wins; ties to the LOWER index via the negated-index
-        # struct field (mirrors the SQL oracle's list_max over {'s','ni'})
-        best = F.array_max(
-            F.transform(scores, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
+        halves = sql_literal([_half_sqnorm(c) for c in cb])
+        scores = f"zip_with({dots}, {halves}, (d, h) -> d - h)"
+        best = (
+            f"array_max(transform({scores}, "
+            "(s, i) -> struct(s AS s, -i AS ni)))"
         )
-        codes.append((-best.getField("ni")).cast("int"))
-    return df.withColumn(out, F.array(*codes))
+        codes.append(f"CAST(-({best}.ni) AS INT)")
+    return df.withColumn(out, F.expr("array(" + ", ".join(codes) + ")"))
 
 
 def _half_sqnorm(c: list[float]) -> float:
@@ -1063,15 +1172,25 @@ def random_projection_matrix(
     return [[rnd.gauss(0.0, 1.0) * s for _ in range(dim)] for _ in range(out_dim)]
 
 
-def project(vec: Column, mat: list[list[float]]) -> Column:
+def project(vec: Column | str, mat: list[list[float]]) -> Column:
     """``vec @ mat.T`` as ONE fold over the input vector: the accumulator
 
     is the width-``out_dim`` partial-sum array and the matrix ships
     transposed as a single parsed literal (the lsh_bucket pattern — one
     interpreted pass regardless of out_dim).  Map-only; no UDF."""
+    out_dim = len(mat)
+    if isinstance(vec, str):
+        from dataengineer_spark.tuning import sql_literal
+
+        pmat = sql_literal([[m[j] for m in mat] for j in range(len(mat[0]))])
+        return F.expr(
+            f"aggregate(zip_with({vec}, {pmat}, "
+            "(x, row) -> transform(row, pv -> x * pv)), "
+            f"array_repeat(0.0D, {out_dim}), "
+            "(acc, contrib) -> zip_with(acc, contrib, (a, c) -> a + c))"
+        )
     from dataengineer_spark.tuning import array_lit
 
-    out_dim = len(mat)
     pmat = array_lit([[m[j] for m in mat] for j in range(len(mat[0]))])
     return F.aggregate(
         F.zip_with(vec, pmat, lambda x, row: F.transform(row, lambda pv: x * pv)),
@@ -1184,7 +1303,7 @@ def ivf_pq_top_k(
         corpus.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
         )
-        .withColumn("_cell", nearest_cell(F.col("_cv"), coarse))
+        .withColumn("_cell", nearest_cell("_cv", coarse))
         .where(F.col("_cell").isin(probe_cells_py(query_vec, coarse, n_probe)))
     )
     return pq_top_k(c, query_vec, pq_cb, k=k, id_col=id_col, vec_col="_cv")
@@ -1251,7 +1370,7 @@ def semantic_decontaminate(
     re-folds the row norm once more, a ~2/|bench| overhead accepted for
     NULL-correct degenerate rows.
     """
-    from dataengineer_spark.tuning import array_lit
+    from dataengineer_spark.tuning import sql_literal
 
     unit = _unit_bench(bench_vectors)
     if not unit:
@@ -1260,10 +1379,12 @@ def semantic_decontaminate(
             F.lit(None).cast("double").alias("max_bench_sim"),
             F.lit(False).alias("contaminated"),
         )
-    bench = array_lit(unit)
-    v = F.col(vec_col).cast("array<double>")
-    best_dot = F.array_max(F.transform(bench, lambda b: dot(v, b)))
-    best = F.when(l2_norm(v) > 0, best_dot / l2_norm(v))
+    bench = sql_literal(unit)
+    v = _vec_s(vec_col)
+    best_dot = f"array_max(transform({bench}, b -> {_dot_s(v, 'b')}))"
+    best = F.expr(
+        f"CASE WHEN {_l2_s(v)} > 0 THEN {best_dot} / {_l2_s(v)} END"
+    )
     return corpus.select(
         "*",
         F.round(best, 6).alias("max_bench_sim"),
@@ -1427,25 +1548,27 @@ def pq_reconstruction_error(
 
     Output: (subspace, n_vecs, mse) ordered by subspace.
     """
-    from dataengineer_spark.tuning import array_lit
+    from dataengineer_spark.tuning import sql_literal
 
     enc = pq_encode(df, codebook, vec_col=vec_col, out="_codes")
     dsub = len(codebook[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    # round-11: one parsed expression for the whole per-subspace error
+    # array (same struct/sqdist shapes the Column loop built — see the
+    # pq_encode build-time note)
+    v = _vec_s(vec_col)
     per_sub = []
     for j, cb in enumerate(codebook):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        cent = F.element_at(
-            array_lit(cb), F.element_at(F.col("_codes"), j + 1) + 1
+        sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+        cent = (
+            f"element_at({sql_literal(cb)}, "
+            f"element_at(`_codes`, {j + 1}) + 1)"
         )
         per_sub.append(
-            F.struct(
-                F.lit(j).alias("subspace"), sqdist(sub, cent).alias("se")
-            )
+            f"struct({j} AS subspace, {_sqdist_s(sub, cent)} AS se)"
         )
-    errs = enc.select(F.explode(F.array(*per_sub)).alias("x")).select(
-        "x.subspace", "x.se"
-    )
+    errs = enc.select(
+        F.explode(F.expr("array(" + ", ".join(per_sub) + ")")).alias("x")
+    ).select("x.subspace", "x.se")
     agg = errs.groupBy("subspace").agg(
         F.count("*").alias("n_vecs"),
         F.sum(F.col("se").cast("decimal(28,12)")).alias("_sum"),
@@ -1664,8 +1787,8 @@ def embedding_outlier_report(
         else _centroids(dim, n_centroids, seed)
     )
     base = _complete_vectors(df, vec_col, dim)
-    best = F.array_max(_cell_scores(F.col("_v"), cents))
-    nrm = l2_norm(F.col("_v"))
+    best = F.array_max(_cell_scores("_v", cents))
+    nrm = l2_norm("_v")
     assigned = base.select(
         best.getField("cell").alias("cell"),
         (best.getField("score") / nrm).alias("_sim"),

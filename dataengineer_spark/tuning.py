@@ -336,24 +336,32 @@ def array_lit(values) -> "Column":
             "arrays (NULL is typed as DOUBLE)"
         )
 
-    def render(v) -> str:
-        if isinstance(v, (list, tuple)):
-            return "array(" + ",".join(render(x) for x in v) + ")"
-        if v is None:
-            return "CAST(NULL AS DOUBLE)"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, int):
-            # bare integral literal: the parser picks INT when it fits,
-            # BIGINT otherwise — same typing as F.lit on a Python int
-            return str(v)
-        f = float(v)
-        if f != f:  # NaN: repr 'nan' is not a SQL literal
-            return "CAST('NaN' AS DOUBLE)"
-        if f == float("inf"):
-            return "CAST('Infinity' AS DOUBLE)"
-        if f == float("-inf"):
-            return "CAST('-Infinity' AS DOUBLE)"
-        return repr(f) + "D"
+    return F.expr(sql_literal(vals))
 
-    return F.expr(render(vals))
+
+def sql_literal(v) -> str:
+    """Render a Python scalar / (nested) list as a SQL literal string —
+    the parser-side twin of ``F.lit`` / ``F.array``: one JVM parse of the
+    returned text builds the identical literal tree that per-element
+    ``F.lit`` calls would, minus the py4j round trip per element.  Shared
+    by :func:`array_lit` and the similarity module's single-``F.expr``
+    expression builders (round-11: plan-BUILD py4j time was the majority
+    of several E3 query walls)."""
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(sql_literal(x) for x in v) + ")"
+    if v is None:
+        return "CAST(NULL AS DOUBLE)"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        # bare integral literal: the parser picks INT when it fits,
+        # BIGINT otherwise — same typing as F.lit on a Python int
+        return str(v)
+    f = float(v)
+    if f != f:  # NaN: repr 'nan' is not a SQL literal
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(f) + "D"

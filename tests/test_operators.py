@@ -4702,3 +4702,100 @@ class TestBurstinessReport:
         out = burstiness_report(df, "k", "ts", "eid").collect()[0]
         assert out["n_gaps"] == 1 and out["cv"] is None
         assert out["mean_gap_s"] == 30.0
+
+
+class TestSqlExprTwins:
+    """Round-11: the similarity vector folds build as ONE parsed SQL
+    expression when given string args (plan-BUILD py4j time was the
+    majority of several E3 query walls).  Pin value-identity of every
+    string twin against the Column-API formulation it replaced — null-
+    safe equality over a seeded 64-dim frame."""
+
+    def _frame(self, spark):
+        import random
+
+        rnd = random.Random(3)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(120)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+
+    def test_string_twins_match_column_builders(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.operators import similarity as s
+
+        df = self._frame(spark)
+        cents = s._centroids(64, 16, seed=7)
+        pairs = list(enumerate(cents))
+        planes = s._hyperplanes(64, 8, seed=42)
+        mat = s.random_projection_matrix(64, 16, seed=17)
+        v_col = F.col("embedding").cast("array<double>")
+        v_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
+        twins = {
+            "dot": (s.dot(v_col, v_col), s.dot(v_sql, v_sql)),
+            "l2_norm": (s.l2_norm(v_col), s.l2_norm(v_sql)),
+            "sqdist": (s.sqdist(v_col, v_col), s.sqdist(v_sql, v_sql)),
+            "lsh_bucket": (
+                s.lsh_bucket(v_col, planes), s.lsh_bucket(v_sql, planes)
+            ),
+            "nearest_cell": (
+                s.nearest_cell(v_col, cents), s.nearest_cell(v_sql, cents)
+            ),
+            "nearest_cell_of": (
+                s.nearest_cell_of(v_col, pairs),
+                s.nearest_cell_of(v_sql, pairs),
+            ),
+            "project": (s.project(v_col, mat), s.project(v_sql, mat)),
+        }
+        for name, (col_form, sql_form) in twins.items():
+            diff = (
+                df.select(col_form.eqNullSafe(sql_form).alias("eq"))
+                .where("NOT eq")
+                .count()
+            )
+            assert diff == 0, f"{name}: string twin diverges in {diff} rows"
+
+    def test_pq_encode_matches_column_builder(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.operators import similarity as s
+        from dataengineer_spark.tuning import array_lit
+
+        df = self._frame(spark)
+        cb = s.pq_codebook(64, m=8, ksub=16, seed=11)
+
+        # the pre-round-11 Column-API formulation, inlined as the parity
+        # reference
+        dsub = len(cb[0][0])
+        v = F.col("embedding").cast("array<double>")
+        codes = []
+        for j, cbk in enumerate(cb):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            ksub = len(cbk)
+            pmat = array_lit([[c[t] for c in cbk] for t in range(dsub)])
+            dots = F.aggregate(
+                F.zip_with(
+                    sub, pmat,
+                    lambda x, row: F.transform(row, lambda cv: x * cv),
+                ),
+                F.array_repeat(F.lit(0.0), ksub),
+                lambda acc, contrib: F.zip_with(
+                    acc, contrib, lambda a, c: a + c
+                ),
+            )
+            halves = array_lit([s._half_sqnorm(c) for c in cbk])
+            scores = F.zip_with(dots, halves, lambda d, h: d - h)
+            best = F.array_max(
+                F.transform(
+                    scores,
+                    lambda sc, i: F.struct(sc.alias("s"), (-i).alias("ni")),
+                )
+            )
+            codes.append((-best.getField("ni")).cast("int"))
+        ref = df.withColumn("old", F.array(*codes)).select("vec_id", "old")
+
+        new = s.pq_encode(df, cb, out="new").select("vec_id", "new")
+        assert ref.join(new, "vec_id").where("old <> new").count() == 0
