@@ -151,14 +151,23 @@ def pairwise_top_k(
     from dataengineer_spark.operators.windows import top_k_per_group
 
     _guard_quadratic(queries, "query side", "lsh_top_k", allow_quadratic)
+    # per-side norms folded once per row, not once per (query, corpus)
+    # pair — same expressions, bit-identical cos_sim (round-11 opt, the
+    # brute_force_neardup_pairs pattern)
     q = queries.select(
-        F.col(q_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("_qn"),
     )
     c = corpus.select(
-        F.col(c_id).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
     )
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom > 0, dot("_qv", "_cv") / denom)
     scored = F.broadcast(q).crossJoin(c).select(
-        "query_id", "corpus_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id", "corpus_id", cos.alias("cos_sim")
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc_nulls_last(), F.col("corpus_id")], k
@@ -179,12 +188,25 @@ def brute_force_neardup_pairs(
     at corpus scale use :func:`embedding_neardup_pairs` (LSH-bucketed) which
     prunes the candidate space before the same cosine verify."""
     _guard_quadratic(df, "input", "embedding_neardup_pairs", allow_quadratic)
+    # round-11 opt: fold each row's norm ONCE per side instead of per
+    # pair (the pair stage re-folded both norms for every one of the
+    # O(n²) candidates — 2/3 of its per-pair work).  The per-row fold is
+    # the identical l2_norm expression, and the pair-level denom is the
+    # same float product, so cos_sim is bit-identical.
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        l2_norm("_v").alias("_na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        l2_norm("_v").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot("_va", "_vb") / denom)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
