@@ -713,11 +713,58 @@ def simhash64(
     SQL oracle can replicate exactly (the poly hash's ~20 bits of range
     are too few to index directly).
     """
-    from dataengineer_spark.operators.preparation import portable_word_hash
+    from dataengineer_spark.operators.preparation import (
+        _POLY_MOD, portable_word_hash,
+    )
     from dataengineer_spark.operators.textops import trim_ws
-    from dataengineer_spark.tuning import array_lit
+    from dataengineer_spark.tuning import array_lit, sql_literal
 
-    c = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        # single-parse SQL twin (round-11, the similarity-§12 pattern):
+        # the Column builder below costs ~0.36 s of py4j build time per
+        # call for the portable family; one F.expr parse builds the
+        # identical tree.  Same fold shapes, same literals, same operand
+        # order — value parity pinned in tests.
+        words = (
+            f"split(regexp_replace(`{text}`, '^\\\\s+|\\\\s+$', ''), '\\\\s+')"
+        )
+        if portable:
+            params = _affine_params(n_bits, seed=7)
+            a_arr = sql_literal([a for a, _ in params])
+            b_arr = sql_literal([b for _, b in params])
+            word_hash = (
+                "aggregate(transform(filter(split(w, ''), x -> x != ''), "
+                "c -> ascii(c)), CAST(0 AS BIGINT), "
+                f"(acc, x) -> (acc * 31 + x) % {_POLY_MOD})"
+            )
+            hashes = f"transform({words}, w -> {word_hash})"
+            bits_of = (
+                f"transform(sequence(0, {n_bits - 1}), j -> "
+                f"CAST((pmod(element_at({a_arr}, j + 1) * h "
+                f"+ element_at({b_arr}, j + 1), {_MERSENNE}) "
+                "% 2 * 2 - 1) AS INT))"
+            )
+        else:
+            hashes = f"transform({words}, w -> xxhash64(w))"
+            bits_of = (
+                f"transform(sequence(0, {n_bits - 1}), "
+                "j -> bit_get(h, j) * 2 - 1)"
+            )
+        counts = (
+            f"aggregate({hashes}, array_repeat(0, {n_bits}), "
+            f"(acc, h) -> zip_with(acc, {bits_of}, (a, b) -> a + b))"
+        )
+        low = (
+            f"aggregate(reverse(slice({counts}, 1, {n_bits - 1})), "
+            "CAST(0 AS BIGINT), "
+            "(acc, cnt) -> acc * 2 + CASE WHEN cnt > 0 THEN 1 ELSE 0 END)"
+        )
+        return F.expr(
+            f"CASE WHEN element_at({counts}, {n_bits}) > 0 "
+            f"THEN {low} + (-9223372036854775807L - 1L) ELSE {low} END"
+        )
+
+    c = text
     words = F.split(trim_ws(c), r"\s+")
     idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
     if portable:

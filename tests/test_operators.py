@@ -4799,3 +4799,26 @@ class TestSqlExprTwins:
 
         new = s.pq_encode(df, cb, out="new").select("vec_id", "new")
         assert ref.join(new, "vec_id").where("old <> new").count() == 0
+
+    def test_simhash_string_twin_matches_column_builder(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataengineer_spark.operators.dedup import simhash64
+
+        rows = [
+            (i, f"the quick brown fox {i} jumps\tover  lazy dog {i * 7 % 13}")
+            for i in range(120)
+        ]
+        rows += [(120, ""), (121, "   "), (122, "one"), (123, "a\n b \t")]
+        df = spark.createDataFrame(rows, "id int, t string")
+        for portable in (True, False):
+            diff = (
+                df.select(
+                    simhash64("t", portable=portable)
+                    .eqNullSafe(simhash64(F.col("t"), portable=portable))
+                    .alias("eq")
+                )
+                .where("NOT eq")
+                .count()
+            )
+            assert diff == 0, f"simhash64 string twin diverges (portable={portable})"
