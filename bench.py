@@ -460,8 +460,13 @@ def main() -> None:
             n = (max(bench_rounds) if bench_rounds else 0) + 1
         detail_payload["round_inferred"] = n
     # non-default scale runs (e.g. the sf1 10x sweep) get their own file
-    # so they never clobber the driver-scale detail
+    # so they never clobber the driver-scale detail; same for non-default
+    # core counts (VERDICT r11 item 5: the driver's 8-core scaling run
+    # keyed to the same filename and overwrote the 32-core artifact)
     tag = "" if abs(sf - 0.1) < 1e-9 else f"_sf{sf:g}"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if cpus != "32":
+        tag += f"_c{cpus}"
     detail = os.path.join(repo, f"BENCH_DETAIL_r{n:02d}{tag}.json")
     try:
         with open(detail, "w") as fh:
