@@ -4017,7 +4017,15 @@ def q_e11_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming over the events parquet (availableNow), complete
 
     mode so every window emits — result equals the batch tumbling agg."""
-    from dataengineer_spark.streaming import stream_events, windowed_counts
+    from dataengineer_spark.streaming import (
+        stream_events,
+        stream_runtime_session,
+        windowed_counts,
+    )
+    # stateful run: child session with input-derived state width +
+    # no-data finalizing batch skipped (results partition-count- and
+    # no-data-batch-invariant; see stream_runtime_session docstring)
+    spark = stream_runtime_session(spark, sf_dir + "/events.parquet")
 
     stream = stream_events(spark, sf_dir + "/events.parquet")
     counts = windowed_counts(stream, window="1 hour", watermark="10 minutes")
@@ -4051,7 +4059,15 @@ def q_e11_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen key).  Bound-check oracle in the q_e5_approx_distinct style: the
     streamed estimate joins the BATCH exact distinct per window and emits
     an in-bounds boolean (3*rsd) that DuckDB asserts TRUE."""
-    from dataengineer_spark.streaming import stream_events, windowed_distinct_approx
+    from dataengineer_spark.streaming import (
+        stream_events,
+        stream_runtime_session,
+        windowed_distinct_approx,
+    )
+    # stateful run: child session with input-derived state width +
+    # no-data finalizing batch skipped (results partition-count- and
+    # no-data-batch-invariant; see stream_runtime_session docstring)
+    spark = stream_runtime_session(spark, sf_dir + "/events.parquet")
 
     stream = stream_events(spark, sf_dir + "/events.parquet")
     est = windowed_distinct_approx(stream, window="1 hour", rsd=0.05)
@@ -4112,7 +4128,14 @@ def q_e11_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Gap boundary semantics match the lag oracle on this data
     (no consecutive events exactly at the 30-min gap)."""
     from pyspark.sql import Window as W
-    from dataengineer_spark.streaming import stream_events
+    from dataengineer_spark.streaming import (
+        stream_events,
+        stream_runtime_session,
+    )
+    # stateful run: child session with input-derived state width +
+    # no-data finalizing batch skipped (results partition-count- and
+    # no-data-batch-invariant; see stream_runtime_session docstring)
+    spark = stream_runtime_session(spark, sf_dir + "/events.parquet")
 
     stream = stream_events(spark, sf_dir + "/events.parquet")
     sess = (
@@ -5048,7 +5071,15 @@ def q_e11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself (every event arrives twice) → dropDuplicatesWithinWatermark on
     event_id emits each exactly once — the result equals the source table,
     which IS the oracle. Append mode; state bounded by the watermark."""
-    from dataengineer_spark.streaming import stream_dedup, stream_events
+    from dataengineer_spark.streaming import (
+        stream_dedup,
+        stream_events,
+        stream_runtime_session,
+    )
+    # stateful run: child session with input-derived state width +
+    # no-data finalizing batch skipped (results partition-count- and
+    # no-data-batch-invariant; see stream_runtime_session docstring)
+    spark = stream_runtime_session(spark, sf_dir + "/events.parquet")
 
     s1 = stream_events(spark, sf_dir + "/events.parquet")
     s2 = stream_events(spark, sf_dir + "/events.parquet")
@@ -6532,7 +6563,15 @@ def q_e11_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 stream-stream inner join: purchases within 1 hour of a click by
     the same user, both sides watermarked (bounded state). availableNow
     over one file → equals the batch interval join, so fully oracled."""
-    from dataengineer_spark.streaming import stream_events, stream_stream_join
+    from dataengineer_spark.streaming import (
+        stream_events,
+        stream_runtime_session,
+        stream_stream_join,
+    )
+    # stateful run: child session with input-derived state width +
+    # no-data finalizing batch skipped (results partition-count- and
+    # no-data-batch-invariant; see stream_runtime_session docstring)
+    spark = stream_runtime_session(spark, sf_dir + "/events.parquet")
 
     clicks = stream_events(spark, sf_dir + "/events.parquet").where(
         F.col("event_type") == "click"
