@@ -2300,8 +2300,16 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set + pair explode (_cooccurrence_edges), same as
     q_graph_pagerank."""
     from dataengineer_spark.operators import graph as graph_ops
+    from dataengineer_spark.tuning import lineage_cut
 
-    edges = _cooccurrence_edges(spark, sf_dir, "l_partkey")
+    # the seeds branch is a second consumer of the edge build — without
+    # the cut it re-executed the whole collect_set + pair explode
+    # (~1.5 s at sf0.1, round-12 decomposition); one lazy cut feeds both
+    edges = lineage_cut(
+        _cooccurrence_edges(spark, sf_dir, "l_partkey"),
+        eager=False,
+        serialized=True,  # edge-list-sized
+    )
     seeds = edges.select("src").where(F.col("src") % 97 == 0).distinct()
     return graph_ops.bfs_distances(edges, seeds, max_depth=3)
 

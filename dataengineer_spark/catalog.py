@@ -562,8 +562,20 @@ class Catalog:
             flagged = flagged.withColumn("batch_id", F.lit(batch_id))
         valid = flagged.where(F.col("reject_reason") == "").drop("reject_reason")
         bad = flagged.where(F.col("reject_reason") != "")
-        self.write(valid, table)
-        self.write(bad, f"{table}_quarantine")
+        # the two sinks are independent jobs over the same (cheap,
+        # file-backed) input — submit them concurrently so the second
+        # write's tasks back-fill the first one's straggler tail
+        # (guide §2.6 overlap-independent-jobs; round-12: −0.3 s of the
+        # ~0.6 s sequential write wall at sf0.1).  Two threads only, and
+        # joined before the read-backs below, so the cumulative-manifest
+        # ordering contract is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fv = pool.submit(self.write, valid, table)
+            fb = pool.submit(self.write, bad, f"{table}_quarantine")
+            fv.result()
+            fb.result()
         clean_n = self.read(table).count()
         quar = self.read(f"{table}_quarantine")
         # ONE aggregate pass over the quarantine table yields the total
@@ -594,7 +606,16 @@ class Catalog:
         rows = [("_valid", clean_n), ("_quarantined", quar_n)] + [
             (n, rule_hits.get(n, 0)) for n in names
         ]
-        return self.spark.createDataFrame(rows, "rule string, n long")
+        # manifest as one parsed VALUES literal: createDataFrame routes a
+        # 5-row local frame through parallelize + Python serialization
+        # (~0.3 s per call); the SQL literal is a single parser trip.
+        # Names are caller strings — escape the one character ('') that
+        # a SQL single-quoted literal interprets.
+        vals = ", ".join(
+            "('{}', CAST({} AS BIGINT))".format(str(r).replace("'", "''"), int(v))
+            for r, v in rows
+        )
+        return self.spark.sql(f"SELECT col1 AS rule, col2 AS n FROM (VALUES {vals})")
 
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose tables as temp views for the SQL API (P2)."""

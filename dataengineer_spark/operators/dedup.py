@@ -448,6 +448,41 @@ def _minhash_sql(hashes_sql: str, num_hashes: int, seed: int = 42) -> str:
     )
 
 
+def _minhash_min_sql(hashes_sql: str, num_hashes: int, seed: int = 42) -> str:
+    """SQL text of the MinHash fold as ``num_hashes`` independent
+    ``array_min(transform(...))`` passes over a PRE-STAGED hash-array
+    column — value-identical to ``_minhash_sql``/``minhash_from_hashes``
+    (same affine family, same pmod per (j, h), and ``min`` over the same
+    values commutes with how the passes are grouped; parity pinned in
+    tests/test_operators.py).
+
+    Why this shape (round-12): the ``aggregate`` fold allocates TWO
+    ``num_hashes``-wide arrays per shingle value (the transform batch and
+    the zip_with minimum) inside the Catalyst interpreter — 2·|shingles|
+    array allocations per row; this form allocates ``num_hashes`` arrays
+    of |shingles| width per row instead (one per pass), measured −20% on
+    the signature stage at sf0.1 for both hash families.
+
+    ``hashes_sql`` MUST be a plain (quoted) column reference to a
+    previously-projected hash array — the parser inlines it verbatim, so
+    an expression here would recompute the shingle stage ``num_hashes``
+    times.
+    """
+    params = _affine_params(num_hashes, seed)
+    # coalesce to the aggregate form's init: a NULL hash value (NULL
+    # input text) folds to the untouched {_MERSENNE} accumulator there
+    # (``least`` skips NULLs), while array_min over all-NULL returns
+    # NULL; every non-NULL pmod value is < {_MERSENNE}, so the two
+    # agree bit-for-bit on mixed arrays too
+    passes = ",".join(
+        f"coalesce(array_min(transform({hashes_sql}, "
+        f"h -> pmod({a} * h + {b}, {_MERSENNE}))), "
+        f"CAST({_MERSENNE} AS BIGINT))"
+        for a, b in params
+    )
+    return f"array({passes})"
+
+
 def _expr_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int,
     num_hashes: int, portable: bool, seed: int = 42,
@@ -497,16 +532,21 @@ def _expr_signatures(
             F.col(text_col),
             F.expr(cps_sql).alias("_cps"),
         )
-        sig_sql = _minhash_sql(
-            _shingle_hashes_from_cps_sql(f"`{text_col}`", "`_cps`", shingle_size),
-            num_hashes, seed,
+        hs_sql = _shingle_hashes_from_cps_sql(
+            f"`{text_col}`", "`_cps`", shingle_size
         )
-        return staged.select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
-    sig_sql = _minhash_sql(
-        _shingle_hashes_sql(f"`{text_col}`", shingle_size, portable),
-        num_hashes, seed,
+    else:
+        staged = fanned
+        hs_sql = _shingle_hashes_sql(f"`{text_col}`", shingle_size, portable)
+    # stage the shingle-hash array in its OWN projection (non-cheap and
+    # referenced num_hashes times by the fold below — CollapseProject
+    # keeps it un-inlined, so the shingle stage runs once per row), then
+    # fold the signature via the allocation-light array_min form
+    hashed = staged.select(F.col(id_col), F.expr(hs_sql).alias("_hs"))
+    return hashed.select(
+        F.col(id_col),
+        F.expr(_minhash_min_sql("`_hs`", num_hashes, seed)).alias("_sig"),
     )
-    return fanned.select(F.col(id_col), F.expr(sig_sql).alias("_sig"))
 
 
 def _band_buckets(
@@ -594,6 +634,15 @@ def minhash_lsh_pairs(
 
     banded = _band_buckets(sig, id_col, num_hashes, bands, portable=portable)
 
+    # referenced by BOTH self-join sides, whose differing id aliases
+    # defeat exchange reuse (the canonical plans differ) — without the
+    # persist the whole signature/banding pipeline executes twice per
+    # action (round-12 decomposition: the candidate stage cost ~2× the
+    # banded stage for 256 output pairs).  (id, band, bucket) rows only —
+    # 24 bytes/row at any corpus size; freed when the returned frame is
+    # GC'd (tie_lifetime below), same contract as the candidate persist.
+    banded = transient_persist(banded)
+
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -630,7 +679,7 @@ def minhash_lsh_pairs(
     out = pairs.select("id_a", "id_b", _jaccard("_sh_a", "_sh_b")).where(
         F.col("jaccard") >= threshold
     )
-    return tie_lifetime(out, cand)
+    return tie_lifetime(tie_lifetime(out, cand), banded)
 
 
 def ngram_jaccard_pairs(

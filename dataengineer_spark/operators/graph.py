@@ -476,9 +476,19 @@ def bfs_distances(
     seed (seeds themselves at dist 0).
     """
     # lazy cut: BFS builds one chained DAG with no build-time job (the
-    # blocks still materialize once at first action and free on frame GC)
+    # blocks still materialize once at first action and free on frame GC).
+    # Round-12 (§2.4, the pagerank e_deg pattern): hash-partition the
+    # stored edge blocks on the per-level join key at an explicit width —
+    # localCheckpoint preserves outputPartitioning, so every level's
+    # frontier join co-locates against the stored blocks and only the
+    # (node-bounded) frontier side shuffles; without it each level
+    # re-exchanged the FULL edge list (depth× corpus shuffles).  The
+    # explicit width pins parallelism against AQE's advisory-size
+    # coalescing of the stored blocks, exactly as in pagerank.
+    n_parts = max(_session_width(edges.sparkSession), _lake_width(edges))
     e = lineage_cut(
-        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(n_parts, "_src"),
         eager=False,
         serialized=True,  # edge-list-sized
     )

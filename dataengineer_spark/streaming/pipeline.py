@@ -60,7 +60,10 @@ def stream_runtime_session(
     import os
 
     child = spark.newSession()
-    session_width = int(child.conf.get("spark.sql.shuffle.partitions"))
+    # the width baseline is the CALLER's current conf, set explicitly on
+    # the child: newSession() inherits only the initial session options,
+    # not later runtime conf.set values on the caller
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     per_part_mb = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "16"))
     total = 0
     sizable = True
@@ -75,9 +78,10 @@ def stream_runtime_session(
                 total += sum(
                     os.path.getsize(os.path.join(root, f)) for f in files
                 )
+    width = session_width
     if sizable and paths:
         width = max(floor, min(session_width, -(-total // (per_part_mb << 20))))
-        child.conf.set("spark.sql.shuffle.partitions", str(int(width)))
+    child.conf.set("spark.sql.shuffle.partitions", str(int(width)))
     if not no_data_batches:
         child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     return child
@@ -664,13 +668,14 @@ def stream_neardup_ingest(
     n_index_buckets, "bucket")``, the same machinery as
     ``catalog.write_bucketed`` / q_s7), and the per-batch probe is
 
-    - **bucket-pruned (adaptively)**: when the batch's band rows number
-      at most ``n_index_buckets`` (expected bucket coverage ≤ ~63%),
-      their distinct bucket values (a control-plane list, ≤ batch_size ×
-      bands strings) become an ``isin`` filter that Spark's bucket
-      pruning resolves to a bucket subset at PLAN time — the scan reads
-      only matching bucket files (``SelectedBucketsCount`` in the plan)
-      however large the accepted history grows.  Bigger batches hit
+    - **bucket-pruned (adaptively)**: when the batch's DISTINCT bucket
+      values number at most ``n_index_buckets`` (one capped control-
+      plane collect per epoch — round-12 fused the old row-count +
+      distinct-collect pair into it), they become an ``isin`` filter
+      that Spark's bucket pruning resolves to a bucket subset at PLAN
+      time — the scan reads only matching bucket files
+      (``SelectedBucketsCount`` in the plan) however large the accepted
+      history grows.  Batches touching more buckets than that read
       every bucket anyway, so they skip the filter (a many-hundred-
       literal In costs ~0.5s of driver planning for zero pruning).
       Pruning lives in the bucketed-scan path, which the planner
@@ -872,17 +877,8 @@ def _neardup_ingest_epoch(
             .select(id_col)
         )
         # cross-batch probe (rule 3) against STRICTLY earlier epochs of
-        # the bucketed index (seed rows carry _epoch=-1).  Bucket
-        # pruning is ADAPTIVE: when the batch's band-row count is small
-        # vs the bucket count (expected coverage ≤ ~63%), its distinct
-        # bucket values — a control-plane list, ≤ batch × bands strings
-        # — become an isin filter that resolves to a bucket subset at
-        # PLAN time (SelectedBucketsCount), so the scan skips
-        # non-matching bucket files however large the accepted history
-        # grows.  A big batch hits every bucket anyway, and a
-        # many-hundred-literal In costs real driver planning time
-        # (measured ~0.5s at 668 values), so past the threshold the
-        # probe relies on the broadcast hash join alone.
+        # the bucketed index (seed rows carry _epoch=-1); bucket pruning
+        # is adaptive — see _cross_probe.
         cross_flag = _cross_probe(
             spark, index_path, bands_new, epoch_id, id_col,
             _sig_family(portable, engine), n_index_buckets,
@@ -921,15 +917,14 @@ def _cross_probe(
     """Cross-batch probe plan (rule 3) against STRICTLY earlier epochs of
     the bucketed index (seed rows carry _epoch=-1); returns None when
     there is no index or no band rows to probe.  Bucket pruning is
-    ADAPTIVE: when the batch's band-row count is at most the bucket
-    count (expected coverage ≤ ~63%), its distinct bucket values — a
-    control-plane list, ≤ batch × bands strings — become an isin filter
-    that resolves to a bucket subset at PLAN time
+    ADAPTIVE: when the batch's DISTINCT bucket values number at most the
+    bucket count (one capped collect per epoch), they become an isin
+    filter that resolves to a bucket subset at PLAN time
     (``SelectedBucketsCount``), so the scan skips non-matching bucket
-    files however large the accepted history grows.  A big batch hits
-    every bucket anyway, and a many-hundred-literal In costs real
-    driver planning time (measured ~0.5 s at 668 values), so past the
-    threshold the probe relies on the broadcast hash join alone."""
+    files however large the accepted history grows.  A batch touching
+    more buckets reads every bucket anyway, and a many-hundred-literal
+    In costs real driver planning time (measured ~0.5 s at 668 values),
+    so past the cap the probe relies on the broadcast hash join alone."""
     table = neardup_index_table(index_path)
     if not spark.catalog.tableExists(table):
         return None
@@ -949,18 +944,27 @@ def _cross_probe(
             f"family but this stream probes with '{fam}' — cross-family "
             "buckets never match, so every duplicate would silently pass"
         )
-    n_pairs = bands_new.where(F.col("bucket").isNotNull()).count()
-    if not n_pairs:
+    # ONE control-plane job per epoch (round-12; was a count + a distinct
+    # collect): pull the batch's distinct buckets capped at
+    # n_index_buckets + 1 — an empty list means no band rows (skip the
+    # probe), a list within the cap becomes the pruning isin (the
+    # pruning trigger is now "few distinct buckets" rather than "few
+    # band rows": strictly more batches prune, the In-literal stays
+    # bounded, and pruning is lossless either way), and an over-cap
+    # list means the batch hits enough buckets that the scan reads them
+    # all anyway — rely on the broadcast hash join alone.
+    bucket_vals = [
+        r[0]
+        for r in bands_new.where(F.col("bucket").isNotNull())
+        .select("bucket")
+        .distinct()
+        .limit(n_index_buckets + 1)
+        .collect()
+    ]
+    if not bucket_vals:
         return None
     idx = stored.where(F.col("_epoch") < F.lit(int(epoch_id)))
-    if n_pairs <= n_index_buckets:
-        bucket_vals = [
-            r[0]
-            for r in bands_new.where(F.col("bucket").isNotNull())
-            .select("bucket")
-            .distinct()
-            .collect()
-        ]
+    if len(bucket_vals) <= n_index_buckets:
         idx = idx.where(F.col("bucket").isin(bucket_vals))
     # build side = broadcast batch bands (micro-batch-bounded); the
     # index side streams through the hash table with no exchange and

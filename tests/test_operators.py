@@ -1139,6 +1139,37 @@ class TestCharShingleHashes:
             s = {r["doc_id"]: r["sig"] for r in slow.collect()}
             assert f == s, f"portable={portable}"
 
+    def test_expr_signatures_match_column_builders(self, spark):
+        # round-12 (and ADVICE r11 item 1): pins the PRODUCTION
+        # composition _expr_signatures actually ships — the staged
+        # codepoint-array shingle fold (portable) and the staged
+        # array_min MinHash fold (_minhash_min_sql, both families) —
+        # value-identical to the Column builders over the same
+        # short/empty/NULL/unicode edge frame as the SQL-string test
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumped over the lazy dog"),
+             (3, "ab"), (4, ""), (5, None), (6, "héllo wörld çæ"),
+             (7, "x" * 300)],
+            "doc_id long, _t string",
+        )
+        for portable in (True, False):
+            col_form = df.select(
+                "doc_id",
+                dedup_ops.minhash_from_hashes(
+                    dedup_ops.char_shingle_hashes(F.col("_t"), 5, portable),
+                    32,
+                ).alias("_sig"),
+            )
+            prod_form = dedup_ops._expr_signatures(
+                df, "doc_id", "_t", 5, 32, portable, assume_fanned=True
+            )
+            c = {r["doc_id"]: r["_sig"] for r in col_form.collect()}
+            p = {r["doc_id"]: r["_sig"] for r in prod_form.collect()}
+            assert c == p, f"portable={portable}"
+
     def test_sql_string_forms_match_column_builders(self, spark):
         # round-9: _expr_signatures builds its signature expression as
         # ONE parsed SQL string (~200x fewer py4j round trips at plan
