@@ -268,8 +268,10 @@ def percentiles_distributed(
         g = tuple(r[k] for k in keys)
         offsets.append((*g, r["_pid"], totals.get(g, 0)))
         totals[g] = totals.get(g, 0) + r["count"]
-    off_df = spark.createDataFrame(
-        offsets, list(keys) + ["_pid", "_offset"]
+    from dataengineer_spark.tuning import control_frame
+
+    off_df = control_frame(
+        spark, offsets, list(keys) + ["_pid", "_offset"]
     )
     # target ranks with interpolation weights per group and prob
     targets: list[tuple] = []
@@ -280,8 +282,8 @@ def percentiles_distributed(
             targets.append((*g, int(p * 100), lo, 1.0 - frac))
             if frac > 0:
                 targets.append((*g, int(p * 100), lo + 1, frac))
-    tgt_df = spark.createDataFrame(
-        targets, [f"_t_{k}" for k in keys] + ["_prob", "_rank", "_weight"]
+    tgt_df = control_frame(
+        spark, targets, [f"_t_{k}" for k in keys] + ["_prob", "_rank", "_weight"]
     )
     local_w = W.partitionBy(*keys, "_pid").orderBy(col)
     global_rank = (

@@ -1000,8 +1000,10 @@ def connected_components(
                 StructField("node", node_t, False),
                 StructField("cluster_id", node_t, False),
             ])
-            return spark.createDataFrame(
-                [(n, comp_min[find(n)]) for n in parent], out_schema
+            from dataengineer_spark.tuning import control_frame
+
+            return control_frame(
+                spark, [(n, comp_min[find(n)]) for n in parent], out_schema
             )
         finally:
             edges.unpersist()

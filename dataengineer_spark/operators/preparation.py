@@ -911,7 +911,9 @@ def pps_systematic_sample(
         return spark.createDataFrame(
             [], f"{id_col} {id_type}, weight long"
         )
-    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    from dataengineer_spark.tuning import control_frame
+
+    off_df = control_frame(spark, offsets, ["_pid", "_offset"])
     local = W.partitionBy("_pid").orderBy(id_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -961,7 +961,9 @@ def kmeans_fit(
         for cid, cent in pairs
         for pos, comp in enumerate(cent)
     ]
-    return spark.createDataFrame(rows, "cell int, pos int, c double")
+    from dataengineer_spark.tuning import control_frame
+
+    return control_frame(spark, rows, "cell int, pos int, c double")
 
 
 # -- semantic dedup (SemDeDup-style) ----------------------------------------
@@ -1757,8 +1759,10 @@ def pca_power_top(
     # output below is dim-sized driver rows, nothing reads x again)
     x.unpersist()
     rows = [(j + 1, w[j], ev) for j in range(dim)]
-    out = df.sparkSession.createDataFrame(
-        rows, "dim int, loading double, eigenvalue double"
+    from dataengineer_spark.tuning import control_frame
+
+    out = control_frame(
+        df.sparkSession, rows, "dim int, loading double, eigenvalue double"
     )
     return out.select(
         "dim",

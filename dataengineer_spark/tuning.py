@@ -365,3 +365,29 @@ def sql_literal(v) -> str:
     if f == float("-inf"):
         return "CAST('-Infinity' AS DOUBLE)"
     return repr(f) + "D"
+
+
+def control_frame(spark, rows, schema):
+    """Driver-side control-plane frame (offset tables, codebooks, audit
+    manifests — tens to thousands of rows) via the Arrow local-relation
+    path: ``createDataFrame`` over plain tuples routes through
+    ``parallelize`` + pickle and costs ~0.3–0.5 s per call on a loaded
+    driver, while the pandas/Arrow path is one columnar batch (~0.13 s
+    measured for 96 rows — round-12).  STRICT type guard: the Arrow path
+    is taken only when every value is a plain non-None str/bool/int/
+    float (pandas dtype inference is then exact: int64/float64/bool/
+    object-string, identical to tuple-path inference); anything else —
+    None, Decimal, datetime, nested — falls back to the classic path,
+    values identical either way.  ``schema`` is whatever
+    ``createDataFrame`` accepts (name list, DDL string, StructType)."""
+    simple = (str, bool, int, float)
+    if rows and all(type(v) in simple for r in rows for v in r):
+        import pandas as pd
+
+        try:
+            pdf = pd.DataFrame(list(rows))
+            pdf.columns = range(len(pdf.columns))  # positional; schema names win
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:  # noqa: BLE001 — typing doubt: take the slow path
+            pass
+    return spark.createDataFrame(rows, schema)
